@@ -1,0 +1,56 @@
+"""Benchmark runner: executes every registered query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) and prints ONE JSON line with per-query and
+total wall-clock seconds.
+
+Each query is forced with a count() action (no driver-side collect of the
+result payload — we time the distributed plan, not Arrow transfer)."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from kf_task_fhir_etl_spark import queries as q
+from kf_task_fhir_etl_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = None
+    spark = get_spark("kf_task_fhir_etl_spark-bench")
+
+    timings: dict[str, float] = {}
+    registry = q.queries()
+    # Warm the JVM/session on the smallest SF so q1 doesn't absorb startup cost.
+    registry[sorted(registry)[0]](spark, "/root/testdata/sf0.001").count()
+
+    total_start = time.perf_counter()
+    for name in sorted(registry):
+        start = time.perf_counter()
+        registry[name](spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - start, 3)
+    total = round(time.perf_counter() - total_start, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

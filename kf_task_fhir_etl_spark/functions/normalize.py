@@ -1,0 +1,60 @@
+"""Normalization operator — Spark equivalent of the reference's ``clean_up_df``.
+
+The reference pipes both output tables through
+``kf_lib_data_ingest.common.misc.clean_up_df`` (called at reference
+``etl/ingest.py:256-258`` and ``etl/ingest.py:485``), which establishes the
+engine's *stringly-typed tabular* model (SURVEY.md §1):
+
+- every cell becomes a trimmed string;
+- numerics are down-cast on the way (``1.0`` → ``"1"``, ``1.5`` → ``"1.5"``);
+- empty strings / NaN become null;
+- exact-duplicate rows are dropped.
+
+Implemented 100% with native column expressions so it stays inside
+whole-stage codegen — no UDFs, no pandas.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def stringify_col(col: Column, dtype: T.DataType) -> Column:
+    """Cast one column to the normalized string form.
+
+    Fractional types down-cast to integer strings when the value is whole
+    (pandas float→str of ``1.0`` after clean_up_df is ``"1"``); booleans map
+    to the literal ``"True"``/``"False"`` strings the reference asserts on
+    (reference ``entity_builders/proband_status.py:40``).
+    """
+    if isinstance(dtype, (T.DoubleType, T.FloatType, T.DecimalType)):
+        as_long = col.cast(T.LongType())
+        return F.when(col.isNull(), F.lit(None).cast(T.StringType())).otherwise(
+            F.when(col == as_long.cast(dtype), as_long.cast(T.StringType())).otherwise(
+                col.cast(T.StringType())
+            )
+        )
+    if isinstance(dtype, T.BooleanType):
+        return F.when(col, F.lit("True")).when(~col, F.lit("False"))
+    out = col.cast(T.StringType())
+    if isinstance(dtype, T.StringType):
+        out = F.trim(out)
+    # Empty-after-trim → null (clean_up_df nulls empties).
+    return F.when(F.length(out) == 0, F.lit(None).cast(T.StringType())).otherwise(out)
+
+
+def normalize(df: DataFrame, drop_duplicates: bool = True) -> DataFrame:
+    """Apply the full clean_up_df semantics to every column.
+
+    ``dropDuplicates()`` at the end collapses the redundancy introduced by the
+    outer-join fan-out (reference ``etl/ingest.py:485``). On a cluster this is
+    a hash-repartition on all columns; Spark plans it as a partial (map-side)
+    aggregate first, so the shuffle only carries distinct rows.
+    """
+    cols = [stringify_col(F.col(f.name), f.dataType).alias(f.name) for f in df.schema.fields]
+    out = df.select(cols)
+    if drop_duplicates:
+        out = out.dropDuplicates()
+    return out

@@ -1,0 +1,348 @@
+"""Driver-contract query registry.
+
+Each entry re-expresses one operator family from SURVEY.md §2 (or a
+training-data operator) as a Spark DataFrame query over the synthetic
+testdata tables, paired with ANSI SQL that DuckDB runs as the oracle.
+
+Conventions for oracle hash-parity:
+- every computed column is aliased identically in Spark and SQL;
+- floating aggregates are rounded (FP summation order differs between
+  engines);
+- timestamps are emitted as formatted strings or epoch integers (Spark is
+  µs-precision, DuckDB ns);
+- array results are emitted as sorted comma-joined strings.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kf_task_fhir_etl_spark.catalog import load_table
+from kf_task_fhir_etl_spark.functions.normalize import normalize
+from kf_task_fhir_etl_spark.functions.recode import recode
+from kf_task_fhir_etl_spark.functions.strings import split_index
+from kf_task_fhir_etl_spark.plans.mappings import rename_to_concepts  # noqa: F401 (used by pipeline queries)
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Flagship: scan → filter → groupBy/agg → sort (TPC-H Q1 shape).
+# Exercises S-scan, F-predicates, A-aggregations of SURVEY.md §2 in one plan;
+# filter + column pruning push into the parquet scan, aggregation is partial
+# (map-side) before the single shuffle.
+# ---------------------------------------------------------------------------
+@register(
+    "q01_pricing_summary",
+    oracle="""
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      ROUND(SUM(l_quantity), 2)                                        AS sum_qty,
+      ROUND(SUM(l_extendedprice), 2)                                   AS sum_base_price,
+      ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+      ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+      ROUND(AVG(l_quantity), 2)                                        AS avg_qty,
+      ROUND(AVG(l_extendedprice), 2)                                   AS avg_price,
+      ROUND(AVG(l_discount), 4)                                        AS avg_disc,
+      COUNT(*)                                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J1-J3 analog: concept renames (P2) + conditional full-outer cascade with
+# coalesced keys + broadcast dims (SURVEY.md §2.3). region/nation are tiny
+# dims — Spark broadcasts them, so only the customer⟗orders join shuffles,
+# and both sides shuffle on the same key once.
+# ---------------------------------------------------------------------------
+@register(
+    "q02_outer_join_cascade",
+    oracle="""
+    WITH r AS (
+      SELECT r_regionkey AS "REGION|TARGET_SERVICE_ID", r_name AS "REGION|NAME" FROM region
+    ), n AS (
+      SELECT n_nationkey AS "NATION|TARGET_SERVICE_ID", n_name AS "NATION|NAME",
+             n_regionkey AS "REGION|TARGET_SERVICE_ID" FROM nation
+    ), c AS (
+      SELECT c_custkey AS "CUSTOMER|TARGET_SERVICE_ID", c_name AS "CUSTOMER|NAME",
+             c_nationkey AS "NATION|TARGET_SERVICE_ID", c_mktsegment AS "CUSTOMER|SEGMENT" FROM customer
+    ), o AS (
+      SELECT o_orderkey AS "ORDER|TARGET_SERVICE_ID", o_custkey AS "CUSTOMER|TARGET_SERVICE_ID",
+             o_orderstatus AS "ORDER|STATUS" FROM orders
+    )
+    SELECT "REGION|NAME", "NATION|NAME", "CUSTOMER|TARGET_SERVICE_ID", "CUSTOMER|NAME",
+           "CUSTOMER|SEGMENT", "ORDER|TARGET_SERVICE_ID", "ORDER|STATUS"
+    FROM r
+    FULL OUTER JOIN n USING ("REGION|TARGET_SERVICE_ID")
+    FULL OUTER JOIN c USING ("NATION|TARGET_SERVICE_ID")
+    FULL OUTER JOIN o USING ("CUSTOMER|TARGET_SERVICE_ID")
+    """,
+)
+def q02_outer_join_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load_table(spark, sf_dir, "region").select(
+        F.col("r_regionkey").alias("REGION|TARGET_SERVICE_ID"),
+        F.col("r_name").alias("REGION|NAME"),
+    )
+    n = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("NATION|TARGET_SERVICE_ID"),
+        F.col("n_name").alias("NATION|NAME"),
+        F.col("n_regionkey").alias("REGION|TARGET_SERVICE_ID"),
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("CUSTOMER|TARGET_SERVICE_ID"),
+        F.col("c_name").alias("CUSTOMER|NAME"),
+        F.col("c_nationkey").alias("NATION|TARGET_SERVICE_ID"),
+        F.col("c_mktsegment").alias("CUSTOMER|SEGMENT"),
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("ORDER|TARGET_SERVICE_ID"),
+        F.col("o_custkey").alias("CUSTOMER|TARGET_SERVICE_ID"),
+        F.col("o_orderstatus").alias("ORDER|STATUS"),
+    )
+    # dims broadcast; fact-fact join shuffles once on the shared key
+    wide = (
+        F.broadcast(r)
+        .join(F.broadcast(n), on=["REGION|TARGET_SERVICE_ID"], how="full")
+        .join(c, on=["NATION|TARGET_SERVICE_ID"], how="full")
+        .join(o, on=["CUSTOMER|TARGET_SERVICE_ID"], how="full")
+    )
+    return wide.select(
+        "REGION|NAME",
+        "NATION|NAME",
+        "CUSTOMER|TARGET_SERVICE_ID",
+        "CUSTOMER|NAME",
+        "CUSTOMER|SEGMENT",
+        "ORDER|TARGET_SERVICE_ID",
+        "ORDER|STATUS",
+    )
+
+
+# ---------------------------------------------------------------------------
+# clean_up_df parity (SURVEY.md §1, A3): stringify w/ numeric downcast + trim
+# + dropDuplicates. All codegen'd casts; the dedup is the only shuffle and is
+# a partial aggregate first.
+# ---------------------------------------------------------------------------
+@register(
+    "q03_normalize_dedup",
+    oracle="""
+    SELECT DISTINCT
+      CAST(o_orderkey AS VARCHAR)  AS "ORDER|TARGET_SERVICE_ID",
+      TRIM(o_orderstatus)          AS "ORDER|STATUS",
+      CASE WHEN o_totalprice IS NULL THEN NULL
+           WHEN o_totalprice = CAST(CAST(o_totalprice AS BIGINT) AS DOUBLE)
+             THEN CAST(CAST(o_totalprice AS BIGINT) AS VARCHAR)
+           ELSE CAST(o_totalprice AS VARCHAR) END AS "ORDER|TOTAL_PRICE",
+      TRIM(o_orderpriority)        AS "ORDER|PRIORITY"
+    FROM orders
+    """,
+)
+def q03_normalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("ORDER|TARGET_SERVICE_ID"),
+        F.col("o_orderstatus").alias("ORDER|STATUS"),
+        F.col("o_totalprice").alias("ORDER|TOTAL_PRICE"),
+        F.col("o_orderpriority").alias("ORDER|PRIORITY"),
+    )
+    return normalize(o)
+
+
+# ---------------------------------------------------------------------------
+# C1 dict-lookup recode (inline literal map, constant-folded) + C2 string
+# split — the reference's dominant scalar ops (patient.py:108-115 gender map
+# shape; research_study.py:77 split).
+# ---------------------------------------------------------------------------
+@register(
+    "q04_recode_split",
+    oracle="""
+    SELECT
+      CASE o_orderstatus WHEN 'O' THEN 'registered' WHEN 'F' THEN 'completed'
+           WHEN 'P' THEN 'in-progress' ELSE 'unknown' END AS status_recode,
+      SPLIT_PART(o_orderpriority, '-', 1)                 AS priority_code,
+      COUNT(*)                                            AS n
+    FROM orders
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def q04_recode_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    status_map = {"O": "registered", "F": "completed", "P": "in-progress"}
+    return (
+        o.select(
+            recode(F.col("o_orderstatus"), status_map, default="unknown").alias("status_recode"),
+            split_index(F.col("o_orderpriority"), "-", 0).alias("priority_code"),
+        )
+        .groupBy("status_recode", "priority_code")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("status_recode", "priority_code")
+    )
+
+
+# ---------------------------------------------------------------------------
+# F2 missing-data sentinel skip + F8 truthiness gates (disease.py:26-35
+# pattern) applied as a relational filter.
+# ---------------------------------------------------------------------------
+@register(
+    "q05_sentinel_filter",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
+    FROM events
+    WHERE event_type IS NOT NULL
+      AND event_type NOT IN ('error', 'unknown')
+      AND LENGTH(TRIM(event_type)) > 0
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q05_sentinel_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    from kf_task_fhir_etl_spark.functions.json_build import not_missing
+
+    return (
+        ev.filter(
+            not_missing(F.col("event_type"), sentinels=("error", "unknown"))
+            & (F.length(F.trim(F.col("event_type"))) > 0)
+        )
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A1/A2 group-and-collect (family.py:28-47 shape): groupBy + sorted
+# collect_set (emitted as a joined string for engine-portable hashing) +
+# first/min + group size (A5).
+# ---------------------------------------------------------------------------
+@register(
+    "q06_group_collect",
+    oracle="""
+    SELECT
+      c_nationkey                                              AS nation_key,
+      ARRAY_TO_STRING(LIST_SORT(LIST(DISTINCT c_mktsegment)), ',') AS segments,
+      MIN(c_name)                                              AS first_member,
+      COUNT(DISTINCT c_custkey)                                AS quantity
+    FROM customer
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+)
+def q06_group_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.groupBy(F.col("c_nationkey").alias("nation_key"))
+        .agg(
+            F.array_join(F.sort_array(F.collect_set("c_mktsegment")), ",").alias("segments"),
+            F.min("c_name").alias("first_member"),
+            F.countDistinct("c_custkey").alias("quantity"),
+        )
+        .orderBy("nation_key")
+    )
+
+
+# ---------------------------------------------------------------------------
+# C5 cast-with-swallow (try/except int() → absent): try_cast + JSON field
+# extraction; invalid values become null, never errors.
+# ---------------------------------------------------------------------------
+@register(
+    "q07_try_cast_json",
+    oracle="""
+    SELECT
+      user_id,
+      SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_total,
+      COUNT(*)                                                    AS n_events
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def q07_try_cast_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").try_cast("bigint")
+    return (
+        ev.groupBy("user_id")
+        .agg(F.sum(k).alias("k_total"), F.count(F.lit(1)).alias("n_events"))
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# C9 nested-JSON resource assembly with absent-if-null fields — the FHIR
+# builder pattern (patient.py:132-198) as pure column expressions +
+# to_json(ignoreNullFields).
+# ---------------------------------------------------------------------------
+@register(
+    "q08_resource_json",
+    oracle="""
+    SELECT
+      c_custkey AS source_key,
+      to_json(struct_pack(
+        resourceType := 'Patient',
+        id := CAST(c_custkey AS VARCHAR),
+        name := c_name,
+        segment := c_mktsegment
+      )) AS resource
+    FROM customer
+    ORDER BY c_custkey
+    """,
+)
+def q08_resource_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    resource = F.struct(
+        F.lit("Patient").alias("resourceType"),
+        F.col("c_custkey").cast("string").alias("id"),
+        F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    return c.select(
+        F.col("c_custkey").alias("source_key"),
+        F.to_json(resource, {"ignoreNullFields": "true"}).alias("resource"),
+    ).orderBy("source_key")
+
+
+def queries() -> dict[str, QueryFn]:
+    return dict(QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(ORACLES)
