@@ -1,0 +1,83 @@
+"""Histopathology (Observation) builder — reference
+``entity_builders/histopathology.py:28-126``.
+
+Three-way inline references (Patient subject, Condition focus, Specimen
+specimen, ``histopathology.py:91-117``); tumor-descriptor value gated on the
+histopathology missing-data sentinel variant (``histopathology.py:19-25``).
+Only built when biospecimen-diagnoses joined (reference ``etl/ingest.py:389-391``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kf_task_fhir_etl_spark.builders.base import (
+    DATASERVICE,
+    col,
+    disease_id,
+    finalize,
+    histopathology_id,
+    identifiers,
+    meta,
+    patient_id,
+    reference,
+    specimen_id,
+)
+from kf_task_fhir_etl_spark.functions.json_build import (
+    HISTOPATHOLOGY_MISSING_VALUES,
+    not_missing,
+    string_or_null,
+)
+
+CLASS_NAME = "histopathology"
+API_PATH = "Observation"
+
+STATUS_CODE = "final"
+
+
+def build(wide: DataFrame) -> DataFrame:
+    study_id = col("STUDY|TARGET_SERVICE_ID")
+    bd_id = col("BIOSPECIMEN_DIAGNOSIS|TARGET_SERVICE_ID")
+    tumor_descriptor = string_or_null(col("BIOSPECIMEN|TUMOR_DESCRIPTOR"))
+
+    resource = F.struct(
+        F.lit(API_PATH).alias("resourceType"),
+        histopathology_id().alias("id"),
+        meta(f"http://hl7.org/fhir/StructureDefinition/{API_PATH}", study_id).alias("meta"),
+        identifiers(f"{DATASERVICE}/biospecimen-diagnoses/", bd_id).alias("identifier"),
+        F.lit(STATUS_CODE).alias("status"),
+        F.array(
+            F.struct(
+                F.array(
+                    F.struct(
+                        F.lit("http://terminology.hl7.org/CodeSystem/observation-category").alias("system"),
+                        F.lit("laboratory").alias("code"),
+                        F.lit("Laboratory").alias("display"),
+                    )
+                ).alias("coding"),
+                F.lit("Histopathology").alias("text"),
+            )
+        ).alias("category"),
+        F.struct(
+            F.array(
+                F.struct(
+                    F.lit("http://snomed.info/sct").alias("system"),
+                    F.lit("250537006").alias("code"),
+                    F.lit("Histopathology finding (finding)").alias("display"),
+                )
+            ).alias("coding"),
+            F.lit("Histopathology").alias("text"),
+        ).alias("code"),
+        reference("Patient", patient_id()).alias("subject"),
+        F.array(reference("Condition", disease_id())).alias("focus"),
+        reference("Specimen", specimen_id()).alias("specimen"),
+        F.when(
+            not_missing(tumor_descriptor, HISTOPATHOLOGY_MISSING_VALUES),
+            F.struct(tumor_descriptor.alias("text")),
+        ).alias("valueCodeableConcept"),
+    )
+    return finalize(
+        wide.select(histopathology_id().alias("target_id"), resource.alias("resource")),
+        API_PATH,
+    )

@@ -1,0 +1,88 @@
+"""Phenotype (Condition) builder — reference ``entity_builders/phenotype.py:38-154``.
+
+Observed→verification-status recode (``phenotype.py:13-24``), HPO/SNOMED
+codings behind missing-data sentinel gates (``phenotype.py:96-111``),
+birth-relative ``_recordedDate`` extension (``phenotype.py:114-148``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kf_task_fhir_etl_spark.builders.base import (
+    DATASERVICE,
+    col,
+    finalize,
+    identifiers,
+    meta,
+    patient_id,
+    phenotype_id,
+    reference,
+)
+from kf_task_fhir_etl_spark.functions.json_build import (
+    not_missing,
+    relative_date_extension,
+    string_or_null,
+)
+
+CLASS_NAME = "phenotype"
+API_PATH = "Condition"
+
+_VER_STATUS = "http://terminology.hl7.org/CodeSystem/condition-ver-status"
+# observed Positive/Negative → confirmed/refuted (phenotype.py:13-24)
+VERIFICATION_STATUS_CODING = {
+    "Positive": ("confirmed", "Confirmed"),
+    "Negative": ("refuted", "Refuted"),
+}
+
+
+def build(wide: DataFrame) -> DataFrame:
+    study_id = col("STUDY|TARGET_SERVICE_ID")
+    phen_id = col("PHENOTYPE|TARGET_SERVICE_ID")
+    observed = col("PHENOTYPE|OBSERVED")
+    name = col("PHENOTYPE|NAME")
+    hpo_id = string_or_null(col("PHENOTYPE|HPO_ID"))
+    snomed_id = string_or_null(col("PHENOTYPE|SNOMED_ID"))
+    event_age_days = col("PHENOTYPE|EVENT_AGE_DAYS")
+
+    ver_coding = None
+    for key, (code, display) in VERIFICATION_STATUS_CODING.items():
+        c = F.array(
+            F.struct(F.lit(_VER_STATUS).alias("system"), F.lit(code).alias("code"), F.lit(display).alias("display"))
+        )
+        ver_coding = F.when(observed == key, c) if ver_coding is None else ver_coding.when(observed == key, c)
+
+    code_codings = F.filter(
+        F.array(
+            F.when(
+                not_missing(hpo_id),
+                F.struct(F.lit("http://purl.obolibrary.org/obo/hp.owl").alias("system"), hpo_id.alias("code")),
+            ),
+            F.when(
+                not_missing(snomed_id),
+                F.struct(F.lit("http://snomed.info/sct").alias("system"), snomed_id.alias("code")),
+            ),
+        ),
+        lambda x: x.isNotNull(),
+    )
+
+    resource = F.struct(
+        F.lit(API_PATH).alias("resourceType"),
+        phenotype_id().alias("id"),
+        meta("https://nih-ncpi.github.io/ncpi-fhir-ig/StructureDefinition/phenotype", study_id).alias("meta"),
+        identifiers(f"{DATASERVICE}/phenotypes/", phen_id).alias("identifier"),
+        reference("Patient", patient_id()).alias("subject"),
+        # verificationStatus emitted unconditionally with text=observed
+        # (phenotype.py:88-94, even when observed is null)
+        F.struct(ver_coding.alias("coding"), observed.alias("text")).alias("verificationStatus"),
+        F.struct(
+            F.when(F.size(code_codings) > 0, code_codings).alias("coding"),
+            name.alias("text"),
+        ).alias("code"),
+        relative_date_extension(event_age_days).alias("_recordedDate"),
+    )
+    return finalize(
+        wide.select(phenotype_id().alias("target_id"), resource.alias("resource")),
+        API_PATH,
+    )

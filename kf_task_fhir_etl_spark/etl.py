@@ -1,0 +1,52 @@
+"""End-to-end pipeline: extract → transform → build → load.
+
+The Spark re-expression of the reference's ``Ingest`` driver
+(``etl/ingest.py:42-531``):
+
+- **extract**: a catalog of endpoint DataFrames (parquet/JDBC/REST — see
+  ``sources``), replacing the Postgres snapshot dict (``etl/ingest.py:53-127``).
+- **transform**: ``plans.transform.transform_study`` — the conditional
+  outer-join cascade + normalize (``etl/ingest.py:129-493``).
+- **build**: every applicable entity builder in the fixed dependency order
+  (``kf_api_fhir_service.py:115-132``) over the wide/FR tables → one
+  ``(resource_type, target_id, resource_json)`` DataFrame per target.
+- **load**: keyed idempotent sink (``sinks``) — parquet MERGE-by-key engine
+  mode or FHIR REST upsert parity mode (``kf_api_fhir_service.py:37-94``).
+
+With deterministic surrogate IDs the dependency order no longer gates
+correctness (references are pure functions), so builders can run in
+parallel; the order is preserved for load-time referential integrity against
+a real FHIR server.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from kf_task_fhir_etl_spark.builders import BUILDERS
+from kf_task_fhir_etl_spark.plans.transform import TransformResult, transform_study
+
+
+def build_resources(
+    transformed: TransformResult, metadata: DataFrame | None = None
+) -> dict[str, DataFrame]:
+    """Run every applicable builder; returns {target_name: resource_df}."""
+    out: dict[str, DataFrame] = {}
+    for target in transformed.targets:
+        module, table_key = BUILDERS[target]
+        table = transformed.tables.get(table_key)
+        if table is None:
+            continue
+        if target == "DRSDocumentReference":
+            out[target] = module.build(table, metadata=metadata)
+        else:
+            out[target] = module.build(table)
+    return out
+
+
+def run_pipeline(
+    endpoint_tables: dict[str, DataFrame], metadata: DataFrame | None = None
+) -> dict[str, DataFrame]:
+    """extract(already-loaded tables) → transform → build."""
+    transformed = transform_study(endpoint_tables)
+    return build_resources(transformed, metadata=metadata)

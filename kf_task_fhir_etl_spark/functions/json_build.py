@@ -74,32 +74,64 @@ def codeable_concept(codings: Column | None = None, text: Column | None = None) 
     return F.struct(*fields)
 
 
+_CODING_ARRAY_T = "array<struct<system:string,code:string,display:string>>"
+_VCC_T = f"struct<coding:{_CODING_ARRAY_T}>"
+_DURATION_T = "struct<value:int,unit:string,system:string,code:string>"
+
+
 def relative_date_extension(event_age_days: Column) -> Column:
-    """The relative-date FHIR extension the reference repeats in four builders
-    (``disease.py:160-194``, ``phenotype.py:114-148``, ``vital_status.py:83-117``,
-    ``specimen.py:552-586``): a struct keyed off an integer day offset from
-    birth. Whole struct is null (→ absent field) when the cast fails,
-    matching the reference's swallowed ``int()`` exception."""
+    """The birth-relative-date FHIR extension template the reference repeats
+    verbatim in four builders (``disease.py:160-194``, ``phenotype.py:114-148``,
+    ``vital_status.py:83-117``, ``specimen.py:552-586``): an ``_recordedDate``/
+    ``_effectiveDateTime``/``_collectedDateTime`` element whose inner
+    sub-extensions are [event=Birth coding, relationship=after, offset=N days].
+
+    The whole struct is null (→ field absent) when the int cast fails,
+    matching the reference's swallowed ``int()`` exception. Heterogeneous
+    sub-extension elements share one struct shape with nullable value fields;
+    ``to_json(ignoreNullFields)`` drops the unused ones.
+    """
     days = try_cast(event_age_days, "int")
+    event_elem = F.struct(
+        F.lit("event").alias("url"),
+        F.struct(
+            F.array(
+                F.struct(
+                    F.lit("http://snomed.info/sct").alias("system"),
+                    F.lit("3950001").alias("code"),
+                    F.lit("Birth").alias("display"),
+                )
+            ).alias("coding")
+        ).alias("valueCodeableConcept"),
+        F.lit(None).cast("string").alias("valueCode"),
+        F.lit(None).cast(_DURATION_T).alias("valueDuration"),
+    )
+    relationship_elem = F.struct(
+        F.lit("relationship").alias("url"),
+        F.lit(None).cast(_VCC_T).alias("valueCodeableConcept"),
+        F.lit("after").alias("valueCode"),
+        F.lit(None).cast(_DURATION_T).alias("valueDuration"),
+    )
+    offset_elem = F.struct(
+        F.lit("offset").alias("url"),
+        F.lit(None).cast(_VCC_T).alias("valueCodeableConcept"),
+        F.lit(None).cast("string").alias("valueCode"),
+        F.struct(
+            days.alias("value"),
+            F.lit("day").alias("unit"),
+            F.lit("http://unitsofmeasure.org").alias("system"),
+            F.lit("d").alias("code"),
+        ).alias("valueDuration"),
+    )
     return F.when(
         days.isNotNull(),
         F.struct(
-            F.lit("https://nih-ncpi.github.io/ncpi-fhir-ig/StructureDefinition/relative-date").alias("url"),
             F.array(
                 F.struct(
-                    F.lit("target").alias("url"),
-                    F.lit("birth").alias("valueString"),
-                ),
-                F.struct(
-                    F.lit("offset").alias("url"),
-                    F.struct(
-                        days.alias("value"),
-                        F.lit("days").alias("unit"),
-                        F.lit("http://unitsofmeasure.org").alias("system"),
-                        F.lit("d").alias("code"),
-                    ).alias("valueDuration"),
-                ),
-            ).alias("extension"),
+                    F.array(event_elem, relationship_elem, offset_elem).alias("extension"),
+                    F.lit("http://hl7.org/fhir/StructureDefinition/relative-date").alias("url"),
+                )
+            ).alias("extension")
         ),
     )
 

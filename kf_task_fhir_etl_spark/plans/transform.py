@@ -181,6 +181,12 @@ def transform_study(endpoint_tables: dict[str, DataFrame]) -> TransformResult:
     if seq_exp_gf is not None and sequencing_experiments is not None:
         merged = _outer(merged, sequencing_experiments, ["SEQUENCING|TARGET_SERVICE_ID"])
 
+    if merged is None and studies is not None:
+        # studies-only run: the reference would crash (clean_up_df(None),
+        # etl/ingest.py:485); we emit the renamed studies table so
+        # ResearchStudy can still build.
+        merged = studies
+
     if merged is not None:
         # clean_up_df parity: stringify + trim + dedupe (reference etl/ingest.py:485)
         result.tables[DEFAULT_KEY] = normalize(merged)
