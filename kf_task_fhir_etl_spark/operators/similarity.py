@@ -1,0 +1,159 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+- ``cosine_topk``: exact brute-force top-k — the correctness baseline. The
+  query side is broadcast (k queries ≪ corpus), so the corpus is scanned
+  once, map-side, and only ``n_queries × k`` rows survive the per-query
+  top-k. Dot products run in JVM codegen via ``zip_with``/``aggregate`` —
+  no Python.
+- ``ann_lsh_topk``: the 100 TB scale path — random-hyperplane LSH bucketing.
+  Hyperplane components are derived deterministically from md5 (reproducible
+  across runs/engines; no RNG state to ship). Candidates = same signature
+  prefix; exact rerank within buckets only.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Pure-expression cosine. Spark evaluates higher-order functions
+    interpreted (no codegen) — fine for k-query × corpus scoring, too slow
+    for all-pairs; use ``cosine_udf`` on the hot path."""
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+_COSINE_UDF = None
+
+
+def cosine_udf(a: Column, b: Column) -> Column:
+    """Vectorized Arrow-batched cosine: each batch becomes two (n, dim)
+    float64 matrices and one einsum — ~100× the interpreted expression.
+    (Defined lazily: pandas_udf registration needs an active session.)"""
+    global _COSINE_UDF
+    if _COSINE_UDF is None:
+
+        @F.pandas_udf("double")
+        def _udf(va: pd.Series, vb: pd.Series) -> pd.Series:
+            import numpy as np
+
+            A = np.vstack(va.to_numpy())
+            B = np.vstack(vb.to_numpy())
+            num = np.einsum("ij,ij->i", A, B)
+            den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+            return pd.Series(num / den)
+
+        _COSINE_UDF = _udf
+    return _COSINE_UDF(a, b)
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exact top-k neighbors per query vector (excluding self)."""
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cvec"))
+    q = queries.select(F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qvec"))
+    scored = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cosine(F.col("qvec"), F.col("cvec")).alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", F.round(F.col("cos"), round_digits).alias("cosine"))
+        .orderBy("query_id", "rank")
+    )
+
+
+def _hyperplane(plane: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane from md5 — reproducible
+    everywhere, no RNG. Components in [-7.5, 7.5]."""
+    import hashlib
+
+    comps = []
+    for j in range(dim):
+        h = hashlib.md5(f"{plane}_{j}".encode()).hexdigest()
+        comps.append(int(h[:2], 16) / 255.0 * 15.0 - 7.5)
+    return comps
+
+
+def lsh_signature(vec: Column, dim: int, planes: int = 8) -> Column:
+    """Sign-of-projection bit string across ``planes`` hyperplanes."""
+    bits = []
+    for p in range(planes):
+        plane = _hyperplane(p, dim)
+        proj = dot(vec, F.array(*[F.lit(v) for v in plane]))
+        bits.append(F.when(proj > 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def ann_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 3,
+    planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates share the full LSH signature bucket;
+    exact cosine rerank within buckets. At 100 TB the corpus is partitioned
+    by signature (one shuffle), each bucket small enough to rerank."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double(F.col(vec_col)).alias("cvec"),
+    ).withColumn("sig", lsh_signature(F.col("cvec"), dim, planes))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        as_double(F.col(vec_col)).alias("qvec"),
+    ).withColumn("sig", lsh_signature(F.col("qvec"), dim, planes))
+    scored = (
+        c.join(F.broadcast(q), on=["sig"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cosine(F.col("qvec"), F.col("cvec")).alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", F.round(F.col("cos"), 6).alias("cosine"))
+        .orderBy("query_id", "rank")
+    )
+
+
+def embedding_neardup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine near-duplicate pairs (a < b, cos ≥ threshold). Brute-force
+    baseline; swap the join for ``lsh_signature`` bucketing at scale."""
+    a = corpus.select(F.col(id_col).alias("id_a"), as_double(F.col(vec_col)).alias("va"))
+    b = corpus.select(F.col(id_col).alias("id_b"), as_double(F.col(vec_col)).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(cosine_udf(F.col("va"), F.col("vb")), 6).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+        .orderBy("id_a", "id_b")
+    )

@@ -1,0 +1,100 @@
+"""Text-analysis operators: token stats, quality scoring, language ID,
+document fingerprinting. All pure column expressions (codegen'd, zero
+Python in the hot path) with engine-portable formulas so the DuckDB oracles
+can recompute them exactly."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from kf_task_fhir_etl_spark.operators.dedup import word_tokens
+
+# Tiny per-language stopword sets for the n-gram/stopword heuristic.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "it"),
+    "es": ("el", "la", "de", "que", "y", "los", "en", "un"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "nicht", "mit"),
+    "fr": ("le", "la", "de", "et", "les", "des", "un", "une"),
+    "zh": ("de5", "shi4", "le5", "zai4", "he2", "you3", "wo3", "ta1"),
+}
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (0 for null/empty)."""
+    t = F.trim(text)
+    return F.when(t.isNull() | (F.length(t) == 0), F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+
+
+def punct_ratio(text: Column) -> Column:
+    """Fraction of characters that are not alphanumeric/space."""
+    clean = F.regexp_replace(text, r"[A-Za-z0-9\s]", "")
+    return F.when(F.length(text) > 0, F.length(clean) / F.length(text)).otherwise(F.lit(0.0))
+
+
+def stopword_count(text: Column, stopwords: tuple[str, ...]) -> Column:
+    toks = word_tokens(text)
+    return F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
+
+
+def stopword_ratio(text: Column, stopwords: tuple[str, ...] = STOPWORDS["en"]) -> Column:
+    n = token_count(text)
+    return F.when(n > 0, stopword_count(text, stopwords) / n).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite quality score in [0,1]:
+    0.4·min(len/500,1) + 0.3·(1−punct_ratio) + 0.3·stopword_ratio(en).
+    The formula itself is the operator; weights are a demo default."""
+    length_part = F.least(F.length(text) / F.lit(500.0), F.lit(1.0))
+    return F.lit(0.4) * length_part + F.lit(0.3) * (F.lit(1.0) - punct_ratio(text)) + F.lit(0.3) * stopword_ratio(text)
+
+
+def language_scores(text: Column) -> dict[str, Column]:
+    """Per-language stopword-hit ratio."""
+    n = token_count(text)
+    return {
+        lang: F.when(n > 0, stopword_count(text, words) / n).otherwise(F.lit(0.0))
+        for lang, words in STOPWORDS.items()
+    }
+
+
+def language_id(text: Column) -> Column:
+    """Argmax of language scores; ties and all-zero → 'und'. Deterministic:
+    languages compared in sorted order, strictly-greater wins."""
+    scores = language_scores(text)
+    best_lang = F.lit("und")
+    best_score = F.lit(0.0)
+    for lang in sorted(scores):
+        s = scores[lang]
+        is_better = s > best_score
+        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(is_better, s).otherwise(best_score)
+    return best_lang
+
+
+def normalize_for_fingerprint(text: Column) -> Column:
+    """Canonical text form: lowercase, strip non-alphanumerics to spaces,
+    collapse whitespace."""
+    lowered = F.lower(text)
+    stripped = F.regexp_replace(lowered, r"[^a-z0-9\s]", " ")
+    return F.trim(F.regexp_replace(stripped, r"\s+", " "))
+
+
+def fingerprint(text: Column) -> Column:
+    """Content fingerprint: md5 of the normalized text."""
+    return F.md5(normalize_for_fingerprint(text))
+
+
+def rolling_fingerprints(text: Column, window: int = 32, stride: int = 16, max_chars: int = 512) -> Column:
+    """Rolling window fingerprints (winnowing-style): md5 of each
+    ``window``-char slice of the normalized text at ``stride`` offsets —
+    shared fingerprints across documents flag partial overlap. Map-side."""
+    t = F.substring(normalize_for_fingerprint(text), 1, max_chars)
+    n_windows = F.greatest((F.length(t) - F.lit(window)) / F.lit(stride) + 1, F.lit(1)).cast("int")
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), n_windows - 1),
+            lambda i: F.md5(t.substr(i * stride + 1, F.lit(window))),
+        )
+    )

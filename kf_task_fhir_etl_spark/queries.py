@@ -341,8 +341,16 @@ def q08_resource_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, QueryFn]:
+    _load_extra_registries()
     return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
+    _load_extra_registries()
     return dict(ORACLES)
+
+
+def _load_extra_registries() -> None:
+    """Import sibling modules that register additional queries (deferred to
+    avoid a circular import at module load)."""
+    from kf_task_fhir_etl_spark import training_queries  # noqa: F401

@@ -1,0 +1,77 @@
+"""Structured Streaming operators over the events table.
+
+The reference has no streaming surface (SURVEY.md §2.8); these are the
+engine's stream-shaped counterparts of q21/q22: watermarked tumbling-window
+aggregation and native session windows. Batch and stream share the same
+transformation functions so correctness is checked once (DuckDB oracle on the
+batch form) and the streaming execution is smoke-tested with the memory sink.
+
+Scale notes: watermark bounds state; window aggregation state is partitioned
+by (window, event_type) / (user_id) — the same hash-shuffle keys as the batch
+plan, so skew and sizing reasoning carries over.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # ns (parquet TIMESTAMP(NANOS) via nanosAsLong)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (one file = one microbatch
+    locally; a directory of arriving files in production)."""
+    raw = spark.readStream.schema(EVENTS_SCHEMA).format("parquet").load(f"{sf_dir}/")
+    return raw.withColumn("ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long")))
+
+
+def windowed_event_counts(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling-window counts — stream form of q21_window_agg.
+    Late rows beyond the watermark are dropped; state is bounded."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:00").alias("hour_bucket"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def sessionized_counts(events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours") -> DataFrame:
+    """Native session windows (gap-based) per user — stream form of
+    q22_sessionization's gap logic."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def run_stream_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
+    """Drive a streaming query to completion over the available input (local
+    smoke path): memory sink + processAllAvailable."""
+    q = stream_df.writeStream.outputMode(output_mode).format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    return q

@@ -1,0 +1,358 @@
+"""Training-data-pipeline operator queries (dedup, similarity, text analysis)
+plus general OLAP shapes (window top-k, event windows, sessionization) — each
+paired with a DuckDB oracle recomputing the identical md5-based formulas.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kf_task_fhir_etl_spark.catalog import load_table
+from kf_task_fhir_etl_spark.operators import dedup, similarity, text
+from kf_task_fhir_etl_spark.queries import register
+
+# ---------------------------------------------------------------------------
+# Window function top-k per group (general OLAP; no reference counterpart —
+# SURVEY.md §2.6 notes the reference has none).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q09_topk_per_group",
+    oracle="""
+    SELECT o_custkey, rnk, o_orderkey, o_totalprice FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+      FROM orders)
+    WHERE rnk <= 2
+    ORDER BY o_custkey, rnk
+    """,
+)
+def q09_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 2)
+        .select("o_custkey", "rnk", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q10_dedup_exact",
+    oracle="""
+    SELECT source, COUNT(*) AS n_survivors FROM documents
+    WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY md5(text))
+    GROUP BY source ORDER BY source
+    """,
+)
+def q10_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    survivors = dedup.exact_dedup(docs, ["text"], "doc_id")
+    return (
+        survivors.groupBy("source").agg(F.count(F.lit(1)).alias("n_survivors")).orderBy("source")
+    )
+
+
+_MINHASH_ORACLE_CTE = """
+    WITH sh AS (
+      SELECT doc_id, s FROM (
+        SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(substr(text,1,200))-4, 1)),
+               i -> substr(substr(text,1,200), i, 5))) AS shingles
+        FROM documents), LATERAL (SELECT unnest(shingles) AS s)
+    ), seeds AS (SELECT unnest(generate_series(0, 7)) AS seed
+    ), minh AS (
+      SELECT doc_id, seed, MIN(substr(md5(s), 1 + 3 * seed, 8)) AS mh
+      FROM sh, seeds GROUP BY doc_id, seed
+    ), bands AS (
+      SELECT doc_id, seed // 2 AS band, md5(string_agg(mh, ',' ORDER BY seed)) AS digest
+      FROM minh GROUP BY doc_id, seed // 2
+    ), pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.digest = b.digest AND a.doc_id < b.doc_id
+    )
+"""
+
+
+@register(
+    "q11_minhash_lsh_candidates",
+    oracle=_MINHASH_ORACLE_CTE + "SELECT id_a, id_b FROM pairs ORDER BY id_a, id_b",
+)
+def q11_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_candidates(
+        docs, num_hashes=8, bands=4, shingle_size=5, max_chars=200
+    ).orderBy("id_a", "id_b")
+
+
+@register(
+    "q12_minhash_verified_pairs",
+    oracle=_MINHASH_ORACLE_CTE
+    + """
+    , toks AS (
+      SELECT doc_id, list_distinct(string_split_regex(lower(trim(text)), '\\s+')) AS t FROM documents
+    )
+    SELECT p.id_a, p.id_b,
+           ROUND(len(list_intersect(ta.t, tb.t))::DOUBLE /
+                 (len(ta.t) + len(tb.t) - len(list_intersect(ta.t, tb.t))), 6) AS jacc
+    FROM pairs p JOIN toks ta ON p.id_a = ta.doc_id JOIN toks tb ON p.id_b = tb.doc_id
+    WHERE len(list_intersect(ta.t, tb.t))::DOUBLE /
+          (len(ta.t) + len(tb.t) - len(list_intersect(ta.t, tb.t))) >= 0.5
+    ORDER BY id_a, id_b
+    """,
+)
+def q12_minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    candidates = dedup.minhash_lsh_candidates(docs, num_hashes=8, bands=4, shingle_size=5, max_chars=200)
+    toks = docs.select(F.col("doc_id"), dedup.word_tokens(F.col("text"), distinct=True).alias("t"))
+    return (
+        candidates.join(toks.select(F.col("doc_id").alias("id_a"), F.col("t").alias("ta")), "id_a")
+        .join(toks.select(F.col("doc_id").alias("id_b"), F.col("t").alias("tb")), "id_b")
+        .withColumn("jacc", F.round(dedup.jaccard(F.col("ta"), F.col("tb")), 6))
+        .filter(dedup.jaccard(F.col("ta"), F.col("tb")) >= 0.5)
+        .select("id_a", "id_b", "jacc")
+        .orderBy("id_a", "id_b")
+    )
+
+
+@register(
+    "q13_simhash",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))) AS tok
+      FROM documents
+    ), bits AS (
+      SELECT doc_id, j,
+             CASE WHEN 2 * SUM(((strpos('0123456789abcdef', substr(md5(tok), (j // 4) + 1, 1)) - 1)
+                                >> (3 - (j % 4))) & 1) - COUNT(*) > 0
+                  THEN '1' ELSE '0' END AS b
+      FROM toks, (SELECT unnest(generate_series(0, 31)) AS j)
+      GROUP BY doc_id, j
+    )
+    SELECT doc_id, string_agg(b, '' ORDER BY j) AS simhash
+    FROM bits GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q13_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", dedup.simhash_bits(F.col("text"), 32).alias("simhash")).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q14_ann_cosine_topk",
+    oracle="""
+    SELECT query_id, rank, neighbor_id, cosine FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROUND(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cosine,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+                        c.vec_id ASC) AS rank
+      FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+      WHERE q.vec_id < 5)
+    WHERE rank <= 3
+    ORDER BY query_id, rank
+    """,
+)
+def q14_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.cosine_topk(emb, queries, k=3)
+
+
+@register(
+    "q15_embedding_neardup",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4
+    ORDER BY id_a, id_b
+    """,
+)
+def q15_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.embedding_neardup_pairs(emb, threshold=0.4)
+
+
+@register("q16_ann_lsh_topk")  # approximate — rows-only check by design
+def q16_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.ann_lsh_topk(emb, queries, dim=64, k=3, planes=8)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+_LANG_SCORE_SQL = """
+      len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+          t -> list_contains({words}, t)))::DOUBLE
+      / greatest(len(string_split_regex(lower(trim(text)), '\\s+')), 1)
+"""
+
+
+def _lang_case_sql() -> str:
+    """argmax over sorted languages, strictly-greater wins, all-zero → und."""
+    from kf_task_fhir_etl_spark.operators.text import STOPWORDS
+
+    scores = {}
+    for lang in sorted(STOPWORDS):
+        words = "[" + ", ".join(f"'{w}'" for w in STOPWORDS[lang]) + "]"
+        scores[lang] = _LANG_SCORE_SQL.format(words=words)
+    # emulate the fold: best = und/0; for lang in sorted: if s > best: best = lang
+    expr = "'und'"
+    best = "0.0"
+    for lang in sorted(scores):
+        s = scores[lang]
+        expr = f"CASE WHEN ({s}) > ({best}) THEN '{lang}' ELSE ({expr}) END"
+        best = f"greatest(({s}), ({best}))"
+    return expr
+
+
+@register(
+    "q17_language_id",
+    oracle=f"""
+    SELECT lang_id, COUNT(*) AS n FROM (
+      SELECT {_lang_case_sql()} AS lang_id FROM documents)
+    GROUP BY lang_id ORDER BY lang_id
+    """,
+)
+def q17_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(text.language_id(F.col("text")).alias("lang_id"))
+        .groupBy("lang_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang_id")
+    )
+
+
+@register(
+    "q18_quality_score",
+    oracle="""
+    SELECT source,
+           ROUND(AVG(
+             0.4 * least(len(text) / 500.0, 1.0)
+             + 0.3 * (1.0 - CASE WHEN len(text) > 0
+                 THEN len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE / len(text)
+                 ELSE 0.0 END)
+             + 0.3 * (len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                       t -> list_contains(['the','and','of','to','a','in','is','it'], t)))::DOUBLE
+                      / greatest(len(string_split_regex(lower(trim(text)), '\\s+')), 1))
+           ), 4) AS avg_quality
+    FROM documents GROUP BY source ORDER BY source
+    """,
+)
+def q18_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source")
+        .agg(F.round(F.avg(text.quality_score(F.col("text"))), 4).alias("avg_quality"))
+        .orderBy("source")
+    )
+
+
+@register(
+    "q19_token_stats",
+    oracle="""
+    SELECT source,
+           SUM(CASE WHEN len(trim(text)) = 0 THEN 0
+                    ELSE len(string_split_regex(trim(text), '\\s+')) END) AS total_tokens,
+           ROUND(AVG(len(text)), 2) AS avg_chars,
+           COUNT(*) AS n_docs
+    FROM documents GROUP BY source ORDER BY source
+    """,
+)
+def q19_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.sum(text.token_count(F.col("text"))).alias("total_tokens"),
+            F.round(F.avg(F.length("text")), 2).alias("avg_chars"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "q20_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'),
+                                   '\\s+', ' ', 'g'))) AS fp
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q20_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", text.fingerprint(F.col("text")).alias("fp")).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Event-stream shapes (batch form; streaming equivalents in streaming/)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q21_window_agg",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour_bucket,
+           event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
+    FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q21_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.window("ts", "1 hour").start, "yyyy-MM-dd HH:00").alias("hour_bucket"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .orderBy("hour_bucket", "event_type")
+    )
+
+
+@register(
+    "q22_sessionization",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE OR
+                  LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             THEN 1 ELSE 0 END AS new_session
+      FROM events)
+    SELECT user_id, SUM(new_session) AS n_sessions, COUNT(*) AS n_events
+    FROM gaps GROUP BY user_id ORDER BY user_id
+    """,
+)
+def q22_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    new_session = F.when(
+        prev.isNull() | (F.col("ts").cast("long") - prev.cast("long") > 1800), F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        ev.withColumn("new_session", new_session)
+        .groupBy("user_id")
+        .agg(F.sum("new_session").alias("n_sessions"), F.count(F.lit(1)).alias("n_events"))
+        .orderBy("user_id")
+    )

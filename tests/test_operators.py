@@ -1,0 +1,136 @@
+"""Unit tests for the training-data operators (semantics beyond what the
+oracle-parity queries already pin down)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kf_task_fhir_etl_spark.operators import dedup, multimodal, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "the quick brown fox jumps over the lazy dog again and again"),  # exact dup
+        (3, "the quick brown fox jumps over the lazy dog again and AGAIN?"),  # near dup
+        (4, "completely different text about spark query engines at scale"),
+        (5, ""),  # empty
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_keeps_min_id(docs):
+    survivors = dedup.exact_dedup(docs, ["text"], "doc_id")
+    ids = {r["doc_id"] for r in survivors.collect()}
+    assert ids == {1, 3, 4, 5}
+
+
+def test_minhash_candidates_find_near_dups(docs):
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_candidates(docs.filter("doc_id < 5")).collect()
+    }
+    assert (1, 2) in pairs  # identical docs always collide
+    assert (1, 4) not in pairs and (2, 4) not in pairs and (3, 4) not in pairs
+
+
+def test_minhash_dedup_drops_verified_dups(docs):
+    survivors = dedup.minhash_dedup(docs.filter("doc_id < 5"), threshold=0.8)
+    ids = {r["doc_id"] for r in survivors.collect()}
+    assert 1 in ids and 4 in ids
+    assert 2 not in ids  # exact dup of 1, jaccard 1.0
+
+
+def test_simhash_near_dup_distance(docs, spark):
+    sig = docs.filter("doc_id in (1,2,3,4)").select(
+        "doc_id", dedup.simhash_bits(F.col("text"), 32).alias("s")
+    )
+    rows = {r["doc_id"]: r["s"] for r in sig.collect()}
+    assert rows[1] == rows[2]
+    ham = lambda a, b: sum(x != y for x, y in zip(a, b))
+    assert ham(rows[1], rows[3]) <= 8
+    assert ham(rows[1], rows[4]) > ham(rows[1], rows[3])
+
+
+def test_simhash_candidates(docs):
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.simhash_candidates(docs.filter("doc_id < 5"), max_hamming=8).collect()
+    }
+    assert (1, 2) in pairs
+
+
+def test_jaccard_column(spark):
+    df = spark.createDataFrame([(["a", "b", "c"], ["b", "c", "d"])], "a array<string>, b array<string>")
+    val = df.select(dedup.jaccard(F.col("a"), F.col("b")).alias("j")).collect()[0]["j"]
+    assert abs(val - 0.5) < 1e-9
+
+
+def test_language_id_heuristic(spark):
+    rows = [
+        (1, "the cat and the dog of a house is it in"),
+        (2, "el perro y la casa de que los en un"),
+        (3, "xyzzy qwerty plugh"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["lang"] for r in df.select("doc_id", text.language_id(F.col("text")).alias("lang")).collect()}
+    assert got[1] == "en"
+    assert got[2] == "es"
+    assert got[3] == "und"
+
+
+def test_rolling_fingerprints_overlap(spark):
+    a = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    b = a[:100] + " totally different suffix content here"
+    df = spark.createDataFrame([(1, a), (2, b)], "doc_id long, text string")
+    fps = df.select("doc_id", text.rolling_fingerprints(F.col("text")).alias("fps")).collect()
+    sets = {r["doc_id"]: set(r["fps"]) for r in fps}
+    assert sets[1] & sets[2], "overlapping prefixes must share fingerprints"
+
+
+def test_cosine_topk_self_excluded(spark):
+    rows = [(i, [float(i == j) for j in range(4)]) for i in range(4)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.cosine_topk(df, df.filter("vec_id = 0"), k=2).collect()
+    assert all(r["neighbor_id"] != 0 for r in out)
+    assert len(out) == 2
+
+
+def test_ann_lsh_matches_bruteforce_top1(spark):
+    # clustered vectors: LSH must recover the exact nearest neighbor
+    base = [1.0] * 8
+    rows = [
+        (0, base),
+        (1, [v + 0.01 for v in base]),  # near-identical to 0
+        (2, [-v for v in base]),
+        (3, [1.0, -1.0] * 4),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter("vec_id = 0")
+    ann = similarity.ann_lsh_topk(df, q, dim=8, k=1, planes=4).collect()
+    assert ann and ann[0]["neighbor_id"] == 1
+
+
+def test_multimodal_feature_extraction(spark):
+    rows = [
+        (1, "image", bytearray(b"\x89PNGfake"), ("image/png", 64, 64, None)),
+        (2, "video", bytearray(b"\x00\x00ftypfake"), ("video/mp4", 640, 480, 3000)),
+        (3, "image", None, ("image/png", 8, 8, None)),
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    feats = multimodal.extract_features(media, dim=8).collect()
+    by_id = {r["media_id"]: r for r in feats}
+    assert len(by_id[1]["feature"]) == 8
+    assert by_id[3]["n_bytes"] == 0
+    # deterministic stub: same bytes → same features
+    feats2 = multimodal.extract_features(media, dim=8).collect()
+    assert {r["media_id"]: r["feature"] for r in feats2} == {r["media_id"]: r["feature"] for r in feats}
+
+
+def test_multimodal_frame_sample(spark):
+    rows = [(2, "video", bytearray(b"v"), ("video/mp4", 640, 480, 3000))]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    frames = multimodal.frame_sample(media, every_ms=1000).collect()
+    assert [r["ts_ms"] for r in frames] == [0, 1000, 2000, 3000]
