@@ -1,0 +1,184 @@
+"""Tests for sources (lineage fan-out, paginated REST scan, metadata
+prefetch) and sinks (FHIR upsert, keyed parquet MERGE, ordered load)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from kf_task_fhir_etl_spark.sources import lineage, rest, sinks
+
+from .fixtures import endpoint_tables
+
+
+@pytest.fixture(scope="module")
+def two_study_tables(spark):
+    """Fixture tables + a second study's rows to prove lineage isolation."""
+    tables = dict(endpoint_tables(spark))
+    extra_study = spark.createDataFrame(
+        [("SD_00000002", None, "other", "False")],
+        "kf_id string, investigator_id string, external_id string, visible string",
+    )
+    tables["studies"] = tables["studies"].unionByName(extra_study, allowMissingColumns=True)
+    extra_participant = spark.createDataFrame(
+        [("PT_99999999", "SD_00000002", None)],
+        "kf_id string, study_id string, family_id string",
+    )
+    tables["participants"] = tables["participants"].unionByName(extra_participant, allowMissingColumns=True)
+    extra_diag = spark.createDataFrame(
+        [("DG_99999999", "PT_99999999")], "kf_id string, participant_id string"
+    )
+    tables["diagnoses"] = tables["diagnoses"].unionByName(extra_diag, allowMissingColumns=True)
+    return tables
+
+
+def test_descendant_snapshot_isolates_study(two_study_tables):
+    snap = lineage.descendant_snapshot(two_study_tables, "SD_00000001")
+    assert {r["kf_id"] for r in snap["participants"].collect()} == {
+        "PT_00000001",
+        "PT_00000002",
+        "PT_00000003",
+    }
+    assert {r["kf_id"] for r in snap["diagnoses"].collect()} == {"DG_00000001", "DG_00000002"}
+    assert snap["investigators"].count() == 1
+    assert {r["kf_id"] for r in snap["genomic-files"].collect()} == {"GF_00000001", "GF_00000002"}
+    assert snap["sequencing-experiments"].count() == 1
+    # family-relationships membership via either endpoint, deduped
+    assert snap["family-relationships"].count() == 2
+
+
+def test_snapshot_feeds_pipeline(two_study_tables):
+    from kf_task_fhir_etl_spark.etl import run_pipeline
+
+    snap = lineage.descendant_snapshot(two_study_tables, "SD_00000002")
+    out = run_pipeline(snap)
+    # second study has participants but no families/diagnosis tables non-empty…
+    patients = out["Patient"].collect()
+    assert {json.loads(r["resource_json"])["identifier"][0]["value"] for r in patients} == {
+        "PT_99999999"
+    }
+
+
+def _paged_fetch(pages: dict[str, dict]) -> rest.Fetch:
+    def fetch(url: str, params: dict | None = None) -> dict:
+        return pages[url]
+
+    return fetch
+
+
+def test_fhir_search_scan_pagination_dedupe_and_total(spark):
+    host = "https://fhir.example.org"
+    pages = {
+        f"{host}/Patient": {
+            "total": 3,
+            "link": [{"relation": "next", "url": "http://localhost:8000/Patient?page=2"}],
+            "entry": [
+                {"resource": {"id": "a", "resourceType": "Patient"}},
+                {"resource": {"id": "b", "resourceType": "Patient"}},
+            ],
+        },
+        f"{host}/Patient?page=2": {
+            "total": 3,
+            "link": [],
+            "entry": [
+                {"resource": {"id": "b", "resourceType": "Patient"}},  # dupe dropped
+                {"resource": {"id": "c", "resourceType": "Patient"}},
+            ],
+        },
+    }
+    df = rest.fhir_search_scan(spark, host, "Patient", None, _paged_fetch(pages))
+    assert {r["id"] for r in df.collect()} == {"a", "b", "c"}
+
+
+def test_fhir_search_scan_total_mismatch_asserts(spark):
+    host = "https://fhir.example.org"
+    pages = {f"{host}/Patient": {"total": 5, "link": [], "entry": [{"resource": {"id": "a"}}]}}
+    with pytest.raises(AssertionError, match="expected 5"):
+        list(rest.yield_resources(host, "Patient", None, _paged_fetch(pages)))
+
+
+def test_metadata_prefetch_joins_into_drs_builder(spark):
+    def fetch(url, params=None):
+        gf = url.rsplit("/", 1)[-1]
+        return {
+            "results": {
+                "controlled_access": True,
+                "data_type": "Aligned Reads",
+                "file_format": "cram",
+                "latest_did": "d-1",
+                "acl": ["phs001138.c1", "open"],
+                "size": "1234" if gf == "GF_00000001" else "not-a-number",
+                "hashes": {"md5": "x", "sha256": "y"},
+                "file_name": "s3://bucket/dir/sample.cram",
+            }
+        }
+
+    meta = rest.prefetch_genomic_file_metadata(
+        spark, "https://ds.example.org", ["GF_00000001", "GF_00000002"], fetch
+    )
+    rows = {r["genomic_file_id"]: r for r in meta.collect()}
+    assert rows["GF_00000001"]["size"] == 1234
+    assert rows["GF_00000002"]["size"] is None  # swallowed cast
+
+    # end-to-end: metadata reaches the DocumentReference content block
+    from kf_task_fhir_etl_spark.etl import run_pipeline
+
+    out = run_pipeline(endpoint_tables(spark), metadata=meta)
+    docs = {d["identifier"][0]["value"]: d for d in
+            (json.loads(r["resource_json"]) for r in out["DRSDocumentReference"].collect())}
+    d1 = docs["GF_00000001"]
+    att = d1["content"][0]["attachment"]
+    assert att["title"] == "sample.cram"
+    assert att["url"] == "drs://data.kidsfirstdrc.org/d-1"
+    exts = att["extension"]
+    assert exts[0]["valueDecimal"] == 1234
+    hash_texts = {e["valueCodeableConcept"]["text"] for e in exts[1:]}
+    assert hash_texts == {"x", "y"}
+    acl_texts = {s["text"] for s in d1["securityLabel"]}
+    assert {"true", "phs001138.c1", "open"} <= acl_texts
+
+
+def test_fhir_upsert_sink_put_else_post(spark, tmp_path):
+    log_dir = str(tmp_path / "calls")
+    os.makedirs(log_dir, exist_ok=True)
+
+    def submit_factory() -> sinks.Submit:
+        def submit(host, api_path, resource_id, body):
+            with open(os.path.join(log_dir, f"{os.getpid()}_{resource_id}.json"), "w") as f:
+                json.dump({"host": host, "path": api_path, "id": resource_id}, f)
+            return resource_id
+
+        return submit
+
+    df = spark.createDataFrame(
+        [("Patient", "p1", '{"resourceType":"Patient","id":"p1"}'),
+         ("Patient", "p2", '{"resourceType":"Patient","id":"p2"}')],
+        "resource_type string, target_id string, resource_json string",
+    )
+    sinks.fhir_upsert_sink(df, "https://fhir.example.org", submit_factory)
+    calls = [json.load(open(os.path.join(log_dir, f))) for f in os.listdir(log_dir)]
+    assert {c["id"] for c in calls} == {"p1", "p2"}
+    assert all(c["path"] == "Patient" for c in calls)
+
+
+def test_keyed_parquet_upsert_merges(spark, tmp_path):
+    path = str(tmp_path / "resources.parquet")
+    v1 = spark.createDataFrame([("a", 1), ("b", 1)], "k string, v int")
+    sinks.keyed_parquet_upsert(spark, v1, path, "k")
+    v2 = spark.createDataFrame([("b", 2), ("c", 2)], "k string, v int")
+    sinks.keyed_parquet_upsert(spark, v2, path, "k")
+    got = {(r["k"], r["v"]) for r in spark.read.parquet(path).collect()}
+    assert got == {("a", 1), ("b", 2), ("c", 2)}
+
+
+def test_load_all_dependency_order(spark):
+    from kf_task_fhir_etl_spark.plans.transform import ALL_TARGETS
+
+    df = spark.range(1)
+    resources = {"Patient": df, "ResearchStudy": df, "DRSDocumentReference": df}
+    order: list[str] = []
+    sinks.load_all(resources, list(ALL_TARGETS), lambda t, _df: order.append(t))
+    assert order == ["Patient", "ResearchStudy", "DRSDocumentReference"]
