@@ -1,0 +1,213 @@
+"""Driver-gated FHIR pipeline queries.
+
+These put the REAL reference-parity pipeline — concept renames, the
+full-outer cascade, normalize, and the Patient builder with its JSON
+assembly — under the driver's DuckDB correctness gate, by deterministically
+mapping TPC-H tables into Dataservice endpoint tables:
+
+- ``region``   → studies      (kf_id = 'SD_'||r_regionkey)
+- ``customer`` ⋈ ``nation`` → participants (kf_id = 'PT_'||c_custkey,
+  study via nation's region; race/ethnicity/gender derived deterministically
+  from mktsegment/custkey so every recode path is exercised and non-null)
+
+The oracles replicate the same mapping in SQL. For resource JSON the DuckDB
+side emits the same struct then strips the null-valued optional fields that
+Spark's ``to_json(ignoreNullFields)`` omits (three fixed
+``replace(...,'"field":null',...)`` rewrites — safe because the controlled
+values can never contain those substrings).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kf_task_fhir_etl_spark.builders import patient as patient_builder
+from kf_task_fhir_etl_spark.catalog import load_table
+from kf_task_fhir_etl_spark.plans.transform import transform_study
+from kf_task_fhir_etl_spark.queries import register
+
+# deterministic attribute derivations (mirrored in the SQL oracles)
+_RACE_BY_SEGMENT = {
+    "AUTOMOBILE": "White",
+    "BUILDING": "Asian",
+    "FURNITURE": "Black or African American",
+    "MACHINERY": "Native Hawaiian or Other Pacific Islander",
+    "HOUSEHOLD": "American Indian or Alaska Native",
+}
+_GENDERS = ("Male", "Female", "Unknown")
+_ETHNICITIES = ("Hispanic or Latino", "Not Hispanic or Latino")
+
+
+def _endpoint_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+
+    studies = region.select(
+        F.concat(F.lit("SD_"), F.col("r_regionkey")).alias("kf_id"),
+        F.col("r_name").alias("name"),
+        F.concat(F.lit("reg-"), F.col("r_regionkey")).alias("external_id"),
+        F.lit("True").alias("visible"),
+    )
+
+    race = None
+    for seg, val in _RACE_BY_SEGMENT.items():
+        race = (
+            F.when(F.col("c_mktsegment") == seg, F.lit(val))
+            if race is None
+            else race.when(F.col("c_mktsegment") == seg, F.lit(val))
+        )
+    gender = (
+        F.when(F.col("c_custkey") % 3 == 0, _GENDERS[0])
+        .when(F.col("c_custkey") % 3 == 1, _GENDERS[1])
+        .otherwise(_GENDERS[2])
+    )
+    ethnicity = F.when(F.col("c_custkey") % 2 == 0, _ETHNICITIES[0]).otherwise(_ETHNICITIES[1])
+
+    participants = (
+        customer.join(nation, customer.c_nationkey == nation.n_nationkey)
+        .select(
+            F.concat(F.lit("PT_"), F.col("c_custkey")).alias("kf_id"),
+            F.concat(F.lit("SD_"), F.col("n_regionkey")).alias("study_id"),
+            F.concat(F.lit("cust-"), F.col("c_custkey")).alias("external_id"),
+            race.alias("race"),
+            ethnicity.alias("ethnicity"),
+            gender.alias("gender"),
+            F.when(F.col("c_custkey") % 2 == 0, "True").otherwise("False").alias("is_proband"),
+            F.lit("Homo Sapiens").alias("species"),
+            F.lit("True").alias("visible"),
+        )
+    )
+    return {"studies": studies, "participants": participants}
+
+
+_ORACLE_ENDPOINTS = """
+    WITH studies AS (
+      SELECT 'SD_' || r_regionkey AS "STUDY|TARGET_SERVICE_ID",
+             r_name AS "STUDY|NAME",
+             'reg-' || r_regionkey AS "STUDY|ID",
+             'True' AS "STUDY|VISIBLE"
+      FROM region
+    ), participants AS (
+      SELECT 'PT_' || c_custkey AS "PARTICIPANT|TARGET_SERVICE_ID",
+             'SD_' || n_regionkey AS "STUDY|TARGET_SERVICE_ID",
+             'cust-' || c_custkey AS "PARTICIPANT|ID",
+             CASE c_mktsegment
+               WHEN 'AUTOMOBILE' THEN 'White'
+               WHEN 'BUILDING' THEN 'Asian'
+               WHEN 'FURNITURE' THEN 'Black or African American'
+               WHEN 'MACHINERY' THEN 'Native Hawaiian or Other Pacific Islander'
+               WHEN 'HOUSEHOLD' THEN 'American Indian or Alaska Native'
+             END AS "PARTICIPANT|RACE",
+             CASE WHEN c_custkey % 2 = 0 THEN 'Hispanic or Latino'
+                  ELSE 'Not Hispanic or Latino' END AS "PARTICIPANT|ETHNICITY",
+             CASE WHEN c_custkey % 3 = 0 THEN 'Male'
+                  WHEN c_custkey % 3 = 1 THEN 'Female'
+                  ELSE 'Unknown' END AS "PARTICIPANT|GENDER",
+             CASE WHEN c_custkey % 2 = 0 THEN 'True' ELSE 'False' END AS "PARTICIPANT|IS_PROBAND",
+             'Homo Sapiens' AS "PARTICIPANT|SPECIES",
+             'True' AS "PARTICIPANT|VISIBLE"
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+    ), wide AS (
+      SELECT DISTINCT * FROM studies FULL OUTER JOIN participants USING ("STUDY|TARGET_SERVICE_ID")
+    )
+"""
+
+
+@register(
+    "q23_fhir_transform_cascade",
+    oracle=_ORACLE_ENDPOINTS
+    + """
+    SELECT "STUDY|TARGET_SERVICE_ID", "STUDY|NAME", "PARTICIPANT|TARGET_SERVICE_ID",
+           "PARTICIPANT|GENDER", "PARTICIPANT|RACE"
+    FROM wide
+    ORDER BY "PARTICIPANT|TARGET_SERVICE_ID"
+    """,
+)
+def q23_fhir_transform_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actual transform stage (rename maps + J2 outer join + normalize)
+    over TPC-H-derived endpoint tables."""
+    result = transform_study(_endpoint_tables(spark, sf_dir))
+    wide = result.tables["default"]
+    return wide.select(
+        "STUDY|TARGET_SERVICE_ID",
+        "STUDY|NAME",
+        "PARTICIPANT|TARGET_SERVICE_ID",
+        "PARTICIPANT|GENDER",
+        "PARTICIPANT|RACE",
+    ).orderBy("PARTICIPANT|TARGET_SERVICE_ID")
+
+
+_OMB = "urn:oid:2.16.840.1.113883.6.238"
+_RACE_CODE = {
+    "White": "2106-3",
+    "Asian": "2028-9",
+    "Black or African American": "2054-5",
+    "Native Hawaiian or Other Pacific Islander": "2076-8",
+    "American Indian or Alaska Native": "1002-5",
+}
+
+
+def _race_code_sql() -> str:
+    cases = " ".join(f"WHEN '{k}' THEN '{v}'" for k, v in _RACE_CODE.items())
+    return f'CASE "PARTICIPANT|RACE" {cases} END'
+
+
+@register(
+    "q24_fhir_patient_resources",
+    oracle=_ORACLE_ENDPOINTS
+    + f"""
+    SELECT md5('patient' || '|' || "PARTICIPANT|TARGET_SERVICE_ID") AS target_id,
+      replace(replace(replace(
+        to_json(struct_pack(
+          resourceType := 'Patient',
+          id := md5('patient' || '|' || "PARTICIPANT|TARGET_SERVICE_ID"),
+          meta := struct_pack(
+            profile := ['http://hl7.org/fhir/StructureDefinition/Patient'],
+            tag := [struct_pack(code := "STUDY|TARGET_SERVICE_ID")]),
+          identifier := [
+            struct_pack(use := 'official',
+                        system := 'https://kf-api-dataservice.kidsfirstdrc.org/participants/'::VARCHAR,
+                        value := "PARTICIPANT|TARGET_SERVICE_ID"),
+            struct_pack(use := 'secondary', system := NULL::VARCHAR, value := "PARTICIPANT|ID")],
+          extension := [
+            struct_pack(
+              url := 'http://hl7.org/fhir/us/core/StructureDefinition/us-core-race',
+              extension := [
+                struct_pack(url := 'text', valueString := "PARTICIPANT|RACE",
+                            valueCoding := NULL::STRUCT(system VARCHAR, code VARCHAR, display VARCHAR)),
+                struct_pack(url := 'ombCategory', valueString := NULL::VARCHAR,
+                            valueCoding := struct_pack(system := '{_OMB}'::VARCHAR,
+                                                       code := ({_race_code_sql()})::VARCHAR,
+                                                       display := "PARTICIPANT|RACE"))]),
+            struct_pack(
+              url := 'http://hl7.org/fhir/us/core/StructureDefinition/us-core-ethnicity',
+              extension := [
+                struct_pack(url := 'text', valueString := "PARTICIPANT|ETHNICITY",
+                            valueCoding := NULL::STRUCT(system VARCHAR, code VARCHAR, display VARCHAR)),
+                struct_pack(url := 'ombCategory', valueString := NULL::VARCHAR,
+                            valueCoding := struct_pack(system := '{_OMB}'::VARCHAR,
+                                                       code := (CASE "PARTICIPANT|ETHNICITY"
+                                                                 WHEN 'Hispanic or Latino' THEN '2135-2'
+                                                                 WHEN 'Not Hispanic or Latino' THEN '2186-5'
+                                                                END)::VARCHAR,
+                                                       display := "PARTICIPANT|ETHNICITY"))])],
+          gender := CASE "PARTICIPANT|GENDER" WHEN 'Male' THEN 'male'
+                    WHEN 'Female' THEN 'female' WHEN 'Unknown' THEN 'unknown' END
+        )),
+        ',"valueCoding":null', ''),
+        '"valueString":null,', ''),
+        '"system":null,', '') AS resource_json
+    FROM wide
+    WHERE "PARTICIPANT|TARGET_SERVICE_ID" IS NOT NULL
+    ORDER BY target_id
+    """,
+)
+def q24_fhir_patient_resources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actual Patient builder (patient.py parity: meta tag, double
+    identifier, US-Core race+ethnicity extensions with OMB codings, gender
+    recode, ignoreNullFields JSON) over the transform output."""
+    result = transform_study(_endpoint_tables(spark, sf_dir))
+    wide = result.tables["default"]
+    return patient_builder.build(wide).select("target_id", "resource_json").orderBy("target_id")

@@ -15,13 +15,15 @@ declarative Spark plan:
   (reference ``target_api_plugins/kf_api_fhir_service.py:115-132``,
   subset-preserving filter at ``etl/ingest.py:487-489``).
 
-Scale notes (100 TB): the study/investigator sides are tiny dims → marked
-``F.broadcast``; the fan-out joins (diagnoses × phenotypes × outcomes per
-participant) all share the PARTICIPANT|TARGET_SERVICE_ID key, so Spark reuses
-one hash-partitioning across J4-J6/J8 instead of re-shuffling, and AQE handles
-skewed participants. The wide table is the *compatibility/oracle* surface;
-builders can also run from the narrow per-entity tables to avoid
-materializing the multiplicative fan-out (SURVEY.md §4).
+Scale notes (100 TB): full-outer joins cannot broadcast (both sides emit
+unmatched rows), so the cascade is a sort-merge chain — but the fan-out joins
+(diagnoses × phenotypes × outcomes per participant) all share the
+PARTICIPANT|TARGET_SERVICE_ID key, so Spark reuses one hash-partitioning
+across J4-J6/J8 instead of re-shuffling, and AQE handles skewed participants
+and coalesces the tiny dim-side exchanges. The wide table is the
+*compatibility/oracle* surface; builders can also run from the narrow
+per-entity tables to avoid materializing the multiplicative fan-out
+(SURVEY.md §4).
 """
 
 from __future__ import annotations
@@ -29,7 +31,6 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 
 from kf_task_fhir_etl_spark.functions.normalize import normalize
 from kf_task_fhir_etl_spark.plans.mappings import rename_to_concepts
@@ -94,14 +95,15 @@ def transform_study(endpoint_tables: dict[str, DataFrame]) -> TransformResult:
 
     merged: DataFrame | None = None
 
-    # J1: studies ⟗ investigators (both 1-row dims → broadcast the right side)
+    # J1: studies ⟗ investigators (1-row dims; full outer cannot broadcast —
+    # AQE keeps these early exchanges tiny)
     studies = get("studies")
     if studies is not None:
         targets.add("ResearchStudy")
 
     investigators = get("investigators")
     if investigators is not None:
-        merged = _outer(studies, F.broadcast(investigators), ["INVESTIGATOR|TARGET_SERVICE_ID"])
+        merged = _outer(studies, investigators, ["INVESTIGATOR|TARGET_SERVICE_ID"])
         targets.update(["Practitioner", "Organization", "PractitionerRole"])
 
     # J2: ⟗ participants on STUDY|TARGET_SERVICE_ID

@@ -139,10 +139,12 @@ def q02_outer_join_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").alias("CUSTOMER|TARGET_SERVICE_ID"),
         F.col("o_orderstatus").alias("ORDER|STATUS"),
     )
-    # dims broadcast; fact-fact join shuffles once on the shared key
+    # NOTE: full-outer joins cannot broadcast in Spark (both sides must
+    # produce unmatched rows), so the cascade is a sort-merge chain — the
+    # price of the reference's outer_merge parity. Each level shuffles on its
+    # own key; AQE coalesces the small early exchanges at runtime.
     wide = (
-        F.broadcast(r)
-        .join(F.broadcast(n), on=["REGION|TARGET_SERVICE_ID"], how="full")
+        r.join(n, on=["REGION|TARGET_SERVICE_ID"], how="full")
         .join(c, on=["NATION|TARGET_SERVICE_ID"], how="full")
         .join(o, on=["CUSTOMER|TARGET_SERVICE_ID"], how="full")
     )
@@ -353,4 +355,4 @@ def oracle_sql() -> dict[str, str]:
 def _load_extra_registries() -> None:
     """Import sibling modules that register additional queries (deferred to
     avoid a circular import at module load)."""
-    from kf_task_fhir_etl_spark import training_queries  # noqa: F401
+    from kf_task_fhir_etl_spark import fhir_queries, training_queries  # noqa: F401
