@@ -22,8 +22,12 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query (TPC-H-Q1-shaped pricing summary) on sf0.001."""
-    return _q.q01_pricing_summary(spark, SMOKE_SF_DIR)
+    """Flagship query: the FHIR ETL pipeline itself — concept renames, the
+    outer-join cascade, normalize, and the Patient builder emitting FHIR R4
+    JSON resources — on sf0.001."""
+    from kf_task_fhir_etl_spark import fhir_queries
+
+    return fhir_queries.q24_fhir_patient_resources(spark, SMOKE_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

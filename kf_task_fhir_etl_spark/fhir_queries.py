@@ -211,3 +211,70 @@ def q24_fhir_patient_resources(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = transform_study(_endpoint_tables(spark, sf_dir))
     wide = result.tables["default"]
     return patient_builder.build(wide).select("target_id", "resource_json").orderBy("target_id")
+
+
+def _diagnosis_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Endpoint tables with a fan-out child: diagnoses ← orders (≈10 per
+    participant), exercising sentinel skips and swallowed casts."""
+    orders = load_table(spark, sf_dir, "orders")
+    diagnoses = orders.select(
+        F.concat(F.lit("DG_"), F.col("o_orderkey")).alias("kf_id"),
+        F.concat(F.lit("PT_"), F.col("o_custkey")).alias("participant_id"),
+        F.col("o_orderpriority").alias("source_text_diagnosis"),
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit("not-a-number"))
+        .otherwise((F.col("o_orderkey") % 3650).cast("string"))
+        .alias("age_at_event_days"),
+        F.when(F.col("o_orderstatus") == "O", F.lit("MONDO:0005072"))
+        .when(F.col("o_orderstatus") == "P", F.lit("Not Reported"))  # sentinel → no coding
+        .alias("mondo_id_diagnosis"),
+        F.lit("True").alias("visible"),
+    )
+    tables = _endpoint_tables(spark, sf_dir)
+    tables["diagnoses"] = diagnoses
+    return tables
+
+
+@register(
+    "q25_fhir_disease_narrow",
+    oracle=_ORACLE_ENDPOINTS.rstrip()
+    + """
+    , diagnoses AS (
+      SELECT 'DG_' || o_orderkey AS dg_id,
+             'PT_' || o_custkey AS pt_id,
+             o_orderpriority AS name,
+             CASE WHEN o_orderkey % 5 = 0 THEN 'not-a-number'
+                  ELSE (o_orderkey % 3650)::VARCHAR END AS age_raw,
+             CASE WHEN o_orderstatus = 'O' THEN 'MONDO:0005072'
+                  WHEN o_orderstatus = 'P' THEN 'Not Reported' END AS mondo_raw
+      FROM orders)
+    SELECT md5('disease' || '|' || dg_id) AS target_id,
+           'Patient/' || md5('patient' || '|' || pt_id) AS subject_ref,
+           name,
+           CASE WHEN mondo_raw IS NOT NULL AND mondo_raw NOT IN
+                ('Cannot Collect','No Match','Not Able to Provide','Not Available',
+                 'Not Applicable','Not Reported','Other','Unknown')
+                THEN mondo_raw END AS mondo_code,
+           TRY_CAST(age_raw AS INTEGER) AS age_days
+    FROM diagnoses
+    ORDER BY target_id
+    """,
+)
+def q25_fhir_disease_narrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actual Disease builder over the NARROW path (per-entity minimal
+    joins, plans/narrow.py) — gates sentinel-skipped codings, swallowed age
+    casts, and inline Patient references, extracted back out of the emitted
+    resource JSON."""
+    from kf_task_fhir_etl_spark.plans.narrow import build_resources_narrow
+
+    out = build_resources_narrow(_diagnosis_tables(spark, sf_dir))
+    disease = out["Disease"]
+    j = F.col("resource_json")
+    return disease.select(
+        "target_id",
+        F.get_json_object(j, "$.subject.reference").alias("subject_ref"),
+        F.get_json_object(j, "$.code.text").alias("name"),
+        F.get_json_object(j, "$.code.coding[0].code").alias("mondo_code"),
+        F.get_json_object(
+            j, "$._recordedDate.extension[0].extension[2].valueDuration.value"
+        ).cast("int").alias("age_days"),
+    ).orderBy("target_id")

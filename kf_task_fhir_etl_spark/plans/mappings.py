@@ -184,12 +184,18 @@ MAPPINGS: dict[str, dict[str, str]] = {
 }
 
 
-def rename_to_concepts(df: DataFrame, endpoint: str, drop_audit: bool = True) -> DataFrame:
+def rename_to_concepts(
+    df: DataFrame, endpoint: str, drop_audit: bool = True, pad_missing: bool = True
+) -> DataFrame:
     """Apply one endpoint's rename map as a single projection.
 
     Unmapped source columns ride along unrenamed, exactly like
     ``pd.DataFrame.rename`` in the reference (they are pruned later by
-    Catalyst if no builder touches them).
+    Catalyst if no builder touches them). With ``pad_missing`` (default),
+    mapped concept columns whose source column is absent are added as typed
+    nulls — the builders assume the full Dataservice endpoint schema
+    (reference record dicts always carry every column), so partial inputs
+    behave as all-null rather than failing analysis.
     """
     mapping = MAPPINGS[endpoint]
     cols = []
@@ -197,4 +203,9 @@ def rename_to_concepts(df: DataFrame, endpoint: str, drop_audit: bool = True) ->
         if drop_audit and name in AUDIT_COLUMNS:
             continue
         cols.append(F.col(f"`{name}`").alias(mapping.get(name, name)))
+    if pad_missing:
+        present = set(df.columns)
+        for source, concept in mapping.items():
+            if source not in present:
+                cols.append(F.lit(None).cast("string").alias(concept))
     return df.select(cols)
