@@ -278,3 +278,58 @@ def q25_fhir_disease_narrow(spark: SparkSession, sf_dir: str) -> DataFrame:
             j, "$._recordedDate.extension[0].extension[2].valueDuration.value"
         ).cast("int").alias("age_days"),
     ).orderBy("target_id")
+
+
+@register(
+    "q26_fhir_family_groups",
+    oracle=_ORACLE_ENDPOINTS.rstrip()
+    + """
+    SELECT md5('family' || '|' || 'FM_' || c_nationkey) AS target_id,
+           'person' AS group_type,
+           COUNT(DISTINCT c_custkey) AS quantity,
+           ARRAY_TO_STRING(
+             LIST_TRANSFORM(LIST_SORT(LIST(DISTINCT 'PT_' || c_custkey)),
+                            p -> 'Patient/' || md5('patient' || '|' || p)), ',') AS member_refs
+    FROM customer
+    GROUP BY c_nationkey
+    ORDER BY target_id
+    """,
+)
+def q26_fhir_family_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actual Family (Group) builder — the A1 group-and-collect
+    aggregation (family.py:28-47): participants grouped into family Groups
+    with sorted member Patient references, run on the narrow path and
+    extracted back out of the emitted JSON."""
+    from kf_task_fhir_etl_spark.plans.narrow import build_resources_narrow
+
+    tables = _endpoint_tables(spark, sf_dir)
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    tables["families"] = nation.select(
+        F.concat(F.lit("FM_"), F.col("n_nationkey")).alias("kf_id"),
+        F.concat(F.lit("fam-"), F.col("n_nationkey")).alias("external_id"),
+        F.lit("True").alias("visible"),
+    )
+    # participants gain a family: their nation
+    tables["participants"] = tables["participants"].drop("family_id").join(
+        customer.select(
+            F.concat(F.lit("PT_"), F.col("c_custkey")).alias("kf_id"),
+            F.concat(F.lit("FM_"), F.col("c_nationkey")).alias("family_id"),
+        ),
+        on=["kf_id"],
+    )
+    out = build_resources_narrow(tables)
+    j = F.col("resource_json")
+    members = F.transform(
+        F.from_json(
+            F.get_json_object(j, "$.member"),
+            "array<struct<entity:struct<reference:string>,inactive:boolean>>",
+        ),
+        lambda m: m.getField("entity").getField("reference"),
+    )
+    return out["Family"].select(
+        "target_id",
+        F.get_json_object(j, "$.type").alias("group_type"),
+        F.get_json_object(j, "$.quantity").cast("long").alias("quantity"),
+        F.array_join(members, ",").alias("member_refs"),
+    ).orderBy("target_id")

@@ -147,13 +147,46 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Exact cosine near-duplicate pairs (a < b, cos ≥ threshold). Brute-force
-    baseline; swap the join for ``lsh_signature`` bucketing at scale."""
-    a = corpus.select(F.col(id_col).alias("id_a"), as_double(F.col(vec_col)).alias("va"))
-    b = corpus.select(F.col(id_col).alias("id_b"), as_double(F.col(vec_col)).alias("vb"))
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.round(cosine_udf(F.col("va"), F.col("vb")), 6).alias("cosine"))
-        .filter(F.col("cosine") >= threshold)
-        .orderBy("id_a", "id_b")
+    """Exact cosine near-duplicate pairs (a < b, cos ≥ threshold).
+
+    Block-broadcast brute force: the corpus matrix is broadcast once (vectors
+    are small relative to the pair space — n×d floats vs n²/2 pairs), and
+    ``mapInPandas`` computes each partition's rows against the full matrix
+    with one numpy matmul, emitting only pairs over threshold. This avoids
+    materializing the O(n²) join (12 GB of vector pairs at 5k×64 — measured)
+    entirely; network cost is one broadcast + the surviving pairs.
+
+    Scale ceiling is the broadcast matrix (~0.5 GB at 1M×128 float32); past
+    that, swap in ``lsh_signature`` bucketing with this same kernel per
+    bucket."""
+    import numpy as np
+
+    spark = corpus.sparkSession
+    base = corpus.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
+    local = base.collect()  # the broadcast matrix IS the algorithm's working set
+    ids = np.array([r["id"] for r in local], dtype=np.int64)
+    mat = np.vstack([r["v"] for r in local]).astype(np.float64)
+    mat_n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_mat = spark.sparkContext.broadcast(mat_n)
+
+    def block(batches):
+        import pandas as pd
+
+        all_ids, all_mat = b_ids.value, b_mat.value
+        for pdf in batches:
+            rows = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
+            rows_n = rows / np.linalg.norm(rows, axis=1, keepdims=True)
+            sims = rows_n @ all_mat.T  # (batch, n)
+            row_ids = pdf["id"].to_numpy()
+            out_a, out_b, out_c = [], [], []
+            for i, rid in enumerate(row_ids):
+                mask = (np.round(sims[i], 6) >= threshold) & (all_ids > rid)
+                out_a.extend([rid] * int(mask.sum()))
+                out_b.extend(all_ids[mask].tolist())
+                out_c.extend(np.round(sims[i][mask], 6).tolist())
+            yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "cosine": out_c})
+
+    return base.mapInPandas(block, schema="id_a long, id_b long, cosine double").orderBy(
+        "id_a", "id_b"
     )
