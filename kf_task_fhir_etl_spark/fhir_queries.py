@@ -333,3 +333,84 @@ def q26_fhir_family_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object(j, "$.quantity").cast("long").alias("quantity"),
         F.array_join(members, ",").alias("member_refs"),
     ).orderBy("target_id")
+
+
+@register(
+    "q27_fhir_specimen_narrow",
+    oracle=_ORACLE_ENDPOINTS.rstrip()
+    + """
+    , biospecimens AS (
+      SELECT 'BS_' || o_orderkey AS bs_id,
+             'PT_' || o_custkey AS pt_id,
+             CASE o_orderkey % 4 WHEN 0 THEN 'Blood' WHEN 1 THEN 'Saliva'
+               WHEN 2 THEN 'Tissue FFPE' ELSE 'Mystery Goo' END AS composition,
+             CASE o_orderkey % 3 WHEN 0 THEN 'DNA' WHEN 1 THEN 'RNA' ELSE 'Other' END AS analyte,
+             CASE WHEN o_orderkey % 7 = 0 THEN 'not-a-volume'
+                  ELSE (o_totalprice)::VARCHAR END AS volume_raw,
+             CASE o_orderkey % 3 WHEN 0 THEN 'UBERON:0002101'
+               WHEN 1 THEN 'EFO:0000001' ELSE 'XYZ:9' END AS uberon_raw
+      FROM orders)
+    , coded AS (
+      SELECT *,
+             CASE composition WHEN 'Blood' THEN 'C17610' WHEN 'Saliva' THEN 'C174119'
+               WHEN 'Tissue FFPE' THEN 'C172265' END AS comp_code,
+             CASE analyte WHEN 'DNA' THEN 'OBI:0001051' WHEN 'RNA' THEN 'OBI:0000880' END AS an_code
+      FROM biospecimens)
+    SELECT md5('specimen' || '|' || bs_id) AS target_id,
+           'Patient/' || md5('patient' || '|' || pt_id) AS subject_ref,
+           -- type.coding is [composition?, analyte?] compacted: position 0/1
+           -- depend on which lookups hit (specimen.py:542-545)
+           COALESCE(comp_code, an_code) AS composition_code,
+           CASE WHEN comp_code IS NOT NULL THEN an_code END AS analyte_code,
+           ROUND(TRY_CAST(volume_raw AS DOUBLE), 2) AS volume_ul,
+           CASE WHEN uberon_raw LIKE 'UBERON:%' THEN 'http://purl.obolibrary.org/obo/uberon.owl'
+                WHEN uberon_raw LIKE 'EFO:%' THEN 'http://www.ebi.ac.uk/efo/efo.owl'
+           END AS uberon_system
+    FROM coded
+    ORDER BY target_id
+    """,
+)
+def q27_fhir_specimen_narrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actual Specimen builder on the narrow path — gates the ~70-entry
+    composition map, the analyte map, float-volume swallowed casts, and the
+    UBERON:/EFO: prefix-dispatched body-site coding (specimen.py:16-435,
+    589-629), extracted from the emitted JSON."""
+    from kf_task_fhir_etl_spark.plans.narrow import build_resources_narrow
+
+    orders = load_table(spark, sf_dir, "orders")
+    biospecimens = orders.select(
+        F.concat(F.lit("BS_"), F.col("o_orderkey")).alias("kf_id"),
+        F.concat(F.lit("PT_"), F.col("o_custkey")).alias("participant_id"),
+        F.when(F.col("o_orderkey") % 4 == 0, "Blood")
+        .when(F.col("o_orderkey") % 4 == 1, "Saliva")
+        .when(F.col("o_orderkey") % 4 == 2, "Tissue FFPE")
+        .otherwise("Mystery Goo")
+        .alias("composition"),
+        F.when(F.col("o_orderkey") % 3 == 0, "DNA")
+        .when(F.col("o_orderkey") % 3 == 1, "RNA")
+        .otherwise("Other")
+        .alias("analyte_type"),
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit("not-a-volume"))
+        .otherwise(F.col("o_totalprice").cast("string"))
+        .alias("volume_ul"),
+        F.when(F.col("o_orderkey") % 3 == 0, "UBERON:0002101")
+        .when(F.col("o_orderkey") % 3 == 1, "EFO:0000001")
+        .otherwise("XYZ:9")
+        .alias("uberon_id_anatomical_site"),
+        F.lit("SC_DGDDMBVV").alias("sequencing_center_id"),
+        F.lit("True").alias("visible"),
+    )
+    tables = _endpoint_tables(spark, sf_dir)
+    tables["biospecimens"] = biospecimens
+    out = build_resources_narrow(tables)
+    j = F.col("resource_json")
+    return out["Specimen"].select(
+        "target_id",
+        F.get_json_object(j, "$.subject.reference").alias("subject_ref"),
+        F.get_json_object(j, "$.type.coding[0].code").alias("composition_code"),
+        F.get_json_object(j, "$.type.coding[1].code").alias("analyte_code"),
+        F.round(
+            F.get_json_object(j, "$.collection.quantity.value").cast("double"), 2
+        ).alias("volume_ul"),
+        F.get_json_object(j, "$.collection.bodySite.coding[0].system").alias("uberon_system"),
+    ).orderBy("target_id")

@@ -30,11 +30,13 @@ def stringify_col(col: Column, dtype: T.DataType) -> Column:
     (reference ``entity_builders/proband_status.py:40``).
     """
     if isinstance(dtype, (T.DoubleType, T.FloatType, T.DecimalType)):
-        as_long = col.cast(T.LongType())
+        # try_cast: ANSI mode (Spark 4 default) errors on overflow casts;
+        # out-of-long-range doubles must fall through to the plain string form
+        as_long = col.try_cast("bigint")
         return F.when(col.isNull(), F.lit(None).cast(T.StringType())).otherwise(
-            F.when(col == as_long.cast(dtype), as_long.cast(T.StringType())).otherwise(
-                col.cast(T.StringType())
-            )
+            F.when(
+                as_long.isNotNull() & (col == as_long.cast(dtype)), as_long.cast(T.StringType())
+            ).otherwise(col.cast(T.StringType()))
         )
     if isinstance(dtype, T.BooleanType):
         return F.when(col, F.lit("True")).when(~col, F.lit("False"))

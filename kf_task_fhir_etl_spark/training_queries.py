@@ -9,7 +9,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kf_task_fhir_etl_spark.catalog import load_table
-from kf_task_fhir_etl_spark.operators import dedup, similarity, text
+from kf_task_fhir_etl_spark.operators import asof, dedup, similarity, text
 from kf_task_fhir_etl_spark.queries import register
 
 # ---------------------------------------------------------------------------
@@ -112,12 +112,16 @@ def q12_minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     candidates = dedup.minhash_lsh_candidates(docs, num_hashes=8, bands=4, shingle_size=5, max_chars=200)
     toks = docs.select(F.col("doc_id"), dedup.word_tokens(F.col("text"), distinct=True).alias("t"))
-    return (
+    # compute the raw jaccard once behind an exchange-free projection; filter
+    # on the raw value (matching the oracle) and round only for output
+    scored = (
         candidates.join(toks.select(F.col("doc_id").alias("id_a"), F.col("t").alias("ta")), "id_a")
         .join(toks.select(F.col("doc_id").alias("id_b"), F.col("t").alias("tb")), "id_b")
-        .withColumn("jacc", F.round(dedup.jaccard(F.col("ta"), F.col("tb")), 6))
-        .filter(dedup.jaccard(F.col("ta"), F.col("tb")) >= 0.5)
-        .select("id_a", "id_b", "jacc")
+        .select("id_a", "id_b", dedup.jaccard(F.col("ta"), F.col("tb")).alias("jacc_raw"))
+    )
+    return (
+        scored.filter(F.col("jacc_raw") >= 0.5)
+        .select("id_a", "id_b", F.round(F.col("jacc_raw"), 6).alias("jacc"))
         .orderBy("id_a", "id_b")
     )
 
@@ -356,3 +360,65 @@ def q22_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("new_session").alias("n_sessions"), F.count(F.lit(1)).alias("n_events"))
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# As-of / range joins — custom operators Spark lacks natively, composed from
+# built-ins (operators/asof.py). DuckDB's native ASOF JOIN is the oracle.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q28_asof_join",
+    oracle="""
+    WITH purchases AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ), signups AS (
+      SELECT user_id, ts, value FROM events WHERE event_type = 'signup'
+    )
+    SELECT p.event_id AS purchase_id, p.user_id,
+           CAST(FLOOR(epoch(p.ts)) AS BIGINT) AS purchase_epoch,
+           CAST(FLOOR(epoch(s.ts)) AS BIGINT) AS signup_epoch,
+           ROUND(s.value, 2) AS signup_value
+    FROM purchases p
+    ASOF LEFT JOIN signups s ON p.user_id = s.user_id AND p.ts >= s.ts
+    ORDER BY purchase_id
+    """,
+)
+def q28_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    signups = ev.filter(F.col("event_type") == "signup").select("user_id", "ts", "value")
+    joined = asof.asof_join(purchases, signups, key="user_id", ts_col="ts", right_payload=["value"])
+    return joined.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").cast("long").alias("purchase_epoch"),
+        F.col("ts_asof").cast("long").alias("signup_epoch"),
+        F.round(F.col("value_asof"), 2).alias("signup_value"),
+    ).orderBy("purchase_id")
+
+
+@register(
+    "q29_range_join",
+    oracle="""
+    WITH purchases AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.user_id, CAST(FLOOR(epoch(p.ts)) AS BIGINT) AS ts_epoch,
+           (SELECT COUNT(*) FROM events e
+            WHERE e.user_id = p.user_id
+              AND e.ts <= p.ts AND e.ts > p.ts - INTERVAL 1 HOUR) AS n_in_range
+    FROM purchases p
+    ORDER BY user_id, ts_epoch
+    """,
+)
+def q29_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    counted = asof.range_join_count(
+        purchases, ev.select("user_id", "ts"), key="user_id", ts_col="ts", lookback_seconds=3600
+    )
+    return counted.select(
+        "user_id", F.col("ts").cast("long").alias("ts_epoch"), "n_in_range"
+    ).orderBy("user_id", "ts_epoch")

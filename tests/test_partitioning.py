@@ -1,0 +1,67 @@
+"""Scale-hygiene tests: partition pruning and scan-level pushdown — the
+behaviors SCALE.md claims, asserted against the actual physical plans."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _formatted_plan(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    path = str(tmp_path / "by_status")
+    spark.createDataFrame(
+        [(i, "O" if i % 2 else "F", float(i)) for i in range(100)],
+        "id long, status string, v double",
+    ).write.partitionBy("status").parquet(path)
+
+    df = spark.read.parquet(path).filter(F.col("status") == "O")
+    plan = _formatted_plan(df)
+    assert "PartitionFilters" in plan
+    # only the matching partition directory is read
+    assert df.count() == 50
+
+
+def test_filter_and_projection_pushdown(spark):
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    df = li.filter(F.col("l_quantity") > 30).select("l_orderkey", "l_quantity")
+    plan = _formatted_plan(df)
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30.0)]" in plan
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in plan
+
+
+def test_same_key_join_partitioning_propagation(spark):
+    """Documents the measured planner behavior behind SCALE.md:
+
+    - INNER same-key join chains propagate partitioning (no intermediate
+      re-shuffle: exactly one exchange per input);
+    - FULL-OUTER USING chains do NOT — the coalesced join key is a new
+      expression, so each cascade level re-shuffles the accumulated side.
+      This is why the narrow path (plans/narrow.py, leaf-level one-hop
+      joins) is the preferred shape at scale.
+    """
+    a = spark.range(1000).select(F.col("id").alias("k"), F.lit(1).alias("a"))
+    b = spark.range(1000).select(F.col("id").alias("k"), F.lit(2).alias("b"))
+    c = spark.range(1000).select(F.col("id").alias("k"), F.lit(3).alias("c"))
+
+    inner = a.join(b, ["k"], "inner").join(c, ["k"], "inner")
+    inner_plan = _formatted_plan(inner)
+    inner_exchanges = sum(
+        1 for line in inner_plan.splitlines() if line.strip().startswith("(") and "Exchange" in line
+    )
+    assert inner_exchanges <= 3
+
+    outer = a.join(b, ["k"], "full").join(c, ["k"], "full")
+    outer_plan = _formatted_plan(outer)
+    outer_exchanges = sum(
+        1 for line in outer_plan.splitlines() if line.strip().startswith("(") and "Exchange" in line
+    )
+    assert outer_exchanges >= 4  # the intermediate re-shuffle is real
