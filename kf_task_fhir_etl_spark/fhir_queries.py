@@ -336,6 +336,93 @@ def q26_fhir_family_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q30_fhir_vital_status_json",
+    oracle=_ORACLE_ENDPOINTS.rstrip()
+    + """
+    , outcomes AS (
+      SELECT 'OC_' || o_orderkey AS oc_id,
+             'PT_' || o_custkey AS pt_id,
+             CASE WHEN o_orderkey % 2 = 0 THEN 'Alive' ELSE 'Deceased' END AS vital_status,
+             CASE WHEN o_orderkey % 5 = 0 THEN 'bad-age'
+                  ELSE (o_orderkey % 30000)::VARCHAR END AS age_raw,
+             (SELECT "STUDY|TARGET_SERVICE_ID" FROM participants p
+              WHERE p."PARTICIPANT|TARGET_SERVICE_ID" = 'PT_' || o_custkey) AS study_id
+      FROM orders)
+    SELECT md5('vital_status' || '|' || oc_id) AS target_id,
+      replace(replace(replace(replace(replace(
+        to_json(struct_pack(
+          resourceType := 'Observation',
+          id := md5('vital_status' || '|' || oc_id),
+          meta := struct_pack(
+            profile := ['https://nih-ncpi.github.io/ncpi-fhir-ig/StructureDefinition/vital-status'],
+            tag := [struct_pack(code := study_id)]),
+          identifier := [struct_pack(use := 'official',
+            system := 'https://kf-api-dataservice.kidsfirstdrc.org/outcomes/'::VARCHAR,
+            value := oc_id)],
+          status := 'final',
+          code := struct_pack(
+            coding := [struct_pack(system := 'http://snomed.info/sct',
+                                   code := '263493007', display := 'Clinical status (attribute)')],
+            text := 'Clinical status'),
+          subject := struct_pack(reference := 'Patient/' || md5('patient' || '|' || pt_id)),
+          "_effectiveDateTime" := CASE WHEN TRY_CAST(age_raw AS INTEGER) IS NOT NULL THEN
+            struct_pack(extension := [struct_pack(
+              extension := [
+                struct_pack(url := 'event',
+                  valueCodeableConcept := struct_pack(coding := [struct_pack(
+                    system := 'http://snomed.info/sct', code := '3950001', display := 'Birth')]),
+                  valueCode := NULL::VARCHAR,
+                  valueDuration := NULL::STRUCT(value INTEGER, unit VARCHAR, system VARCHAR, code VARCHAR)),
+                struct_pack(url := 'relationship',
+                  valueCodeableConcept := NULL::STRUCT(coding STRUCT(system VARCHAR, code VARCHAR, display VARCHAR)[]),
+                  valueCode := 'after'::VARCHAR,
+                  valueDuration := NULL::STRUCT(value INTEGER, unit VARCHAR, system VARCHAR, code VARCHAR)),
+                struct_pack(url := 'offset',
+                  valueCodeableConcept := NULL::STRUCT(coding STRUCT(system VARCHAR, code VARCHAR, display VARCHAR)[]),
+                  valueCode := NULL::VARCHAR,
+                  valueDuration := struct_pack(value := TRY_CAST(age_raw AS INTEGER),
+                                               unit := 'day', system := 'http://unitsofmeasure.org', code := 'd'))],
+              url := 'http://hl7.org/fhir/StructureDefinition/relative-date')])
+          END,
+          valueCodeableConcept := struct_pack(
+            coding := [CASE WHEN vital_status = 'Alive'
+              THEN struct_pack(system := 'http://snomed.info/sct', code := '438949009', display := 'Alive (finding)')
+              ELSE struct_pack(system := 'http://snomed.info/sct', code := '419099009', display := 'Dead (finding)')
+            END],
+            text := vital_status)
+        )),
+        ',"_effectiveDateTime":null', ''),
+        ',"valueDuration":null', ''),
+        ',"valueCode":null', ''),
+        '"valueCodeableConcept":null,', ''),
+        '"valueString":null,', '') AS resource_json
+    FROM outcomes
+    ORDER BY target_id
+    """,
+)
+def q30_fhir_vital_status_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actual VitalStatus builder emitting byte-identical resource JSON —
+    full parity for the C6 birth-relative-date extension template
+    (vital_status.py:83-117), swallowed casts included."""
+    from kf_task_fhir_etl_spark.plans.narrow import build_resources_narrow
+
+    orders = load_table(spark, sf_dir, "orders")
+    outcomes = orders.select(
+        F.concat(F.lit("OC_"), F.col("o_orderkey")).alias("kf_id"),
+        F.concat(F.lit("PT_"), F.col("o_custkey")).alias("participant_id"),
+        F.when(F.col("o_orderkey") % 2 == 0, "Alive").otherwise("Deceased").alias("vital_status"),
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit("bad-age"))
+        .otherwise((F.col("o_orderkey") % 30000).cast("string"))
+        .alias("age_at_event_days"),
+        F.lit("True").alias("visible"),
+    )
+    tables = _endpoint_tables(spark, sf_dir)
+    tables["outcomes"] = outcomes
+    out = build_resources_narrow(tables)
+    return out["VitalStatus"].select("target_id", "resource_json").orderBy("target_id")
+
+
+@register(
     "q27_fhir_specimen_narrow",
     oracle=_ORACLE_ENDPOINTS.rstrip()
     + """

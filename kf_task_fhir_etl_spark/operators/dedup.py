@@ -100,11 +100,18 @@ def minhash_lsh_candidates(
     bands: int = 4,
     shingle_size: int = 5,
     max_chars: int = 500,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (a < b) that collide in ≥1 LSH band.
 
     Plan shape: scan → map-side signature/bands → explode bands →
     shuffle on (band, digest) → self-join inside buckets → distinct pairs.
+
+    ``max_bucket``: optional hot-bucket cap for degenerate corpora (a bucket
+    of b docs yields b²/2 pairs — on near-identical corpora one bucket can
+    dominate the whole job). Buckets larger than the cap are dropped with the
+    standard LSH argument that their members collide in other bands too.
+    Off by default so results stay exactly reproducible by the SQL oracle.
     """
     rows_per_band = num_hashes // bands
     signatures = minhash_signatures(df, id_col, text_col, num_hashes, shingle_size, max_chars)
@@ -112,6 +119,14 @@ def minhash_lsh_candidates(
         "id",
         F.explode(lsh_bands(F.col("sig"), bands, rows_per_band)).alias("b"),
     ).select("id", F.col("b.band").alias("band"), F.col("b.digest").alias("digest"))
+    if max_bucket is not None:
+        small = (
+            sig.groupBy("band", "digest")
+            .count()
+            .filter(F.col("count") <= max_bucket)
+            .select("band", "digest")
+        )
+        sig = sig.join(small, on=["band", "digest"], how="left_semi")
     left = sig.alias("l")
     right = sig.alias("r")
     return (
@@ -127,6 +142,47 @@ def jaccard(tokens_a: Column, tokens_b: Column) -> Column:
     inter = F.size(F.array_intersect(tokens_a, tokens_b))
     union = F.size(tokens_a) + F.size(tokens_b) - inter
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def verify_jaccard_pairs(
+    df: DataFrame,
+    candidates: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact word-Jaccard verification of candidate pairs via a broadcast
+    token dictionary + Arrow-batched set intersection.
+
+    The relational form (join token arrays onto 10⁵-10⁶ pairs twice, then
+    ``array_intersect``) moves pairs × tokens through two shuffles; here the
+    token sets ship once as a broadcast (O(docs)) and each partition verifies
+    its pairs locally — the same broadcast-the-small-dimension pattern as the
+    embedding near-dup kernel. Ceiling is the token dict size; past that,
+    fall back to the join form restricted to the oversized ids."""
+    rows = df.select(F.col(id_col).alias("id"), word_tokens(F.col(text_col), distinct=True).alias("t")).collect()
+    token_sets = {r["id"]: frozenset(r["t"]) for r in rows}
+    b_tokens = df.sparkSession.sparkContext.broadcast(token_sets)
+
+    def verify(batches):
+        import pandas as pd
+
+        toks = b_tokens.value
+        for pdf in batches:
+            a_ids = pdf["id_a"].to_numpy()
+            b_ids = pdf["id_b"].to_numpy()
+            out_a, out_b, out_j = [], [], []
+            for ida, idb in zip(a_ids, b_ids):
+                ta, tb = toks.get(ida, frozenset()), toks.get(idb, frozenset())
+                union = len(ta) + len(tb) - len(ta & tb)
+                j = (len(ta & tb) / union) if union else 0.0
+                if j >= threshold:
+                    out_a.append(ida)
+                    out_b.append(idb)
+                    out_j.append(round(j, 6))
+            yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "jacc": out_j})
+
+    return candidates.mapInPandas(verify, schema="id_a long, id_b long, jacc double")
 
 
 def minhash_dedup(

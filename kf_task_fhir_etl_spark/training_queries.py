@@ -111,19 +111,7 @@ def q11_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q12_minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     candidates = dedup.minhash_lsh_candidates(docs, num_hashes=8, bands=4, shingle_size=5, max_chars=200)
-    toks = docs.select(F.col("doc_id"), dedup.word_tokens(F.col("text"), distinct=True).alias("t"))
-    # compute the raw jaccard once behind an exchange-free projection; filter
-    # on the raw value (matching the oracle) and round only for output
-    scored = (
-        candidates.join(toks.select(F.col("doc_id").alias("id_a"), F.col("t").alias("ta")), "id_a")
-        .join(toks.select(F.col("doc_id").alias("id_b"), F.col("t").alias("tb")), "id_b")
-        .select("id_a", "id_b", dedup.jaccard(F.col("ta"), F.col("tb")).alias("jacc_raw"))
-    )
-    return (
-        scored.filter(F.col("jacc_raw") >= 0.5)
-        .select("id_a", "id_b", F.round(F.col("jacc_raw"), 6).alias("jacc"))
-        .orderBy("id_a", "id_b")
-    )
+    return dedup.verify_jaccard_pairs(docs, candidates, threshold=0.5).orderBy("id_a", "id_b")
 
 
 @register(
