@@ -26,6 +26,7 @@ from kf_task_fhir_etl_spark.functions.json_build import (
     relative_date_extension,
     string_or_null,
 )
+from kf_task_fhir_etl_spark.functions.recode import recode_coding_array
 
 CLASS_NAME = "disease"
 API_PATH = "Condition"
@@ -33,8 +34,8 @@ API_PATH = "Condition"
 _VER_STATUS = "http://terminology.hl7.org/CodeSystem/condition-ver-status"
 # reference ``disease.py:13-24``
 VERIFICATION_STATUS_CODING = {
-    "True": ("confirmed", "Confirmed"),
-    "False": ("refuted", "Refuted"),
+    "True": (_VER_STATUS, "confirmed", "Confirmed"),
+    "False": (_VER_STATUS, "refuted", "Refuted"),
 }
 
 _CODING_T = "struct<system:string,code:string>"
@@ -58,14 +59,10 @@ def build(wide: DataFrame) -> DataFrame:
     uberon_id = string_or_null(col("DIAGNOSIS|UBERON_TUMOR_LOCATION_ID"))
     event_age_days = col("DIAGNOSIS|EVENT_AGE_DAYS")
 
-    ver_coding = None
-    for key, (code, display) in VERIFICATION_STATUS_CODING.items():
-        c = F.array(
-            F.struct(F.lit(_VER_STATUS).alias("system"), F.lit(code).alias("code"), F.lit(display).alias("display"))
-        )
-        ver_coding = (
-            F.when(affected_status == key, c) if ver_coding is None else ver_coding.when(affected_status == key, c)
-        )
+    ver_coding = recode_coding_array(affected_status, VERIFICATION_STATUS_CODING)
+
+    # not_none(Patient ref) parity (disease.py:102-109)
+    wide = wide.filter(col("PARTICIPANT|TARGET_SERVICE_ID").isNotNull())
 
     code_codings = F.filter(
         F.array(

@@ -28,6 +28,7 @@ from kf_task_fhir_etl_spark.builders.base import (
     patient_id_from,
 )
 from kf_task_fhir_etl_spark.functions.json_build import string_or_null
+from kf_task_fhir_etl_spark.functions.recode import recode_coding_array
 
 CLASS_NAME = "family_relationship"
 API_PATH = "Observation"
@@ -100,17 +101,12 @@ CODE_CODING: dict[str, tuple[str, str, str]] = {
 }
 
 
-def _relation_coding(relation: Column) -> Column:
-    expr = None
-    for key, (system, code, display) in CODE_CODING.items():
-        c = F.array(
-            F.struct(F.lit(system).alias("system"), F.lit(code).alias("code"), F.lit(display).alias("display"))
-        )
-        expr = F.when(relation == key, c) if expr is None else expr.when(relation == key, c)
-    return expr
-
-
 def build(family_relationship: DataFrame) -> DataFrame:
+    # not_none parity for subject/focus (family_relationship.py:376-391)
+    family_relationship = family_relationship.filter(
+        col("FAMILY_RELATIONSHIP|PERSON1|TARGET_SERVICE_ID").isNotNull()
+        & col("FAMILY_RELATIONSHIP|PERSON2|TARGET_SERVICE_ID").isNotNull()
+    )
     fr_id = col("FAMILY_RELATIONSHIP|TARGET_SERVICE_ID")
     external_id = string_or_null(col("FAMILY_RELATIONSHIP|ID"))
     p1 = col("FAMILY_RELATIONSHIP|PERSON1|TARGET_SERVICE_ID")
@@ -135,7 +131,7 @@ def build(family_relationship: DataFrame) -> DataFrame:
         ).alias("code"),
         F.struct(F.concat(F.lit("Patient/"), patient_id_from(p1)).alias("reference")).alias("subject"),
         F.array(F.struct(F.concat(F.lit("Patient/"), patient_id_from(p2)).alias("reference"))).alias("focus"),
-        coded_concept(relation, _relation_coding(relation)).alias("valueCodeableConcept"),
+        coded_concept(relation, recode_coding_array(relation, CODE_CODING)).alias("valueCodeableConcept"),
     )
     return finalize(
         family_relationship.select(family_relationship_id().alias("target_id"), resource.alias("resource")),

@@ -37,6 +37,14 @@ STATUS_CODE = "final"
 
 
 def build(wide: DataFrame) -> DataFrame:
+    # not_none parity for all three references (histopathology.py:91-117):
+    # a record missing any of subject/focus/specimen is skipped, never
+    # emitted with a null element
+    wide = wide.filter(
+        col("PARTICIPANT|TARGET_SERVICE_ID").isNotNull()
+        & col("DIAGNOSIS|TARGET_SERVICE_ID").isNotNull()
+        & col("BIOSPECIMEN|TARGET_SERVICE_ID").isNotNull()
+    )
     study_id = col("STUDY|TARGET_SERVICE_ID")
     bd_id = col("BIOSPECIMEN_DIAGNOSIS|TARGET_SERVICE_ID")
     tumor_descriptor = string_or_null(col("BIOSPECIMEN|TUMOR_DESCRIPTOR"))

@@ -20,7 +20,7 @@ from kf_task_fhir_etl_spark.builders.base import (
     patient_id,
 )
 from kf_task_fhir_etl_spark.functions.json_build import string_or_null
-from kf_task_fhir_etl_spark.functions.recode import recode
+from kf_task_fhir_etl_spark.functions.recode import recode, recode_coding
 
 CLASS_NAME = "patient"
 API_PATH = "Patient"
@@ -58,21 +58,11 @@ ADMINISTRATIVE_GENDER = {
 _CODING_T = "struct<system:string,code:string,display:string>"
 
 
-def _omb_coding(value: Column, mapping: dict[str, tuple[str, str, str]]) -> Column:
-    expr = None
-    for key, (system, code, display) in mapping.items():
-        struct_col = F.struct(
-            F.lit(system).alias("system"), F.lit(code).alias("code"), F.lit(display).alias("display")
-        )
-        expr = F.when(value == key, struct_col) if expr is None else expr.when(value == key, struct_col)
-    return expr
-
-
 def _us_core_extension(value: Column, url: str, mapping: dict[str, tuple[str, str, str]]) -> Column:
     """The us-core-race/ethnicity extension: a ``text`` sub-extension always,
     plus an ``ombCategory`` sub-extension when the value recodes
     (reference ``patient.py:166-192``). Absent entirely when value is null."""
-    omb = _omb_coding(value, mapping)
+    omb = recode_coding(value, mapping)
     text_elem = F.struct(
         F.lit("text").alias("url"),
         value.alias("valueString"),

@@ -25,6 +25,7 @@ from kf_task_fhir_etl_spark.functions.json_build import (
     relative_date_extension,
     string_or_null,
 )
+from kf_task_fhir_etl_spark.functions.recode import recode_coding_array
 
 CLASS_NAME = "phenotype"
 API_PATH = "Condition"
@@ -32,8 +33,8 @@ API_PATH = "Condition"
 _VER_STATUS = "http://terminology.hl7.org/CodeSystem/condition-ver-status"
 # observed Positive/Negative → confirmed/refuted (phenotype.py:13-24)
 VERIFICATION_STATUS_CODING = {
-    "Positive": ("confirmed", "Confirmed"),
-    "Negative": ("refuted", "Refuted"),
+    "Positive": (_VER_STATUS, "confirmed", "Confirmed"),
+    "Negative": (_VER_STATUS, "refuted", "Refuted"),
 }
 
 
@@ -46,12 +47,10 @@ def build(wide: DataFrame) -> DataFrame:
     snomed_id = string_or_null(col("PHENOTYPE|SNOMED_ID"))
     event_age_days = col("PHENOTYPE|EVENT_AGE_DAYS")
 
-    ver_coding = None
-    for key, (code, display) in VERIFICATION_STATUS_CODING.items():
-        c = F.array(
-            F.struct(F.lit(_VER_STATUS).alias("system"), F.lit(code).alias("code"), F.lit(display).alias("display"))
-        )
-        ver_coding = F.when(observed == key, c) if ver_coding is None else ver_coding.when(observed == key, c)
+    ver_coding = recode_coding_array(observed, VERIFICATION_STATUS_CODING)
+
+    # not_none(Patient ref) parity (phenotype.py:78-85)
+    wide = wide.filter(col("PARTICIPANT|TARGET_SERVICE_ID").isNotNull())
 
     code_codings = F.filter(
         F.array(

@@ -31,6 +31,7 @@ from kf_task_fhir_etl_spark.builders.base import (
     specimen_id,
 )
 from kf_task_fhir_etl_spark.functions.json_build import relative_date_extension, string_or_null, try_cast
+from kf_task_fhir_etl_spark.functions.recode import recode_coding
 
 CLASS_NAME = "specimen"
 API_PATH = "Specimen"
@@ -137,16 +138,12 @@ COLLECTION_METHOD = {
 
 _CODING_T = "struct<system:string,code:string,display:string>"
 
-
-def _lookup_coding(value: Column, mapping: dict[str, tuple[str, str, str]]) -> Column:
-    expr = None
-    for key, (system, code, display) in mapping.items():
-        c = F.struct(F.lit(system).alias("system"), F.lit(code).alias("code"), F.lit(display).alias("display"))
-        expr = F.when(value == key, c) if expr is None else expr.when(value == key, c)
-    return expr
+_lookup_coding = recode_coding
 
 
 def build(wide: DataFrame) -> DataFrame:
+    # not_none(Patient ref) parity (specimen.py:487-494)
+    wide = wide.filter(col("PARTICIPANT|TARGET_SERVICE_ID").isNotNull())
     study_id = col("STUDY|TARGET_SERVICE_ID")
     biospecimen_id = col("BIOSPECIMEN|TARGET_SERVICE_ID")
     consent_type = string_or_null(col("BIOSPECIMEN|CONSENT_SHORT_NAME"))

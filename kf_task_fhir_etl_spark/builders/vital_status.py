@@ -22,6 +22,7 @@ from kf_task_fhir_etl_spark.builders.base import (
     vital_status_id,
 )
 from kf_task_fhir_etl_spark.functions.json_build import relative_date_extension, string_or_null
+from kf_task_fhir_etl_spark.functions.recode import recode_coding_array
 
 CLASS_NAME = "vital_status"
 API_PATH = "Observation"
@@ -31,8 +32,8 @@ STATUS_CODE = "final"
 _SNOMED = "http://snomed.info/sct"
 # reference ``vital_status.py:15-26``
 CODE_CODING = {
-    "Alive": ("438949009", "Alive (finding)"),
-    "Deceased": ("419099009", "Dead (finding)"),
+    "Alive": (_SNOMED, "438949009", "Alive (finding)"),
+    "Deceased": (_SNOMED, "419099009", "Dead (finding)"),
 }
 
 
@@ -42,14 +43,11 @@ def build(wide: DataFrame) -> DataFrame:
     vital_status = string_or_null(col("OUTCOME|VITAL_STATUS"))
     event_age_days = col("OUTCOME|EVENT_AGE_DAYS")
 
-    value_coding = None
-    for key, (code, display) in CODE_CODING.items():
-        c = F.array(
-            F.struct(F.lit(_SNOMED).alias("system"), F.lit(code).alias("code"), F.lit(display).alias("display"))
-        )
-        value_coding = (
-            F.when(vital_status == key, c) if value_coding is None else value_coding.when(vital_status == key, c)
-        )
+    value_coding = recode_coding_array(vital_status, CODE_CODING)
+
+    # not_none(Patient ref) parity (vital_status.py:73-80): records without a
+    # resolvable subject are skipped, not emitted
+    wide = wide.filter(col("PARTICIPANT|TARGET_SERVICE_ID").isNotNull())
 
     resource = F.struct(
         F.lit(API_PATH).alias("resourceType"),

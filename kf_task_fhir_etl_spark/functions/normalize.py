@@ -33,7 +33,11 @@ def stringify_col(col: Column, dtype: T.DataType) -> Column:
         # try_cast: ANSI mode (Spark 4 default) errors on overflow casts;
         # out-of-long-range doubles must fall through to the plain string form
         as_long = col.try_cast("bigint")
-        return F.when(col.isNull(), F.lit(None).cast(T.StringType())).otherwise(
+        null_like = col.isNull()
+        if not isinstance(dtype, T.DecimalType):
+            # clean_up_df nulls NaN; isnan is only defined on float/double
+            null_like = null_like | F.isnan(col)
+        return F.when(null_like, F.lit(None).cast(T.StringType())).otherwise(
             F.when(
                 as_long.isNotNull() & (col == as_long.cast(dtype)), as_long.cast(T.StringType())
             ).otherwise(col.cast(T.StringType()))

@@ -43,6 +43,30 @@ def recode(col: Column, mapping: Mapping[str, str], default: Column | str | None
     return F.coalesce(looked_up, default_col)
 
 
+def recode_coding(col: Column, mapping: Mapping[str, tuple[str, str, str]]) -> Column:
+    """value → ``{system, code, display}`` coding struct via a literal
+    ``F.when`` chain; unmapped values yield null so the enclosing field is
+    absent. The shared form of the coding-map lookups that appear in eight
+    reference builders (patient/specimen/disease/phenotype/vital_status/
+    proband_status/family_relationship/drs_document_reference)."""
+    expr: Column | None = None
+    for key, (system, code, display) in mapping.items():
+        struct_col = F.struct(
+            F.lit(system).alias("system"), F.lit(code).alias("code"), F.lit(display).alias("display")
+        )
+        expr = F.when(col == key, struct_col) if expr is None else expr.when(col == key, struct_col)
+    if expr is None:
+        raise ValueError("empty mapping")
+    return expr
+
+
+def recode_coding_array(col: Column, mapping: Mapping[str, tuple[str, str, str]]) -> Column:
+    """Single-coding array form (``[coding]`` when mapped, absent otherwise) —
+    the ``setdefault("coding", []).append(...)`` pattern."""
+    c = recode_coding(col, mapping)
+    return F.when(c.isNotNull(), F.array(c))
+
+
 def recode_struct(col: Column, mapping: Mapping[str, Mapping[str, str]]) -> Column:
     """String→struct recode (e.g. value → FHIR ``coding`` struct) via a
     ``F.when`` chain; unmapped values yield null so the enclosing JSON field

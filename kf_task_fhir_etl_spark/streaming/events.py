@@ -31,9 +31,11 @@ EVENTS_SCHEMA = T.StructType(
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet (one file = one microbatch
-    locally; a directory of arriving files in production)."""
-    raw = spark.readStream.schema(EVENTS_SCHEMA).format("parquet").load(f"{sf_dir}/")
-    return raw.withColumn("ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long")))
+    locally; point at a directory of arriving files in production). The glob
+    targets events.parquet only — a bare directory glob would sweep every
+    other table in the testdata dir into all-null event rows."""
+    raw = spark.readStream.schema(EVENTS_SCHEMA).format("parquet").load(f"{sf_dir}/events.parquet")
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def windowed_event_counts(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:

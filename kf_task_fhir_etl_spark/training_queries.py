@@ -226,7 +226,7 @@ def _lang_case_sql() -> str:
 def q17_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return (
-        docs.select(text.language_id(F.col("text")).alias("lang_id"))
+        text.language_id_table(docs)
         .groupBy("lang_id")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("lang_id")

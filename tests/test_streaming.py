@@ -12,8 +12,9 @@ from .conftest import SF_SMOKE
 
 
 def _to_ts(df):
-    # events ts arrives as long ns (TIMESTAMP(NANOS) via nanosAsLong)
-    return df.withColumn("ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long")))
+    # events ts arrives as long ns (TIMESTAMP(NANOS) via nanosAsLong);
+    # integer division — float division corrupts 1.7e18 ns epochs
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 @pytest.fixture(scope="module")
