@@ -35,6 +35,7 @@ from kf_task_fhir_etl_spark.builders.base import (
     surrogate_id,
 )
 from kf_task_fhir_etl_spark.functions.json_build import not_missing, string_or_null, try_cast
+from kf_task_fhir_etl_spark.functions.recode import recode_coding
 
 CLASS_NAME = "drs_document_reference"
 API_PATH = "DocumentReference"
@@ -91,20 +92,11 @@ METADATA_COLUMNS = (
 ).split()
 
 
-def _lookup(value: Column, mapping: dict[str, tuple[str, str, str]]) -> Column:
-    expr = None
-    for key, (system, code, display) in mapping.items():
-        c = F.struct(F.lit(system).alias("system"), F.lit(code).alias("code"), F.lit(display).alias("display"))
-        expr = F.when(value == key, c) if expr is None else expr.when(value == key, c)
-    return expr
+_lookup = recode_coding
 
 
 def _type_coding(data_type: Column) -> Column:
-    expr = None
-    for key, (code, display) in TYPE_CODING.items():
-        c = F.struct(F.lit(_DT_SYSTEM).alias("system"), F.lit(code).alias("code"), F.lit(display).alias("display"))
-        expr = F.when(data_type == key, c) if expr is None else expr.when(data_type == key, c)
-    return expr
+    return recode_coding(data_type, {k: (_DT_SYSTEM, c, d) for k, (c, d) in TYPE_CODING.items()})
 
 
 def aggregate_records(wide: DataFrame) -> DataFrame:

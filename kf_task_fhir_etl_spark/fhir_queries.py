@@ -266,7 +266,7 @@ def q25_fhir_disease_narrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     resource JSON."""
     from kf_task_fhir_etl_spark.plans.narrow import build_resources_narrow
 
-    out = build_resources_narrow(_diagnosis_tables(spark, sf_dir))
+    out = build_resources_narrow(_diagnosis_tables(spark, sf_dir), only={"Disease"})
     disease = out["Disease"]
     j = F.col("resource_json")
     return disease.select(
@@ -318,7 +318,7 @@ def q26_fhir_family_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         on=["kf_id"],
     )
-    out = build_resources_narrow(tables)
+    out = build_resources_narrow(tables, only={"Family"})
     j = F.col("resource_json")
     members = F.transform(
         F.from_json(
@@ -418,7 +418,7 @@ def q30_fhir_vital_status_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tables = _endpoint_tables(spark, sf_dir)
     tables["outcomes"] = outcomes
-    out = build_resources_narrow(tables)
+    out = build_resources_narrow(tables, only={"VitalStatus"})
     return out["VitalStatus"].select("target_id", "resource_json").orderBy("target_id")
 
 
@@ -489,7 +489,7 @@ def q27_fhir_specimen_narrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tables = _endpoint_tables(spark, sf_dir)
     tables["biospecimens"] = biospecimens
-    out = build_resources_narrow(tables)
+    out = build_resources_narrow(tables, only={"Specimen"})
     j = F.col("resource_json")
     return out["Specimen"].select(
         "target_id",

@@ -25,10 +25,18 @@ from kf_task_fhir_etl_spark.plans.mappings import rename_to_concepts
 from kf_task_fhir_etl_spark.plans.transform import ALL_TARGETS, transform_study
 
 
-def narrow_builder_inputs(endpoint_tables: dict[str, DataFrame]) -> dict[str, DataFrame]:
+def narrow_builder_inputs(
+    endpoint_tables: dict[str, DataFrame], only: set[str] | None = None
+) -> dict[str, DataFrame]:
     """{target_name: minimal normalized input table}. Only targets whose
     endpoint tables are present appear (the same presence-conditional rules
-    as the wide cascade)."""
+    as the wide cascade).
+
+    ``only`` restricts which targets' input plans are CONSTRUCTED at all.
+    Building a DataFrame plan is driver-side work (every column expression is
+    a py4j round-trip; the Specimen builder alone chains ~130 literal map
+    entries) — measured ~5s to construct all 16 builder plans vs <1s for one.
+    Execution laziness does not help with that; this does."""
 
     def get(endpoint: str) -> DataFrame | None:
         df = endpoint_tables.get(endpoint)
@@ -69,7 +77,7 @@ def narrow_builder_inputs(endpoint_tables: dict[str, DataFrame]) -> dict[str, Da
     out: dict[str, DataFrame] = {}
 
     def put(target: str, df: DataFrame | None) -> None:
-        if df is not None:
+        if df is not None and (only is None or target in only):
             out[target] = normalize(df)
 
     if studies is not None:
@@ -154,13 +162,16 @@ def narrow_builder_inputs(endpoint_tables: dict[str, DataFrame]) -> dict[str, Da
 
 
 def build_resources_narrow(
-    endpoint_tables: dict[str, DataFrame], metadata: DataFrame | None = None
+    endpoint_tables: dict[str, DataFrame],
+    metadata: DataFrame | None = None,
+    only: set[str] | None = None,
 ) -> dict[str, DataFrame]:
     """Run every applicable builder from its narrow input. Targets follow the
-    same presence rules and fixed order as the wide path."""
+    same presence rules and fixed order as the wide path. ``only`` limits
+    which builder plans are constructed (see ``narrow_builder_inputs``)."""
     from kf_task_fhir_etl_spark.builders import BUILDERS
 
-    inputs = narrow_builder_inputs(endpoint_tables)
+    inputs = narrow_builder_inputs(endpoint_tables, only=only)
     # the wide path's target gating (e.g. Histopathology only when
     # biospecimen-diagnoses present) is already encoded above; keep order
     out: dict[str, DataFrame] = {}
