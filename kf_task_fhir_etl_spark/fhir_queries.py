@@ -501,3 +501,365 @@ def q27_fhir_specimen_narrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("volume_ul"),
         F.get_json_object(j, "$.collection.bodySite.coding[0].system").alias("uberon_system"),
     ).orderBy("target_id")
+
+
+def _drs_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Endpoint tables for the DRSDocumentReference gate: biospecimens from
+    orders, genomic files from part, links from lineitem — a real
+    many-to-many. Participants are pinned to ONE study so every genomic file
+    groups under a single (study, file) key: ``finalize`` dedupes by
+    target_id, and a file spanning studies would make the surviving row
+    nondeterministic (unoracleable)."""
+    region = load_table(spark, sf_dir, "region")
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+
+    studies = region.select(
+        F.concat(F.lit("SD_"), F.col("r_regionkey")).alias("kf_id"),
+        F.col("r_name").alias("name"),
+        F.lit("True").alias("visible"),
+    )
+    participants = customer.select(
+        F.concat(F.lit("PT_"), F.col("c_custkey")).alias("kf_id"),
+        F.lit("SD_0").alias("study_id"),
+        F.lit("True").alias("visible"),
+    )
+    biospecimens = orders.select(
+        F.concat(F.lit("BS_"), F.col("o_orderkey")).alias("kf_id"),
+        F.concat(F.lit("PT_"), F.col("o_custkey")).alias("participant_id"),
+        F.lit("True").alias("visible"),
+    )
+    genomic_files = part.select(
+        F.concat(F.lit("GF_"), F.col("p_partkey")).alias("kf_id"),
+        F.when(F.col("p_partkey") % 4 == 0, "Aligned Reads")
+        .when(F.col("p_partkey") % 4 == 1, "gVCF")
+        .when(F.col("p_partkey") % 4 == 2, "Simple Nucleotide Variations")
+        .otherwise("Unmapped Kind")
+        .alias("data_type"),
+        F.when(F.col("p_partkey") % 4 == 0, "cram")
+        .when(F.col("p_partkey") % 4 == 1, "gvcf")
+        .when(F.col("p_partkey") % 4 == 2, "tbi")
+        .otherwise("txt")
+        .alias("file_format"),
+        F.when(F.col("p_partkey") % 3 == 0, "True")
+        .when(F.col("p_partkey") % 3 == 1, "False")
+        .alias("controlled_access"),
+        F.concat(F.lit("did-"), F.col("p_partkey")).alias("latest_did"),
+        F.lit("True").alias("visible"),
+    )
+    links = lineitem.select(
+        F.concat(F.lit("BGF_"), F.col("l_orderkey"), F.lit("_"), F.col("l_partkey")).alias("kf_id"),
+        F.concat(F.lit("BS_"), F.col("l_orderkey")).alias("biospecimen_id"),
+        F.concat(F.lit("GF_"), F.col("l_partkey")).alias("genomic_file_id"),
+        F.lit("True").alias("visible"),
+    ).dropDuplicates(["biospecimen_id", "genomic_file_id"])
+    return {
+        "studies": studies,
+        "participants": participants,
+        "biospecimens": biospecimens,
+        "genomic-files": genomic_files,
+        "biospecimen-genomic-files": links,
+    }
+
+
+@register(
+    "q31_fhir_drs_document_reference",
+    oracle="""
+    WITH links AS (
+      SELECT DISTINCT 'BS_' || l_orderkey AS bs, 'GF_' || l_partkey AS gf,
+             'PT_' || o_custkey AS pt
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ), gfs AS (
+      SELECT 'GF_' || p_partkey AS gf,
+             CASE p_partkey % 4 WHEN 0 THEN 'Aligned Reads' WHEN 1 THEN 'gVCF'
+               WHEN 2 THEN 'Simple Nucleotide Variations' ELSE 'Unmapped Kind' END AS data_type0,
+             CASE p_partkey % 4 WHEN 0 THEN 'cram' WHEN 1 THEN 'gvcf'
+               WHEN 2 THEN 'tbi' ELSE 'txt' END AS fmt,
+             CASE p_partkey % 3 WHEN 0 THEN 'True' WHEN 1 THEN 'False' END AS ca,
+             'did-' || p_partkey AS did
+      FROM part
+    ), agg AS (
+      SELECT gf, list_sort(list(DISTINCT pt)) AS pts, list_sort(list(DISTINCT bs)) AS bss
+      FROM links GROUP BY gf
+    ), rec AS (
+      SELECT g.gf, g.fmt, g.ca, g.did, a.pts, a.bss,
+             CASE WHEN g.data_type0 = 'Simple Nucleotide Variations' AND g.fmt = 'tbi'
+                  THEN g.data_type0 || ' Index' ELSE g.data_type0 END AS dt
+      FROM gfs g LEFT JOIN agg a USING (gf)
+    )
+    SELECT md5('drs_document_reference' || '|' || gf) AS target_id,
+           CASE WHEN len(pts) = 1
+                THEN 'Patient/' || md5('patient' || '|' || pts[1]) END AS subject_ref,
+           -- the imputed ' Index' type is NOT in the reference's coding map
+           -- (drs_document_reference.py:31-107): text-only concept
+           CASE dt WHEN 'Aligned Reads' THEN 'Aligned-Reads' WHEN 'gVCF' THEN 'gVCF'
+           END AS dt_code,
+           dt AS dt_text,
+           CASE ca WHEN 'True' THEN 'controlled' WHEN 'False' THEN 'registered' END AS access_code,
+           CASE ca WHEN 'True' THEN 'true' WHEN 'False' THEN 'false' END AS access_text,
+           fmt AS fmt_display,
+           'drs://data.kidsfirstdrc.org/' || did AS url,
+           CASE WHEN dt NOT IN ('Aligned Reads Index','gVCF Index',
+                                'Simple Nucleotide Variations Index',
+                                'Somatic Structural Variations Index','Variant Calls Index')
+                 AND len(bss) > 0
+                THEN array_to_string(list_transform(bss,
+                       b -> 'Specimen/' || md5('specimen' || '|' || b)), ',') END AS related_refs
+    FROM rec
+    ORDER BY target_id
+    """,
+)
+def q31_fhir_drs_document_reference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actual DRSDocumentReference builder on the narrow path — gates the
+    A2 dynamic-key aggregation (collect-distinct participants/biospecimens),
+    the single-subject gate, the tbi ' Index' data-type imputation, the
+    securityLabel access coding, attachment URL assembly, and the index-type
+    context.related exclusion (drs_document_reference.py:170-406)."""
+    from kf_task_fhir_etl_spark.plans.narrow import build_resources_narrow
+
+    out = build_resources_narrow(_drs_tables(spark, sf_dir), only={"DRSDocumentReference"})
+    j = F.col("resource_json")
+    related = F.transform(
+        F.from_json(
+            F.get_json_object(j, "$.context.related"), "array<struct<reference:string>>"
+        ),
+        lambda r: r.getField("reference"),
+    )
+    return out["DRSDocumentReference"].select(
+        "target_id",
+        F.get_json_object(j, "$.subject.reference").alias("subject_ref"),
+        F.get_json_object(j, "$.type.coding[0].code").alias("dt_code"),
+        F.get_json_object(j, "$.type.text").alias("dt_text"),
+        F.get_json_object(j, "$.securityLabel[0].coding[0].code").alias("access_code"),
+        F.get_json_object(j, "$.securityLabel[0].text").alias("access_text"),
+        F.get_json_object(j, "$.content[0].format.display").alias("fmt_display"),
+        F.get_json_object(j, "$.content[0].attachment.url").alias("url"),
+        F.array_join(related, ",").alias("related_refs"),
+    ).orderBy("target_id")
+
+
+@register(
+    "q32_fhir_family_relationship",
+    oracle="""
+    WITH frs AS (
+      SELECT 'FR_' || o_orderkey AS fr_id,
+             'PT_' || o_custkey AS p1,
+             'PX_' || o_custkey AS p2,
+             CASE o_orderkey % 6 WHEN 0 THEN 'Father' WHEN 1 THEN 'Mother'
+               WHEN 2 THEN 'Brother' WHEN 3 THEN 'Aunt'
+               WHEN 4 THEN 'Alien Buddy' END AS relation
+      FROM orders)
+    SELECT md5('family_relationship' || '|' || fr_id) AS target_id,
+           'Patient/' || md5('patient' || '|' || p1) AS subject_ref,
+           'Patient/' || md5('patient' || '|' || p2) AS focus_ref,
+           relation AS rel_text,
+           CASE relation WHEN 'Father' THEN 'FTH' WHEN 'Mother' THEN 'MTH'
+             WHEN 'Brother' THEN 'BRO' WHEN 'Aunt' THEN 'AUNT' END AS rel_code
+    FROM frs
+    ORDER BY target_id
+    """,
+)
+def q32_fhir_family_relationship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actual FamilyRelationship builder — the separate (non-wide) FR
+    table, double Patient reference resolution, and the ~60-entry
+    relationship→v3-RoleCode recode incl. unmapped (text-only concept) and
+    null (absent concept) relations (family_relationship.py:16-307,376-391)."""
+    from kf_task_fhir_etl_spark.plans.narrow import build_resources_narrow
+
+    orders = load_table(spark, sf_dir, "orders")
+    frs = orders.select(
+        F.concat(F.lit("FR_"), F.col("o_orderkey")).alias("kf_id"),
+        F.concat(F.lit("PT_"), F.col("o_custkey")).alias("participant1_id"),
+        F.concat(F.lit("PX_"), F.col("o_custkey")).alias("participant2_id"),
+        F.when(F.col("o_orderkey") % 6 == 0, "Father")
+        .when(F.col("o_orderkey") % 6 == 1, "Mother")
+        .when(F.col("o_orderkey") % 6 == 2, "Brother")
+        .when(F.col("o_orderkey") % 6 == 3, "Aunt")
+        .when(F.col("o_orderkey") % 6 == 4, "Alien Buddy")
+        .alias("participant1_to_participant2_relation"),
+        F.lit("True").alias("visible"),
+    )
+    tables = _endpoint_tables(spark, sf_dir)
+    tables["family-relationships"] = frs
+    out = build_resources_narrow(tables, only={"FamilyRelationship"})
+    j = F.col("resource_json")
+    return out["FamilyRelationship"].select(
+        "target_id",
+        F.get_json_object(j, "$.subject.reference").alias("subject_ref"),
+        F.get_json_object(j, "$.focus[0].reference").alias("focus_ref"),
+        F.get_json_object(j, "$.valueCodeableConcept.text").alias("rel_text"),
+        F.get_json_object(j, "$.valueCodeableConcept.coding[0].code").alias("rel_code"),
+    ).orderBy("target_id")
+
+
+@register(
+    "q33_fhir_research_study",
+    oracle="""
+    WITH studies AS (
+      SELECT r_regionkey AS r, r_name AS name,
+             CASE WHEN r_regionkey % 2 = 0
+                  THEN 'phs00' || r_regionkey || '.a.b' ELSE 'reg-' || r_regionkey END AS ext_id,
+             'v' || r_regionkey AS version,
+             CASE r_regionkey % 5 WHEN 0 THEN 'CANCER' WHEN 1 THEN 'BIRTHDEFECT'
+               WHEN 2 THEN 'CANCERANDBIRTHDEFECT' WHEN 3 THEN 'COVID19'
+               ELSE 'MYSTERY' END AS domain,
+             CASE WHEN r_regionkey % 2 = 0 THEN 'KF' END AS program,
+             'SC' || r_regionkey AS short_code
+      FROM region)
+    SELECT md5('research_study' || '|' || 'SD_' || r) AS target_id,
+           name AS title,
+           CASE WHEN ext_id LIKE 'phs%'
+                THEN 'phs00' || r || '.v' || r END AS phs_acc,
+           domain AS category_text,
+           CASE domain WHEN 'CANCER' THEN '86049000' WHEN 'BIRTHDEFECT' THEN '276720006'
+             WHEN 'CANCERANDBIRTHDEFECT' THEN '86049000' WHEN 'COVID19' THEN '840539006'
+           END AS cat_code0,
+           CASE domain WHEN 'CANCERANDBIRTHDEFECT' THEN '276720006' END AS cat_code1,
+           COALESCE(program, short_code) AS kw0_code,
+           CASE WHEN program IS NOT NULL THEN short_code END AS kw1_code
+    FROM studies
+    ORDER BY target_id
+    """,
+)
+def q33_fhir_research_study(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actual ResearchStudy builder — dbGaP accession rebuild for
+    phs-prefixed IDs (F3 prefix predicate + C2 split/join), the composite
+    CANCERANDBIRTHDEFECT double coding, unmapped-domain text-only category,
+    and program/short-code keyword compaction (research_study.py:14-30,76-119)."""
+    from kf_task_fhir_etl_spark.plans.narrow import build_resources_narrow
+
+    region = load_table(spark, sf_dir, "region")
+    studies = region.select(
+        F.concat(F.lit("SD_"), F.col("r_regionkey")).alias("kf_id"),
+        F.col("r_name").alias("name"),
+        F.when(
+            F.col("r_regionkey") % 2 == 0,
+            F.concat(F.lit("phs00"), F.col("r_regionkey"), F.lit(".a.b")),
+        )
+        .otherwise(F.concat(F.lit("reg-"), F.col("r_regionkey")))
+        .alias("external_id"),
+        F.concat(F.lit("v"), F.col("r_regionkey")).alias("version"),
+        F.when(F.col("r_regionkey") % 5 == 0, "CANCER")
+        .when(F.col("r_regionkey") % 5 == 1, "BIRTHDEFECT")
+        .when(F.col("r_regionkey") % 5 == 2, "CANCERANDBIRTHDEFECT")
+        .when(F.col("r_regionkey") % 5 == 3, "COVID19")
+        .otherwise("MYSTERY")
+        .alias("domain"),
+        F.when(F.col("r_regionkey") % 2 == 0, "KF").alias("program"),
+        F.concat(F.lit("SC"), F.col("r_regionkey")).alias("short_code"),
+        F.lit("True").alias("visible"),
+    )
+    out = build_resources_narrow({"studies": studies}, only={"ResearchStudy"})
+    j = F.col("resource_json")
+    return out["ResearchStudy"].select(
+        "target_id",
+        F.get_json_object(j, "$.title").alias("title"),
+        F.get_json_object(j, "$.identifier[1].value").alias("phs_acc"),
+        F.get_json_object(j, "$.category[0].text").alias("category_text"),
+        F.get_json_object(j, "$.category[0].coding[0].code").alias("cat_code0"),
+        F.get_json_object(j, "$.category[0].coding[1].code").alias("cat_code1"),
+        F.get_json_object(j, "$.keyword[0].coding[0].code").alias("kw0_code"),
+        F.get_json_object(j, "$.keyword[1].coding[0].code").alias("kw1_code"),
+    ).orderBy("target_id")
+
+
+@register(
+    "q34_fhir_proband_status",
+    oracle="""
+    WITH participants AS (
+      SELECT 'PT_' || c_custkey AS pt_id,
+             CASE WHEN c_custkey % 2 = 0 THEN 'True' ELSE 'False' END AS proband
+      FROM customer)
+    SELECT md5('proband_status' || '|' || 'http://snomed.info/sct|85900004' || '|' ||
+               'Patient/' || md5('patient' || '|' || pt_id)) AS target_id,
+           'Patient/' || md5('patient' || '|' || pt_id) AS subject_ref,
+           CASE proband WHEN 'True' THEN 'Y' ELSE 'N' END AS value_code,
+           proband AS value_text,
+           'true' AS identifier_value
+    FROM participants
+    ORDER BY target_id
+    """,
+)
+def q34_fhir_proband_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actual ProbandStatus builder — the composite code+subject surrogate
+    key (proband_status.py:36-45), the F7 domain assert as an isin filter, the
+    Y/N value coding (C10), and the reproduced ``bool("False") is True``
+    identifier bug (proband_status.py:63)."""
+    from kf_task_fhir_etl_spark.plans.narrow import build_resources_narrow
+
+    out = build_resources_narrow(_endpoint_tables(spark, sf_dir), only={"ProbandStatus"})
+    j = F.col("resource_json")
+    return out["ProbandStatus"].select(
+        "target_id",
+        F.get_json_object(j, "$.subject.reference").alias("subject_ref"),
+        F.get_json_object(j, "$.valueCodeableConcept.coding[0].code").alias("value_code"),
+        F.get_json_object(j, "$.valueCodeableConcept.text").alias("value_text"),
+        F.get_json_object(j, "$.identifier[0].value").alias("identifier_value"),
+    ).orderBy("target_id")
+
+
+@register(
+    "q35_fhir_histopathology",
+    oracle="""
+    WITH base AS (
+      SELECT 'BD_' || o_orderkey AS bd_id,
+             'DG_' || o_orderkey AS dg_id,
+             'BS_' || o_orderkey AS bs_id,
+             'PT_' || o_custkey AS pt_id,
+             CASE o_orderkey % 4 WHEN 0 THEN 'Primary Tumor' WHEN 1 THEN 'Metastatic'
+               WHEN 2 THEN 'Not Reported' END AS descriptor
+      FROM orders)
+    SELECT md5('histopathology' || '|' || bd_id) AS target_id,
+           'Patient/' || md5('patient' || '|' || pt_id) AS subject_ref,
+           'Condition/' || md5('disease' || '|' || dg_id) AS focus_ref,
+           'Specimen/' || md5('specimen' || '|' || bs_id) AS specimen_ref,
+           CASE WHEN descriptor IS NOT NULL AND descriptor NOT IN
+                ('N/A','Not Applicable','Not Available','Not Reported','Unavailable','Unknown')
+                THEN descriptor END AS vcc_text
+    FROM base
+    ORDER BY target_id
+    """,
+)
+def q35_fhir_histopathology(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actual Histopathology builder — the 3-way Patient/Condition/
+    Specimen reference resolution, the biospecimen-diagnosis link join, and
+    the variant missing-data sentinel set on the tumor descriptor
+    (histopathology.py:19-25,91-117)."""
+    from kf_task_fhir_etl_spark.plans.narrow import build_resources_narrow
+
+    orders = load_table(spark, sf_dir, "orders")
+    diagnoses = orders.select(
+        F.concat(F.lit("DG_"), F.col("o_orderkey")).alias("kf_id"),
+        F.concat(F.lit("PT_"), F.col("o_custkey")).alias("participant_id"),
+        F.lit("True").alias("visible"),
+    )
+    biospecimens = orders.select(
+        F.concat(F.lit("BS_"), F.col("o_orderkey")).alias("kf_id"),
+        F.concat(F.lit("PT_"), F.col("o_custkey")).alias("participant_id"),
+        F.when(F.col("o_orderkey") % 4 == 0, "Primary Tumor")
+        .when(F.col("o_orderkey") % 4 == 1, "Metastatic")
+        .when(F.col("o_orderkey") % 4 == 2, "Not Reported")
+        .alias("source_text_tumor_descriptor"),
+        F.lit("True").alias("visible"),
+    )
+    bds = orders.select(
+        F.concat(F.lit("BD_"), F.col("o_orderkey")).alias("kf_id"),
+        F.concat(F.lit("DG_"), F.col("o_orderkey")).alias("diagnosis_id"),
+        F.concat(F.lit("BS_"), F.col("o_orderkey")).alias("biospecimen_id"),
+        F.lit("True").alias("visible"),
+    )
+    tables = _endpoint_tables(spark, sf_dir)
+    tables["diagnoses"] = diagnoses
+    tables["biospecimens"] = biospecimens
+    tables["biospecimen-diagnoses"] = bds
+    out = build_resources_narrow(tables, only={"Histopathology"})
+    j = F.col("resource_json")
+    return out["Histopathology"].select(
+        "target_id",
+        F.get_json_object(j, "$.subject.reference").alias("subject_ref"),
+        F.get_json_object(j, "$.focus[0].reference").alias("focus_ref"),
+        F.get_json_object(j, "$.specimen.reference").alias("specimen_ref"),
+        F.get_json_object(j, "$.valueCodeableConcept.text").alias("vcc_text"),
+    ).orderBy("target_id")

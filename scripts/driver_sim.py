@@ -1,6 +1,7 @@
 """Local simulation of the driver's correctness gate (see
 .claude/skills/verify/SKILL.md): entry() smoke + every queries() entry vs its
-DuckDB oracle at sf0.01. Usage: python scripts/driver_sim.py [sf_dir]"""
+DuckDB oracle at sf0.01. Usage:
+python scripts/driver_sim.py [sf_dir] [name_substr[,name_substr...]]"""
 
 from __future__ import annotations
 
@@ -13,6 +14,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> int:
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    name_filter = sys.argv[2].split(",") if len(sys.argv) > 2 else None
     spec = importlib.util.spec_from_file_location("__spark_entry__", "/root/repo/__spark_entry__.py")
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
@@ -20,9 +22,10 @@ def main() -> int:
     from kf_task_fhir_etl_spark.session import get_spark
 
     spark = get_spark("driver-sim")
-    rows = mod.entry(spark).collect()
-    print(f"SMOKE entry(): rows={len(rows)}")
-    assert rows, "entry() returned no rows"
+    if name_filter is None:
+        rows = mod.entry(spark).collect()
+        print(f"SMOKE entry(): rows={len(rows)}")
+        assert rows, "entry() returned no rows"
 
     import duckdb
 
@@ -33,6 +36,8 @@ def main() -> int:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
     qs, oracles = mod.queries(), mod.oracle_sql()
+    if name_filter is not None:
+        qs = {n: f for n, f in qs.items() if any(s in n for s in name_filter)}
     failures = []
     for name in sorted(qs):
         sdf = qs[name](spark, sf)
