@@ -32,9 +32,10 @@ EVENTS_SCHEMA = T.StructType(
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet (one file = one microbatch
     locally; point at a directory of arriving files in production). The glob
-    targets events.parquet only — a bare directory glob would sweep every
-    other table in the testdata dir into all-null event rows."""
-    raw = spark.readStream.schema(EVENTS_SCHEMA).format("parquet").load(f"{sf_dir}/events.parquet")
+    targets the events table only — a bare directory path would sweep every
+    other table in the testdata dir into all-null event rows, while a bare
+    file path fails FileStreamSource's basePath-must-be-a-directory check."""
+    raw = spark.readStream.schema(EVENTS_SCHEMA).format("parquet").load(f"{sf_dir}/events.parque*")
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 

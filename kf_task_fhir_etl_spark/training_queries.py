@@ -186,6 +186,33 @@ def q16_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_lsh_topk(emb, queries, dim=64, k=3, planes=8)
 
 
+@register(
+    "q36_ann_ivf_topk",
+    oracle="""
+    SELECT query_id, rank, neighbor_id, cosine FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROUND(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cosine,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+                        c.vec_id ASC) AS rank
+      FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+      WHERE q.vec_id < 5)
+    WHERE rank <= 3
+    ORDER BY query_id, rank
+    """,
+)
+def q36_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer ANN with every list probed (nprobe == nlist):
+    the inverted-file machinery — deterministic seeding, Arrow-batched list
+    assignment, probe join, in-list rerank — runs end-to-end, and the result
+    is provably exact, so the brute-force SQL is a true oracle. Recall at
+    nprobe < nlist is covered in tests/test_operators.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.ann_ivf_topk(emb, queries, nlist=8, nprobe=8, k=3)
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
@@ -410,3 +437,28 @@ def q29_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counted.select(
         "user_id", F.col("ts").cast("long").alias("ts_epoch"), "n_in_range"
     ).orderBy("user_id", "ts_epoch")
+
+
+@register(
+    "q37_stateful_user_totals_stream",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           ROUND(COALESCE(SUM(value), 0), 2) AS total_value
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def q37_stateful_user_totals_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming aggregate (``applyInPandasWithState``) run
+    end-to-end: per-user cumulative (count, sum) state in update mode. The
+    single-file source yields one microbatch, so each user's one emission IS
+    its converged total — which the batch SQL aggregate oracles exactly.
+    Multi-batch convergence is covered in tests/test_streaming.py."""
+    from kf_task_fhir_etl_spark.streaming.events import read_events_stream, run_stream_to_memory
+    from kf_task_fhir_etl_spark.streaming.stateful import running_user_totals
+
+    stream = running_user_totals(read_events_stream(spark, sf_dir))
+    run_stream_to_memory(stream, "q37_totals_mem", output_mode="update")
+    return spark.table("q37_totals_mem").orderBy("user_id")

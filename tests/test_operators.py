@@ -113,6 +113,35 @@ def test_ann_lsh_matches_bruteforce_top1(spark):
     assert ann and ann[0]["neighbor_id"] == 1
 
 
+def test_ann_ivf_probe_all_is_exact_and_partial_probe_recalls(spark):
+    # deterministic clustered corpus: 3 clusters of 6 vectors in 8 dims
+    import math
+
+    rows = []
+    for c in range(3):
+        center = [math.cos(c * 2.1 + j) for j in range(8)]
+        for i in range(6):
+            rows.append((c * 6 + i, [v + 0.01 * ((i * 7 + j) % 5) for j, v in enumerate(center)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter("vec_id IN (0, 6, 12)")
+
+    exact = similarity.cosine_topk(df, q, k=3).collect()
+    probe_all = similarity.ann_ivf_topk(df, q, nlist=4, nprobe=4, k=3).collect()
+    assert [tuple(r) for r in probe_all] == [tuple(r) for r in exact]
+
+    # partial probe: top-1 neighbors live in the query's own cluster, which
+    # the nearest probed list contains
+    top1 = {r["query_id"]: r["neighbor_id"] for r in exact if r["rank"] == 1}
+    partial = similarity.ann_ivf_topk(df, q, nlist=4, nprobe=2, k=1).collect()
+    got = {r["query_id"]: r["neighbor_id"] for r in partial}
+    recall = sum(got.get(k) == v for k, v in top1.items()) / len(top1)
+    assert recall >= 2 / 3
+
+    # Lloyd refinement keeps probe-all exactness (centroids only move)
+    refined = similarity.ann_ivf_topk(df, q, nlist=4, nprobe=4, k=3, iters=2).collect()
+    assert [tuple(r) for r in refined] == [tuple(r) for r in exact]
+
+
 def test_multimodal_feature_extraction(spark):
     rows = [
         (1, "image", bytearray(b"\x89PNGfake"), ("image/png", 64, 64, None)),

@@ -58,3 +58,83 @@ def test_session_windows_stream(spark, events_dir):
     assert all(r["session_end"] >= r["session_start"] for r in rows)
     n_users = spark.read.parquet(events_dir).select("user_id").distinct().count()
     assert len({r["user_id"] for r in rows}) == n_users
+
+
+def test_stateful_dedup_first_seen_across_batches(spark, events_dir, tmp_path):
+    from kf_task_fhir_etl_spark.streaming import stateful
+
+    # two files => two microbatches (maxFilesPerTrigger=1); the second
+    # re-delivers every event (plus nothing new), so the stateful op must
+    # emit each event_id exactly once
+    src = str(tmp_path / "dup_stream")
+    base = _to_ts(spark.read.parquet(events_dir)).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    base.coalesce(1).write.parquet(f"{src}/b1.parquet")
+    base.coalesce(1).write.parquet(f"{src}/b2.parquet")
+
+    raw = (
+        spark.readStream.format("parquet")
+        .schema(base.schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(f"{src}/*.parquet")
+    )
+    out = stateful.stateful_dedup(raw)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sf_dedup")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql("SELECT event_id, count(*) AS c FROM sf_dedup GROUP BY event_id").collect()
+    n_keys = base.select("event_id").distinct().count()
+    assert len(got) == n_keys
+    assert all(r["c"] == 1 for r in got), "a key was emitted more than once"
+
+
+def test_running_user_totals_converge_to_batch_aggregate(spark, events_dir, tmp_path):
+    from kf_task_fhir_etl_spark.streaming import stateful
+
+    src = str(tmp_path / "tot_stream")
+    base = _to_ts(spark.read.parquet(events_dir)).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    # split into two batches on event parity so most users span both
+    base.filter("event_id % 2 = 0").coalesce(1).write.parquet(f"{src}/b1.parquet")
+    base.filter("event_id % 2 = 1").coalesce(1).write.parquet(f"{src}/b2.parquet")
+
+    raw = (
+        spark.readStream.format("parquet")
+        .schema(base.schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(f"{src}/*.parquet")
+    )
+    q = (
+        stateful.running_user_totals(raw)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("sf_totals")
+        .option("checkpointLocation", str(tmp_path / "ckpt_tot"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    # last emitted row per user == the batch aggregate
+    import pandas as pd  # noqa: F401
+
+    hist = spark.sql("SELECT * FROM sf_totals").toPandas()
+    final = hist.groupby("user_id").last()
+    want = {
+        r["user_id"]: (r["n"], r["tv"])
+        for r in base.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("tv"))
+        .collect()
+    }
+    assert len(final) == len(want)
+    for uid, row in final.iterrows():
+        n, tv = want[uid]
+        assert row["n_events"] == n
+        assert abs(row["total_value"] - tv) < 0.05
