@@ -462,3 +462,62 @@ def q37_stateful_user_totals_stream(spark: SparkSession, sf_dir: str) -> DataFra
     stream = running_user_totals(read_events_stream(spark, sf_dir))
     run_stream_to_memory(stream, "q37_totals_mem", output_mode="update")
     return spark.table("q37_totals_mem").orderBy("user_id")
+
+
+_QUALITY_SQL = """
+      0.4 * least(len(text) / 500.0, 1.0)
+      + 0.3 * (1.0 - CASE WHEN len(text) > 0
+          THEN len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE / len(text)
+          ELSE 0.0 END)
+      + 0.3 * (len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                t -> list_contains(['the','and','of','to','a','in','is','it'], t)))::DOUBLE
+               / greatest(len(string_split_regex(lower(trim(text)), '\\s+')), 1))
+"""
+
+
+def _q38_oracle() -> str:
+    return f"""
+    WITH surv AS (
+      SELECT * FROM documents
+      WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY md5(text))
+    ), scored AS (
+      SELECT source,
+             {_lang_case_sql()} AS lang_id,
+             ({_QUALITY_SQL}) AS q,
+             CASE WHEN len(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END AS toks
+      FROM surv
+    )
+    SELECT source, lang_id, COUNT(*) AS n_docs,
+           ROUND(AVG(q), 4) AS avg_quality, SUM(toks) AS total_tokens
+    FROM scored
+    WHERE lang_id != 'und' AND q >= 0.5
+    GROUP BY source, lang_id
+    ORDER BY source, lang_id
+    """
+
+
+@register("q38_corpus_prep_pipeline", oracle=_q38_oracle())
+def q38_corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The operators composed as a real training-corpus preparation job:
+    exact dedup → language ID → language + quality filtering → per-(source,
+    language) corpus stats — one lazy DAG, so Catalyst prunes columns through
+    the whole chain and the dedup/langid shuffles pipeline into the final
+    aggregate without materialization."""
+    docs = load_table(spark, sf_dir, "documents")
+    surv = dedup.exact_dedup(docs, ["text"], "doc_id")
+    langs = text.language_id_table(surv)
+    scored = (
+        surv.join(langs, surv["doc_id"] == langs["id"])
+        .withColumn("q", text.quality_score(F.col("text")))
+        .filter((F.col("lang_id") != "und") & (F.col("q") >= 0.5))
+    )
+    return (
+        scored.groupBy("source", "lang_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("q"), 4).alias("avg_quality"),
+            F.sum(text.token_count(F.col("text"))).alias("total_tokens"),
+        )
+        .orderBy("source", "lang_id")
+    )

@@ -65,3 +65,24 @@ def test_same_key_join_partitioning_propagation(spark):
         1 for line in outer_plan.splitlines() if line.strip().startswith("(") and "Exchange" in line
     )
     assert outer_exchanges >= 4  # the intermediate re-shuffle is real
+
+
+def test_ivf_probe_join_broadcasts_queries(spark):
+    from kf_task_fhir_etl_spark.operators import similarity
+
+    rows = [(i, [float((i * 3 + j) % 7) for j in range(8)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.ann_ivf_topk(df, df.filter("vec_id < 2"), nlist=4, nprobe=2, k=2)
+    plan = _formatted_plan(out)
+    # the tiny query side must broadcast: the corpus is scanned once map-side
+    # and never shuffled for the probe join
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_corpus_prep_pipeline_single_final_aggregate(spark):
+    from kf_task_fhir_etl_spark.training_queries import q38_corpus_prep_pipeline
+
+    plan = _formatted_plan(q38_corpus_prep_pipeline(spark, "/root/testdata/sf0.001"))
+    # partial (map-side) aggregation before the one final group shuffle
+    assert plan.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in plan
