@@ -76,31 +76,39 @@ def narrow_builder_inputs(
 
     out: dict[str, DataFrame] = {}
 
-    def put(target: str, df: DataFrame | None) -> None:
-        if df is not None and (only is None or target in only):
+    def put(target: str, make) -> None:
+        # selection check BEFORE construction: put takes a thunk so an
+        # unselected target's input join plan is never built at all
+        if only is not None and target not in only:
+            return
+        df = make()
+        if df is not None:
             out[target] = normalize(df)
 
     if studies is not None:
         if investigators is not None:
-            put("ResearchStudy", studies.join(investigators, ["INVESTIGATOR|TARGET_SERVICE_ID"], "full"))
+            put(
+                "ResearchStudy",
+                lambda: studies.join(investigators, ["INVESTIGATOR|TARGET_SERVICE_ID"], "full"),
+            )
         else:
-            put("ResearchStudy", studies)
+            put("ResearchStudy", lambda: studies)
 
     if investigators is not None:
-        put("Practitioner", investigators)
-        put("Organization", investigators)
-        put("PractitionerRole", investigators)
+        put("Practitioner", lambda: investigators)
+        put("Organization", lambda: investigators)
+        put("PractitionerRole", lambda: investigators)
 
     if participants is not None:
-        put("Patient", participants)
-        put("ProbandStatus", participants)
-        put("ResearchSubject", participants)
+        put("Patient", lambda: participants)
+        put("ProbandStatus", lambda: participants)
+        put("ResearchSubject", lambda: participants)
 
     if families is not None and participants is not None:
-        put("Family", participants.join(families, ["FAMILY|TARGET_SERVICE_ID"], "full"))
+        put("Family", lambda: participants.join(families, ["FAMILY|TARGET_SERVICE_ID"], "full"))
 
     if frs is not None:
-        put("FamilyRelationship", frs)
+        put("FamilyRelationship", lambda: frs)
 
     def child_with_study(child: DataFrame | None) -> DataFrame | None:
         if child is None:
@@ -110,53 +118,62 @@ def narrow_builder_inputs(
         return child.join(part_study, ["PARTICIPANT|TARGET_SERVICE_ID"], "left")
 
     if diagnoses is not None:
-        put("Disease", child_with_study(diagnoses))
+        put("Disease", lambda: child_with_study(diagnoses))
     if phenotypes is not None:
-        put("Phenotype", child_with_study(phenotypes))
+        put("Phenotype", lambda: child_with_study(phenotypes))
     if outcomes is not None:
-        put("VitalStatus", child_with_study(outcomes))
+        put("VitalStatus", lambda: child_with_study(outcomes))
 
     if biospecimens is not None:
-        put("SequencingCenter", biospecimens.select("SEQUENCING|CENTER|TARGET_SERVICE_ID"))
-        put("Specimen", child_with_study(biospecimens))
+        put("SequencingCenter", lambda: biospecimens.select("SEQUENCING|CENTER|TARGET_SERVICE_ID"))
+        put("Specimen", lambda: child_with_study(biospecimens))
         if bds is not None:
-            bs_attrs = biospecimens.select(
-                "BIOSPECIMEN|TARGET_SERVICE_ID",
-                "PARTICIPANT|TARGET_SERVICE_ID",
-                "BIOSPECIMEN|TUMOR_DESCRIPTOR",
-            )
-            hist = bds.join(bs_attrs, ["BIOSPECIMEN|TARGET_SERVICE_ID"], "left")
-            put("Histopathology", child_with_study(hist))
+
+            def _hist() -> DataFrame:
+                bs_attrs = biospecimens.select(
+                    "BIOSPECIMEN|TARGET_SERVICE_ID",
+                    "PARTICIPANT|TARGET_SERVICE_ID",
+                    "BIOSPECIMEN|TUMOR_DESCRIPTOR",
+                )
+                return child_with_study(bds.join(bs_attrs, ["BIOSPECIMEN|TARGET_SERVICE_ID"], "left"))
+
+            put("Histopathology", _hist)
 
     if genomic_files is not None and bgfs is not None and biospecimens is not None:
-        bs_part = biospecimens.select("BIOSPECIMEN|TARGET_SERVICE_ID", "PARTICIPANT|TARGET_SERVICE_ID")
-        links = bgfs.select("BIOSPECIMEN|TARGET_SERVICE_ID", "GENOMIC_FILE|TARGET_SERVICE_ID").join(
-            bs_part, ["BIOSPECIMEN|TARGET_SERVICE_ID"], "left"
-        )
-        gf_attrs = genomic_files.select(
-            "GENOMIC_FILE|TARGET_SERVICE_ID",
-            "GENOMIC_FILE|DATA_TYPE",
-            "GENOMIC_FILE|FILE_FORMAT",
-            "GENOMIC_FILE|LATEST_DID",
-            "GENOMIC_FILE|CONTROLLED_ACCESS",
-        )
-        drs = links.join(gf_attrs, ["GENOMIC_FILE|TARGET_SERVICE_ID"], "full")
-        if segfs is not None:
-            seg = segfs.select("GENOMIC_FILE|TARGET_SERVICE_ID", "SEQUENCING|TARGET_SERVICE_ID")
-            drs = drs.join(seg, ["GENOMIC_FILE|TARGET_SERVICE_ID"], "full")
-            if seqs is not None:
+
+        def _drs() -> DataFrame:
+            bs_part = biospecimens.select(
+                "BIOSPECIMEN|TARGET_SERVICE_ID", "PARTICIPANT|TARGET_SERVICE_ID"
+            )
+            links = bgfs.select(
+                "BIOSPECIMEN|TARGET_SERVICE_ID", "GENOMIC_FILE|TARGET_SERVICE_ID"
+            ).join(bs_part, ["BIOSPECIMEN|TARGET_SERVICE_ID"], "left")
+            gf_attrs = genomic_files.select(
+                "GENOMIC_FILE|TARGET_SERVICE_ID",
+                "GENOMIC_FILE|DATA_TYPE",
+                "GENOMIC_FILE|FILE_FORMAT",
+                "GENOMIC_FILE|LATEST_DID",
+                "GENOMIC_FILE|CONTROLLED_ACCESS",
+            )
+            drs = links.join(gf_attrs, ["GENOMIC_FILE|TARGET_SERVICE_ID"], "full")
+            if segfs is not None:
+                seg = segfs.select("GENOMIC_FILE|TARGET_SERVICE_ID", "SEQUENCING|TARGET_SERVICE_ID")
+                drs = drs.join(seg, ["GENOMIC_FILE|TARGET_SERVICE_ID"], "full")
+                if seqs is not None:
+                    drs = drs.join(
+                        seqs.select("SEQUENCING|TARGET_SERVICE_ID", "SEQUENCING|STRATEGY"),
+                        ["SEQUENCING|TARGET_SERVICE_ID"],
+                        "left",
+                    )
+            if part_study is not None:
                 drs = drs.join(
-                    seqs.select("SEQUENCING|TARGET_SERVICE_ID", "SEQUENCING|STRATEGY"),
-                    ["SEQUENCING|TARGET_SERVICE_ID"],
+                    part_study.select("PARTICIPANT|TARGET_SERVICE_ID", "STUDY|TARGET_SERVICE_ID"),
+                    ["PARTICIPANT|TARGET_SERVICE_ID"],
                     "left",
                 )
-        if part_study is not None:
-            drs = drs.join(
-                part_study.select("PARTICIPANT|TARGET_SERVICE_ID", "STUDY|TARGET_SERVICE_ID"),
-                ["PARTICIPANT|TARGET_SERVICE_ID"],
-                "left",
-            )
-        put("DRSDocumentReference", drs)
+            return drs
+
+        put("DRSDocumentReference", _drs)
 
     return out
 

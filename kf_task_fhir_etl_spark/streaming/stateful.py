@@ -29,14 +29,18 @@ DEDUP_STATE = "seen boolean"
 def _first_seen(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
     if state.exists:
         return
+    # fold across ALL Arrow chunks before choosing the representative — a
+    # group can span record batches, and picking from the first chunk only
+    # would make the output depend on chunk boundaries
+    best: pd.DataFrame | None = None
     for pdf in pdfs:
         if len(pdf):
-            state.update((True,))
-            # deterministic representative: earliest ts, then lowest value
-            yield pdf.sort_values(["ts", "value"]).head(1)[
-                ["event_id", "ts", "user_id", "event_type", "value"]
-            ]
-            return
+            cand = pdf.sort_values(["ts", "value"]).head(1)
+            best = cand if best is None else pd.concat([best, cand]).sort_values(["ts", "value"]).head(1)
+    if best is not None:
+        state.update((True,))
+        # deterministic representative: earliest ts, then lowest value
+        yield best[["event_id", "ts", "user_id", "event_type", "value"]]
 
 
 def stateful_dedup(events: DataFrame) -> DataFrame:
@@ -64,7 +68,10 @@ def _running_totals(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Ite
         n += len(pdf)
         total += float(pdf["value"].fillna(0.0).sum())
     state.update((n, total))
-    yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]})
+    # emit the RAW sum: rounding happens in the wrapping DataFrame with
+    # F.round, which matches SQL ROUND (decimal half-away) — Python round()
+    # is binary half-to-even and diverges on .xx5 boundaries
+    yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total_value": [total]})
 
 
 def running_user_totals(events: DataFrame) -> DataFrame:
@@ -72,10 +79,13 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     touches the user — a custom stateful aggregate in ``update`` mode. The
     state is two scalars per user; arrival order across batches does not
     change the final row (addition commutes)."""
-    return events.groupBy("user_id").applyInPandasWithState(
+    from pyspark.sql import functions as F
+
+    out = events.groupBy("user_id").applyInPandasWithState(
         _running_totals,
         outputStructType=TOTALS_OUTPUT,
         stateStructType=TOTALS_STATE,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+    return out.select("user_id", "n_events", F.round("total_value", 2).alias("total_value"))
