@@ -163,3 +163,25 @@ def test_multimodal_frame_sample(spark):
     media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
     frames = multimodal.frame_sample(media, every_ms=1000).collect()
     assert [r["ts_ms"] for r in frames] == [0, 1000, 2000, 3000]
+
+
+def test_recode_sql_literal_escaping(spark):
+    # the recode helpers emit parsed SQL string literals — keys/values with
+    # quotes and backslashes must survive round-trip
+    from kf_task_fhir_etl_spark.functions.recode import recode, recode_coding
+
+    df = spark.createDataFrame(
+        [("Mother's Milk",), ("back\\slash",), ("plain",), (None,)], "v string"
+    )
+    mapping = {"Mother's Milk": "MM", "back\\slash": "BS"}
+    got = {r["v"]: r["out"] for r in df.select("v", recode(F.col("v"), mapping).alias("out")).collect()}
+    assert got["Mother's Milk"] == "MM"
+    assert got["back\\slash"] == "BS"
+    assert got["plain"] is None
+    assert got[None] is None
+
+    coding = {"Mother's Milk": ("sys'1", "c\\1", "d1")}
+    row = df.filter("v = \"Mother's Milk\"").select(
+        recode_coding(F.col("v"), coding).alias("c")
+    ).collect()[0]["c"]
+    assert (row["system"], row["code"], row["display"]) == ("sys'1", "c\\1", "d1")
