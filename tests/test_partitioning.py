@@ -86,3 +86,30 @@ def test_corpus_prep_pipeline_single_final_aggregate(spark):
     # partial (map-side) aggregation before the one final group shuffle
     assert plan.count("HashAggregate") >= 2
     assert "CartesianProduct" not in plan
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    from kf_task_fhir_etl_spark.operators import bucketing
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    lineitem = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    bucketing.write_bucketed(
+        orders.withColumnRenamed("o_orderkey", "k"), "b_orders", "k", buckets=8
+    )
+    bucketing.write_bucketed(
+        lineitem.withColumnRenamed("l_orderkey", "k"), "b_lineitem", "k", buckets=8
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # broadcast would bypass bucketing on these tiny tables — the claim
+        # under test is the big-table path (shuffle-style join, no Exchange)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = bucketing.bucketed_join(spark, "b_orders", "b_lineitem", "k")
+        bucketing.require_no_shuffle_join(joined)  # raises if a shuffle appears
+        # and the join is still correct
+        want = orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey).count()
+        assert joined.count() == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
