@@ -521,3 +521,123 @@ def q38_corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "lang_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing gates (SURVEY has no counterpart; task-brief extension).
+# A media table is fabricated deterministically from `documents` in BOTH
+# engines (content = UTF-8 bytes of text), so the binary→mapInPandas→feature
+# path in operators/multimodal.py is held to an exact DuckDB oracle: the md5
+# stub decoder's byte values reproduce in SQL via hex-nibble arithmetic.
+# ---------------------------------------------------------------------------
+
+_MEDIA_CTE = """
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+             text,
+             CASE WHEN doc_id % 3 = 0 THEN (doc_id % 16) * 64 + 64 END AS width,
+             CASE WHEN doc_id % 3 = 0 THEN (doc_id % 9) * 64 + 64 END AS height,
+             CASE WHEN doc_id % 3 <> 0 THEN (doc_id % 7) * 1000 + 1000 END AS duration_ms
+      FROM documents
+    )
+"""
+
+
+def _media_from_documents(docs: DataFrame) -> DataFrame:
+    """Deterministic media table over `documents`: payload = UTF-8 bytes of
+    the text, kind round-robined by id, typed metadata struct per kind.
+    Mirrors `_MEDIA_CTE` exactly so oracles can recompute every value."""
+    d = F.col("doc_id")
+    return docs.select(
+        d.alias("media_id"),
+        F.when(d % 3 == 0, F.lit("image")).when(d % 3 == 1, F.lit("audio")).otherwise(F.lit("video")).alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("content"),
+        F.struct(
+            F.lit("application/octet-stream").alias("mime"),
+            F.when(d % 3 == 0, ((d % 16) * 64 + 64).cast("int")).alias("width"),
+            F.when(d % 3 == 0, ((d % 9) * 64 + 64).cast("int")).alias("height"),
+            F.when(d % 3 != 0, ((d % 7) * 1000 + 1000).cast("int")).alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
+def _hex_byte_sql(h: str, i: int) -> str:
+    """SQL for byte i of the hex digest column ``h`` (0-based)."""
+    return (
+        f"(strpos('0123456789abcdef', substr({h}, {2 * i + 1}, 1)) - 1) * 16"
+        f" + strpos('0123456789abcdef', substr({h}, {2 * i + 2}, 1)) - 1"
+    )
+
+
+@register(
+    "q39_multimodal_features",
+    oracle=_MEDIA_CTE
+    + ", feat AS (SELECT media_id, kind, md5(text) AS h, octet_length(encode(text)) AS n_bytes FROM m)\n"
+    + "SELECT media_id, kind, n_bytes, "
+    + ", ".join(f"{_hex_byte_sql('h', i)} AS b{i}" for i in range(8))
+    + "\nFROM feat ORDER BY media_id",
+)
+def q39_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload → Arrow-batched mapInPandas feature extraction
+    (multimodal.extract_features). Features are emitted as their raw md5
+    byte values (feature*255 rounded) so the comparison is integer-exact."""
+    from kf_task_fhir_etl_spark.operators import multimodal
+
+    media = _media_from_documents(load_table(spark, sf_dir, "documents"))
+    feats = multimodal.extract_features(media, dim=8)
+    return feats.select(
+        "media_id",
+        "kind",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        *[F.round(F.col("feature")[i] * 255, 0).cast("long").alias(f"b{i}") for i in range(8)],
+    ).orderBy("media_id")
+
+
+@register(
+    "q40_multimodal_frame_sample",
+    oracle=_MEDIA_CTE
+    + """
+    SELECT media_id, kind, unnest(
+             CASE WHEN kind = 'video' AND duration_ms IS NOT NULL
+                  THEN generate_series(0, duration_ms, 1000)
+                  ELSE [0] END) AS ts_ms
+    FROM m ORDER BY media_id, ts_ms
+    """,
+)
+def q40_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing: one row per sampled timestamp
+    (multimodal.frame_sample), non-video rows pass through at ts 0."""
+    from kf_task_fhir_etl_spark.operators import multimodal
+
+    media = _media_from_documents(load_table(spark, sf_dir, "documents"))
+    return (
+        multimodal.frame_sample(media, every_ms=1000)
+        .select("media_id", "kind", F.col("ts_ms").cast("long").alias("ts_ms"))
+        .orderBy("media_id", "ts_ms")
+    )
+
+
+@register(
+    "q41_multimodal_metadata_stats",
+    oracle=_MEDIA_CTE
+    + """
+    SELECT kind, COUNT(*) AS n, ROUND(AVG(width), 6) AS avg_width,
+           ROUND(AVG(duration_ms), 6) AS avg_duration_ms
+    FROM m GROUP BY kind ORDER BY kind
+    """,
+)
+def q41_multimodal_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only aggregate over the media table — the plan must prune the
+    binary column from the scan (asserted in
+    tests/test_skew.py::test_multimodal_metadata_scan_prunes_binary)."""
+    from kf_task_fhir_etl_spark.operators import multimodal
+
+    media = _media_from_documents(load_table(spark, sf_dir, "documents"))
+    stats = multimodal.metadata_stats(media)
+    return stats.select(
+        "kind",
+        "n",
+        F.round("avg_width", 6).alias("avg_width"),
+        F.round("avg_duration_ms", 6).alias("avg_duration_ms"),
+    )
