@@ -112,9 +112,12 @@ def aggregate_records(wide: DataFrame) -> DataFrame:
         F.sort_array(F.collect_set(col("PARTICIPANT|TARGET_SERVICE_ID"))).alias("participant_ids"),
         F.sort_array(F.collect_set(col("BIOSPECIMEN|TARGET_SERVICE_ID"))).alias("biospecimen_ids"),
     ]
-    has_seq = "SEQUENCING|TARGET_SERVICE_ID" in wide.columns
-    if has_seq:
+    if "SEQUENCING|TARGET_SERVICE_ID" in wide.columns:
         keys.append(col("SEQUENCING|TARGET_SERVICE_ID").alias("sequencing_id"))
+    # STRATEGY only exists when sequencing-experiments itself was joined — the
+    # link table alone (J11 without J12) contributes just the TSID, so the two
+    # presence checks are independent.
+    if "SEQUENCING|STRATEGY" in wide.columns:
         aggs.append(F.min(col("SEQUENCING|STRATEGY")).alias("strategy"))
     else:
         aggs.append(F.min(F.lit(None).cast("string")).alias("strategy"))
@@ -136,24 +139,28 @@ def aggregate_records(wide: DataFrame) -> DataFrame:
 def build(wide: DataFrame, metadata: DataFrame | None = None) -> DataFrame:
     records = aggregate_records(wide)
 
+    # wide-table fallbacks (normalized strings; see aggregate_records)
+    wide_controlled_access = F.when(F.col("wide_controlled_access") == "True", F.lit(True)).when(
+        F.col("wide_controlled_access") == "False", F.lit(False)
+    )
     if metadata is not None:
         # S7 as a prefetch-join: metadata is tiny relative to the fact side →
-        # broadcast; schema per FIXTURES.md §15
+        # broadcast; schema per FIXTURES.md §15. Files absent from the
+        # metadata table fall back per-field to the wide-table genomic-file
+        # columns (the docstring contract) instead of going all-null.
         records = records.join(F.broadcast(metadata), on=["genomic_file_id"], how="left")
-        controlled_access = F.col("controlled_access")
-        data_type0 = F.col("data_type")
-        file_format = F.col("file_format")
-        latest_did = F.col("latest_did")
+        controlled_access = F.coalesce(F.col("controlled_access"), wide_controlled_access)
+        data_type0 = F.coalesce(F.col("data_type"), F.col("wide_data_type"))
+        file_format = F.coalesce(F.col("file_format"), F.col("wide_file_format"))
+        latest_did = F.coalesce(F.col("latest_did"), F.col("wide_latest_did"))
         acl = F.col("acl")
         size = F.col("size").cast("string")
         hashes = F.col("hashes")
         file_name = F.col("file_name")
     else:
-        # fallback: genomic-file columns already in the wide table (normalized
-        # strings); acl/size/hashes/file_name unavailable without the S7 scan
-        controlled_access = F.when(F.col("wide_controlled_access") == "True", F.lit(True)).when(
-            F.col("wide_controlled_access") == "False", F.lit(False)
-        )
+        # fallback: genomic-file columns already in the wide table;
+        # acl/size/hashes/file_name unavailable without the S7 scan
+        controlled_access = wide_controlled_access
         data_type0 = F.col("wide_data_type")
         file_format = F.col("wide_file_format")
         latest_did = F.col("wide_latest_did")
@@ -172,29 +179,26 @@ def build(wide: DataFrame, metadata: DataFrame | None = None) -> DataFrame:
         F.concat(data_type0, F.lit(" Index")),
     ).otherwise(data_type0)
 
+    type_coding = _type_coding(data_type)
     doc_type = F.when(
         data_type.isNotNull(),
         F.struct(
-            F.when(_type_coding(data_type).isNotNull(), F.array(_type_coding(data_type))).alias("coding"),
+            F.when(type_coding.isNotNull(), F.array(type_coding)).alias("coding"),
             data_type.alias("text"),
         ),
     )
 
+    es_coding = _lookup(strategy, EXPERIMENTAL_STRATEGY_CODING)
+    dc_coding = _lookup(strategy, DATA_CATEGORY_CODING)
     category = F.when(
         strategy.isNotNull(),
         F.array(
             F.struct(
-                F.when(
-                    _lookup(strategy, EXPERIMENTAL_STRATEGY_CODING).isNotNull(),
-                    F.array(_lookup(strategy, EXPERIMENTAL_STRATEGY_CODING)),
-                ).alias("coding"),
+                F.when(es_coding.isNotNull(), F.array(es_coding)).alias("coding"),
                 strategy.alias("text"),
             ),
             F.struct(
-                F.when(
-                    _lookup(strategy, DATA_CATEGORY_CODING).isNotNull(),
-                    F.array(_lookup(strategy, DATA_CATEGORY_CODING)),
-                ).alias("coding"),
+                F.when(dc_coding.isNotNull(), F.array(dc_coding)).alias("coding"),
                 strategy.alias("text"),
             ),
         ),
@@ -210,7 +214,12 @@ def build(wide: DataFrame, metadata: DataFrame | None = None) -> DataFrame:
         ),
     )
 
-    # securityLabel: access coding + one entry per acl (drs_document_reference.py:315-332)
+    # securityLabel: access coding + one entry per acl
+    # (drs_document_reference.py:315-332). The access entry is appended
+    # UNCONDITIONALLY in the reference (`{"text": controlled_access}` at
+    # 316-322, even when controlled_access is None) — so a null-access file
+    # deliberately serializes a bare `{}` element here, matching what the
+    # reference emits after FHIR-server null-stripping.
     _SL_CODING_T = "array<struct<system:string,code:string,display:string>>"
     access_coding = (
         F.when(

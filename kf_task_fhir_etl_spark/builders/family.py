@@ -22,6 +22,7 @@ from kf_task_fhir_etl_spark.builders.base import (
     identifiers,
     meta,
     patient_id_from,
+    surrogate_id,
 )
 from kf_task_fhir_etl_spark.functions.json_build import string_or_null
 from kf_task_fhir_etl_spark.functions.recode import recode
@@ -65,7 +66,7 @@ def build(wide: DataFrame) -> DataFrame:
     external_id = string_or_null(F.col("external_id"))
     resource = F.struct(
         F.lit(API_PATH).alias("resourceType"),
-        F.md5(F.concat(F.lit("family"), F.lit("|"), fam)).alias("id"),
+        surrogate_id("family", fam).alias("id"),
         meta(f"http://hl7.org/fhir/StructureDefinition/{API_PATH}", F.col("study_id")).alias("meta"),
         identifiers(f"{DATASERVICE}/families/", fam, external_id).alias("identifier"),
         recode(F.col("species"), TYPE_CODE, default="person").alias("type"),
@@ -84,7 +85,7 @@ def build(wide: DataFrame) -> DataFrame:
     )
     return finalize(
         grouped.select(
-            F.md5(F.concat(F.lit("family"), F.lit("|"), fam)).alias("target_id"),
+            surrogate_id("family", fam).alias("target_id"),
             resource.alias("resource"),
         ),
         API_PATH,

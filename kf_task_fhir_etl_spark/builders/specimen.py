@@ -234,13 +234,11 @@ def build(wide: DataFrame) -> DataFrame:
             F.lit("uL").alias("code"),
         ),
     )
+    method_coding = _lookup_coding(procurement, COLLECTION_METHOD)
     method = F.when(
         procurement.isNotNull(),
         F.struct(
-            F.when(
-                _lookup_coding(procurement, COLLECTION_METHOD).isNotNull(),
-                F.array(_lookup_coding(procurement, COLLECTION_METHOD)),
-            ).alias("coding"),
+            F.when(method_coding.isNotNull(), F.array(method_coding)).alias("coding"),
             procurement.alias("text"),
         ),
     )

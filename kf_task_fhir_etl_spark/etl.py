@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 from kf_task_fhir_etl_spark.builders import BUILDERS
+from kf_task_fhir_etl_spark.plans.mappings import pad_concepts
 from kf_task_fhir_etl_spark.plans.transform import TransformResult, transform_study
 
 
@@ -45,6 +46,10 @@ def build_resources(
         table = transformed.tables.get(table_key)
         if table is None:
             continue
+        # partial-presence wide tables lack cross-entity columns builders
+        # reference unconditionally — pad them null (presence-sensitive
+        # SEQUENCING columns excepted; see mappings.DYNAMIC_PRESENCE_COLUMNS)
+        table = pad_concepts(table)
         if target == "DRSDocumentReference":
             out[target] = module.build(table, metadata=metadata)
         else:

@@ -209,3 +209,28 @@ def rename_to_concepts(
             if source not in present:
                 cols.append(F.lit(None).cast("string").alias(concept))
     return df.select(cols)
+
+
+# Columns whose PRESENCE (not value) changes builder semantics — the
+# DRSDocumentReference A2 aggregation widens its grouping key when sequencing
+# experiments were joined (reference ``drs_document_reference.py:170-206``) —
+# so they must never be padded in.
+DYNAMIC_PRESENCE_COLUMNS = ("SEQUENCING|TARGET_SERVICE_ID", "SEQUENCING|STRATEGY")
+
+
+def pad_concepts(
+    df: DataFrame, exclude: tuple[str, ...] = DYNAMIC_PRESENCE_COLUMNS
+) -> DataFrame:
+    """Add every known concept column absent from ``df`` as a null string.
+
+    The builders reference cross-entity columns unconditionally (e.g. the
+    Disease builder reads STUDY|TARGET_SERVICE_ID); on a partial-presence
+    wide table those columns don't exist and analysis would fail. Padding
+    them null reproduces what the full cascade yields for unjoined rows —
+    and Catalyst prunes any padded column no builder touches, so the extra
+    width is plan-only."""
+    known = {concept for mapping in MAPPINGS.values() for concept in mapping.values()}
+    missing = sorted(known - set(df.columns) - set(exclude))
+    if not missing:
+        return df
+    return df.select("*", *[F.lit(None).cast("string").alias(c) for c in missing])

@@ -19,6 +19,7 @@ resource-level equality of both paths.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from kf_task_fhir_etl_spark.functions.normalize import normalize
 from kf_task_fhir_etl_spark.plans.mappings import rename_to_concepts
@@ -61,8 +62,6 @@ def narrow_builder_inputs(
     # schemas — the reference tables are also column-variable)
     part_study = None
     if participants is not None:
-        from pyspark.sql import functions as F
-
         wanted = [
             "PARTICIPANT|TARGET_SERVICE_ID",
             "STUDY|TARGET_SERVICE_ID",
@@ -111,10 +110,20 @@ def narrow_builder_inputs(
         put("FamilyRelationship", lambda: frs)
 
     def child_with_study(child: DataFrame | None) -> DataFrame | None:
+        """Attach parent (study/participant) attributes to a child table.
+        Without participants the child still builds — it carries its own
+        PARTICIPANT|TARGET_SERVICE_ID — with the parent attributes padded
+        null, exactly what the wide cascade produces for that combo (the
+        child's rows join nothing, so the study columns come out null)."""
         if child is None:
             return None
         if part_study is None:
-            return None
+            pad = [
+                c
+                for c in ("STUDY|TARGET_SERVICE_ID", "PARTICIPANT|IS_AFFECTED_UNDER_STUDY")
+                if c not in child.columns
+            ]
+            return child.select("*", *[F.lit(None).cast("string").alias(c) for c in pad])
         return child.join(part_study, ["PARTICIPANT|TARGET_SERVICE_ID"], "left")
 
     if diagnoses is not None:
@@ -139,15 +148,13 @@ def narrow_builder_inputs(
 
             put("Histopathology", _hist)
 
-    if genomic_files is not None and bgfs is not None and biospecimens is not None:
+    if genomic_files is not None:
+        # Wide-path parity: DRSDocumentReference is targeted whenever
+        # genomic-files is present; absent link/parent tables pad null, which
+        # is what the wide cascade yields for those combos (empty collected
+        # participant/biospecimen lists, null study).
 
         def _drs() -> DataFrame:
-            bs_part = biospecimens.select(
-                "BIOSPECIMEN|TARGET_SERVICE_ID", "PARTICIPANT|TARGET_SERVICE_ID"
-            )
-            links = bgfs.select(
-                "BIOSPECIMEN|TARGET_SERVICE_ID", "GENOMIC_FILE|TARGET_SERVICE_ID"
-            ).join(bs_part, ["BIOSPECIMEN|TARGET_SERVICE_ID"], "left")
             gf_attrs = genomic_files.select(
                 "GENOMIC_FILE|TARGET_SERVICE_ID",
                 "GENOMIC_FILE|DATA_TYPE",
@@ -155,7 +162,25 @@ def narrow_builder_inputs(
                 "GENOMIC_FILE|LATEST_DID",
                 "GENOMIC_FILE|CONTROLLED_ACCESS",
             )
-            drs = links.join(gf_attrs, ["GENOMIC_FILE|TARGET_SERVICE_ID"], "full")
+            null_str = lambda name: F.lit(None).cast("string").alias(name)  # noqa: E731
+            if bgfs is not None:
+                links = bgfs.select(
+                    "BIOSPECIMEN|TARGET_SERVICE_ID", "GENOMIC_FILE|TARGET_SERVICE_ID"
+                )
+                if biospecimens is not None:
+                    bs_part = biospecimens.select(
+                        "BIOSPECIMEN|TARGET_SERVICE_ID", "PARTICIPANT|TARGET_SERVICE_ID"
+                    )
+                    links = links.join(bs_part, ["BIOSPECIMEN|TARGET_SERVICE_ID"], "left")
+                else:
+                    links = links.select("*", null_str("PARTICIPANT|TARGET_SERVICE_ID"))
+                drs = links.join(gf_attrs, ["GENOMIC_FILE|TARGET_SERVICE_ID"], "full")
+            else:
+                drs = gf_attrs.select(
+                    "*",
+                    null_str("BIOSPECIMEN|TARGET_SERVICE_ID"),
+                    null_str("PARTICIPANT|TARGET_SERVICE_ID"),
+                )
             if segfs is not None:
                 seg = segfs.select("GENOMIC_FILE|TARGET_SERVICE_ID", "SEQUENCING|TARGET_SERVICE_ID")
                 drs = drs.join(seg, ["GENOMIC_FILE|TARGET_SERVICE_ID"], "full")
@@ -171,6 +196,8 @@ def narrow_builder_inputs(
                     ["PARTICIPANT|TARGET_SERVICE_ID"],
                     "left",
                 )
+            else:
+                drs = drs.select("*", null_str("STUDY|TARGET_SERVICE_ID"))
             return drs
 
         put("DRSDocumentReference", _drs)

@@ -31,6 +31,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from kf_task_fhir_etl_spark.functions.normalize import normalize
 from kf_task_fhir_etl_spark.plans.mappings import rename_to_concepts
@@ -68,10 +69,26 @@ class TransformResult:
     targets: list[str] = field(default_factory=list)
 
 
-def _outer(left: DataFrame, right: DataFrame, on: list[str]) -> DataFrame:
+def _outer(left: DataFrame | None, right: DataFrame, on: list[str]) -> DataFrame:
     """Full outer equi-join on shared concept key(s) — ``outer_merge``
     equivalent (reference ``etl/ingest.py:178-183`` et al.). Spark's
-    ``on=[names]`` coalesces the key columns like pandas' ``on=`` does."""
+    ``on=[names]`` coalesces the key columns like pandas' ``on=`` does.
+
+    Two partial-presence generalizations the reference cannot express (pandas
+    ``merge`` raises KeyError; the combos are FK-unreachable in a real
+    Dataservice snapshot but in-contract for ``transform_study``):
+    - ``left is None`` → the cascade simply starts at ``right``;
+    - a key column absent from ``left`` is treated as all-null (SQL null keys
+      never match), so the join degenerates to a schema-padded union and rows
+      from both sides survive."""
+    if left is None:
+        return right
+    missing = [k for k in on if k not in left.columns]
+    if missing:
+        right_types = dict(right.dtypes)
+        left = left.select(
+            "*", *[F.lit(None).cast(right_types.get(k, "string")).alias(k) for k in missing]
+        )
     return left.join(right, on=on, how="full")
 
 

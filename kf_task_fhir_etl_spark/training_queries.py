@@ -353,8 +353,8 @@ def q21_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH gaps AS (
       SELECT user_id, ts,
-             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                       > INTERVAL 30 MINUTE OR
+             CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                       > 1800000000 OR
                   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
              THEN 1 ELSE 0 END AS new_session
       FROM events)
@@ -366,8 +366,13 @@ def q22_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev = F.lag("ts").over(w)
+    # Compare µs-epoch differences, NOT cast('long') (which truncates to whole
+    # seconds and misclassifies sub-second gaps straddling the 30-min boundary
+    # — the oracle's epoch_us comparison is exact at the engines' shared µs
+    # resolution).
     new_session = F.when(
-        prev.isNull() | (F.col("ts").cast("long") - prev.cast("long") > 1800), F.lit(1)
+        prev.isNull() | (F.unix_micros(F.col("ts")) - F.unix_micros(prev) > 1800 * 1_000_000),
+        F.lit(1),
     ).otherwise(F.lit(0))
     return (
         ev.withColumn("new_session", new_session)

@@ -57,9 +57,16 @@ def test_simhash_near_dup_distance(docs, spark):
 def test_simhash_candidates(docs):
     pairs = {
         (r["id_a"], r["id_b"])
-        for r in dedup.simhash_candidates(docs.filter("doc_id < 5"), max_hamming=8).collect()
+        for r in dedup.simhash_candidates(docs.filter("doc_id < 5"), bands=16, max_hamming=8).collect()
     }
     assert (1, 2) in pairs
+
+
+def test_simhash_candidates_rejects_broken_pigeonhole(docs):
+    import pytest
+
+    with pytest.raises(ValueError, match="pigeonhole"):
+        dedup.simhash_candidates(docs, bands=4, max_hamming=8)
 
 
 def test_jaccard_column(spark):

@@ -182,3 +182,39 @@ def test_load_all_dependency_order(spark):
     order: list[str] = []
     sinks.load_all(resources, list(ALL_TARGETS), lambda t, _df: order.append(t))
     assert order == ["Patient", "ResearchStudy", "DRSDocumentReference"]
+
+
+def test_metadata_missing_file_falls_back_to_wide_columns(spark):
+    """A genomic file absent from the prefetched metadata keeps its
+    wide-table attributes (per-field coalesce), instead of going all-null."""
+    from kf_task_fhir_etl_spark.etl import run_pipeline
+
+    def fetch(url, params=None):
+        return {
+            "results": {
+                "controlled_access": True,
+                "data_type": "Aligned Reads",
+                "file_format": "cram",
+                "latest_did": "d-1",
+                "acl": [],
+                "size": "1",
+                "hashes": {},
+                "file_name": "a/b.cram",
+            }
+        }
+
+    # prefetch covers ONLY GF_00000001; GF_00000002 must fall back
+    meta = rest.prefetch_genomic_file_metadata(
+        spark, "https://ds.example.org", ["GF_00000001"], fetch
+    )
+    out = run_pipeline(endpoint_tables(spark), metadata=meta)
+    docs = {d["identifier"][0]["value"]: d for d in
+            (json.loads(r["resource_json"]) for r in out["DRSDocumentReference"].collect())}
+    d2 = docs["GF_00000002"]
+    # wide-table fallbacks: data_type, latest_did, controlled_access survive
+    # (and the " Index" imputation applies to the fallen-back values: the
+    # wide file_format is "tbi")
+    assert d2["type"]["text"] == "Simple Nucleotide Variations Index"
+    att = d2["content"][0]["attachment"]
+    assert att["url"] == "drs://data.kidsfirstdrc.org/22222222-2222-2222-2222-222222222222"
+    assert d2["securityLabel"][0]["text"] == "false"

@@ -70,3 +70,32 @@ def test_conditional_join_skips_missing_tables(spark):
     assert result.targets == ["Patient", "ProbandStatus", "ResearchStudy", "ResearchSubject"]
     wide = result.tables["default"]
     assert "FAMILY|ID" not in wide.columns
+
+
+def test_partial_presence_cascade_starts_anywhere(spark):
+    """The cascade runs over ANY present subset (the reference would crash —
+    pandas merge KeyError; see plans/transform._outer docstring)."""
+    tables = endpoint_tables(spark)
+    # investigators without studies
+    result = transform_study({"investigators": tables["investigators"]})
+    assert result.targets == ["Practitioner", "Organization", "PractitionerRole"]
+    assert result.tables["default"].count() > 0
+    # families with no prior merged table
+    result = transform_study({"families": tables["families"]})
+    assert result.targets == ["Family"]
+    assert result.tables["default"].count() > 0
+
+
+def test_partial_presence_missing_key_pads_null(spark):
+    """biospecimen-diagnoses without diagnoses: the DIAGNOSIS key is absent
+    on the accumulated side → treated as all-null (never matches), rows from
+    both sides survive."""
+    tables = endpoint_tables(spark)
+    sub = {k: tables[k] for k in ("studies", "participants", "biospecimen-diagnoses")}
+    result = transform_study(sub)
+    wide = result.tables["default"]
+    n_bd = tables["biospecimen-diagnoses"].count()
+    n_part = tables["participants"].count()
+    # every participant row and every biospecimen-diagnosis row is present
+    assert wide.filter(wide["PARTICIPANT|TARGET_SERVICE_ID"].isNotNull()).count() >= n_part
+    assert wide.filter(wide["BIOSPECIMEN|TARGET_SERVICE_ID"].isNotNull()).count() >= n_bd
