@@ -356,3 +356,260 @@ def _load_extra_registries() -> None:
     """Import sibling modules that register additional queries (deferred to
     avoid a circular import at module load)."""
     from kf_task_fhir_etl_spark import fhir_queries, training_queries  # noqa: F401
+
+
+# ---------------------------------------------------------------------------
+# General OLAP widening (engine extensions; SURVEY.md §2.6 notes the
+# reference has no sorts/limits/set-ops/rollup — these gate the engine's own
+# support for them).
+# ---------------------------------------------------------------------------
+@register(
+    "q42_topn_shipping_priority",
+    oracle="""
+    SELECT l_orderkey, o_orderdate, o_orderpriority,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+)
+def q42_topn_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter → two equi-joins → agg → global
+    top-N. Catalyst pushes both date filters and the segment filter into the
+    parquet scans; the customer side is broadcast (post-filter it's tiny);
+    the top-10 runs as TakeOrderedAndProject (per-partition heap + driver
+    merge), never a full sort. Ordering is tie-broken by l_orderkey and
+    applied to the ROUNDED revenue so the N-th place is engine-independent."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q43_rollup_order_stats",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus,
+           COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM orders
+    GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST
+    """,
+)
+def q43_rollup_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical totals via ROLLUP — one shuffle computes the leaf,
+    per-priority, and grand-total levels together (Spark expands the
+    grouping sets map-side; no per-level re-scan)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy(F.asc_nulls_first("o_orderpriority"), F.asc_nulls_first("o_orderstatus"))
+    )
+
+
+@register(
+    "q44_customer_set_ops",
+    oracle="""
+    WITH big_buyers AS (
+      SELECT DISTINCT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 400000
+    ), rich AS (
+      SELECT c_custkey FROM customer WHERE c_acctbal > 4000
+    )
+    SELECT c_custkey, 'both' AS bucket FROM (SELECT * FROM big_buyers INTERSECT SELECT * FROM rich)
+    UNION ALL
+    SELECT c_custkey, 'buyer_only' AS bucket FROM (SELECT * FROM big_buyers EXCEPT SELECT * FROM rich)
+    UNION ALL
+    SELECT c_custkey, 'rich_only' AS bucket FROM (SELECT * FROM rich EXCEPT SELECT * FROM big_buyers)
+    ORDER BY bucket, c_custkey
+    """,
+)
+def q44_customer_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational set ops (INTERSECT / EXCEPT / UNION ALL) — SURVEY.md §2.6
+    records the reference has none; the engine supports them natively
+    (Spark compiles intersect/subtract to left-semi/anti aggregates, so each
+    is one shuffle on the key, not a full sort-merge)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big_buyers = (
+        o.filter(F.col("o_totalprice") > 400000).select(F.col("o_custkey").alias("c_custkey")).distinct()
+    )
+    rich = c.filter(F.col("c_acctbal") > 4000).select("c_custkey")
+    tag = lambda df, b: df.withColumn("bucket", F.lit(b))  # noqa: E731
+    return (
+        tag(big_buyers.intersect(rich), "both")
+        .unionByName(tag(big_buyers.subtract(rich), "buyer_only"))
+        .unionByName(tag(rich.subtract(big_buyers), "rich_only"))
+        .orderBy("bucket", "c_custkey")
+    )
+
+
+@register(
+    "q45_exists_semi_join",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def q45_exists_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS as a distributed LEFT SEMI join.
+    The semi join never materializes the multiplicity of the inner side (no
+    fan-out, no post-join distinct) — one shuffle on l_orderkey where a
+    naive join+distinct would shuffle twice and carry duplicate rows
+    between. Both the date range and the returnflag filter push into their
+    respective parquet scans before the shuffle."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01 00:00:00").cast("timestamp"))
+    )
+    returned = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        o.join(returned, o["o_orderkey"] == returned["l_orderkey"], "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q46_not_exists_anti_join",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS idle_customers
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_orderdate >= TIMESTAMP '1998-06-01 00:00:00')
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def q46_not_exists_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS as a distributed LEFT ANTI join: customers with no order
+    in the trailing window, counted per segment. Anti join short-circuits
+    on first match per key; orders is pruned to its join column and the
+    date predicate pushes into the parquet scan (ReadSchema carries only
+    o_custkey + o_orderdate)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1998-06-01 00:00:00").cast("timestamp"))
+        .select("o_custkey")
+    )
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("idle_customers"))
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "q47_grouped_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_quantity, 0.5), 4)      AS median_qty,
+           ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+           ROUND(quantile_cont(l_discount, 0.25), 4)     AS p25_disc
+    FROM lineitem
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def q47_grouped_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact grouped percentiles (Spark ``percentile`` ≡ DuckDB
+    ``quantile_cont``: both linearly interpolate). Exact percentile is a
+    holistic aggregate — per-group values concentrate on the group's
+    reducer — so it is the one agg here that cannot partial-aggregate
+    map-side; with a low-cardinality group key that is a deliberate skew
+    trade, and the scale path for high-cardinality keys is
+    ``percentile_approx`` (t-digest sketches, which DO combine map-side)
+    at a declared error bound."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("median_qty"),
+            F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90_price"),
+            F.round(F.expr("percentile(l_discount, 0.25)"), 4).alias("p25_disc"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "q48_multi_distinct_agg",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_supps,
+           COUNT(*)                  AS n_rows
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def q48_multi_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple DISTINCT aggregates alongside a plain COUNT in one pass.
+    Catalyst compiles this with a single Expand (one duplicated row per
+    distinct-column group) + two-phase aggregate — one scan and one shuffle
+    total, never one job per distinct column."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "q49_pivot_status_matrix",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS status_f,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS status_o,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS status_p
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def q49_pivot_status_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long → wide) with an EXPLICIT value list. Passing the values
+    to ``pivot`` matters at scale: without them Spark runs an extra
+    collect-distinct job over the full table just to discover the columns.
+    With them it is a single scan with map-side partial aggregation at both
+    phases ((priority,status) counts, then pivotfirst) — the discovery job
+    is what the explicit list eliminates. Absent combinations are coalesced
+    to 0 to match COUNT semantics."""
+    o = load_table(spark, sf_dir, "orders")
+    wide = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return wide.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F"), F.lit(0)).alias("status_f"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("status_o"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("status_p"),
+    ).orderBy("o_orderpriority")

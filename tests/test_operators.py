@@ -69,6 +69,22 @@ def test_simhash_candidates_rejects_broken_pigeonhole(docs):
         dedup.simhash_candidates(docs, bands=4, max_hamming=8)
 
 
+def test_verify_jaccard_restrict_broadcast_parity(docs):
+    corpus = docs.filter("doc_id < 5")
+    cands = dedup.minhash_lsh_candidates(corpus)
+    base = {
+        (r["id_a"], r["id_b"], r["jacc"])
+        for r in dedup.verify_jaccard_pairs(corpus, cands, threshold=0.5).collect()
+    }
+    restricted = {
+        (r["id_a"], r["id_b"], r["jacc"])
+        for r in dedup.verify_jaccard_pairs(
+            corpus, cands, threshold=0.5, restrict_broadcast=True
+        ).collect()
+    }
+    assert base == restricted and (1, 2, 1.0) in base
+
+
 def test_jaccard_column(spark):
     df = spark.createDataFrame([(["a", "b", "c"], ["b", "c", "d"])], "a array<string>, b array<string>")
     val = df.select(dedup.jaccard(F.col("a"), F.col("b")).alias("j")).collect()[0]["j"]

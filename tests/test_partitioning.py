@@ -88,6 +88,31 @@ def test_corpus_prep_pipeline_single_final_aggregate(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_semi_anti_join_plans(spark):
+    """q45/q46's scale claims: EXISTS compiles to a semi join (no fan-out,
+    no distinct), NOT EXISTS to an anti join, and the anti probe side reads
+    only its join/filter columns."""
+    from kf_task_fhir_etl_spark.queries import q45_exists_semi_join, q46_not_exists_anti_join
+
+    sf = "/root/testdata/sf0.001"
+    semi = _formatted_plan(q45_exists_semi_join(spark, sf))
+    assert "LeftSemi" in semi and "Distinct" not in semi
+    anti = _formatted_plan(q46_not_exists_anti_join(spark, sf))
+    assert "LeftAnti" in anti
+    assert "ReadSchema: struct<o_custkey:bigint,o_orderdate:timestamp_ntz>" in anti
+
+
+def test_pivot_explicit_values_single_pass(spark):
+    """q49's scale claim: with an explicit value list the pivot is one
+    aggregate over one scan — no collect-distinct discovery job, no Expand."""
+    from kf_task_fhir_etl_spark.queries import q49_pivot_status_matrix
+
+    plan = _formatted_plan(q49_pivot_status_matrix(spark, "/root/testdata/sf0.001"))
+    assert plan.count("Location: InMemoryFileIndex") == 1  # exactly one scan
+    assert "partial_pivotfirst" in plan  # map-side combine before the shuffle
+    assert "Expand" not in plan
+
+
 def test_bucketed_join_has_no_exchange(spark, tmp_path):
     from kf_task_fhir_etl_spark.operators import bucketing
 
