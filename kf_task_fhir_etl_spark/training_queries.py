@@ -646,3 +646,108 @@ def q41_multimodal_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame
         F.round("avg_width", 6).alias("avg_width"),
         F.round("avg_duration_ms", 6).alias("avg_duration_ms"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Window frames, semi-structured extraction, and lateral explode (general
+# OLAP widening; SURVEY.md §2.6/§2.7 record no reference counterpart).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q50_window_frames",
+    oracle="""
+    SELECT event_id, user_id,
+           ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
+           ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS moving_sum3
+    FROM events ORDER BY user_id, event_id
+    """,
+)
+def q50_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROWS-frame window aggregates: per-user running total and 3-row moving
+    sum. One shuffle on user_id serves BOTH windows (identical
+    partitioning+ordering collapses them into a single Window node over one
+    sort). The frame is ROWS, not RANGE, and the sort is tie-broken by
+    event_id — with duplicate timestamps a RANGE frame or an untied sort
+    would make running values engine-dependent. The sliding aggregate is a
+    SUM, not an AVG: the inputs are 2-decimal values, so a short-window mean
+    lands exactly on the ROUND half-boundary (x.xx5) where the engines'
+    nearest doubles disagree — sums of 2-decimal values have no such
+    boundary (memory: spark-duckdb-oracle-parity). Running aggregates are a
+    sequential scan within each partition; the scale lever is the user_id
+    partition count, never the frame itself."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2).alias(
+            "running_total"
+        ),
+        F.round(F.sum("value").over(w.rowsBetween(-2, 0)), 2).alias("moving_sum3"),
+    ).orderBy("user_id", "event_id")
+
+
+@register(
+    "q51_json_extract",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           ROUND(AVG(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS INT) >= 10
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q51_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: pull a typed value out of a JSON string
+    column, filter on it, aggregate. ``get_json_object`` stays JVM-side
+    (Jackson; inside whole-stage codegen) — no Python round-trip for JSON
+    work. At scale the right fix is upstream: parse once with ``from_json``
+    into a struct column and let Parquet store it columnar; this query gates
+    the raw-string path used before that materialization."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        ev.withColumn("k", k)
+        .filter(F.col("k") >= 10)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "q52_word_explode_topk",
+    oracle="""
+    SELECT word, COUNT(*) AS n
+    FROM (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
+    WHERE word <> ''
+    GROUP BY word
+    ORDER BY n DESC, word LIMIT 25
+    """,
+)
+def q52_word_explode_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral explode (flatten) → aggregate → top-N: the word-count shape.
+    ``explode`` runs inside codegen (Generate node) — rows fan out map-side
+    and partially aggregate BEFORE the shuffle, so the exchange carries one
+    row per (partition, word), not one per token occurrence. The literal
+    single-space split is shared with the oracle (Spark's ``split`` takes a
+    regex; a bare space means the same thing in both engines). Top-25 is
+    TakeOrderedAndProject, tie-broken by word."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(F.explode(F.split(F.lower(F.col("text")), " ")).alias("word"))
+    return (
+        words.filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "word")
+        .limit(25)
+    )

@@ -113,6 +113,28 @@ def test_pivot_explicit_values_single_pass(spark):
     assert "Expand" not in plan
 
 
+def test_window_frames_single_window_node(spark):
+    """q50's scale claim: both ROWS frames share one partitioning+ordering,
+    so Catalyst plans ONE Window node over one sort — not two."""
+    from kf_task_fhir_etl_spark.training_queries import q50_window_frames
+
+    plan = _formatted_plan(q50_window_frames(spark, "/root/testdata/sf0.001"))
+    window_nodes = [l for l in plan.splitlines() if l.strip().startswith("(") and "Window" in l]
+    assert len(window_nodes) == 1, window_nodes
+
+
+def test_word_explode_partial_agg_and_topk(spark):
+    """q52's scale claims: token fan-out partially aggregates map-side
+    before the shuffle, and the top-25 is TakeOrderedAndProject, not a
+    global sort."""
+    from kf_task_fhir_etl_spark.training_queries import q52_word_explode_topk
+
+    plan = _formatted_plan(q52_word_explode_topk(spark, "/root/testdata/sf0.001"))
+    assert "partial_count" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "Generate" in plan  # explode runs as a Generate node, not a UDF
+
+
 def test_bucketed_join_has_no_exchange(spark, tmp_path):
     from kf_task_fhir_etl_spark.operators import bucketing
 
