@@ -751,3 +751,84 @@ def q52_word_explode_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "word")
         .limit(25)
     )
+
+
+@register(
+    "q53_time_bucket_rollup",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS bucket_hour,
+           event_type,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 2) AS sum_value,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY bucket_hour, event_type
+    ORDER BY bucket_hour, event_type
+    """,
+)
+def q53_time_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup: truncate event time to the
+    hour and aggregate per (bucket, type). ``date_trunc`` is a codegen scalar —
+    time bucketing never needs a UDF or a join against a calendar table. The
+    bucket is emitted as a formatted STRING, not a timestamp, because raw
+    timestamp hashing diverges between engines (µs vs ns rendering). At scale
+    this is THE pattern for time-series downsampling: the shuffle key
+    (bucket, type) has bounded cardinality (hours × types), partial
+    aggregation collapses each map partition to a few thousand rows
+    regardless of input size, and the rollup output can itself be stored and
+    re-rolled to coarser grains (hour → day → month) without touching raw
+    events. The session timezone is pinned UTC (session.py) so both engines
+    truncate identically."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:00")
+    return (
+        ev.groupBy(bucket.alias("bucket_hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.count_distinct(F.col("user_id")).alias("n_users"),
+        )
+        .orderBy("bucket_hour", "event_type")
+    )
+
+
+@register(
+    "q54_star_broadcast_join",
+    oracle="""
+    SELECT p.p_brand,
+           COUNT(*) AS n_lines,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    WHERE p.p_size <= 15 AND s.s_acctbal > 0
+    GROUP BY p.p_brand
+    ORDER BY p.p_brand
+    """,
+)
+def q54_star_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema fact-to-dims join: lineitem (fact) against part and
+    supplier (dims), both explicitly broadcast. This is the canonical 100 TB
+    join shape — the fact table NEVER shuffles: each of its partitions
+    hash-probes two replicated dim tables map-side, so the only exchange in
+    the plan is the final small aggregation on p_brand. The dim filters
+    (p_size, s_acctbal) are pushed into the parquet scans (PushedFilters)
+    and shrink the broadcast payload before it ships. Contrast with q02/q23:
+    FULL OUTER joins cannot broadcast (both sides must stream), which is why
+    the parity cascade is sort-merge while this inner star is broadcast-hash.
+    The plan shape is asserted in tests/test_partitioning.py."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 15)
+    s = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 0)
+    return (
+        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+        )
+        .orderBy("p_brand")
+    )
