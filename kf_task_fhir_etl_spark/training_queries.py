@@ -832,3 +832,161 @@ def q54_star_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+@register(
+    "q55_decorrelated_avg_qty",
+    oracle="""
+    SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#1' AND p.p_size <= 10
+      AND l.l_quantity < (SELECT 0.5 * AVG(l2.l_quantity)
+                          FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)
+    """,
+)
+def q55_decorrelated_avg_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: a correlated scalar subquery (per-part average
+    quantity threshold) decorrelated by hand into the plan Catalyst would
+    also pick — and that a 100 TB run needs: broadcast the filtered part
+    keys FIRST so the per-key average aggregates only matching lineitem
+    rows (a tiny fraction of the fact table), then self-join the threshold
+    back on the same key. The threshold aggregate and the final probe share
+    the l_partkey partitioning, so the second join adds no exchange on the
+    already-shuffled side. The naive form — aggregate ALL parts, then
+    filter — shuffles the full fact table twice; restricting before
+    aggregating is the decorrelation payoff."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter((F.col("p_brand") == "Brand#1") & (F.col("p_size") <= 10))
+        .select("p_partkey")
+    )
+    matched = l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"]).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    thresh = matched.groupBy("l_partkey").agg(
+        (0.5 * F.avg("l_quantity")).alias("qty_thresh")
+    )
+    return (
+        matched.join(thresh, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_thresh"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@register(
+    "q56_regional_revenue_chain",
+    oracle="""
+    SELECT n.n_name, ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'AMERICA'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, n.n_name
+    """,
+)
+def q56_regional_revenue_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue per nation through a six-table chain with the
+    non-tree predicate c_nationkey = s_nationkey. Join order matters at
+    scale and is declared accordingly: region→nation→supplier are pure dims
+    (broadcast, fact side never shuffles for them), customer⋈orders and
+    orders⋈lineitem are the two real fact shuffles, and the c_nationkey =
+    s_nationkey equality rides along as a post-broadcast filter rather than
+    forcing a customer×supplier shuffle pair. The region filter cuts the
+    nation/supplier broadcast payload before it ships. Catalyst + AQE pick
+    broadcast-hash for every dim edge automatically (asserted in
+    tests/test_partitioning.py for the star shape)."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    n = load_table(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+@register("q57_approx_sketches")  # no SQL oracle: sketch outputs are
+# implementation-defined (Spark HLL++ vs DuckDB HLL differ by design);
+# tests/test_operators.py bounds the error against the exact answers.
+def q57_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based aggregation: HyperLogLog++ distinct-count and the
+    Greenwald-Khanna quantile sketch over events, per event_type. These are
+    THE 100 TB cardinality/quantile tools: both sketches are fixed-size,
+    mergeable state, so the aggregation is one map-side pass producing a
+    few KB per partition and a trivially small final merge — no shuffle of
+    raw values, no sort, unlike exact COUNT(DISTINCT) (which Expands rows)
+    or exact percentiles (which collect per-group arrays, q47). rsd=0.01
+    bounds HLL error at ~1%; accuracy=10000 bounds quantile rank error at
+    1e-4. Values are approximate by contract, so the driver records the
+    rows-only check; the error bound itself is asserted in
+    tests/test_operators.py against exact answers."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+            F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias("value_quantiles"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "q58_embedding_centroids",
+    oracle="""
+    SELECT label, dim - 1 AS dim, ROUND(AVG(val), 4) + 0.0 AS centroid
+    FROM (SELECT label, UNNEST(embedding) AS val,
+                 generate_subscripts(embedding, 1) AS dim
+          FROM embeddings)
+    GROUP BY label, dim
+    ORDER BY label, dim
+    """,
+)
+def q58_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding column — the reduce step of
+    k-means / IVF training and of class-prototype computation, expressed
+    relationally: posexplode the vector to (label, dim, val) rows, then one
+    groupBy(label, dim) average. posexplode is a codegen Generate node (not
+    a UDF), and the shuffle key (label × dim) has tiny bounded cardinality,
+    so map-side partial aggregation collapses each partition to
+    |labels|·|dims| rows no matter how many vectors it holds — the classic
+    sum/count vector-mean at 100 TB. Contrast operators/similarity.py's
+    IVF trainer, which does the same mean in numpy per Arrow batch; this is
+    the pure-DataFrame form the optimizer can see through. The float→double
+    cast happens before averaging in both engines (embedding is float32 on
+    disk; DuckDB AVG promotes identically), and 4dp rounding absorbs
+    summation-order drift."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("dim", "val"))
+        .groupBy("label", "dim")
+        .agg((F.round(F.avg(F.col("val").cast("double")), 4) + F.lit(0.0)).alias("centroid"))
+        .orderBy("label", "dim")
+    )

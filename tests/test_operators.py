@@ -208,3 +208,32 @@ def test_recode_sql_literal_escaping(spark):
         recode_coding(F.col("v"), coding).alias("c")
     ).collect()[0]["c"]
     assert (row["system"], row["code"], row["display"]) == ("sys'1", "c\\1", "d1")
+
+
+def test_approx_sketches_error_bounds(spark):
+    """q57's contract: the HLL++ distinct count lands within 5% of the exact
+    count (rsd=0.01 gives ~1% typical, 5% is a safe ceiling) and each GK
+    quantile lands within the value range spanned by a ±2% rank window
+    around the target quantile."""
+    from kf_task_fhir_etl_spark.training_queries import q57_approx_sketches
+
+    sf = "/root/testdata/sf0.001"
+    approx = {r["event_type"]: r for r in q57_approx_sketches(spark, sf).collect()}
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    exact = {
+        r["event_type"]: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count_distinct("user_id").alias("users"),
+            F.expr("percentile(value, array(0.48, 0.52, 0.88, 0.92, 0.97, 1.0))").alias("pw"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for et, row in approx.items():
+        users = exact[et]["users"]
+        assert abs(row["approx_users"] - users) <= max(1, 0.05 * users)
+        pw = exact[et]["pw"]
+        windows = [(pw[0], pw[1]), (pw[2], pw[3]), (pw[4], pw[5])]
+        for got, (lo, hi) in zip(row["value_quantiles"], windows):
+            assert lo - 1e-9 <= got <= hi + 1e-9, (et, got, lo, hi)

@@ -135,6 +135,30 @@ def test_word_explode_partial_agg_and_topk(spark):
     assert "Generate" in plan  # explode runs as a Generate node, not a UDF
 
 
+def test_star_join_broadcasts_dims_fact_never_shuffles(spark):
+    """q54's scale claim: both dim joins are broadcast-hash (no SortMergeJoin),
+    the dim filters reach the parquet scans, and the only exchange in the plan
+    is the final aggregation on p_brand — the fact table itself never
+    shuffles for the joins."""
+    from kf_task_fhir_etl_spark.training_queries import q54_star_broadcast_join
+
+    plan = _formatted_plan(q54_star_broadcast_join(spark, "/root/testdata/sf0.001"))
+    bhj_nodes = [
+        l for l in plan.splitlines() if l.strip().startswith("(") and "BroadcastHashJoin" in l
+    ]
+    assert len(bhj_nodes) == 2, bhj_nodes
+    assert "SortMergeJoin" not in plan
+    assert "PushedFilters: [IsNotNull(p_size), LessThanOrEqual(p_size,15)" in plan
+    assert "PushedFilters: [IsNotNull(s_acctbal), GreaterThan(s_acctbal,0.0)" in plan
+    shuffle_exchanges = [
+        l
+        for l in plan.splitlines()
+        if l.strip().startswith("(") and "Exchange" in l and "Broadcast" not in l
+    ]
+    # one hash-partition exchange for the groupBy, one singleton for the sort
+    assert len(shuffle_exchanges) <= 2, shuffle_exchanges
+
+
 def test_bucketed_join_has_no_exchange(spark, tmp_path):
     from kf_task_fhir_etl_spark.operators import bucketing
 
