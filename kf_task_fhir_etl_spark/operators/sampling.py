@@ -1,0 +1,96 @@
+"""Deterministic sampling / splitting / chunking operators for training-data
+pipelines: hash-based train/test assignment, per-group quota sampling, and
+fixed-window document chunking.
+
+The reference (kids-first/kf-task-fhir-etl) has no sampling surface — these
+are engine extensions in the spirit of its deterministic, re-runnable ETL
+(`etl/ingest.py:519-531` re-runs must produce identical loads): every
+operator here is a pure function of the row's key, never of partitioning,
+row order, or an RNG, so a 100 TB re-run (or a per-partition retry) assigns
+every row identically. All formulas are engine-portable (md5 over the
+stringified key) so DuckDB oracles can recompute them exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# 16-bit hash space for split thresholds: first 4 md5 hex chars.
+_SPLIT_SPACE = 1 << 16
+
+
+def hash_bucket(key: Column, space: int = _SPLIT_SPACE) -> Column:
+    """Uniform bucket in [0, space) from the md5 of the stringified key.
+
+    Codegen'd end-to-end (md5 + conv are JVM built-ins). Stable across
+    engines: DuckDB computes the identical value as
+    ``('0x' || substr(md5(key::VARCHAR), 1, 4))::INT % space``.
+    """
+    bucket16 = F.conv(F.substring(F.md5(key.cast("string")), 1, 4), 16, 10).cast("int")
+    return bucket16 % F.lit(space)
+
+
+def deterministic_split(
+    df: DataFrame,
+    key_col: str,
+    train_frac: float = 0.8,
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign each row to 'train' or 'test' by hashing its key — the
+    map-side, shuffle-free train/test split. Unlike ``randomSplit`` (which
+    re-draws per run and per retry), the assignment is a pure function of
+    the key: adding new rows never reshuffles existing ones, so the split
+    is stable under incremental ingest — the property LLM corpus pipelines
+    need to keep eval contamination-free across snapshots."""
+    thresh = int(train_frac * _SPLIT_SPACE)
+    return df.withColumn(
+        split_col,
+        F.when(hash_bucket(F.col(key_col)) < thresh, F.lit("train")).otherwise(F.lit("test")),
+    )
+
+
+def quota_sample(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    quota: int,
+) -> DataFrame:
+    """Keep at most ``quota`` rows per group, chosen by deterministic
+    pseudo-random order (md5 of the key, key as tiebreak). One
+    row_number window per group — a single hash shuffle on the group key,
+    state bounded by ``quota`` per group after the filter. This is the
+    source-balancing primitive (cap any one crawl/domain's share of a
+    corpus); for skewed group sizes the window sort is per-group, not
+    global, so one huge group never blocks the rest."""
+    order = F.md5(F.col(key_col).cast("string"))
+    w = Window.partitionBy(group_col).orderBy(order, F.col(key_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= quota)
+        .drop("__rn")
+    )
+
+
+def chunk_text(
+    df: DataFrame,
+    text_col: str = "text",
+    size: int = 100,
+    stride: int = 80,
+    start_col: str = "chunk_start",
+    chunk_col: str = "chunk",
+) -> DataFrame:
+    """Explode each document into fixed-size overlapping character windows
+    (size=100, stride=80 → 20-char overlap) — the context-window chunking
+    step of an embedding/RAG pipeline, expressed as sequence + explode +
+    substring: all codegen'd JVM built-ins, the explode is a Generate node
+    (no UDF), and the fan-out happens map-side with no shuffle at all.
+    1-based starts so DuckDB's ``generate_series``/``substr`` recompute it
+    verbatim. Empty/null text yields one empty chunk at start 1 (the row is
+    kept, not dropped — dedup/filtering decisions stay downstream)."""
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.length(F.coalesce(F.col(text_col), F.lit(""))), F.lit(1)), F.lit(stride)
+    )
+    return df.select(
+        "*", F.explode(starts).alias(start_col)
+    ).withColumn(chunk_col, F.substring(F.coalesce(F.col(text_col), F.lit("")), F.col(start_col), size))

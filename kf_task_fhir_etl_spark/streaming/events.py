@@ -71,10 +71,65 @@ def sessionized_counts(events: DataFrame, gap: str = "30 minutes", watermark: st
     )
 
 
-def run_stream_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
+def run_stream_to_memory(
+    stream_df: DataFrame,
+    name: str,
+    output_mode: str = "append",
+    state_partitions: int | None = 8,
+):
     """Drive a streaming query to completion over the available input (local
-    smoke path): memory sink + processAllAvailable."""
-    q = stream_df.writeStream.outputMode(output_mode).format("memory").queryName(name).start()
-    q.processAllAvailable()
-    q.stop()
+    smoke path): memory sink + processAllAvailable.
+
+    ``state_partitions`` bounds the number of state stores for stateful
+    queries (each shuffle partition gets its own store; at local scale 32
+    stores of per-store open/commit overhead dwarf the actual work — a
+    stream-stream join over sf0.1 drops ~3× with 8). The conf is restored
+    after the run; a production deployment sizes it to cluster cores since
+    it is fixed at the query's first checkpoint."""
+    spark = stream_df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = stream_df.writeStream.outputMode(output_mode).format("memory").queryName(name).start()
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return q
+
+
+def click_purchase_interval_join(
+    clicks: DataFrame, purchases: DataFrame, max_gap: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-stream inner join with an event-time range condition: each
+    click joins the same user's purchases landing within ``max_gap`` after
+    it. Both sides carry watermarks and the join predicate bounds purchase
+    time relative to click time, so Spark derives exactly how long each
+    side's state must be retained (click state: watermark + max_gap;
+    purchase state: watermark) — the unbounded-state trap of naive
+    stream-stream joins is closed by construction. State is hash-partitioned
+    on user_id, the same key the batch oracle shuffles on."""
+    c = (
+        clicks.withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+    )
+    p = (
+        purchases.withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+    )
+    return c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {max_gap}")),
+        "inner",
+    )

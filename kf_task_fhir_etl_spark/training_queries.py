@@ -990,3 +990,131 @@ def q58_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg((F.round(F.avg(F.col("val").cast("double")), 4) + F.lit(0.0)).alias("centroid"))
         .orderBy("label", "dim")
     )
+
+
+@register(
+    "q59_stream_stream_join",
+    oracle="""
+    SELECT a.user_id, COUNT(*) AS n_pairs,
+           ROUND(SUM(b.value), 2) AS attributed_value
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id AND a.event_type = 'click' AND b.event_type = 'purchase'
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+    GROUP BY a.user_id
+    ORDER BY a.user_id
+    """,
+)
+def q59_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join run end-to-end: clicks joined to the same
+    user's purchases within one hour (the attribution-window shape), via two
+    watermarked file-source streams and a range-bounded inner join
+    (streaming/events.py::click_purchase_interval_join). The single-file
+    source yields one microbatch, so the joined rows landed in the memory
+    sink are the complete pair set — which the batch self-join oracle
+    recomputes exactly; the per-user aggregation of the sink table is batch.
+    Multi-batch behavior (state retention across triggers) is covered in
+    tests/test_streaming.py."""
+    from kf_task_fhir_etl_spark.streaming.events import (
+        click_purchase_interval_join,
+        read_events_stream,
+        run_stream_to_memory,
+    )
+
+    ev = read_events_stream(spark, sf_dir)
+    joined = click_purchase_interval_join(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+    )
+    run_stream_to_memory(joined, "q59_pairs_mem", output_mode="append")
+    return (
+        spark.table("q59_pairs_mem")
+        .groupBy(F.col("c_user").alias("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.sum("purchase_value"), 2).alias("attributed_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "q60_train_test_split",
+    oracle="""
+    SELECT split, source, COUNT(*) AS n_docs FROM (
+      SELECT source,
+             CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::INT % 65536 < 52428
+                  THEN 'train' ELSE 'test' END AS split
+      FROM documents)
+    GROUP BY split, source
+    ORDER BY split, source
+    """,
+)
+def q60_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/test split (80/20) counted per split ×
+    source — operators/sampling.py::deterministic_split. The assignment is a
+    pure map-side function of doc_id (md5 → 16-bit bucket < threshold): no
+    RNG, no shuffle, stable under retries and incremental ingest, unlike
+    randomSplit. The only exchange in the plan is the small counting
+    aggregate. Both engines compute the identical bucket from the same md5
+    prefix."""
+    from kf_task_fhir_etl_spark.operators.sampling import deterministic_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        deterministic_split(docs, "doc_id", train_frac=0.8)
+        .groupBy("split", "source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("split", "source")
+    )
+
+
+@register(
+    "q61_source_quota_sample",
+    oracle="""
+    SELECT source, doc_id FROM (
+      SELECT source, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
+      FROM documents)
+    WHERE rn <= 50
+    ORDER BY source, doc_id
+    """,
+)
+def q61_source_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota sampling: keep at most 50 docs per source, chosen in
+    deterministic pseudo-random order (md5 of doc_id) —
+    operators/sampling.py::quota_sample, the source-balancing primitive that
+    caps any one domain's share of a corpus. One hash shuffle on source, one
+    per-group window sort; the emitted id set is identical across engines
+    because the order key is the portable md5, not an RNG."""
+    from kf_task_fhir_etl_spark.operators.sampling import quota_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return quota_sample(docs, "source", "doc_id", quota=50).select("source", "doc_id").orderBy(
+        "source", "doc_id"
+    )
+
+
+@register(
+    "q62_doc_chunking",
+    oracle="""
+    SELECT doc_id, start AS chunk_start, substr(text, start, 100) AS chunk
+    FROM documents, LATERAL (
+      SELECT unnest(generate_series(1, greatest(len(text), 1), 80)) AS start)
+    ORDER BY doc_id, chunk_start
+    """,
+)
+def q62_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-window document chunking (100 chars, stride 80 → 20-char
+    overlap) — operators/sampling.py::chunk_text, the context-window
+    preparation step of an embedding/RAG pipeline. sequence + explode +
+    substring are all codegen'd built-ins; the fan-out is purely map-side
+    (zero shuffles in the whole plan — the orderBy here exists only for the
+    deterministic gate). Every emitted chunk hash-matches DuckDB's
+    generate_series/substr recomputation."""
+    from kf_task_fhir_etl_spark.operators.sampling import chunk_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_text(docs, "text", size=100, stride=80).select(
+        "doc_id", "chunk_start", "chunk"
+    ).orderBy("doc_id", "chunk_start")

@@ -237,3 +237,55 @@ def test_approx_sketches_error_bounds(spark):
         windows = [(pw[0], pw[1]), (pw[2], pw[3]), (pw[4], pw[5])]
         for got, (lo, hi) in zip(row["value_quantiles"], windows):
             assert lo - 1e-9 <= got <= hi + 1e-9, (et, got, lo, hi)
+
+
+def test_deterministic_split_stable_and_near_frac(spark):
+    from kf_task_fhir_etl_spark.operators.sampling import deterministic_split
+
+    docs = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    full = {r["doc_id"]: r["split"] for r in deterministic_split(docs, "doc_id").collect()}
+    # near the requested fraction (md5 is uniform; 2000 draws, ±4%)
+    frac = sum(1 for v in full.values() if v == "train") / len(full)
+    assert 0.76 < frac < 0.84
+    # incremental-ingest stability: assignments on a subset are unchanged
+    sub = {r["doc_id"]: r["split"] for r in deterministic_split(docs.filter("doc_id < 500"), "doc_id").collect()}
+    assert all(full[k] == v for k, v in sub.items())
+
+
+def test_quota_sample_bounds_and_determinism(spark):
+    from kf_task_fhir_etl_spark.operators.sampling import quota_sample
+
+    df = spark.createDataFrame(
+        [(i, f"src_{i % 3}") for i in range(300)], "doc_id long, source string"
+    )
+    kept1 = sorted((r["source"], r["doc_id"]) for r in quota_sample(df, "source", "doc_id", 10).collect())
+    assert len(kept1) == 30
+    # repartitioning must not change the chosen set (order key is the md5, not arrival)
+    kept2 = sorted(
+        (r["source"], r["doc_id"])
+        for r in quota_sample(df.repartition(13), "source", "doc_id", 10).collect()
+    )
+    assert kept1 == kept2
+
+
+def test_chunk_text_covers_and_overlaps(spark):
+    from kf_task_fhir_etl_spark.operators.sampling import chunk_text
+
+    df = spark.createDataFrame([(1, "a" * 250), (2, ""), (3, None)], "doc_id long, text string")
+    rows = chunk_text(df, "text", size=100, stride=80).orderBy("doc_id", "chunk_start").collect()
+    one = [r for r in rows if r["doc_id"] == 1]
+    # starts 1, 81, 161, 241; reconstruction: stitching strides re-covers the text
+    assert [r["chunk_start"] for r in one] == [1, 81, 161, 241]
+    text = "a" * 250
+    rebuilt = one[0]["chunk"] + "".join(r["chunk"][20:] for r in one[1:])
+    assert rebuilt == text
+    # consecutive chunks overlap by size-stride
+    assert all(
+        a["chunk"][80:] == b["chunk"][: len(a["chunk"]) - 80]
+        for a, b in zip(one, one[1:])
+    )
+    # empty and null text keep one empty chunk each
+    assert [(r["doc_id"], r["chunk_start"], r["chunk"]) for r in rows if r["doc_id"] > 1] == [
+        (2, 1, ""),
+        (3, 1, ""),
+    ]

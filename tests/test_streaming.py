@@ -138,3 +138,51 @@ def test_running_user_totals_converge_to_batch_aggregate(spark, events_dir, tmp_
         n, tv = want[uid]
         assert row["n_events"] == n
         assert abs(row["total_value"] - tv) < 0.05
+
+
+def test_stream_stream_join_across_batches(spark, events_dir, tmp_path):
+    """q59's multi-batch claim: with clicks and purchases split across
+    DIFFERENT microbatches, the interval join still emits every qualifying
+    pair — click state is retained (watermark + gap) until the matching
+    purchase arrives in a later trigger."""
+    src = str(tmp_path / "ss_stream")
+    base = _to_ts(spark.read.parquet(events_dir)).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    # batch 1 = clicks only, batch 2 = purchases only: every pair spans batches
+    base.filter("event_type = 'click'").coalesce(1).write.parquet(f"{src}/b1.parquet")
+    base.filter("event_type = 'purchase'").coalesce(1).write.parquet(f"{src}/b2.parquet")
+
+    raw = (
+        spark.readStream.format("parquet")
+        .schema(base.schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(f"{src}/*.parquet")
+    )
+    joined = se.click_purchase_interval_join(
+        raw.filter("event_type = 'click'"), raw.filter("event_type = 'purchase'")
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ss_join")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ss"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql("SELECT count(*) AS c FROM ss_join").collect()[0]["c"]
+
+    b = _to_ts(spark.read.parquet(events_dir))
+    want = (
+        b.filter("event_type = 'click'")
+        .alias("a")
+        .join(
+            b.filter("event_type = 'purchase'").alias("p"),
+            F.expr(
+                "a.user_id = p.user_id AND p.ts >= a.ts AND p.ts <= a.ts + INTERVAL 1 HOUR"
+            ),
+        )
+        .count()
+    )
+    assert got == want and want > 0
