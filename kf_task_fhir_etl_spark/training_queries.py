@@ -1118,3 +1118,40 @@ def q62_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_text(docs, "text", size=100, stride=80).select(
         "doc_id", "chunk_start", "chunk"
     ).orderBy("doc_id", "chunk_start")
+
+
+@register(
+    "q63_dup_clusters",
+    oracle=_MINHASH_ORACLE_CTE
+    + """
+    , sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs)
+    , reach AS (
+      WITH RECURSIVE r(node, x) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.node, s.b FROM r JOIN sym s ON r.x = s.a
+      ) SELECT * FROM r)
+    SELECT node AS doc_id, MIN(x) AS component FROM reach
+    GROUP BY node ORDER BY doc_id
+    """,
+)
+def q63_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster formation: MinHash-LSH candidate pairs become an
+    undirected graph, and iterative min-label propagation
+    (operators/dedup.py::connected_components) resolves each document's
+    component — the real deliverable of corpus dedup, where transitively
+    linked docs (A~B, B~C, but A!~C) must still land in ONE cluster before
+    picking a representative per cluster. Pair-at-a-time dedup (q12) cannot
+    express this; it needs iteration, which the engine drives as a driver
+    loop of shuffle-reusing joins with per-round lineage checkpoints. The
+    DuckDB oracle recomputes the same components via a recursive-CTE
+    transitive closure — exact agreement required on every doc's component
+    id (min reachable doc_id). Singletons keep their own id."""
+    docs = load_table(spark, sf_dir, "documents")
+    candidates = dedup.minhash_lsh_candidates(
+        docs, num_hashes=8, bands=4, shingle_size=5, max_chars=200
+    )
+    return dedup.connected_components(
+        docs.select(F.col("doc_id").alias("node")), candidates, node_col="node"
+    ).select(F.col("node").alias("doc_id"), "component").orderBy("doc_id")

@@ -289,3 +289,16 @@ def test_chunk_text_covers_and_overlaps(spark):
         (2, 1, ""),
         (3, 1, ""),
     ]
+
+
+def test_connected_components_multihop_chain(spark):
+    """A---B, B---C, C---D with no direct A---D edge must still land in one
+    component (transitivity), and disjoint subgraphs must stay apart."""
+    from kf_task_fhir_etl_spark.operators.dedup import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(8)], "node long")
+    edges = spark.createDataFrame(
+        [(3, 1), (1, 2), (2, 0), (5, 6)], "id_a long, id_b long"
+    )
+    got = {r["node"]: r["component"] for r in connected_components(nodes, edges).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 5, 6: 5, 7: 7}
