@@ -33,12 +33,21 @@ def table_path(sf_dir: str, name: str) -> str:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar parquet scan — Catalyst pushes filters/column pruning into it.
 
-    ``events.ts`` is TIMESTAMP(NANOS) in the parquet footer; Spark reads it as
-    long nanoseconds (``spark.sql.legacy.parquet.nanosAsLong``), which we
-    convert to a standard µs timestamp here so downstream operators see a
-    TimestampType column.
+    Timestamp normalization: the testdata parquet stores naive µs timestamps
+    (``timestamp[us]``, isAdjustedToUTC=false → Spark TIMESTAMP_NTZ). The
+    session timezone is pinned to UTC (session.py), so casting NTZ →
+    TimestampType preserves the wall clock and hash-matches DuckDB, which
+    reads the same columns as naive TIMESTAMP. Older generations of the
+    testdata stored ``events.ts`` as TIMESTAMP(NANOS), surfaced as long ns
+    via ``spark.sql.legacy.parquet.nanosAsLong`` — both layouts normalize to
+    the same TimestampType column here, and downstream operators never see
+    the difference. The cast is a zero-shuffle projection; pushdown/pruning
+    still reach the scan.
     """
     df = spark.read.parquet(table_path(sf_dir, name))
+    for col_name, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(col_name, F.col(col_name).cast("timestamp"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # integer division — float division loses precision on 1.7e18 ns
         # epochs (double mantissa is 53 bits) and can round across a µs

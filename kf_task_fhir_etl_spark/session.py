@@ -32,8 +32,9 @@ def get_spark(app_name: str = "kf_task_fhir_etl_spark", master: str | None = Non
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # events.parquet carries TIMESTAMP(NANOS); Spark reads it as long ns
-        # (converted back to a µs timestamp in catalog.load_table)
+        # older testdata generations carried TIMESTAMP(NANOS); surfaced as
+        # long ns and normalized to TimestampType in catalog.load_table
+        # (current naive-µs layout normalizes there too)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")

@@ -20,7 +20,7 @@ from pyspark.sql import types as T
 EVENTS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # ns (parquet TIMESTAMP(NANOS) via nanosAsLong)
+        T.StructField("ts", T.TimestampNTZType()),  # naive µs in the parquet footer
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -36,7 +36,8 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     other table in the testdata dir into all-null event rows, while a bare
     file path fails FileStreamSource's basePath-must-be-a-directory check."""
     raw = spark.readStream.schema(EVENTS_SCHEMA).format("parquet").load(f"{sf_dir}/events.parque*")
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # session TZ is UTC, so NTZ → TimestampType preserves the wall clock
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def windowed_event_counts(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:

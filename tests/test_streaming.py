@@ -12,9 +12,16 @@ from .conftest import SF_SMOKE
 
 
 def _to_ts(df):
-    # events ts arrives as long ns (TIMESTAMP(NANOS) via nanosAsLong);
-    # integer division — float division corrupts 1.7e18 ns epochs
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # normalize events.ts to TimestampType regardless of testdata layout:
+    # long ns (TIMESTAMP(NANOS) via nanosAsLong — integer division, float
+    # corrupts 1.7e18 ns epochs) or naive µs (TIMESTAMP_NTZ; session TZ is
+    # UTC so the cast preserves the wall clock)
+    dtype = dict(df.dtypes)["ts"]
+    if dtype == "bigint":
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if dtype == "timestamp_ntz":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 @pytest.fixture(scope="module")
