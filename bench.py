@@ -3,7 +3,13 @@
 total wall-clock seconds.
 
 Each query is forced with a count() action (no driver-side collect of the
-result payload — we time the distributed plan, not Arrow transfer)."""
+result payload — we time the distributed plan, not Arrow transfer).
+
+stdout discipline: the JSON line must be the ONLY thing on stdout (the
+round-1 driver recorded ``"parsed": null`` because JVM/warning noise shares
+the stream). fd 1 is redirected into stderr for the whole run — including
+anything the JVM child process writes — and the JSON goes to a dup of the
+original stdout saved before the redirect."""
 
 from __future__ import annotations
 
@@ -19,6 +25,10 @@ from kf_task_fhir_etl_spark.session import get_spark
 
 
 def main() -> None:
+    real_stdout_fd = os.dup(1)
+    sys.stdout.flush()
+    os.dup2(2, 1)  # JVM + python stdout noise → stderr
+    sys.stdout = sys.stderr
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
@@ -38,18 +48,20 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - start, 3)
     total = round(time.perf_counter() - total_start, 3)
 
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
     spark.stop()
+    with os.fdopen(real_stdout_fd, "w") as out:
+        out.write(
+            json.dumps(
+                {
+                    "metric": "total_query_wall_clock",
+                    "value": total,
+                    "unit": "sec",
+                    "queries": timings,
+                    "sf": sf,
+                }
+            )
+            + "\n"
+        )
 
 
 if __name__ == "__main__":

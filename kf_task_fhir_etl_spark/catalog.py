@@ -45,6 +45,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     still reach the scan.
     """
     df = spark.read.parquet(table_path(sf_dir, name))
+    if any(dtype == "timestamp_ntz" for _, dtype in df.dtypes):
+        # The NTZ→timestamp cast preserves the wall clock ONLY under a UTC
+        # session timezone; a session built outside session.get_spark would
+        # silently shift every timestamp relative to the DuckDB oracle. Fail
+        # loudly instead (ADVICE r01).
+        tz = spark.conf.get("spark.sql.session.timeZone")
+        if tz != "UTC":
+            raise AssertionError(
+                f"load_table requires spark.sql.session.timeZone=UTC (got {tz!r}); "
+                "build the session via kf_task_fhir_etl_spark.session.get_spark"
+            )
     for col_name, dtype in df.dtypes:
         if dtype == "timestamp_ntz":
             df = df.withColumn(col_name, F.col(col_name).cast("timestamp"))

@@ -863,3 +863,211 @@ def q35_fhir_histopathology(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object(j, "$.specimen.reference").alias("specimen_ref"),
         F.get_json_object(j, "$.valueCodeableConcept.text").alias("vcc_text"),
     ).orderBy("target_id")
+
+
+@register(
+    "q64_fhir_drs_metadata_hashes",
+    oracle="""
+    WITH ks AS (SELECT p_partkey AS k FROM part),
+    m AS (
+      SELECT k,
+        CASE WHEN k % 5 = 0 THEN true WHEN k % 5 = 1 THEN false
+             WHEN k % 3 = 0 THEN true WHEN k % 3 = 1 THEN false END AS controlled,
+        CASE WHEN k % 2 = 0 THEN 'Variant Calls'
+             WHEN k % 4 = 1 THEN 'gVCF' ELSE 'Unmapped Kind' END AS dt_text,
+        CASE WHEN k % 5 = 0 THEN 'meta-did-' || k ELSE 'did-' || k END AS did,
+        CASE WHEN k % 5 <> 0 THEN k * 1000 + 17 END AS size_val,
+        CASE WHEN k % 6 = 0 THEN 'f_' || k || '.cram'
+             WHEN k % 6 = 1 THEN 'plain_' || k END AS title,
+        CASE WHEN k % 7 = 0 THEN ''
+             WHEN k % 3 = 0 THEN 'etag:' || md5('e' || k) || ',md5:' || md5('h' || k)
+             ELSE 'md5:' || md5('h' || k) END AS hash_str,
+        CASE k % 4 WHEN 0 THEN 'phs000123.c1,open' WHEN 1 THEN 'SD_ONLY' ELSE '' END AS acl_texts,
+        CASE k % 4 WHEN 0 THEN 'c1,~' WHEN 1 THEN '~' ELSE '' END AS acl_codes
+      FROM ks)
+    SELECT md5('drs_document_reference' || '|' || 'GF_' || k) AS target_id,
+           dt_text,
+           'drs://data.kidsfirstdrc.org/' || did AS url,
+           title,
+           size_val,
+           hash_str,
+           (CASE WHEN size_val IS NOT NULL THEN 1 ELSE 0 END)
+             + (CASE WHEN k % 7 = 0 THEN 0 WHEN k % 3 = 0 THEN 2 ELSE 1 END) AS n_ext,
+           CASE WHEN controlled THEN 'true' WHEN NOT controlled THEN 'false' END AS access_text,
+           acl_texts, acl_codes
+    FROM m
+    ORDER BY target_id
+    """,
+)
+def q64_fhir_drs_metadata_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C8 gate: the DRS builder run WITH a prefetched S7 metadata table —
+    hashes-map → extension-array iteration (sorted by hash key), the size
+    valueDecimal extension, acl → securityLabel entries with dot-split
+    codes, metadata-over-wide per-field coalesces, and file_name → title
+    basename (reference drs_document_reference.py:224-243,315-386) —
+    everything extracted back out of the emitted JSON. VERDICT r01 flagged
+    C8 as pytest-only; this is its driver gate."""
+    from kf_task_fhir_etl_spark.plans.narrow import build_resources_narrow
+
+    part = load_table(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    ks = k.cast("string")
+    empty_map = F.expr("map()").cast("map<string,string>")
+    metadata = part.select(
+        F.concat(F.lit("GF_"), ks).alias("genomic_file_id"),
+        F.when(k % 5 == 0, F.lit(True)).when(k % 5 == 1, F.lit(False)).alias("controlled_access"),
+        F.when(k % 2 == 0, F.lit("Variant Calls")).alias("data_type"),
+        F.lit(None).cast("string").alias("file_format"),
+        F.when(k % 5 == 0, F.concat(F.lit("meta-did-"), ks)).alias("latest_did"),
+        F.when(k % 4 == 0, F.array(F.lit("phs000123.c1"), F.lit("open")))
+        .when(k % 4 == 1, F.array(F.lit("SD_ONLY")))
+        .when(k % 4 == 2, F.array().cast("array<string>"))
+        .alias("acl"),
+        F.when(k % 5 != 0, (k * 1000 + 17).cast("long")).alias("size"),
+        F.when(k % 7 == 0, F.lit(None).cast("map<string,string>"))
+        .otherwise(
+            F.map_concat(
+                F.create_map(F.lit("md5"), F.md5(F.concat(F.lit("h"), ks))),
+                F.when(k % 3 == 0, F.create_map(F.lit("etag"), F.md5(F.concat(F.lit("e"), ks)))).otherwise(
+                    empty_map
+                ),
+            )
+        )
+        .alias("hashes"),
+        F.when(k % 6 == 0, F.concat(F.lit("dir/sub/f_"), ks, F.lit(".cram")))
+        .when(k % 6 == 1, F.concat(F.lit("plain_"), ks))
+        .alias("file_name"),
+    )
+    out = build_resources_narrow(
+        _drs_tables(spark, sf_dir), metadata=metadata, only={"DRSDocumentReference"}
+    )
+    j = F.col("resource_json")
+    _EXT_T = (
+        "array<struct<url:string,valueDecimal:bigint,"
+        "valueCodeableConcept:struct<coding:array<struct<display:string>>,text:string>>>"
+    )
+    exts = F.from_json(F.get_json_object(j, "$.content[0].attachment.extension"), _EXT_T)
+    hash_exts = F.filter(exts, lambda e: e.getField("valueCodeableConcept").isNotNull())
+    _SL_T = "array<struct<coding:array<struct<system:string,code:string,display:string>>,text:string>>"
+    sl = F.from_json(F.get_json_object(j, "$.securityLabel"), _SL_T)
+    acl_entries = F.slice(sl, 2, 100000)
+    return out["DRSDocumentReference"].select(
+        "target_id",
+        F.get_json_object(j, "$.type.text").alias("dt_text"),
+        F.get_json_object(j, "$.content[0].attachment.url").alias("url"),
+        F.get_json_object(j, "$.content[0].attachment.title").alias("title"),
+        F.try_element_at(F.filter(exts, lambda e: e.getField("valueDecimal").isNotNull()), F.lit(1))
+        .getField("valueDecimal")
+        .alias("size_val"),
+        F.coalesce(
+            F.array_join(
+                F.transform(
+                    hash_exts,
+                    lambda e: F.concat(
+                        F.element_at(
+                            e.getField("valueCodeableConcept").getField("coding"), 1
+                        ).getField("display"),
+                        F.lit(":"),
+                        e.getField("valueCodeableConcept").getField("text"),
+                    ),
+                ),
+                ",",
+            ),
+            F.lit(""),  # extension absent entirely (no size, no hashes) → ''
+        ).alias("hash_str"),
+        F.coalesce(F.size(exts), F.lit(0)).cast("long").alias("n_ext"),
+        F.get_json_object(j, "$.securityLabel[0].text").alias("access_text"),
+        F.array_join(F.transform(acl_entries, lambda e: e.getField("text")), ",").alias("acl_texts"),
+        F.array_join(
+            F.transform(
+                acl_entries,
+                lambda e: F.coalesce(
+                    F.element_at(e.getField("coding"), 1).getField("code"), F.lit("~")
+                ),
+            ),
+            ",",
+        ).alias("acl_codes"),
+    ).orderBy("target_id")
+
+
+@register(
+    "q65_fhir_specimen_bodysite_dispatch",
+    oracle="""
+    WITH ks AS (SELECT o_orderkey AS k FROM orders),
+    m AS (
+      SELECT k,
+        CASE WHEN k % 4 = 0 THEN 'NCIT:C12439' WHEN k % 4 = 1 THEN 'C12439' END AS ncit_site,
+        CASE WHEN k % 6 = 0 THEN 'UBERON:0000955' END AS uberon_site,
+        CASE WHEN k % 3 = 0 THEN 'Brain' END AS site_text,
+        CASE WHEN k % 5 = 0 THEN 'NCIT:C14165' WHEN k % 5 = 1 THEN 'Tumor' END AS ncit_tissue,
+        CASE WHEN k % 2 = 0 THEN 'Tumor Tissue' END AS tissue_text,
+        CASE WHEN k % 7 = 0 THEN 'Blood Draw' WHEN k % 7 = 1 THEN 'Strange Harvest' END AS method_text,
+        CASE WHEN k % 8 = 0 THEN 'GRU' END AS consent,
+        CASE WHEN k % 8 IN (0, 1) THEN 'phs-c1' END AS dbgap
+      FROM ks)
+    SELECT md5('specimen' || '|' || 'BS_' || k) AS target_id,
+           CASE WHEN uberon_site IS NOT NULL THEN 'http://purl.obolibrary.org/obo/uberon.owl'
+                WHEN ncit_site = 'NCIT:C12439' THEN 'http://purl.obolibrary.org/obo/ncit.owl'
+           END AS bs_sys0,
+           CASE WHEN uberon_site IS NOT NULL THEN uberon_site
+                WHEN ncit_site = 'NCIT:C12439' THEN ncit_site END AS bs_code0,
+           CASE WHEN uberon_site IS NOT NULL AND ncit_site = 'NCIT:C12439'
+                THEN ncit_site END AS bs_code1,
+           CASE WHEN site_text IS NOT NULL OR uberon_site IS NOT NULL
+                     OR ncit_site = 'NCIT:C12439'
+                THEN site_text END AS bs_text,
+           CASE WHEN ncit_tissue = 'NCIT:C14165' THEN ncit_tissue END AS type_code0,
+           CASE WHEN tissue_text IS NOT NULL OR ncit_tissue = 'NCIT:C14165'
+                THEN tissue_text END AS type_text,
+           CASE WHEN method_text = 'Blood Draw' THEN '396540005' END AS method_code,
+           method_text,
+           COALESCE(consent, dbgap) AS sec0_code,
+           CASE WHEN consent IS NOT NULL THEN dbgap END AS sec1_code
+    FROM m
+    ORDER BY target_id
+    """,
+)
+def q65_fhir_specimen_bodysite_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 gate: the Specimen builder's NCIT: prefix-dispatched bodySite
+    coding (alongside the UBERON branch q27 covers), the unprefixed-value
+    drop, the NCIT tissue-type type.coding, the SNOMED collection-method
+    recode with unmapped → text-only, and the conditional meta.security
+    consent labels (specimen.py:497-511,531-547,600-629). VERDICT r01
+    flagged F4's NCIT branch as pytest-only; this is its driver gate."""
+    from kf_task_fhir_etl_spark.plans.narrow import build_resources_narrow
+
+    orders = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    biospecimens = orders.select(
+        F.concat(F.lit("BS_"), k).alias("kf_id"),
+        F.concat(F.lit("PT_"), F.col("o_custkey")).alias("participant_id"),
+        F.when(k % 4 == 0, "NCIT:C12439").when(k % 4 == 1, "C12439").alias("ncit_id_anatomical_site"),
+        F.when(k % 6 == 0, "UBERON:0000955").alias("uberon_id_anatomical_site"),
+        F.when(k % 3 == 0, "Brain").alias("source_text_anatomical_site"),
+        F.when(k % 5 == 0, "NCIT:C14165").when(k % 5 == 1, "Tumor").alias("ncit_id_tissue_type"),
+        F.when(k % 2 == 0, "Tumor Tissue").alias("source_text_tissue_type"),
+        F.when(k % 7 == 0, "Blood Draw")
+        .when(k % 7 == 1, "Strange Harvest")
+        .alias("method_of_smaple_procurement"),
+        F.when(k % 8 == 0, "GRU").alias("consent_type"),
+        F.when((k % 8 == 0) | (k % 8 == 1), "phs-c1").alias("dbgap_consent_code"),
+        F.lit("SC_DGDDMBVV").alias("sequencing_center_id"),
+        F.lit("True").alias("visible"),
+    )
+    tables = _endpoint_tables(spark, sf_dir)
+    tables["biospecimens"] = biospecimens
+    out = build_resources_narrow(tables, only={"Specimen"})
+    j = F.col("resource_json")
+    return out["Specimen"].select(
+        "target_id",
+        F.get_json_object(j, "$.collection.bodySite.coding[0].system").alias("bs_sys0"),
+        F.get_json_object(j, "$.collection.bodySite.coding[0].code").alias("bs_code0"),
+        F.get_json_object(j, "$.collection.bodySite.coding[1].code").alias("bs_code1"),
+        F.get_json_object(j, "$.collection.bodySite.text").alias("bs_text"),
+        F.get_json_object(j, "$.type.coding[0].code").alias("type_code0"),
+        F.get_json_object(j, "$.type.text").alias("type_text"),
+        F.get_json_object(j, "$.collection.method.coding[0].code").alias("method_code"),
+        F.get_json_object(j, "$.collection.method.text").alias("method_text"),
+        F.get_json_object(j, "$.meta.security[0].code").alias("sec0_code"),
+        F.get_json_object(j, "$.meta.security[1].code").alias("sec1_code"),
+    ).orderBy("target_id")

@@ -291,7 +291,7 @@ def q06_group_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT
       user_id,
-      SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_total,
+      CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_total,
       COUNT(*)                                                    AS n_events
     FROM events
     GROUP BY user_id
@@ -342,14 +342,84 @@ def q08_resource_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source_key")
 
 
+# ---------------------------------------------------------------------------
+# Correctness-window ordering. The round-1 driver hash-checked only the FIRST
+# 50 registry entries (dict order) — q51-q63 ran in bench but got no
+# CORRECTNESS rows (VERDICT r01 §"What's missing" #1). The registry is larger
+# than the window, so ordering is a rotation policy:
+#   _CHECK_FIRST — queries with no green row yet, or whose implementation /
+#     oracle changed this round (must re-prove);
+#   _CHECK_LAST — queries that stayed green in a previous round AND whose
+#     operator surface is redundantly covered by an in-window sibling
+#     (q01→q42, q21→q53, q14→q36, q17/q18→q38, q08→q24, q06→q26, q25/q35→
+#     narrow-builder siblings, q46→q45, q43/q48/q44→q49/q53/q45-kin). They
+#     still run in bench every round and keep their oracles — only their
+#     hash-check priority rotates.
+# Every entry keeps BOTH a queries() and an oracle_sql() registration either
+# way; nothing is retired.
+# ---------------------------------------------------------------------------
+_CHECK_FIRST = [
+    "q51_json_extract",
+    "q52_word_explode_topk",
+    "q53_time_bucket_rollup",
+    "q54_star_broadcast_join",
+    "q55_decorrelated_avg_qty",
+    "q56_regional_revenue_chain",
+    "q57_approx_sketches",
+    "q58_embedding_centroids",
+    "q59_stream_stream_join",
+    "q60_train_test_split",
+    "q61_source_quota_sample",
+    "q62_doc_chunking",
+    "q63_dup_clusters",
+    "q07_try_cast_json",
+    "q19_token_stats",
+    "q22_sessionization",
+    "q38_corpus_prep_pipeline",
+    "q16_ann_lsh_topk",
+    "q64_fhir_drs_metadata_hashes",
+    "q65_fhir_specimen_bodysite_dispatch",
+    "q66_embedding_neardup_lsh",
+    "q12_minhash_verified_pairs",
+    "q15_embedding_neardup",
+    "q11_minhash_lsh_candidates",
+]
+_CHECK_LAST = [
+    "q01_pricing_summary",
+    "q03_normalize_dedup",
+    "q05_sentinel_filter",
+    "q06_group_collect",
+    "q08_resource_json",
+    "q09_topk_per_group",
+    "q14_ann_cosine_topk",
+    "q17_language_id",
+    "q18_quality_score",
+    "q21_window_agg",
+    "q25_fhir_disease_narrow",
+    "q35_fhir_histopathology",
+    "q43_rollup_order_stats",
+    "q44_customer_set_ops",
+    "q46_not_exists_anti_join",
+    "q48_multi_distinct_agg",
+]
+
+
+def _ordered_names() -> list[str]:
+    first = [n for n in _CHECK_FIRST if n in QUERIES]
+    last = [n for n in _CHECK_LAST if n in QUERIES]
+    placed = set(first) | set(last)
+    middle = [n for n in QUERIES if n not in placed]
+    return first + middle + last
+
+
 def queries() -> dict[str, QueryFn]:
     _load_extra_registries()
-    return dict(QUERIES)
+    return {n: QUERIES[n] for n in _ordered_names()}
 
 
 def oracle_sql() -> dict[str, str]:
     _load_extra_registries()
-    return dict(ORACLES)
+    return {n: ORACLES[n] for n in _ordered_names() if n in ORACLES}
 
 
 def _load_extra_registries() -> None:

@@ -5,9 +5,11 @@ The reference issues ``SELECT * FROM study WHERE kf_id = :id`` via SQLAlchemy
 with the predicate pushed into the source query — Catalyst additionally
 pushes later filters/column pruning down to the database.
 
-No Postgres (or JDBC driver jar) ships in this container, so these are thin,
-fully-configured wrappers: they build the reader/writer; the connection is
-exercised only when a real ``url`` is supplied.
+No Postgres ships in this container, but Spark bundles the embedded Derby
+driver — ``tests/test_sources_sinks.py::test_jdbc_roundtrip_embedded_derby``
+round-trips write_table → read_table against ``jdbc:derby:memory:`` and
+asserts predicate pushdown (PushedFilters) in the executed plan, so both
+wrappers are exercised live; only the Postgres dialect specifically is not.
 """
 
 from __future__ import annotations

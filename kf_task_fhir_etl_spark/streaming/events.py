@@ -34,7 +34,26 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     locally; point at a directory of arriving files in production). The glob
     targets the events table only — a bare directory path would sweep every
     other table in the testdata dir into all-null event rows, while a bare
-    file path fails FileStreamSource's basePath-must-be-a-directory check."""
+    file path fails FileStreamSource's basePath-must-be-a-directory check.
+
+    Layout detection (ADVICE r01): the stream schema must match the parquet
+    footer exactly, and the testdata has shipped two ``ts`` layouts — naive
+    µs (→ TIMESTAMP_NTZ) and legacy TIMESTAMP(NANOS) (surfaced as long ns
+    under ``spark.sql.legacy.parquet.nanosAsLong``). Probe the footer with a
+    one-file batch read (driver-side metadata only, no data scan) and build
+    the matching stream schema, normalizing both to TimestampType — the same
+    dual-layout contract as ``catalog.load_table``."""
+    ts_dtype = dict(spark.read.parquet(f"{sf_dir}/events.parquet").dtypes).get("ts")
+    if ts_dtype == "bigint":  # legacy ns-epoch layout
+        schema = T.StructType(
+            [
+                f if f.name != "ts" else T.StructField("ts", T.LongType())
+                for f in EVENTS_SCHEMA.fields
+            ]
+        )
+        raw = spark.readStream.schema(schema).format("parquet").load(f"{sf_dir}/events.parque*")
+        # integer div: float division loses µs precision on 1.7e18 ns epochs
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     raw = spark.readStream.schema(EVENTS_SCHEMA).format("parquet").load(f"{sf_dir}/events.parque*")
     # session TZ is UTC, so NTZ → TimestampType preserves the wall clock
     return raw.withColumn("ts", F.col("ts").cast("timestamp"))

@@ -302,3 +302,71 @@ def test_connected_components_multihop_chain(spark):
     )
     got = {r["node"]: r["component"] for r in connected_components(nodes, edges).collect()}
     assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 5, 6: 5, 7: 7}
+
+
+def test_lsh_max_bucket_path_matches_minimal_band_path(spark):
+    """Pins the equivalence VERDICT r01 asked to protect: the ``max_bucket``
+    join+distinct path and the default minimal-band path produce the IDENTICAL
+    pair set whenever no bucket exceeds the cap (with a cap larger than the
+    corpus nothing can be dropped). A silent divergence between the two code
+    paths would otherwise only surface on degenerate corpora."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    kwargs = dict(num_hashes=8, bands=4, shingle_size=5, max_chars=200)
+    default_pairs = sorted(
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_candidates(docs, **kwargs).collect()
+    )
+    capped_pairs = sorted(
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_candidates(docs, max_bucket=10**9, **kwargs).collect()
+    )
+    assert default_pairs == capped_pairs and default_pairs
+
+
+def test_verify_jaccard_join_form_matches_broadcast_kernel(spark):
+    """The scale-safe relational default and the opt-in broadcast kernel must
+    agree pair-for-pair (same xxhash64 token sets, same threshold semantics)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    cands = dedup.minhash_lsh_candidates(docs, num_hashes=8, bands=4, shingle_size=5, max_chars=200)
+    join_form = sorted(
+        map(tuple, dedup.verify_jaccard_pairs(docs, cands, threshold=0.5).collect())
+    )
+    kernel_form = sorted(
+        map(
+            tuple,
+            dedup.verify_jaccard_pairs(docs, cands, threshold=0.5, small_corpus=True).collect(),
+        )
+    )
+    assert join_form == kernel_form and join_form
+
+
+def test_embedding_neardup_blocked_matches_broadcast_kernel(spark):
+    """The distributed block-pair default must reproduce the broadcast
+    kernel's exact pair set for any block count (every pair meets in exactly
+    one block-pair group)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    kernel = sorted(
+        map(tuple, similarity.embedding_neardup_pairs(emb, threshold=0.4, broadcast_kernel=True).collect())
+    )
+    for blocks in (1, 3, 8):
+        blocked = sorted(
+            map(tuple, similarity.embedding_neardup_pairs(emb, threshold=0.4, blocks=blocks).collect())
+        )
+        assert blocked == kernel
+    assert kernel
+
+
+def test_embedding_neardup_lsh_is_subset_of_exact(spark):
+    """LSH bucketing may only MISS pairs, never invent them; at a high
+    threshold near-identical vectors share most hyperplane signs, so recall
+    should be substantial."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {
+        (r["id_a"], r["id_b"]) for r in similarity.embedding_neardup_pairs(emb, threshold=0.4).collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.embedding_neardup_lsh(emb, threshold=0.4, dim=64, planes=3).collect()
+    }
+    assert approx <= exact
+    assert approx  # non-trivial at planes=3
