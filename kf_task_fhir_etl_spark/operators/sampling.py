@@ -50,6 +50,30 @@ def deterministic_split(
     )
 
 
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    fractions: dict[str, float],
+    default_frac: float = 0.0,
+) -> DataFrame:
+    """Keep a per-stratum FRACTION of rows (vs ``quota_sample``'s absolute
+    cap), deterministically: row survives iff its 16-bit md5 bucket falls
+    under ``fractions[stratum] × 65536``. The sampling analogue of
+    ``sampleBy`` with every RNG property removed — pure map-side filter,
+    zero shuffles, stable under retries/incremental ingest, and the kept set
+    of a smaller fraction is a SUBSET of a larger one (thresholds nest), so
+    down-sampling a corpus never picks different documents. Strata absent
+    from ``fractions`` get ``default_frac`` (0 → dropped)."""
+    bucket = hash_bucket(F.col(key_col))
+    thresh: Column = F.lit(int(default_frac * _SPLIT_SPACE))
+    for stratum, frac in sorted(fractions.items()):
+        thresh = F.when(F.col(strata_col) == stratum, F.lit(int(frac * _SPLIT_SPACE))).otherwise(
+            thresh
+        )
+    return df.filter(bucket < thresh)
+
+
 def quota_sample(
     df: DataFrame,
     group_col: str,
@@ -69,6 +93,40 @@ def quota_sample(
         df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= quota)
         .drop("__rn")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    group_col: str,
+    order_col: str,
+    token_col: str,
+    seq_col: str = "seq_id",
+    offset_col: str = "seq_offset",
+) -> DataFrame:
+    """Pack documents into fixed-token-budget training sequences: documents
+    are laid out in deterministic order (``order_col``) within each group
+    and assigned ``seq_id = floor(exclusive-cumulative-tokens / budget)`` —
+    the contiguous-fill packing used to build pretraining batches, where a
+    document starting before a boundary may straddle it and ``offset_col``
+    records its start position inside the sequence.
+
+    Relational by construction: one cumulative-sum window per group (a
+    single hash shuffle on the group key + per-group sort), so packing a
+    100 TB corpus is exactly as scalable as any windowed aggregate —
+    parallelism = number of groups (pack within shard/source, never one
+    global sequence), and determinism comes from the explicit order key,
+    not row arrival order. Contrast an RDD/foreachPartition packer: order-
+    dependent, retry-unstable, opaque to Catalyst."""
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col(order_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_excl = F.coalesce(F.sum(F.col(token_col)).over(w), F.lit(0))
+    return df.withColumn(seq_col, F.floor(cum_excl / F.lit(budget))).withColumn(
+        offset_col, cum_excl % F.lit(budget)
     )
 
 

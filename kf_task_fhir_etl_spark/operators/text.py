@@ -26,6 +26,26 @@ def token_count(text: Column) -> Column:
     return F.when(t.isNull() | (F.length(t) == 0), F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
 
 
+# BPE-ish tokenization: letter runs split into ≤4-char subwords, each digit
+# its own token, each non-alphanumeric symbol its own token — the same
+# greedy-left-to-right shape (and ~token-per-4-chars budget) as byte-pair
+# vocabularies, without shipping a merges table. ASCII classes + alternation
+# only, so Java regex (Spark) and RE2 (DuckDB regexp_extract_all) agree on
+# every match.
+BPE_ISH_PATTERN = r"[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\s]"
+
+
+def regex_token_count(text: Column, pattern: str = BPE_ISH_PATTERN) -> Column:
+    """BPE-ish token count: non-overlapping matches of ``pattern`` (0 for
+    null/empty). Stays in codegen via ``regexp_count`` — the budget-estimator
+    companion to the whitespace ``token_count`` (a 12-letter word costs 3
+    subword tokens here, 1 there)."""
+    t = F.trim(text)
+    return F.when(t.isNull() | (F.length(t) == 0), F.lit(0)).otherwise(
+        F.regexp_count(t, F.lit(pattern))
+    )
+
+
 def punct_ratio(text: Column) -> Column:
     """Fraction of characters that are not alphanumeric/space."""
     clean = F.regexp_replace(text, r"[A-Za-z0-9\s]", "")

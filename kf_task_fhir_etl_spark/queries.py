@@ -383,6 +383,11 @@ _CHECK_FIRST = [
     "q12_minhash_verified_pairs",
     "q15_embedding_neardup",
     "q11_minhash_lsh_candidates",
+    "q67_bpe_token_budget",
+    "q68_rolling_fingerprints",
+    "q69_stratified_sample",
+    "q70_incremental_rollup",
+    "q71_sequence_packing",
 ]
 _CHECK_LAST = [
     "q01_pricing_summary",
@@ -401,6 +406,15 @@ _CHECK_LAST = [
     "q44_customer_set_ops",
     "q46_not_exists_anti_join",
     "q48_multi_distinct_agg",
+    # r02 rotation: green in r01, siblings in-window (q39 stays in-window as
+    # the multimodal Arrow gate; q21/q53/q61 cover the window shapes; q68's
+    # rolling fingerprints subsume q20's normalize+md5 surface)
+    "q40_multimodal_frame_sample",
+    "q41_multimodal_metadata_stats",
+    "q50_window_frames",
+    "q20_fingerprint",
+    # q28 asof stays in-window; the bucketized range join rotates
+    "q29_range_join",
 ]
 
 

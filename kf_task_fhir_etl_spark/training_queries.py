@@ -1228,3 +1228,199 @@ def q66_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     8 planes leaves 0 — every bucket a singleton)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.embedding_neardup_lsh(emb, threshold=0.4, dim=64, planes=3)
+
+
+@register(
+    "q67_bpe_token_budget",
+    oracle=r"""
+    SELECT source,
+           CAST(SUM(CASE WHEN len(trim(text)) = 0 THEN 0
+                ELSE len(regexp_extract_all(trim(text),
+                         '[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\s]')) END) AS BIGINT) AS bpe_tokens,
+           CAST(SUM(CASE WHEN len(trim(text)) = 0 THEN 0
+                ELSE len(string_split_regex(trim(text), '\s+')) END) AS BIGINT) AS ws_tokens
+    FROM documents GROUP BY source ORDER BY source
+    """,
+)
+def q67_bpe_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token budgeting next to whitespace counts — the
+    corpus-costing pass of a training pipeline (subword tokens ≈ what a
+    model actually consumes; whitespace words undercount ~1.3-4×).
+    ``regexp_count`` runs the greedy ASCII pattern inside codegen; the
+    pattern uses only constructs Java regex and RE2 interpret identically,
+    so DuckDB's ``regexp_extract_all`` length is an exact oracle. Pure
+    map-side scan + one tiny aggregate shuffle — the 100 TB shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.sum(text.regex_token_count(F.col("text"))).alias("bpe_tokens"),
+            F.sum(text.token_count(F.col("text"))).alias("ws_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "q68_rolling_fingerprints",
+    oracle=r"""
+    WITH norm AS (
+      SELECT doc_id,
+             substr(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+                                        '\s+', ' ', 'g')), 1, 512) AS t
+      FROM documents
+    ), wins AS (
+      SELECT doc_id, md5(substr(t, (i - 1) * 16 + 1, 32)) AS fp
+      FROM norm, LATERAL (
+        SELECT unnest(generate_series(1,
+                 greatest(floor((len(t) - 32) / 16.0 + 1), 1)::INT)) AS i)
+    )
+    SELECT DISTINCT doc_id, fp FROM wins ORDER BY doc_id, fp
+    """,
+)
+def q68_rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style rolling fingerprints (operators/text.py::
+    rolling_fingerprints): md5 over 32-char windows of the normalized text
+    at stride 16 — the partial-overlap detection primitive (two documents
+    sharing any window hash share a 32-char run). Entirely map-side
+    (normalize + sequence + substring + md5 in codegen, explode is a
+    Generate node); the only shuffle here is the gate's orderBy. The oracle
+    recomputes every window hash via generate_series/substr; the floor()
+    mirrors Spark's double→int truncation on the window count."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            F.explode(text.rolling_fingerprints(F.col("text"), window=32, stride=16, max_chars=512)).alias("fp"),
+        )
+        .orderBy("doc_id", "fp")
+    )
+
+
+@register(
+    "q69_stratified_sample",
+    oracle="""
+    WITH sampled AS (
+      SELECT source, doc_id FROM documents
+      WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::INT % 65536 <
+            CASE source
+              WHEN 'src0' THEN 65536
+              WHEN 'src1' THEN 32768
+              WHEN 'src2' THEN 16384
+              ELSE 6553 END
+    )
+    SELECT source, COUNT(*) AS n_kept,
+           CAST(MIN(doc_id) AS BIGINT) AS first_kept
+    FROM sampled GROUP BY source ORDER BY source
+    """,
+)
+def q69_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum FRACTIONAL sampling
+    (operators/sampling.py::stratified_sample) — ``sampleBy`` with the RNG
+    removed: keep iff md5-bucket(key) < frac·2¹⁶, so the kept set is a pure
+    function of the key (retry/ingest-stable) and smaller fractions are
+    SUBSETS of larger ones (thresholds nest — re-mixing a corpus never
+    swaps documents). Zero shuffles in the sampling itself; the oracle
+    recomputes the identical bucket arithmetic. src0 keeps all, src1 half,
+    src2 a quarter, everything else 10%."""
+    from kf_task_fhir_etl_spark.operators.sampling import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    sampled = stratified_sample(
+        docs,
+        "source",
+        "doc_id",
+        fractions={"src0": 1.0, "src1": 0.5, "src2": 0.25},
+        default_frac=0.1,
+    )
+    return (
+        sampled.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"), F.min("doc_id").alias("first_kept"))
+        .orderBy("source")
+    )
+
+
+@register(
+    "q70_incremental_rollup",
+    oracle="""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS bucket_day, event_type,
+           COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+    FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q70_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate maintenance run end-to-end
+    (operators/rollup.py): the events table arrives as two arbitrary
+    batches, each is rolled up to the hour INDEPENDENTLY, the increments
+    are MERGED (counts/sums add, HLL user sketches union — the mergeable
+    replacement for non-mergeable COUNT DISTINCT), and the merged hourly
+    rollup is re-rolled to day grain WITHOUT touching raw events. The
+    oracle aggregates the raw table directly at day grain — exact agreement
+    proves merge+reroll ≡ recompute, which is the invariant that lets a
+    100 TB deployment maintain rollups incrementally forever. Sketch
+    estimates are pytest-gated (test_operators.py), not hashed — they are
+    approximate by contract."""
+    from kf_task_fhir_etl_spark.operators import rollup
+
+    ev = load_table(spark, sf_dir, "events")
+    batch_a = ev.filter(F.col("event_id") % 2 == 0)
+    batch_b = ev.filter(F.col("event_id") % 2 != 0)
+    merged_hourly = rollup.merge_rollups(
+        rollup.time_bucket_rollup(batch_a, "hour"),
+        rollup.time_bucket_rollup(batch_b, "hour"),
+    )
+    daily = rollup.reroll_to_grain(merged_hourly, "day")
+    return daily.select(
+        F.date_format("bucket", "yyyy-MM-dd").alias("bucket_day"),
+        "event_type",
+        "n",
+        F.round("sum_value", 2).alias("sum_value"),
+    ).orderBy("bucket_day", "event_type")
+
+
+@register(
+    "q71_sequence_packing",
+    oracle=r"""
+    WITH toks AS (
+      SELECT source, doc_id,
+             CASE WHEN len(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tok
+      FROM documents
+    ), packed AS (
+      SELECT source, doc_id, n_tok,
+             COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_excl
+      FROM toks)
+    SELECT source, cum_excl // 512 AS seq_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS seq_tokens,
+           CAST(MIN(cum_excl % 512) AS BIGINT) AS first_offset
+    FROM packed
+    GROUP BY source, seq_id
+    ORDER BY source, seq_id
+    """,
+)
+def q71_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining sequence packing (operators/sampling.py::pack_sequences):
+    documents fill fixed 512-token sequences contiguously per source, in
+    deterministic doc_id order — the batch-construction step between
+    tokenization and training. One cumulative-sum window per source (single
+    hash shuffle + per-group sort); the oracle recomputes the identical
+    exclusive cumsum/floor arithmetic with SQL window frames, so every
+    sequence boundary is hash-checked."""
+    from kf_task_fhir_etl_spark.operators.sampling import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    with_tokens = docs.withColumn("n_tok", text.token_count(F.col("text")))
+    packed = pack_sequences(
+        with_tokens, budget=512, group_col="source", order_col="doc_id", token_col="n_tok"
+    )
+    return (
+        packed.groupBy("source", "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("seq_tokens"),
+            F.min("seq_offset").alias("first_offset"),
+        )
+        .orderBy("source", "seq_id")
+    )

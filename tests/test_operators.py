@@ -370,3 +370,100 @@ def test_embedding_neardup_lsh_is_subset_of_exact(spark):
     }
     assert approx <= exact
     assert approx  # non-trivial at planes=3
+
+
+def test_incremental_rollup_merge_and_reroll_match_direct(spark):
+    """Mergeable-rollup invariants: (1) rollup(A) ⊎ rollup(B) ≡ rollup(A∪B)
+    — counts/sums exactly, HLL sketches register-exactly (union takes the
+    per-register max, so merged state is identical to single-pass state);
+    (2) re-rolling the stored hourly rollup to day grain ≡ day rollup of
+    raw events; (3) the sketch estimate tracks exact distinct counts."""
+    from kf_task_fhir_etl_spark.catalog import load_table
+    from kf_task_fhir_etl_spark.operators import rollup
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    a = ev.filter(F.col("event_id") % 2 == 0)
+    b = ev.filter(F.col("event_id") % 2 != 0)
+
+    def rows(df):
+        return sorted(
+            (
+                (r["bucket"], r["event_type"], r["n"], round(r["sum_value"], 4), r["approx_users"])
+                for r in rollup.finalize_rollup(df).collect()
+            ),
+        )
+
+    merged = rollup.merge_rollups(
+        rollup.time_bucket_rollup(a, "hour"), rollup.time_bucket_rollup(b, "hour")
+    )
+    assert rows(merged) == rows(rollup.time_bucket_rollup(ev, "hour"))
+
+    daily_rerolled = rollup.reroll_to_grain(merged, "day")
+    assert rows(daily_rerolled) == rows(rollup.time_bucket_rollup(ev, "day"))
+
+    exact = {
+        (r["bucket"], r["event_type"]): r["exact_users"]
+        for r in ev.groupBy(F.date_trunc("day", "ts").alias("bucket"), "event_type")
+        .agg(F.countDistinct("user_id").alias("exact_users"))
+        .collect()
+    }
+    for bucket, etype, _, _, approx in rows(daily_rerolled):
+        assert abs(approx - exact[(bucket, etype)]) <= max(3, 0.05 * exact[(bucket, etype)])
+
+
+def test_ivf_index_partition_pruning_and_parity(spark, tmp_path):
+    """The persisted IVF index must (1) reproduce brute force when every
+    list is probed, (2) reproduce the in-memory IVF operator at partial
+    nprobe (same deterministic centroids), and (3) plan the probed-list
+    filter as a PARTITION filter — unprobed inverted lists are pruned at
+    planning time, never read."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "ivf")
+    similarity.ivf_build_index(emb, path, nlist=8)
+    queries = emb.filter(F.col("vec_id") < 5)
+
+    exact = [tuple(r) for r in similarity.cosine_topk(emb, queries, k=3).collect()]
+    probe_all = [
+        tuple(r) for r in similarity.ann_ivf_topk_indexed(spark, path, queries, nprobe=8, k=3).collect()
+    ]
+    assert probe_all == exact
+
+    in_memory = [
+        tuple(r) for r in similarity.ann_ivf_topk(emb, queries, nlist=8, nprobe=2, k=3).collect()
+    ]
+    indexed = [
+        tuple(r) for r in similarity.ann_ivf_topk_indexed(spark, path, queries, nprobe=2, k=3).collect()
+    ]
+    assert indexed == in_memory
+
+    plan = (
+        similarity.ann_ivf_topk_indexed(spark, path, queries, nprobe=2, k=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan and "list_id" in plan
+
+
+def test_pack_sequences_boundaries_and_determinism(spark):
+    """Contiguous-fill packing: exclusive cumsum drives seq assignment, a
+    doc starting before a boundary straddles it (belongs to the sequence of
+    its start offset), and the assignment is invariant to input
+    partitioning/order."""
+    from kf_task_fhir_etl_spark.operators.sampling import pack_sequences
+
+    rows = [("s", i, t) for i, t in enumerate([60, 60, 60, 10, 100, 5])]
+    df = spark.createDataFrame(rows, "grp string, doc_id long, n_tok long")
+    packed = {
+        r["doc_id"]: (r["seq_id"], r["seq_offset"])
+        for r in pack_sequences(df, 100, "grp", "doc_id", "n_tok").collect()
+    }
+    # cum_excl: 0, 60, 120, 180, 190, 290
+    assert packed == {0: (0, 0), 1: (0, 60), 2: (1, 20), 3: (1, 80), 4: (1, 90), 5: (2, 90)}
+
+    shuffled = {
+        r["doc_id"]: (r["seq_id"], r["seq_offset"])
+        for r in pack_sequences(df.repartition(7).sortWithinPartitions(F.desc("n_tok")),
+                                100, "grp", "doc_id", "n_tok").collect()
+    }
+    assert shuffled == packed
