@@ -865,6 +865,125 @@ def q35_fhir_histopathology(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("target_id")
 
 
+_PT_REF = "'Patient/' || md5('patient' || '|' || pt_id)"
+
+
+@register(
+    "q74_fhir_proband_status_json",
+    oracle=f"""
+    WITH participants AS (
+      SELECT 'PT_' || c_custkey AS pt_id,
+             'SD_' || n_regionkey AS study_id,
+             CASE WHEN c_custkey % 2 = 0 THEN 'True' ELSE 'False' END AS proband
+      FROM customer JOIN nation ON c_nationkey = n_nationkey)
+    SELECT md5('proband_status' || '|' || 'http://snomed.info/sct|85900004' || '|' ||
+               {_PT_REF}) AS target_id,
+      to_json(struct_pack(
+        resourceType := 'Observation',
+        id := md5('proband_status' || '|' || 'http://snomed.info/sct|85900004' || '|' ||
+                  {_PT_REF}),
+        meta := struct_pack(
+          profile := ['http://hl7.org/fhir/StructureDefinition/Observation'],
+          tag := [struct_pack(code := study_id)]),
+        identifier := [struct_pack(
+          use := 'official',
+          system := 'https://kf-api-dataservice.kidsfirstdrc.org/participants?is_proband=',
+          value := true)],
+        status := 'final',
+        code := struct_pack(
+          coding := [struct_pack(system := 'http://snomed.info/sct', code := '85900004',
+                                 display := 'Proband (finding)')],
+          text := 'Proband status'),
+        subject := struct_pack(reference := {_PT_REF}),
+        valueCodeableConcept := struct_pack(
+          coding := [CASE WHEN proband = 'True'
+            THEN struct_pack(system := 'http://terminology.hl7.org/CodeSystem/v2-0136',
+                             code := 'Y', display := 'Yes')
+            ELSE struct_pack(system := 'http://terminology.hl7.org/CodeSystem/v2-0136',
+                             code := 'N', display := 'No') END],
+          text := proband)
+      )) AS resource_json
+    FROM participants
+    ORDER BY target_id
+    """,
+)
+def q74_fhir_proband_status_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ProbandStatus emitting byte-identical resource JSON (third full-JSON
+    builder gate after q24/q30): composite code+subject surrogate id, the
+    reproduced ``bool("False") is True`` identifier (JSON literal ``true``
+    for both probands and non-probands), and the Y/N SNOMED value coding —
+    every byte oracled, not just extracted fields."""
+    from kf_task_fhir_etl_spark.plans.narrow import build_resources_narrow
+
+    out = build_resources_narrow(_endpoint_tables(spark, sf_dir), only={"ProbandStatus"})
+    return out["ProbandStatus"].select("target_id", "resource_json").orderBy("target_id")
+
+
+@register(
+    "q75_fhir_family_json",
+    oracle="""
+    WITH members AS (
+      SELECT 'FM_' || c_nationkey AS fam_id,
+             'SD_' || n_regionkey AS study_id,
+             'fam-' || c_nationkey AS external_id,
+             list_sort(list(DISTINCT 'PT_' || c_custkey)) AS pts
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY c_nationkey, n_regionkey)
+    SELECT md5('family' || '|' || fam_id) AS target_id,
+      replace(
+        to_json(struct_pack(
+          resourceType := 'Group',
+          id := md5('family' || '|' || fam_id),
+          meta := struct_pack(
+            profile := ['http://hl7.org/fhir/StructureDefinition/Group'],
+            tag := [struct_pack(code := study_id)]),
+          identifier := [
+            struct_pack(use := 'official',
+                        system := 'https://kf-api-dataservice.kidsfirstdrc.org/families/'::VARCHAR,
+                        value := fam_id),
+            struct_pack(use := 'secondary', system := NULL::VARCHAR, value := external_id)],
+          type := 'person',
+          actual := true,
+          code := struct_pack(coding := [struct_pack(
+            system := 'http://terminology.hl7.org/CodeSystem/v3-RoleCode',
+            code := 'FAMMEMB', display := 'family member')]),
+          quantity := len(pts),
+          member := list_transform(pts, p -> struct_pack(
+            entity := struct_pack(reference := 'Patient/' || md5('patient' || '|' || p)),
+            inactive := false))
+        )),
+        '"system":null,', '') AS resource_json
+    FROM members
+    ORDER BY target_id
+    """,
+)
+def q75_fhir_family_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Family (Group) emitting byte-identical resource JSON (fourth
+    full-JSON builder gate): the A1 group-and-collect with sorted member
+    references, double identifier with null-system stripping, species→type
+    recode, and the size-gated quantity/member pair — the whole aggregated
+    resource oracled byte-for-byte, extending q26's field-extraction gate."""
+    from kf_task_fhir_etl_spark.plans.narrow import build_resources_narrow
+
+    tables = _endpoint_tables(spark, sf_dir)
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    tables["families"] = nation.select(
+        F.concat(F.lit("FM_"), F.col("n_nationkey")).alias("kf_id"),
+        F.concat(F.lit("fam-"), F.col("n_nationkey")).alias("external_id"),
+        F.lit("True").alias("visible"),
+    )
+    tables["participants"] = tables["participants"].join(
+        customer.select(
+            F.concat(F.lit("PT_"), F.col("c_custkey")).alias("kf_id"),
+            F.concat(F.lit("FM_"), F.col("c_nationkey")).alias("family_id"),
+        ),
+        on=["kf_id"],
+    )
+    out = build_resources_narrow(tables, only={"Family"})
+    return out["Family"].select("target_id", "resource_json").orderBy("target_id")
+
+
 @register(
     "q64_fhir_drs_metadata_hashes",
     oracle="""

@@ -388,6 +388,10 @@ _CHECK_FIRST = [
     "q69_stratified_sample",
     "q70_incremental_rollup",
     "q71_sequence_packing",
+    "q72_canonical_docs",
+    "q73_salted_skew_join",
+    "q74_fhir_proband_status_json",
+    "q75_fhir_family_json",
 ]
 _CHECK_LAST = [
     "q01_pricing_summary",
@@ -415,6 +419,14 @@ _CHECK_LAST = [
     "q20_fingerprint",
     # q28 asof stays in-window; the bucketized range join rotates
     "q29_range_join",
+    # q38's pipeline composes exact_dedup in-window
+    "q10_dedup_exact",
+    # q23 runs the REAL transform cascade in-window; q02's generic form rotates
+    "q02_outer_join_cascade",
+    # q11's minimal-band emission is the same banding trick; Hamming pytest'd
+    "q13_simhash",
+    # q54/q55/q56 cover the filtered join-agg-topN shapes
+    "q42_topn_shipping_priority",
 ]
 
 

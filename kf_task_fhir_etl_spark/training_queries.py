@@ -1424,3 +1424,105 @@ def q71_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "seq_id")
     )
+
+
+def _q72_oracle() -> str:
+    return (
+        _MINHASH_ORACLE_CTE
+        + f"""
+    , sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs)
+    , reach AS (
+      WITH RECURSIVE r(node, x) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.node, s.b FROM r JOIN sym s ON r.x = s.a
+      ) SELECT * FROM r)
+    , comp AS (SELECT node AS doc_id, MIN(x) AS component FROM reach GROUP BY node)
+    , scored AS (
+      SELECT c.component, d.doc_id, ({_QUALITY_SQL}) AS q
+      FROM comp c JOIN documents d ON c.doc_id = d.doc_id)
+    SELECT component, doc_id AS best_doc, n_docs FROM (
+      SELECT component, doc_id, q,
+             ROW_NUMBER() OVER (PARTITION BY component ORDER BY q DESC, doc_id ASC) AS rn,
+             COUNT(*) OVER (PARTITION BY component) AS n_docs
+      FROM scored)
+    WHERE rn = 1
+    ORDER BY component
+    """
+    )
+
+
+@register(
+    "q73_salted_skew_join",
+    oracle="""
+    WITH hot AS (
+      SELECT event_id, value,
+             CASE WHEN user_id % 10 < 7 THEN 0 ELSE user_id END AS k
+      FROM events
+    ), dim AS (
+      SELECT DISTINCT k, 'g' || (k % 5) AS label FROM hot
+    )
+    SELECT d.label, COUNT(*) AS n, ROUND(SUM(h.value), 2) AS total_value
+    FROM hot h JOIN dim d ON h.k = d.k
+    GROUP BY d.label ORDER BY d.label
+    """,
+)
+def q73_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit skew mitigation under the correctness gate: ~70% of events
+    collapse onto one hot key, and the fact⋈dim equi-join runs through
+    operators/skew.py::salted_join — the hot key's rows are spread across 8
+    deterministic salt buckets (xxhash64 of the row's own event_id, no RNG)
+    with the dim side replicated 8×, so no single task owns the hot key.
+    The oracle is the PLAIN join: salting must be invisible in the result.
+    This is the manual escape hatch for the skew AQE can't fix (broadcast-
+    ineligible dims, hot keys in aggregations after the join)."""
+    from kf_task_fhir_etl_spark.operators.skew import salted_join
+
+    ev = load_table(spark, sf_dir, "events")
+    hot = ev.select(
+        "event_id",
+        "value",
+        F.when(F.col("user_id") % 10 < 7, F.lit(0)).otherwise(F.col("user_id")).alias("k"),
+    )
+    dim = hot.select("k").distinct().withColumn(
+        "label", F.concat(F.lit("g"), (F.col("k") % 5).cast("string"))
+    )
+    return (
+        salted_join(hot, dim, key="k", salt_from="event_id", buckets=8)
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .orderBy("label")
+    )
+
+
+@register("q72_canonical_docs", oracle=_q72_oracle())
+def q72_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end deliverable of corpus dedup: duplicate CLUSTERS (q63's
+    iterative connected components over MinHash-LSH candidates) reduced to
+    one canonical representative each — the highest-quality member
+    (q18's scoring formula), not an arbitrary min-id — plus the cluster
+    size. Quality-based canonical selection is what production pipelines
+    actually ship (keep the cleanest copy, drop the boilerplate mirrors);
+    it composes components + scoring + one per-cluster window, all on the
+    cluster key, so the selection adds exactly one shuffle beyond the
+    clustering itself. The oracle recomputes components via recursive-CTE
+    closure and the identical quality doubles."""
+    docs = load_table(spark, sf_dir, "documents")
+    candidates = dedup.minhash_lsh_candidates(
+        docs, num_hashes=8, bands=4, shingle_size=5, max_chars=200
+    )
+    comp = dedup.connected_components(
+        docs.select(F.col("doc_id").alias("node")), candidates, node_col="node"
+    )
+    scored = docs.join(comp, docs["doc_id"] == comp["node"]).withColumn(
+        "q", text.quality_score(F.col("text"))
+    )
+    w = Window.partitionBy("component").orderBy(F.desc("q"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_docs", F.count(F.lit(1)).over(Window.partitionBy("component")))
+        .filter(F.col("rn") == 1)
+        .select("component", F.col("doc_id").alias("best_doc"), "n_docs")
+        .orderBy("component")
+    )

@@ -184,3 +184,22 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_pack_sequences_agg_reuses_window_partitioning(spark):
+    """Plan-shape pin for q71: the per-group cumsum window and the
+    downstream (group, seq_id) aggregate must share ONE hash exchange —
+    HashPartitioning(source) satisfies the aggregate's clustering on
+    (source, seq_id), so a second shuffle would be a planner regression."""
+    from kf_task_fhir_etl_spark.catalog import load_table
+    from kf_task_fhir_etl_spark.operators.sampling import pack_sequences
+    from kf_task_fhir_etl_spark.operators.text import token_count
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    packed = pack_sequences(
+        docs.withColumn("n_tok", token_count(F.col("text"))),
+        budget=512, group_col="source", order_col="doc_id", token_col="n_tok",
+    )
+    agg = packed.groupBy("source", "seq_id").count()
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1

@@ -193,3 +193,33 @@ def test_stream_stream_join_across_batches(spark, events_dir, tmp_path):
         .count()
     )
     assert got == want and want > 0
+
+
+def test_streaming_rollup_sink_matches_batch(spark, tmp_path):
+    """Continuous-aggregate maintenance on the streaming surface: three
+    microbatches (maxFilesPerTrigger=1 over a 3-file source) each rolled up
+    and merged into the parquet rollup store via foreachBatch must leave
+    the store IDENTICAL to a one-shot batch rollup — counts/sums exactly,
+    HLL sketch estimates register-exactly (union ≡ single pass)."""
+    from kf_task_fhir_etl_spark.catalog import load_table
+    from kf_task_fhir_etl_spark.operators import rollup
+    from kf_task_fhir_etl_spark.streaming.rollup_sink import rollup_stream
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    src = str(tmp_path / "stream_src")
+    ev.repartition(3).write.parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    store = str(tmp_path / "rollup_store")
+    q = rollup_stream(stream, store, grain="hour", checkpoint=str(tmp_path / "ckpt"))
+    q.processAllAvailable()
+    q.stop()
+
+    def rows(df):
+        return sorted(
+            (r["bucket"], r["event_type"], r["n"], round(r["sum_value"], 4), r["approx_users"])
+            for r in rollup.finalize_rollup(df).collect()
+        )
+
+    assert rows(spark.read.parquet(store)) == rows(rollup.time_bucket_rollup(ev, "hour"))
