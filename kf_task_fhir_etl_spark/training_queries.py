@@ -1282,17 +1282,16 @@ def q68_rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-style rolling fingerprints (operators/text.py::
     rolling_fingerprints): md5 over 32-char windows of the normalized text
     at stride 16 — the partial-overlap detection primitive (two documents
-    sharing any window hash share a 32-char run). Entirely map-side
-    (normalize + sequence + substring + md5 in codegen, explode is a
-    Generate node); the only shuffle here is the gate's orderBy. The oracle
-    recomputes every window hash via generate_series/substr; the floor()
-    mirrors Spark's double→int truncation on the window count."""
+    sharing any window hash share a 32-char run). Runs the codegen'd
+    explode form (``rolling_fingerprint_rows``; the interpreted array form
+    measured ~5× slower at sf0.1); the only shuffles are the per-doc
+    distinct and the gate's orderBy. The oracle recomputes every window
+    hash via generate_series/substr; the floor() mirrors Spark's
+    double→int truncation on the window count."""
     docs = load_table(spark, sf_dir, "documents")
     return (
-        docs.select(
-            "doc_id",
-            F.explode(text.rolling_fingerprints(F.col("text"), window=32, stride=16, max_chars=512)).alias("fp"),
-        )
+        text.rolling_fingerprint_rows(docs, window=32, stride=16, max_chars=512)
+        .select(F.col("id").alias("doc_id"), "fp")
         .orderBy("doc_id", "fp")
     )
 

@@ -467,3 +467,80 @@ def test_pack_sequences_boundaries_and_determinism(spark):
                                 100, "grp", "doc_id", "n_tok").collect()
     }
     assert shuffled == packed
+
+
+def test_operators_handle_degenerate_inputs(spark):
+    """Empty/degenerate inputs must produce empty (or identity) results, not
+    errors — the difference between an operator and a demo."""
+    from kf_task_fhir_etl_spark.operators import rollup
+    from kf_task_fhir_etl_spark.operators.sampling import pack_sequences, stratified_sample
+
+    docs = spark.createDataFrame([], "doc_id long, text string, source string")
+    # dedup / candidates over an empty corpus
+    assert dedup.exact_dedup(docs, ["text"], "doc_id").count() == 0
+    assert dedup.minhash_lsh_candidates(docs).count() == 0
+    # verification with empty candidate set
+    empty_pairs = spark.createDataFrame([], "id_a long, id_b long")
+    some_docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    assert dedup.verify_jaccard_pairs(some_docs, empty_pairs).count() == 0
+    # connected components with no edges → every node its own component
+    nodes = spark.createDataFrame([(1,), (2,)], "node long")
+    comps = {
+        (r["node"], r["component"])
+        for r in dedup.connected_components(nodes, empty_pairs, node_col="node").collect()
+    }
+    assert comps == {(1, 1), (2, 2)}
+    # stratified sampling: stratum absent from fractions → dropped by default
+    d2 = spark.createDataFrame([(1, "x", "keep"), (2, "y", "drop")], "doc_id long, text string, source string")
+    kept = stratified_sample(d2, "source", "doc_id", fractions={"keep": 1.0})
+    assert [r["source"] for r in kept.collect()] == ["keep"]
+    # packing an empty frame
+    empty_tok = spark.createDataFrame([], "grp string, doc_id long, n_tok long")
+    assert pack_sequences(empty_tok, 100, "grp", "doc_id", "n_tok").count() == 0
+    # merging a rollup with an EMPTY increment is the identity
+    ev = spark.createDataFrame(
+        [(1, "2024-01-01 00:10:00", 7, "click", 1.5)],
+        "event_id long, ts string, user_id long, event_type string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    base = rollup.time_bucket_rollup(ev, "hour")
+    empty_ev = ev.filter(F.lit(False))
+    merged = rollup.merge_rollups(base, rollup.time_bucket_rollup(empty_ev, "hour"))
+    want = [(r["bucket"], r["event_type"], r["n"], r["sum_value"]) for r in base.collect()]
+    got = [(r["bucket"], r["event_type"], r["n"], r["sum_value"]) for r in merged.collect()]
+    assert got == want
+
+
+def test_stratified_sample_thresholds_nest(spark):
+    """Core guarantee of deterministic fractional sampling: the kept set at
+    a smaller fraction is a SUBSET of the kept set at any larger fraction —
+    re-mixing a corpus never swaps documents in and out."""
+    from kf_task_fhir_etl_spark.operators.sampling import stratified_sample
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    kept = {}
+    for frac in (0.25, 0.5, 1.0):
+        kept[frac] = {
+            r["doc_id"]
+            for r in stratified_sample(
+                docs, "source", "doc_id", fractions={}, default_frac=frac
+            ).collect()
+        }
+    assert kept[0.25] <= kept[0.5] <= kept[1.0]
+    assert kept[1.0] == {r["doc_id"] for r in docs.collect()}
+    assert 0 < len(kept[0.25]) < len(kept[0.5]) < len(kept[1.0])
+
+
+def test_rolling_fingerprint_rows_matches_array_form(spark):
+    """The codegen'd explode form and the interpreted array form must emit
+    the identical (doc, fingerprint) set."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    array_form = {
+        (r["doc_id"], r["fp"])
+        for r in docs.select(
+            "doc_id", F.explode(text.rolling_fingerprints(F.col("text"))).alias("fp")
+        ).collect()
+    }
+    row_form = {
+        (r["id"], r["fp"]) for r in text.rolling_fingerprint_rows(docs).collect()
+    }
+    assert row_form == array_form and row_form
