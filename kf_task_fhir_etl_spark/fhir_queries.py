@@ -984,6 +984,345 @@ def q75_fhir_family_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out["Family"].select("target_id", "resource_json").orderBy("target_id")
 
 
+_RS_SNOMED = "http://snomed.info/sct"
+_RS_CANCER = (
+    f"struct_pack(system := '{_RS_SNOMED}', code := '86049000', "
+    "display := 'Malignant neoplasm, primary (morphologic abnormality)')"
+)
+_RS_BIRTH = (
+    f"struct_pack(system := '{_RS_SNOMED}', code := '276720006', "
+    "display := 'Dysmorphism (disorder)')"
+)
+_RS_COVID = (
+    f"struct_pack(system := '{_RS_SNOMED}', code := '840539006', "
+    "display := 'Disease caused by Severe acute respiratory syndrome coronavirus 2')"
+)
+
+
+@register(
+    "q76_fhir_research_study_json",
+    oracle=f"""
+    WITH studies AS (
+      SELECT r_regionkey AS r, r_name AS name,
+             CASE WHEN r_regionkey % 2 = 0
+                  THEN 'phs00' || r_regionkey || '.a.b' ELSE 'reg-' || r_regionkey END AS ext_id,
+             CASE r_regionkey % 5 WHEN 0 THEN 'CANCER' WHEN 1 THEN 'BIRTHDEFECT'
+               WHEN 2 THEN 'CANCERANDBIRTHDEFECT' WHEN 3 THEN 'COVID19'
+               ELSE 'MYSTERY' END AS domain,
+             CASE WHEN r_regionkey % 2 = 0 THEN 'KF' END AS program,
+             'SC' || r_regionkey AS short_code
+      FROM region)
+    SELECT md5('research_study' || '|' || 'SD_' || r) AS target_id,
+      replace(
+        to_json(struct_pack(
+          resourceType := 'ResearchStudy',
+          id := md5('research_study' || '|' || 'SD_' || r),
+          meta := struct_pack(
+            profile := ['http://hl7.org/fhir/StructureDefinition/ResearchStudy'],
+            tag := [struct_pack(code := 'SD_' || r)]),
+          identifier := CASE WHEN ext_id LIKE 'phs%' THEN
+              [struct_pack(use := 'official',
+                 system := 'https://kf-api-dataservice.kidsfirstdrc.org/studies/'::VARCHAR,
+                 value := 'SD_' || r),
+               struct_pack(use := 'secondary',
+                 system := 'https://www.ncbi.nlm.nih.gov/projects/gap/cgi-bin/study.cgi?study_id='::VARCHAR,
+                 value := 'phs00' || r || '.v' || r)]
+            ELSE
+              [struct_pack(use := 'official',
+                 system := 'https://kf-api-dataservice.kidsfirstdrc.org/studies/'::VARCHAR,
+                 value := 'SD_' || r)] END,
+          status := 'completed',
+          title := name,
+          category := [struct_pack(
+            coding := CASE domain
+              WHEN 'CANCER' THEN [{_RS_CANCER}]
+              WHEN 'BIRTHDEFECT' THEN [{_RS_BIRTH}]
+              WHEN 'COVID19' THEN [{_RS_COVID}]
+              WHEN 'CANCERANDBIRTHDEFECT' THEN [{_RS_CANCER}, {_RS_BIRTH}]
+              ELSE NULL END,
+            text := domain)],
+          keyword := CASE WHEN program IS NOT NULL
+            THEN [struct_pack(coding := [struct_pack(code := program)]),
+                  struct_pack(coding := [struct_pack(code := short_code)])]
+            ELSE [struct_pack(coding := [struct_pack(code := short_code)])] END
+        )),
+        '"coding":null,', '') AS resource_json
+    FROM studies
+    ORDER BY target_id
+    """,
+)
+def q76_fhir_research_study_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ResearchStudy emitting byte-identical resource JSON (fifth full-JSON
+    builder gate): dbGaP accession rebuild gated on the phs prefix, the
+    composite CANCERANDBIRTHDEFECT double coding, unmapped-domain text-only
+    category (null coding stripped), and program/short-code keyword
+    compaction — supersedes q33's field extraction with whole-resource
+    bytes."""
+    from kf_task_fhir_etl_spark.plans.narrow import build_resources_narrow
+
+    region = load_table(spark, sf_dir, "region")
+    studies = region.select(
+        F.concat(F.lit("SD_"), F.col("r_regionkey")).alias("kf_id"),
+        F.col("r_name").alias("name"),
+        F.when(
+            F.col("r_regionkey") % 2 == 0,
+            F.concat(F.lit("phs00"), F.col("r_regionkey"), F.lit(".a.b")),
+        )
+        .otherwise(F.concat(F.lit("reg-"), F.col("r_regionkey")))
+        .alias("external_id"),
+        F.concat(F.lit("v"), F.col("r_regionkey")).alias("version"),
+        F.when(F.col("r_regionkey") % 5 == 0, "CANCER")
+        .when(F.col("r_regionkey") % 5 == 1, "BIRTHDEFECT")
+        .when(F.col("r_regionkey") % 5 == 2, "CANCERANDBIRTHDEFECT")
+        .when(F.col("r_regionkey") % 5 == 3, "COVID19")
+        .otherwise("MYSTERY")
+        .alias("domain"),
+        F.when(F.col("r_regionkey") % 2 == 0, "KF").alias("program"),
+        F.concat(F.lit("SC"), F.col("r_regionkey")).alias("short_code"),
+        F.lit("True").alias("visible"),
+    )
+    out = build_resources_narrow({"studies": studies}, only={"ResearchStudy"})
+    return out["ResearchStudy"].select("target_id", "resource_json").orderBy("target_id")
+
+
+@register(
+    "q77_fhir_disease_json",
+    oracle="""
+    WITH diagnoses AS (
+      SELECT 'DG_' || o_orderkey AS dg_id,
+             'PT_' || o_custkey AS pt_id,
+             o_orderpriority AS name,
+             CASE WHEN o_orderkey % 5 = 0 THEN 'not-a-number'
+                  ELSE (o_orderkey % 3650)::VARCHAR END AS age_raw,
+             CASE WHEN o_orderstatus = 'O' THEN 'MONDO:0005072'
+                  WHEN o_orderstatus = 'P' THEN 'Not Reported' END AS mondo_raw,
+             (SELECT 'SD_' || n_regionkey FROM customer JOIN nation ON c_nationkey = n_nationkey
+              WHERE c_custkey = o_custkey) AS study_id
+      FROM orders)
+    SELECT md5('disease' || '|' || dg_id) AS target_id,
+      replace(replace(replace(replace(replace(replace(replace(
+        to_json(struct_pack(
+          resourceType := 'Condition',
+          id := md5('disease' || '|' || dg_id),
+          meta := struct_pack(
+            profile := ['https://nih-ncpi.github.io/ncpi-fhir-ig/StructureDefinition/disease'],
+            tag := [struct_pack(code := study_id)]),
+          identifier := [struct_pack(use := 'official',
+            system := 'https://kf-api-dataservice.kidsfirstdrc.org/diagnoses/'::VARCHAR,
+            value := dg_id)],
+          clinicalStatus := struct_pack(
+            coding := [struct_pack(system := 'http://terminology.hl7.org/CodeSystem/condition-clinical',
+                                   code := 'active', display := 'Active')],
+            text := 'Active'),
+          category := [struct_pack(coding := [struct_pack(
+            system := 'http://terminology.hl7.org/CodeSystem/condition-category',
+            code := 'encounter-diagnosis', display := 'Encounter Diagnosis')])],
+          subject := struct_pack(reference := 'Patient/' || md5('patient' || '|' || pt_id)),
+          verificationStatus := NULL::JSON,
+          code := struct_pack(
+            coding := CASE WHEN mondo_raw IS NOT NULL AND mondo_raw NOT IN
+                ('Cannot Collect','No Match','Not Able to Provide','Not Available',
+                 'Not Applicable','Not Reported','Other','Unknown')
+              THEN [struct_pack(system := 'http://purl.obolibrary.org/obo/mondo.owl',
+                                code := mondo_raw)] END,
+            text := name),
+          bodySite := NULL::JSON,
+          "_recordedDate" := CASE WHEN TRY_CAST(age_raw AS INTEGER) IS NOT NULL THEN
+            struct_pack(extension := [struct_pack(
+              extension := [
+                struct_pack(url := 'event',
+                  valueCodeableConcept := struct_pack(coding := [struct_pack(
+                    system := 'http://snomed.info/sct', code := '3950001', display := 'Birth')]),
+                  valueCode := NULL::VARCHAR,
+                  valueDuration := NULL::STRUCT(value INTEGER, unit VARCHAR, system VARCHAR, code VARCHAR)),
+                struct_pack(url := 'relationship',
+                  valueCodeableConcept := NULL::STRUCT(coding STRUCT(system VARCHAR, code VARCHAR, display VARCHAR)[]),
+                  valueCode := 'after'::VARCHAR,
+                  valueDuration := NULL::STRUCT(value INTEGER, unit VARCHAR, system VARCHAR, code VARCHAR)),
+                struct_pack(url := 'offset',
+                  valueCodeableConcept := NULL::STRUCT(coding STRUCT(system VARCHAR, code VARCHAR, display VARCHAR)[]),
+                  valueCode := NULL::VARCHAR,
+                  valueDuration := struct_pack(value := TRY_CAST(age_raw AS INTEGER),
+                                               unit := 'day', system := 'http://unitsofmeasure.org', code := 'd'))],
+              url := 'http://hl7.org/fhir/StructureDefinition/relative-date')])
+          END
+        )),
+        ',"_recordedDate":null', ''),
+        ',"bodySite":null', ''),
+        '"verificationStatus":null,', ''),
+        ',"valueDuration":null', ''),
+        ',"valueCode":null', ''),
+        '"valueCodeableConcept":null,', ''),
+        '"coding":null,', '') AS resource_json
+    FROM diagnoses
+    ORDER BY target_id
+    """,
+)
+def q77_fhir_disease_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disease (Condition) emitting byte-identical resource JSON (sixth
+    full-JSON builder gate): ontology coding gated by missing-data
+    sentinels, constant clinicalStatus/category blocks, and the C6
+    birth-relative `_recordedDate` extension with swallowed age casts —
+    whole-resource bytes extending q25's field extraction."""
+    from kf_task_fhir_etl_spark.plans.narrow import build_resources_narrow
+
+    out = build_resources_narrow(_diagnosis_tables(spark, sf_dir), only={"Disease"})
+    return out["Disease"].select("target_id", "resource_json").orderBy("target_id")
+
+
+@register(
+    "q78_fhir_family_relationship_json",
+    oracle="""
+    WITH frs AS (
+      SELECT 'FR_' || o_orderkey AS fr_id,
+             'PT_' || o_custkey AS p1,
+             'PX_' || o_custkey AS p2,
+             CASE o_orderkey % 6 WHEN 0 THEN 'Father' WHEN 1 THEN 'Mother'
+               WHEN 2 THEN 'Brother' WHEN 3 THEN 'Aunt'
+               WHEN 4 THEN 'Alien Buddy' END AS relation
+      FROM orders)
+    SELECT md5('family_relationship' || '|' || fr_id) AS target_id,
+      replace(replace(
+        to_json(struct_pack(
+          resourceType := 'Observation',
+          id := md5('family_relationship' || '|' || fr_id),
+          meta := struct_pack(
+            profile := ['https://nih-ncpi.github.io/ncpi-fhir-ig/StructureDefinition/family-relationship']),
+          identifier := [struct_pack(use := 'official',
+            system := 'https://kf-api-dataservice.kidsfirstdrc.org/family-relationships/'::VARCHAR,
+            value := fr_id)],
+          status := 'final',
+          code := struct_pack(
+            coding := [struct_pack(system := 'http://terminology.hl7.org/CodeSystem/v3-RoleCode',
+                                   code := 'FAMMEMB', display := 'family member')],
+            text := 'Family Relationship'),
+          subject := struct_pack(reference := 'Patient/' || md5('patient' || '|' || p1)),
+          focus := [struct_pack(reference := 'Patient/' || md5('patient' || '|' || p2))],
+          valueCodeableConcept := CASE WHEN relation IS NOT NULL THEN struct_pack(
+            coding := CASE relation
+              WHEN 'Father' THEN [struct_pack(system := 'http://terminology.hl7.org/CodeSystem/v3-RoleCode', code := 'FTH', display := 'father')]
+              WHEN 'Mother' THEN [struct_pack(system := 'http://terminology.hl7.org/CodeSystem/v3-RoleCode', code := 'MTH', display := 'mother')]
+              WHEN 'Brother' THEN [struct_pack(system := 'http://terminology.hl7.org/CodeSystem/v3-RoleCode', code := 'BRO', display := 'brother')]
+              WHEN 'Aunt' THEN [struct_pack(system := 'http://terminology.hl7.org/CodeSystem/v3-RoleCode', code := 'AUNT', display := 'aunt')]
+              ELSE NULL END,
+            text := relation) END
+        )),
+        ',"valueCodeableConcept":null', ''),
+        '"coding":null,', '') AS resource_json
+    FROM frs
+    ORDER BY target_id
+    """,
+)
+def q78_fhir_family_relationship_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FamilyRelationship emitting byte-identical resource JSON (seventh
+    full-JSON builder gate): the separate (non-wide) FR table, double
+    Patient reference resolution, the v3-RoleCode recode with unmapped →
+    text-only and null → absent concept, and the deliberately tag-less meta
+    (the reference reads a column its own rename map never produces —
+    documented deviation) — whole-resource bytes extending q32."""
+    from kf_task_fhir_etl_spark.plans.narrow import build_resources_narrow
+
+    orders = load_table(spark, sf_dir, "orders")
+    frs = orders.select(
+        F.concat(F.lit("FR_"), F.col("o_orderkey")).alias("kf_id"),
+        F.concat(F.lit("PT_"), F.col("o_custkey")).alias("participant1_id"),
+        F.concat(F.lit("PX_"), F.col("o_custkey")).alias("participant2_id"),
+        F.when(F.col("o_orderkey") % 6 == 0, "Father")
+        .when(F.col("o_orderkey") % 6 == 1, "Mother")
+        .when(F.col("o_orderkey") % 6 == 2, "Brother")
+        .when(F.col("o_orderkey") % 6 == 3, "Aunt")
+        .when(F.col("o_orderkey") % 6 == 4, "Alien Buddy")
+        .alias("participant1_to_participant2_relation"),
+        F.lit("True").alias("visible"),
+    )
+    tables = _endpoint_tables(spark, sf_dir)
+    tables["family-relationships"] = frs
+    out = build_resources_narrow(tables, only={"FamilyRelationship"})
+    return out["FamilyRelationship"].select("target_id", "resource_json").orderBy("target_id")
+
+
+@register(
+    "q79_fhir_histopathology_json",
+    oracle="""
+    WITH base AS (
+      SELECT 'BD_' || o_orderkey AS bd_id,
+             'DG_' || o_orderkey AS dg_id,
+             'BS_' || o_orderkey AS bs_id,
+             'PT_' || o_custkey AS pt_id,
+             CASE o_orderkey % 4 WHEN 0 THEN 'Primary Tumor' WHEN 1 THEN 'Metastatic'
+               WHEN 2 THEN 'Not Reported' END AS descriptor,
+             (SELECT 'SD_' || n_regionkey FROM customer JOIN nation ON c_nationkey = n_nationkey
+              WHERE c_custkey = o_custkey) AS study_id
+      FROM orders)
+    SELECT md5('histopathology' || '|' || bd_id) AS target_id,
+      replace(
+        to_json(struct_pack(
+          resourceType := 'Observation',
+          id := md5('histopathology' || '|' || bd_id),
+          meta := struct_pack(
+            profile := ['http://hl7.org/fhir/StructureDefinition/Observation'],
+            tag := [struct_pack(code := study_id)]),
+          identifier := [struct_pack(use := 'official',
+            system := 'https://kf-api-dataservice.kidsfirstdrc.org/biospecimen-diagnoses/'::VARCHAR,
+            value := bd_id)],
+          status := 'final',
+          category := [struct_pack(
+            coding := [struct_pack(system := 'http://terminology.hl7.org/CodeSystem/observation-category',
+                                   code := 'laboratory', display := 'Laboratory')],
+            text := 'Histopathology')],
+          code := struct_pack(
+            coding := [struct_pack(system := 'http://snomed.info/sct',
+                                   code := '250537006', display := 'Histopathology finding (finding)')],
+            text := 'Histopathology'),
+          subject := struct_pack(reference := 'Patient/' || md5('patient' || '|' || pt_id)),
+          focus := [struct_pack(reference := 'Condition/' || md5('disease' || '|' || dg_id))],
+          specimen := struct_pack(reference := 'Specimen/' || md5('specimen' || '|' || bs_id)),
+          valueCodeableConcept := CASE WHEN descriptor IS NOT NULL AND descriptor NOT IN
+              ('N/A','Not Applicable','Not Available','Not Reported','Unavailable','Unknown')
+            THEN struct_pack(text := descriptor) END
+        )),
+        ',"valueCodeableConcept":null', '') AS resource_json
+    FROM base
+    ORDER BY target_id
+    """,
+)
+def q79_fhir_histopathology_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histopathology emitting byte-identical resource JSON (eighth
+    full-JSON builder gate): the 3-way Patient/Condition/Specimen reference
+    resolution through the biospecimen-diagnosis link join, the laboratory
+    category block, and the variant missing-data sentinel set on the tumor
+    descriptor (text-only concept) — whole-resource bytes extending q35."""
+    from kf_task_fhir_etl_spark.plans.narrow import build_resources_narrow
+
+    orders = load_table(spark, sf_dir, "orders")
+    diagnoses = orders.select(
+        F.concat(F.lit("DG_"), F.col("o_orderkey")).alias("kf_id"),
+        F.concat(F.lit("PT_"), F.col("o_custkey")).alias("participant_id"),
+        F.lit("True").alias("visible"),
+    )
+    biospecimens = orders.select(
+        F.concat(F.lit("BS_"), F.col("o_orderkey")).alias("kf_id"),
+        F.concat(F.lit("PT_"), F.col("o_custkey")).alias("participant_id"),
+        F.when(F.col("o_orderkey") % 4 == 0, "Primary Tumor")
+        .when(F.col("o_orderkey") % 4 == 1, "Metastatic")
+        .when(F.col("o_orderkey") % 4 == 2, "Not Reported")
+        .alias("source_text_tumor_descriptor"),
+        F.lit("True").alias("visible"),
+    )
+    bds = orders.select(
+        F.concat(F.lit("BD_"), F.col("o_orderkey")).alias("kf_id"),
+        F.concat(F.lit("DG_"), F.col("o_orderkey")).alias("diagnosis_id"),
+        F.concat(F.lit("BS_"), F.col("o_orderkey")).alias("biospecimen_id"),
+        F.lit("True").alias("visible"),
+    )
+    tables = _endpoint_tables(spark, sf_dir)
+    tables["diagnoses"] = diagnoses
+    tables["biospecimens"] = biospecimens
+    tables["biospecimen-diagnoses"] = bds
+    out = build_resources_narrow(tables, only={"Histopathology"})
+    return out["Histopathology"].select("target_id", "resource_json").orderBy("target_id")
+
+
 @register(
     "q64_fhir_drs_metadata_hashes",
     oracle="""

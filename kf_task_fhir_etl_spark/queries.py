@@ -392,6 +392,10 @@ _CHECK_FIRST = [
     "q73_salted_skew_join",
     "q74_fhir_proband_status_json",
     "q75_fhir_family_json",
+    "q76_fhir_research_study_json",
+    "q77_fhir_disease_json",
+    "q78_fhir_family_relationship_json",
+    "q79_fhir_histopathology_json",
 ]
 _CHECK_LAST = [
     "q01_pricing_summary",
@@ -427,6 +431,11 @@ _CHECK_LAST = [
     "q13_simhash",
     # q54/q55/q56 cover the filtered join-agg-topN shapes
     "q42_topn_shipping_priority",
+    # superseded by their byte-identical full-JSON gates (q76/q74/q78/q75)
+    "q33_fhir_research_study",
+    "q34_fhir_proband_status",
+    "q32_fhir_family_relationship",
+    "q26_fhir_family_groups",
 ]
 
 
