@@ -1324,6 +1324,639 @@ def q79_fhir_histopathology_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q80_fhir_phenotype_json",
+    oracle="""
+    WITH phens AS (
+      SELECT 'PH_' || o_orderkey AS ph_id,
+             'PT_' || o_custkey AS pt_id,
+             o_orderpriority AS name,
+             CASE o_orderkey % 3 WHEN 0 THEN 'Positive' WHEN 1 THEN 'Negative' END AS observed,
+             CASE o_orderkey % 4 WHEN 0 THEN 'HP:0001250' WHEN 1 THEN 'Not Reported' END AS hpo_raw,
+             CASE WHEN o_orderkey % 5 = 0 THEN '271594007' END AS snomed_raw,
+             CASE WHEN o_orderkey % 7 = 0 THEN 'bad-age'
+                  ELSE (o_orderkey % 3650)::VARCHAR END AS age_raw,
+             (SELECT 'SD_' || n_regionkey FROM customer JOIN nation ON c_nationkey = n_nationkey
+              WHERE c_custkey = o_custkey) AS study_id
+      FROM orders)
+    SELECT md5('phenotype' || '|' || ph_id) AS target_id,
+      replace(replace(replace(replace(replace(replace(
+        to_json(struct_pack(
+          resourceType := 'Condition',
+          id := md5('phenotype' || '|' || ph_id),
+          meta := struct_pack(
+            profile := ['https://nih-ncpi.github.io/ncpi-fhir-ig/StructureDefinition/phenotype'],
+            tag := [struct_pack(code := study_id)]),
+          identifier := [struct_pack(use := 'official',
+            system := 'https://kf-api-dataservice.kidsfirstdrc.org/phenotypes/'::VARCHAR,
+            value := ph_id)],
+          subject := struct_pack(reference := 'Patient/' || md5('patient' || '|' || pt_id)),
+          verificationStatus := struct_pack(
+            coding := CASE observed
+              WHEN 'Positive' THEN [struct_pack(system := 'http://terminology.hl7.org/CodeSystem/condition-ver-status',
+                                                code := 'confirmed', display := 'Confirmed')]
+              WHEN 'Negative' THEN [struct_pack(system := 'http://terminology.hl7.org/CodeSystem/condition-ver-status',
+                                                code := 'refuted', display := 'Refuted')]
+              ELSE NULL END,
+            text := observed),
+          code := struct_pack(
+            coding := CASE
+              WHEN hpo_raw = 'HP:0001250' AND snomed_raw IS NOT NULL
+                THEN [struct_pack(system := 'http://purl.obolibrary.org/obo/hp.owl', code := hpo_raw),
+                      struct_pack(system := 'http://snomed.info/sct', code := snomed_raw)]
+              WHEN hpo_raw = 'HP:0001250'
+                THEN [struct_pack(system := 'http://purl.obolibrary.org/obo/hp.owl', code := hpo_raw)]
+              WHEN snomed_raw IS NOT NULL
+                THEN [struct_pack(system := 'http://snomed.info/sct', code := snomed_raw)]
+              ELSE NULL END,
+            text := name),
+          "_recordedDate" := CASE WHEN TRY_CAST(age_raw AS INTEGER) IS NOT NULL THEN
+            struct_pack(extension := [struct_pack(
+              extension := [
+                struct_pack(url := 'event',
+                  valueCodeableConcept := struct_pack(coding := [struct_pack(
+                    system := 'http://snomed.info/sct', code := '3950001', display := 'Birth')]),
+                  valueCode := NULL::VARCHAR,
+                  valueDuration := NULL::STRUCT(value INTEGER, unit VARCHAR, system VARCHAR, code VARCHAR)),
+                struct_pack(url := 'relationship',
+                  valueCodeableConcept := NULL::STRUCT(coding STRUCT(system VARCHAR, code VARCHAR, display VARCHAR)[]),
+                  valueCode := 'after'::VARCHAR,
+                  valueDuration := NULL::STRUCT(value INTEGER, unit VARCHAR, system VARCHAR, code VARCHAR)),
+                struct_pack(url := 'offset',
+                  valueCodeableConcept := NULL::STRUCT(coding STRUCT(system VARCHAR, code VARCHAR, display VARCHAR)[]),
+                  valueCode := NULL::VARCHAR,
+                  valueDuration := struct_pack(value := TRY_CAST(age_raw AS INTEGER),
+                                               unit := 'day', system := 'http://unitsofmeasure.org', code := 'd'))],
+              url := 'http://hl7.org/fhir/StructureDefinition/relative-date')])
+          END
+        )),
+        ',"_recordedDate":null', ''),
+        ',"valueDuration":null', ''),
+        ',"valueCode":null', ''),
+        '"valueCodeableConcept":null,', ''),
+        '"coding":null,', ''),
+        '"text":null', '') AS resource_json
+    FROM phens
+    ORDER BY target_id
+    """,
+)
+def q80_fhir_phenotype_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phenotype (Condition) emitting byte-identical resource JSON (ninth
+    full-JSON builder gate): the Positive/Negative→confirmed/refuted
+    verification recode emitted UNCONDITIONALLY (null observed serializes
+    the reference's bare `{}` concept), HPO + SNOMED codings behind
+    missing-data sentinels (both/either/neither variants), and the
+    birth-relative `_recordedDate` extension."""
+    from kf_task_fhir_etl_spark.plans.narrow import build_resources_narrow
+
+    orders = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    phenotypes = orders.select(
+        F.concat(F.lit("PH_"), k).alias("kf_id"),
+        F.concat(F.lit("PT_"), F.col("o_custkey")).alias("participant_id"),
+        F.col("o_orderpriority").alias("source_text_phenotype"),
+        F.when(k % 3 == 0, "Positive").when(k % 3 == 1, "Negative").alias("observed"),
+        F.when(k % 4 == 0, "HP:0001250").when(k % 4 == 1, "Not Reported").alias("hpo_id_phenotype"),
+        F.when(k % 5 == 0, "271594007").alias("snomed_id_phenotype"),
+        F.when(k % 7 == 0, F.lit("bad-age")).otherwise((k % 3650).cast("string")).alias("age_at_event_days"),
+        F.lit("True").alias("visible"),
+    )
+    tables = _endpoint_tables(spark, sf_dir)
+    tables["phenotypes"] = phenotypes
+    out = build_resources_narrow(tables, only={"Phenotype"})
+    return out["Phenotype"].select("target_id", "resource_json").orderBy("target_id")
+
+
+@register(
+    "q81_fhir_research_subject_json",
+    oracle="""
+    WITH participants AS (
+      SELECT 'PT_' || c_custkey AS pt_id,
+             'SD_' || n_regionkey AS study_id,
+             'cust-' || c_custkey AS external_id
+      FROM customer JOIN nation ON c_nationkey = n_nationkey),
+    keyed AS (
+      SELECT *,
+        md5('research_subject' || '|' ||
+            'ResearchStudy/' || md5('research_study' || '|' || study_id) || '|' ||
+            'Patient/' || md5('patient' || '|' || pt_id)) AS rs_id
+      FROM participants)
+    SELECT rs_id AS target_id,
+      replace(
+        to_json(struct_pack(
+          resourceType := 'ResearchSubject',
+          id := rs_id,
+          meta := struct_pack(
+            profile := ['http://hl7.org/fhir/StructureDefinition/ResearchSubject'],
+            tag := [struct_pack(code := study_id)]),
+          identifier := [
+            struct_pack(use := 'official',
+              system := 'https://kf-api-dataservice.kidsfirstdrc.org/participants/'::VARCHAR,
+              value := pt_id),
+            struct_pack(use := 'secondary', system := NULL::VARCHAR, value := external_id)],
+          status := 'off-study',
+          study := struct_pack(reference := 'ResearchStudy/' || md5('research_study' || '|' || study_id)),
+          individual := struct_pack(reference := 'Patient/' || md5('patient' || '|' || pt_id))
+        )),
+        '"system":null,', '') AS resource_json
+    FROM keyed
+    ORDER BY target_id
+    """,
+)
+def q81_fhir_research_subject_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ResearchSubject emitting byte-identical resource JSON (tenth
+    full-JSON builder gate): the composite study+individual surrogate key
+    built from the inline reference strings themselves — the purest
+    demonstration that deterministic IDs replace the reference's
+    re-entrant target-ID lookups (research_subject.py:24-31)."""
+    from kf_task_fhir_etl_spark.plans.narrow import build_resources_narrow
+
+    out = build_resources_narrow(_endpoint_tables(spark, sf_dir), only={"ResearchSubject"})
+    return out["ResearchSubject"].select("target_id", "resource_json").orderBy("target_id")
+
+
+@register(
+    "q82_fhir_reference_entities_json",
+    oracle="""
+    WITH inv AS (
+      SELECT 'IV_' || s_suppkey AS iv,
+             'inv-' || s_suppkey AS ext,
+             CASE WHEN s_suppkey % 3 <> 0 THEN s_name END AS pname,
+             CASE WHEN s_suppkey % 2 = 0 THEN 'Institute ' || (s_suppkey % 7) END AS inst
+      FROM supplier),
+    prac AS (
+      SELECT md5('practitioner' || '|' || iv) AS target_id,
+        replace(replace(
+          to_json(struct_pack(
+            resourceType := 'Practitioner',
+            id := md5('practitioner' || '|' || iv),
+            meta := struct_pack(profile := ['http://hl7.org/fhir/StructureDefinition/Practitioner']),
+            identifier := [
+              struct_pack(use := 'official',
+                system := 'https://kf-api-dataservice.kidsfirstdrc.org/investigators/'::VARCHAR,
+                value := iv),
+              struct_pack(use := 'secondary', system := NULL::VARCHAR, value := ext)],
+            active := true,
+            name := CASE WHEN pname IS NOT NULL THEN [struct_pack(text := pname)] END
+          )),
+          '"system":null,', ''), ',"name":null', '') AS resource_json
+      FROM inv),
+    org AS (
+      SELECT md5('organization' || '|' || iv) AS target_id,
+        replace(
+          to_json(struct_pack(
+            resourceType := 'Organization',
+            id := md5('organization' || '|' || iv),
+            meta := struct_pack(profile := ['http://hl7.org/fhir/StructureDefinition/Organization']),
+            identifier := [struct_pack(use := 'official',
+              system := 'https://kf-api-dataservice.kidsfirstdrc.org/investigators/'::VARCHAR,
+              value := iv)],
+            active := true,
+            name := inst
+          )),
+          ',"name":null', '') AS resource_json
+      FROM inv),
+    role AS (
+      SELECT md5('practitioner_role' || '|' ||
+                 'Practitioner/' || md5('practitioner' || '|' || iv) || '|' ||
+                 'Organization/' || md5('organization' || '|' || iv)) AS target_id,
+        replace(
+          to_json(struct_pack(
+            resourceType := 'PractitionerRole',
+            id := md5('practitioner_role' || '|' ||
+                      'Practitioner/' || md5('practitioner' || '|' || iv) || '|' ||
+                      'Organization/' || md5('organization' || '|' || iv)),
+            meta := struct_pack(profile := ['http://hl7.org/fhir/StructureDefinition/PractitionerRole']),
+            identifier := [
+              struct_pack(use := 'official',
+                system := 'https://kf-api-dataservice.kidsfirstdrc.org/investigators/'::VARCHAR,
+                value := iv),
+              struct_pack(use := 'secondary', system := NULL::VARCHAR, value := ext)],
+            active := true,
+            practitioner := struct_pack(reference := 'Practitioner/' || md5('practitioner' || '|' || iv)),
+            organization := struct_pack(reference := 'Organization/' || md5('organization' || '|' || iv)),
+            code := [struct_pack(coding := [struct_pack(
+              system := 'http://terminology.hl7.org/CodeSystem/practitioner-role',
+              code := 'researcher', display := 'Researcher')])]
+          )),
+          '"system":null,', '') AS resource_json
+      FROM inv),
+    scs AS (
+      SELECT DISTINCT
+        CASE o_orderkey % 6 WHEN 0 THEN 'SC_DGDDMBVV' WHEN 1 THEN 'SC_X1N69WJM'
+          WHEN 2 THEN 'SC_K52V7463' WHEN 3 THEN 'SC_WWEQ9HFY'
+          WHEN 4 THEN 'SC_FN7NH453' ELSE 'SC_UNKNOWN' END AS sc
+      FROM orders),
+    seqc AS (
+      SELECT md5('sequencing_center' || '|' || sc) AS target_id,
+        replace(
+          to_json(struct_pack(
+            resourceType := 'Organization',
+            id := md5('sequencing_center' || '|' || sc),
+            meta := struct_pack(profile := ['http://hl7.org/fhir/StructureDefinition/Organization']),
+            identifier := [struct_pack(use := 'official',
+              system := 'https://kf-api-dataservice.kidsfirstdrc.org/sequencing-centers/'::VARCHAR,
+              value := sc)],
+            name := CASE sc WHEN 'SC_DGDDMBVV' THEN 'Broad Institute'
+              WHEN 'SC_X1N69WJM' THEN 'Baylor College of Medicine'
+              WHEN 'SC_K52V7463' THEN 'Washington University'
+              WHEN 'SC_WWEQ9HFY' THEN 'HudsonAlpha Institute for Biotechnology'
+              WHEN 'SC_FN7NH453' THEN 'St Jude Children''s Research Hospital' END
+          )),
+          ',"name":null', '') AS resource_json
+      FROM scs)
+    SELECT * FROM prac UNION ALL SELECT * FROM org
+    UNION ALL SELECT * FROM role UNION ALL SELECT * FROM seqc
+    ORDER BY target_id
+    """,
+)
+def q82_fhir_reference_entities_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The four reference-entity builders emitting byte-identical resource
+    JSON in one gate: Practitioner (optional name array), Organization
+    (nullable institution name), PractitionerRole (composite
+    practitioner+organization surrogate key, double inline references,
+    researcher coding), and SequencingCenter (KF_ID→name recode with
+    unmapped → nameless Organization, deduped by finalize from the
+    biospecimen fan-out). With these, 14 of the 16 builders are held to
+    whole-resource byte parity."""
+    from kf_task_fhir_etl_spark.plans.narrow import build_resources_narrow
+
+    supplier = load_table(spark, sf_dir, "supplier")
+    s = F.col("s_suppkey")
+    investigators = supplier.select(
+        F.concat(F.lit("IV_"), s).alias("kf_id"),
+        F.concat(F.lit("inv-"), s).alias("external_id"),
+        F.when(s % 3 != 0, F.col("s_name")).alias("name"),
+        F.when(s % 2 == 0, F.concat(F.lit("Institute "), (s % 7).cast("string"))).alias("institution"),
+        F.lit("True").alias("visible"),
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    biospecimens = orders.select(
+        F.concat(F.lit("BS_"), k).alias("kf_id"),
+        F.concat(F.lit("PT_"), F.col("o_custkey")).alias("participant_id"),
+        F.when(k % 6 == 0, "SC_DGDDMBVV")
+        .when(k % 6 == 1, "SC_X1N69WJM")
+        .when(k % 6 == 2, "SC_K52V7463")
+        .when(k % 6 == 3, "SC_WWEQ9HFY")
+        .when(k % 6 == 4, "SC_FN7NH453")
+        .otherwise("SC_UNKNOWN")
+        .alias("sequencing_center_id"),
+        F.lit("True").alias("visible"),
+    )
+    tables = _endpoint_tables(spark, sf_dir)
+    tables["investigators"] = investigators
+    tables["biospecimens"] = biospecimens
+    out = build_resources_narrow(
+        tables, only={"Practitioner", "Organization", "PractitionerRole", "SequencingCenter"}
+    )
+    union = None
+    for target in ("Practitioner", "Organization", "PractitionerRole", "SequencingCenter"):
+        part = out[target].select("target_id", "resource_json")
+        union = part if union is None else union.unionByName(part)
+    return union.orderBy("target_id")
+
+
+@register(
+    "q83_fhir_specimen_json",
+    oracle="""
+    WITH m AS (
+      SELECT o_orderkey AS k,
+             'BS_' || o_orderkey AS bs_id,
+             'PT_' || o_custkey AS pt_id,
+             CASE WHEN o_orderkey % 8 = 0 THEN 'GRU' END AS consent,
+             CASE WHEN o_orderkey % 8 IN (0, 1) THEN 'phs-c1' END AS dbgap,
+             CASE WHEN o_orderkey % 2 = 0 THEN 'samp-' || o_orderkey END AS sample_id,
+             CASE WHEN o_orderkey % 3 = 0 THEN 'aliq-' || o_orderkey END AS aliquot_id,
+             CASE WHEN o_orderkey % 2 = 0 THEN 'Tumor Tissue' END AS tissue_text,
+             CASE o_orderkey % 4 WHEN 0 THEN 'Blood' WHEN 1 THEN 'Saliva'
+               WHEN 2 THEN 'Tissue FFPE' ELSE 'Mystery Goo' END AS comp,
+             CASE o_orderkey % 3 WHEN 0 THEN 'DNA' WHEN 1 THEN 'RNA' ELSE 'Other' END AS analyte,
+             CASE WHEN o_orderkey % 5 = 0 THEN 'NCIT:C14165'
+                  WHEN o_orderkey % 5 = 1 THEN 'Tumor' END AS ncit_tissue,
+             CASE WHEN o_orderkey % 7 = 0 THEN 'not-a-number'
+                  ELSE (o_orderkey % 3650)::VARCHAR END AS age_raw,
+             CASE WHEN o_orderkey % 6 = 0 THEN 'not-a-volume'
+                  ELSE (o_totalprice)::VARCHAR END AS vol_raw,
+             CASE WHEN o_orderkey % 7 = 0 THEN 'Blood Draw'
+                  WHEN o_orderkey % 7 = 1 THEN 'Strange Harvest' END AS method_text,
+             CASE WHEN o_orderkey % 3 = 0 THEN 'Brain' END AS site_text,
+             CASE o_orderkey % 3 WHEN 0 THEN 'UBERON:0002101'
+               WHEN 1 THEN 'EFO:0000001' ELSE 'XYZ:9' END AS uberon,
+             CASE WHEN o_orderkey % 4 = 0 THEN 'NCIT:C12439'
+                  WHEN o_orderkey % 4 = 1 THEN 'C12439' END AS ncit_site,
+             (SELECT 'SD_' || n_regionkey FROM customer JOIN nation ON c_nationkey = n_nationkey
+              WHERE c_custkey = o_custkey) AS study_id
+      FROM orders),
+    coded AS (
+      SELECT *,
+        CASE comp WHEN 'Blood' THEN struct_pack(system := 'http://purl.obolibrary.org/obo/ncit.owl', code := 'C17610', display := 'Blood Sample')
+          WHEN 'Saliva' THEN struct_pack(system := 'http://purl.obolibrary.org/obo/ncit.owl', code := 'C174119', display := 'Saliva Sample')
+          WHEN 'Tissue FFPE' THEN struct_pack(system := 'http://purl.obolibrary.org/obo/ncit.owl', code := 'C172265', display := 'Formalin-Fixed Paraffin-Embedded Tissue Sample')
+          ELSE NULL END AS comp_coding,
+        CASE analyte WHEN 'DNA' THEN struct_pack(system := 'http://purl.obolibrary.org/obo/obi.owl', code := 'OBI:0001051', display := 'DNA extract')
+          WHEN 'RNA' THEN struct_pack(system := 'http://purl.obolibrary.org/obo/obi.owl', code := 'OBI:0000880', display := 'RNA extract')
+          ELSE NULL END AS an_coding
+      FROM m)
+    SELECT md5('specimen' || '|' || bs_id) AS target_id,
+      replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(
+        to_json(struct_pack(
+          resourceType := 'Specimen',
+          id := md5('specimen' || '|' || bs_id),
+          meta := struct_pack(
+            profile := ['http://hl7.org/fhir/StructureDefinition/Specimen'],
+            tag := [struct_pack(code := study_id)],
+            security := CASE
+              WHEN consent IS NOT NULL AND dbgap IS NOT NULL THEN
+                [struct_pack(system := 'https://kf-api-dataservice.kidsfirstdrc.org/biospecimens?consent_type=', code := consent),
+                 struct_pack(system := 'https://kf-api-dataservice.kidsfirstdrc.org/biospecimens?dbgap_consent_code=', code := dbgap)]
+              WHEN dbgap IS NOT NULL THEN
+                [struct_pack(system := 'https://kf-api-dataservice.kidsfirstdrc.org/biospecimens?dbgap_consent_code=', code := dbgap)]
+              ELSE NULL END),
+          identifier := CASE
+            WHEN sample_id IS NOT NULL AND aliquot_id IS NOT NULL THEN
+              [struct_pack(use := 'official', system := 'https://kf-api-dataservice.kidsfirstdrc.org/biospecimens/', value := bs_id),
+               struct_pack(use := 'secondary', system := 'https://kf-api-dataservice.kidsfirstdrc.org/biospecimens?external_sample_id=', value := sample_id),
+               struct_pack(use := 'secondary', system := 'https://kf-api-dataservice.kidsfirstdrc.org/biospecimens?external_aliquot_id=', value := aliquot_id)]
+            WHEN sample_id IS NOT NULL THEN
+              [struct_pack(use := 'official', system := 'https://kf-api-dataservice.kidsfirstdrc.org/biospecimens/', value := bs_id),
+               struct_pack(use := 'secondary', system := 'https://kf-api-dataservice.kidsfirstdrc.org/biospecimens?external_sample_id=', value := sample_id)]
+            WHEN aliquot_id IS NOT NULL THEN
+              [struct_pack(use := 'official', system := 'https://kf-api-dataservice.kidsfirstdrc.org/biospecimens/', value := bs_id),
+               struct_pack(use := 'secondary', system := 'https://kf-api-dataservice.kidsfirstdrc.org/biospecimens?external_aliquot_id=', value := aliquot_id)]
+            ELSE
+              [struct_pack(use := 'official', system := 'https://kf-api-dataservice.kidsfirstdrc.org/biospecimens/', value := bs_id)]
+            END,
+          status := 'unavailable',
+          subject := struct_pack(reference := 'Patient/' || md5('patient' || '|' || pt_id)),
+          type := CASE WHEN tissue_text IS NOT NULL
+                        OR ncit_tissue LIKE 'NCIT:%' OR comp_coding IS NOT NULL OR an_coding IS NOT NULL
+            THEN struct_pack(
+              text := tissue_text,
+              coding := list_filter([
+                CASE WHEN ncit_tissue LIKE 'NCIT:%'
+                  THEN struct_pack(system := 'http://purl.obolibrary.org/obo/ncit.owl'::VARCHAR,
+                                   code := ncit_tissue, display := NULL::VARCHAR) END,
+                comp_coding, an_coding], x -> x IS NOT NULL)) END,
+          collection := struct_pack(
+            "_collectedDateTime" := CASE WHEN TRY_CAST(age_raw AS INTEGER) IS NOT NULL THEN
+              struct_pack(extension := [struct_pack(
+                extension := [
+                  struct_pack(url := 'event',
+                    valueCodeableConcept := struct_pack(coding := [struct_pack(
+                      system := 'http://snomed.info/sct', code := '3950001', display := 'Birth')]),
+                    valueCode := NULL::VARCHAR,
+                    valueDuration := NULL::STRUCT(value INTEGER, unit VARCHAR, system VARCHAR, code VARCHAR)),
+                  struct_pack(url := 'relationship',
+                    valueCodeableConcept := NULL::STRUCT(coding STRUCT(system VARCHAR, code VARCHAR, display VARCHAR)[]),
+                    valueCode := 'after'::VARCHAR,
+                    valueDuration := NULL::STRUCT(value INTEGER, unit VARCHAR, system VARCHAR, code VARCHAR)),
+                  struct_pack(url := 'offset',
+                    valueCodeableConcept := NULL::STRUCT(coding STRUCT(system VARCHAR, code VARCHAR, display VARCHAR)[]),
+                    valueCode := NULL::VARCHAR,
+                    valueDuration := struct_pack(value := TRY_CAST(age_raw AS INTEGER),
+                                                 unit := 'day', system := 'http://unitsofmeasure.org', code := 'd'))],
+                url := 'http://hl7.org/fhir/StructureDefinition/relative-date')])
+            END,
+            quantity := CASE WHEN TRY_CAST(vol_raw AS DOUBLE) IS NOT NULL THEN
+              struct_pack(value := TRY_CAST(vol_raw AS DOUBLE), unit := 'microliters',
+                          system := 'http://unitsofmeasure.org', code := 'uL') END,
+            method := CASE WHEN method_text IS NOT NULL THEN struct_pack(
+              coding := CASE WHEN method_text = 'Blood Draw'
+                THEN [struct_pack(system := 'http://snomed.info/sct', code := '396540005',
+                                  display := 'Phlebotomy (procedure)')] END,
+              text := method_text) END,
+            bodySite := struct_pack(
+              text := site_text,
+              coding := list_filter([
+                struct_pack(
+                  system := CASE WHEN uberon LIKE 'UBERON:%' THEN 'http://purl.obolibrary.org/obo/uberon.owl'
+                                 WHEN uberon LIKE 'EFO:%' THEN 'http://www.ebi.ac.uk/efo/efo.owl' END,
+                  code := uberon),
+                CASE WHEN ncit_site LIKE 'NCIT:%'
+                  THEN struct_pack(system := 'http://purl.obolibrary.org/obo/ncit.owl'::VARCHAR, code := ncit_site) END
+              ], x -> x IS NOT NULL))
+          )
+        )),
+        ',"security":null', ''),
+        '"_collectedDateTime":null,', ''),
+        ',"quantity":null', ''),
+        ',"method":null', ''),
+        ',"type":null', ''),
+        '"text":null,', ''),
+        '"coding":null,', ''),
+        '"system":null,', ''),
+        ',"valueDuration":null', ''),
+        ',"valueCode":null', ''),
+        '"valueCodeableConcept":null,', ''),
+        ',"display":null', ''),
+        -- when every earlier collection field was stripped, the next null
+        -- field sits at struct start (leading-brace position): second pass
+        '"quantity":null,', ''),
+        '"method":null,', '') AS resource_json
+    FROM coded
+    ORDER BY target_id
+    """,
+)
+def q83_fhir_specimen_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Specimen — the largest builder — emitting byte-identical resource
+    JSON (fifteenth builder at byte parity): conditional meta.security
+    consent labels, the 1-to-3-element identifier array, the compacted
+    [NCIT-tissue, composition, analyte] type codings, float volume quantity
+    with swallowed casts, SNOMED collection method with unmapped → text
+    only, prefix-dispatched bodySite systems (incl. the system-less
+    unprefixed-uberon coding), and the birth-relative `_collectedDateTime`
+    extension — every conditional branch of the reference's biggest
+    resource exercised and byte-checked."""
+    from kf_task_fhir_etl_spark.plans.narrow import build_resources_narrow
+
+    orders = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    biospecimens = orders.select(
+        F.concat(F.lit("BS_"), k).alias("kf_id"),
+        F.concat(F.lit("PT_"), F.col("o_custkey")).alias("participant_id"),
+        F.when(k % 8 == 0, "GRU").alias("consent_type"),
+        F.when((k % 8 == 0) | (k % 8 == 1), "phs-c1").alias("dbgap_consent_code"),
+        F.when(k % 2 == 0, F.concat(F.lit("samp-"), k)).alias("external_sample_id"),
+        F.when(k % 3 == 0, F.concat(F.lit("aliq-"), k)).alias("external_aliquot_id"),
+        F.when(k % 2 == 0, "Tumor Tissue").alias("source_text_tissue_type"),
+        F.when(k % 4 == 0, "Blood")
+        .when(k % 4 == 1, "Saliva")
+        .when(k % 4 == 2, "Tissue FFPE")
+        .otherwise("Mystery Goo")
+        .alias("composition"),
+        F.when(k % 3 == 0, "DNA").when(k % 3 == 1, "RNA").otherwise("Other").alias("analyte_type"),
+        F.when(k % 5 == 0, "NCIT:C14165").when(k % 5 == 1, "Tumor").alias("ncit_id_tissue_type"),
+        F.when(k % 7 == 0, F.lit("not-a-number")).otherwise((k % 3650).cast("string")).alias("age_at_event_days"),
+        F.when(k % 6 == 0, F.lit("not-a-volume")).otherwise(F.col("o_totalprice").cast("string")).alias("volume_ul"),
+        F.when(k % 7 == 0, "Blood Draw").when(k % 7 == 1, "Strange Harvest").alias("method_of_smaple_procurement"),
+        F.when(k % 3 == 0, "Brain").alias("source_text_anatomical_site"),
+        F.when(k % 3 == 0, "UBERON:0002101")
+        .when(k % 3 == 1, "EFO:0000001")
+        .otherwise("XYZ:9")
+        .alias("uberon_id_anatomical_site"),
+        F.when(k % 4 == 0, "NCIT:C12439").when(k % 4 == 1, "C12439").alias("ncit_id_anatomical_site"),
+        F.lit("SC_DGDDMBVV").alias("sequencing_center_id"),
+        F.lit("True").alias("visible"),
+    )
+    tables = _endpoint_tables(spark, sf_dir)
+    tables["biospecimens"] = biospecimens
+    out = build_resources_narrow(tables, only={"Specimen"})
+    return out["Specimen"].select("target_id", "resource_json").orderBy("target_id")
+
+
+@register(
+    "q84_fhir_drs_json",
+    oracle="""
+    WITH links AS (
+      SELECT DISTINCT 'BS_' || l_orderkey AS bs, 'GF_' || l_partkey AS gf,
+             'PT_' || o_custkey AS pt
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ), agg AS (
+      SELECT gf, list_sort(list(DISTINCT pt)) AS pts, list_sort(list(DISTINCT bs)) AS bss
+      FROM links GROUP BY gf
+    ), m AS (
+      SELECT p_partkey AS k, 'GF_' || p_partkey AS gf,
+        CASE WHEN p_partkey % 5 = 0 THEN true WHEN p_partkey % 5 = 1 THEN false
+             WHEN p_partkey % 3 = 0 THEN true WHEN p_partkey % 3 = 1 THEN false END AS controlled,
+        CASE WHEN p_partkey % 2 = 0 THEN 'Variant Calls'
+             WHEN p_partkey % 4 = 1 THEN 'gVCF' ELSE 'Unmapped Kind' END AS dt,
+        CASE p_partkey % 4 WHEN 0 THEN 'cram' WHEN 1 THEN 'gvcf'
+          WHEN 2 THEN 'tbi' ELSE 'txt' END AS fmt,
+        CASE WHEN p_partkey % 5 = 0 THEN 'meta-did-' || p_partkey ELSE 'did-' || p_partkey END AS did,
+        CASE WHEN p_partkey % 5 <> 0 THEN p_partkey * 1000 + 17 END AS size_val,
+        CASE WHEN p_partkey % 6 = 0 THEN 'f_' || p_partkey || '.cram'
+             WHEN p_partkey % 6 = 1 THEN 'plain_' || p_partkey END AS title,
+        CASE WHEN p_partkey % 7 = 0 THEN NULL
+             WHEN p_partkey % 3 = 0 THEN [struct_pack(hk := 'etag', hv := md5('e' || p_partkey)),
+                                          struct_pack(hk := 'md5', hv := md5('h' || p_partkey))]
+             ELSE [struct_pack(hk := 'md5', hv := md5('h' || p_partkey))] END AS hash_list,
+        CASE p_partkey % 4 WHEN 0 THEN ['phs000123.c1', 'open'] WHEN 1 THEN ['SD_ONLY']
+          WHEN 2 THEN [] ELSE NULL END AS acl_list
+      FROM part
+    ), rec AS (
+      SELECT m.*, a.pts, a.bss FROM m LEFT JOIN agg a ON a.gf = m.gf
+    )
+    SELECT md5('drs_document_reference' || '|' || gf) AS target_id,
+      replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(
+        to_json(struct_pack(
+          resourceType := 'DocumentReference',
+          id := md5('drs_document_reference' || '|' || gf),
+          meta := struct_pack(
+            profile := ['https://nih-ncpi.github.io/ncpi-fhir-ig/StructureDefinition/drs-document-reference'],
+            tag := [struct_pack(code := CASE WHEN pts IS NOT NULL THEN 'SD_0' END)]),
+          identifier := [struct_pack(use := 'official',
+            system := 'https://kf-api-dataservice.kidsfirstdrc.org/genomic-files/'::VARCHAR,
+            value := gf)],
+          status := 'current',
+          docStatus := 'final',
+          type := struct_pack(
+            coding := CASE dt
+              WHEN 'Variant Calls' THEN [struct_pack(system := 'https://includedcc.org/fhir/code-systems/data_types',
+                                                     code := 'Variant-Calls', display := 'Variant Calls')]
+              WHEN 'gVCF' THEN [struct_pack(system := 'https://includedcc.org/fhir/code-systems/data_types',
+                                            code := 'gVCF', display := 'gVCF')]
+              ELSE NULL END,
+            text := dt),
+          subject := NULL::JSON,
+          securityLabel := list_concat(
+            [struct_pack(
+              coding := CASE WHEN controlled THEN
+                  [struct_pack(system := 'https://includedcc.org/fhir/code-systems/data_access_types'::VARCHAR,
+                               code := 'controlled'::VARCHAR, display := 'Controlled'::VARCHAR)]
+                WHEN NOT controlled THEN
+                  [struct_pack(system := 'https://includedcc.org/fhir/code-systems/data_access_types'::VARCHAR,
+                               code := 'registered'::VARCHAR, display := 'Registered'::VARCHAR)]
+                ELSE NULL END,
+              text := CASE WHEN controlled THEN 'true' WHEN NOT controlled THEN 'false' END)],
+            list_transform(COALESCE(acl_list, []), a -> struct_pack(
+              coding := CASE WHEN len(string_split(a, '.')) > 1
+                THEN [struct_pack(system := NULL::VARCHAR, code := string_split(a, '.')[2],
+                                  display := NULL::VARCHAR)] ELSE NULL END,
+              text := a))),
+          content := [struct_pack(
+            format := struct_pack(display := fmt),
+            attachment := struct_pack(
+              extension := CASE WHEN size_val IS NOT NULL OR hash_list IS NOT NULL THEN
+                list_concat(
+                  CASE WHEN size_val IS NOT NULL THEN
+                    [struct_pack(url := 'https://nih-ncpi.github.io/ncpi-fhir-ig/StructureDefinition/file-size'::VARCHAR,
+                                 valueDecimal := size_val,
+                                 valueCodeableConcept := NULL::STRUCT(coding STRUCT(display VARCHAR)[], "text" VARCHAR))]
+                    ELSE [] END,
+                  list_transform(COALESCE(hash_list, []), h -> struct_pack(
+                    url := 'https://nih-ncpi.github.io/ncpi-fhir-ig/StructureDefinition/hashes'::VARCHAR,
+                    valueDecimal := NULL::BIGINT,
+                    valueCodeableConcept := struct_pack(coding := [struct_pack(display := h.hk)],
+                                                        "text" := h.hv))))
+                END,
+              url := 'drs://data.kidsfirstdrc.org/' || did,
+              title := title))],
+          context := CASE WHEN len(bss) > 0 THEN struct_pack(
+            related := list_transform(bss, b -> struct_pack(
+              reference := 'Specimen/' || md5('specimen' || '|' || b)))) END
+        )),
+        ',"subject":null', ''),
+        ',"context":null', ''),
+        '"extension":null,', ''),
+        ',"title":null', ''),
+        ',"valueDecimal":null', ''),
+        ',"valueCodeableConcept":null', ''),
+        '"coding":null,', ''),
+        '"system":null,', ''),
+        ',"display":null', ''),
+        '"code":null', ''),
+        '"text":null', '') AS resource_json
+    FROM rec
+    ORDER BY target_id
+    """,
+)
+def q84_fhir_drs_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DRSDocumentReference — the most intricate builder — emitting
+    byte-identical resource JSON with the S7 metadata prefetch joined in
+    (sixteenth and final builder at byte parity: every entity builder is
+    now held to whole-resource bytes). Covers the A2 aggregation with
+    sorted participant/biospecimen sets, metadata-over-wide coalesces, the
+    unconditional access securityLabel (bare `{}` when access unknown) plus
+    dot-split acl labels, the size valueDecimal + sorted hashes extension
+    array, DRS url/title assembly, and context.related Specimen refs."""
+    from kf_task_fhir_etl_spark.plans.narrow import build_resources_narrow
+
+    part = load_table(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    ks = k.cast("string")
+    empty_map = F.expr("map()").cast("map<string,string>")
+    metadata = part.select(
+        F.concat(F.lit("GF_"), ks).alias("genomic_file_id"),
+        F.when(k % 5 == 0, F.lit(True)).when(k % 5 == 1, F.lit(False)).alias("controlled_access"),
+        F.when(k % 2 == 0, F.lit("Variant Calls")).alias("data_type"),
+        F.lit(None).cast("string").alias("file_format"),
+        F.when(k % 5 == 0, F.concat(F.lit("meta-did-"), ks)).alias("latest_did"),
+        F.when(k % 4 == 0, F.array(F.lit("phs000123.c1"), F.lit("open")))
+        .when(k % 4 == 1, F.array(F.lit("SD_ONLY")))
+        .when(k % 4 == 2, F.array().cast("array<string>"))
+        .alias("acl"),
+        F.when(k % 5 != 0, (k * 1000 + 17).cast("long")).alias("size"),
+        F.when(k % 7 == 0, F.lit(None).cast("map<string,string>"))
+        .otherwise(
+            F.map_concat(
+                F.create_map(F.lit("md5"), F.md5(F.concat(F.lit("h"), ks))),
+                F.when(k % 3 == 0, F.create_map(F.lit("etag"), F.md5(F.concat(F.lit("e"), ks)))).otherwise(
+                    empty_map
+                ),
+            )
+        )
+        .alias("hashes"),
+        F.when(k % 6 == 0, F.concat(F.lit("dir/sub/f_"), ks, F.lit(".cram")))
+        .when(k % 6 == 1, F.concat(F.lit("plain_"), ks))
+        .alias("file_name"),
+    )
+    out = build_resources_narrow(
+        _drs_tables(spark, sf_dir), metadata=metadata, only={"DRSDocumentReference"}
+    )
+    return out["DRSDocumentReference"].select("target_id", "resource_json").orderBy("target_id")
+
+
+@register(
     "q64_fhir_drs_metadata_hashes",
     oracle="""
     WITH ks AS (SELECT p_partkey AS k FROM part),

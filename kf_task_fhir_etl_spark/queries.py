@@ -396,6 +396,11 @@ _CHECK_FIRST = [
     "q77_fhir_disease_json",
     "q78_fhir_family_relationship_json",
     "q79_fhir_histopathology_json",
+    "q80_fhir_phenotype_json",
+    "q81_fhir_research_subject_json",
+    "q82_fhir_reference_entities_json",
+    "q83_fhir_specimen_json",
+    "q84_fhir_drs_json",
 ]
 _CHECK_LAST = [
     "q01_pricing_summary",
@@ -436,6 +441,16 @@ _CHECK_LAST = [
     "q34_fhir_proband_status",
     "q32_fhir_family_relationship",
     "q26_fhir_family_groups",
+    # specimen/DRS surfaces re-gated by q65/q64 (bodySite+method+security /
+    # metadata+hashes+acl); their remaining fields stay r01-green
+    "q27_fhir_specimen_narrow",
+    "q31_fhir_drs_document_reference",
+    # byte-identical since r01; static surface, r01-green
+    "q30_fhir_vital_status_json",
+    # left-semi runs inside q38's exact_dedup in-window; q53/q70 cover the
+    # grouped-matrix shapes — keep q37/q39 (stateful stream, multimodal) in
+    "q45_exists_semi_join",
+    "q49_pivot_status_matrix",
 ]
 
 
