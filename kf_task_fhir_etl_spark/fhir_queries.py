@@ -984,6 +984,149 @@ def q75_fhir_family_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out["Family"].select("target_id", "resource_json").orderBy("target_id")
 
 
+@register(
+    "q85_fhir_full_pipeline",
+    oracle="""
+    SELECT * FROM (
+      SELECT 'Disease' AS resource_type,
+             (SELECT COUNT(*) FROM customer) AS n,
+             (SELECT COUNT(*) FROM customer) AS n_ids
+      UNION ALL SELECT 'DRSDocumentReference',
+             (SELECT COUNT(DISTINCT c_custkey % 500) FROM customer),
+             (SELECT COUNT(DISTINCT c_custkey % 500) FROM customer)
+      UNION ALL SELECT 'Family',
+             (SELECT COUNT(DISTINCT c_nationkey) FROM customer),
+             (SELECT COUNT(DISTINCT c_nationkey) FROM customer)
+      UNION ALL SELECT 'FamilyRelationship',
+             (SELECT COUNT(*) FROM customer), (SELECT COUNT(*) FROM customer)
+      UNION ALL SELECT 'Histopathology',
+             (SELECT COUNT(*) FROM customer), (SELECT COUNT(*) FROM customer)
+      UNION ALL SELECT 'Organization',
+             (SELECT COUNT(*) FROM supplier), (SELECT COUNT(*) FROM supplier)
+      UNION ALL SELECT 'Patient',
+             (SELECT COUNT(*) FROM customer), (SELECT COUNT(*) FROM customer)
+      UNION ALL SELECT 'Phenotype',
+             (SELECT COUNT(*) FROM customer), (SELECT COUNT(*) FROM customer)
+      UNION ALL SELECT 'Practitioner',
+             (SELECT COUNT(*) FROM supplier), (SELECT COUNT(*) FROM supplier)
+      UNION ALL SELECT 'PractitionerRole',
+             (SELECT COUNT(*) FROM supplier), (SELECT COUNT(*) FROM supplier)
+      UNION ALL SELECT 'ProbandStatus',
+             (SELECT COUNT(*) FROM customer), (SELECT COUNT(*) FROM customer)
+      UNION ALL SELECT 'ResearchStudy',
+             (SELECT COUNT(*) FROM region), (SELECT COUNT(*) FROM region)
+      UNION ALL SELECT 'ResearchSubject',
+             (SELECT COUNT(*) FROM customer), (SELECT COUNT(*) FROM customer)
+      UNION ALL SELECT 'SequencingCenter', 3, 3
+      UNION ALL SELECT 'Specimen',
+             (SELECT COUNT(*) FROM customer), (SELECT COUNT(*) FROM customer)
+      UNION ALL SELECT 'VitalStatus',
+             (SELECT COUNT(*) FROM customer), (SELECT COUNT(*) FROM customer)
+    ) ORDER BY resource_type
+    """,
+)
+def q85_fhir_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ENTIRE reference pipeline in one gate: a kitchen-sink study with
+    all 14 endpoint tables present runs ``etl.run_pipeline`` — the WIDE
+    full-outer cascade (J1-J12), concept padding, and every one of the 16
+    builders in the fixed dependency order — and the gate checks one row
+    per resource type: emitted count + distinct target-id count (equal ⇔
+    finalize's dedup found no surrogate-id collisions). Entities are keyed
+    1:1 per participant so the wide fan-out stays linear (the combinatorial
+    multi-child explosion is the documented reason the narrow path exists;
+    this gate proves the wide ORCHESTRATION, the per-builder bytes are
+    q24/q30/q74-q84)."""
+    from kf_task_fhir_etl_spark.etl import run_pipeline
+
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    c = F.col("c_custkey")
+    s = F.col("s_suppkey")
+    tables = _endpoint_tables(spark, sf_dir)
+    tables["investigators"] = supplier.select(
+        F.concat(F.lit("IV_"), s).alias("kf_id"),
+        F.concat(F.lit("inv-"), s).alias("external_id"),
+        F.col("s_name").alias("name"),
+        F.lit("Inst").alias("institution"),
+        F.lit("True").alias("visible"),
+    )
+    tables["families"] = load_table(spark, sf_dir, "nation").select(
+        F.concat(F.lit("FM_"), F.col("n_nationkey")).alias("kf_id"),
+        F.concat(F.lit("fam-"), F.col("n_nationkey")).alias("external_id"),
+        F.lit("True").alias("visible"),
+    )
+    tables["participants"] = tables["participants"].join(
+        customer.select(
+            F.concat(F.lit("PT_"), c).alias("kf_id"),
+            F.concat(F.lit("FM_"), F.col("c_nationkey")).alias("family_id"),
+        ),
+        on=["kf_id"],
+    )
+    tables["family-relationships"] = customer.select(
+        F.concat(F.lit("FR_"), c).alias("kf_id"),
+        F.concat(F.lit("PT_"), c).alias("participant1_id"),
+        F.concat(F.lit("PX_"), c).alias("participant2_id"),
+        F.lit("Mother").alias("participant1_to_participant2_relation"),
+        F.lit("True").alias("visible"),
+    )
+    tables["diagnoses"] = customer.select(
+        F.concat(F.lit("DG_"), c).alias("kf_id"),
+        F.concat(F.lit("PT_"), c).alias("participant_id"),
+        F.lit("dx").alias("source_text_diagnosis"),
+        F.lit("100").alias("age_at_event_days"),
+        F.lit("True").alias("visible"),
+    )
+    tables["phenotypes"] = customer.select(
+        F.concat(F.lit("PH_"), c).alias("kf_id"),
+        F.concat(F.lit("PT_"), c).alias("participant_id"),
+        F.lit("px").alias("source_text_phenotype"),
+        F.lit("Positive").alias("observed"),
+        F.lit("True").alias("visible"),
+    )
+    tables["outcomes"] = customer.select(
+        F.concat(F.lit("OC_"), c).alias("kf_id"),
+        F.concat(F.lit("PT_"), c).alias("participant_id"),
+        F.lit("Alive").alias("vital_status"),
+        F.lit("True").alias("visible"),
+    )
+    tables["biospecimens"] = customer.select(
+        F.concat(F.lit("BS_"), c).alias("kf_id"),
+        F.concat(F.lit("PT_"), c).alias("participant_id"),
+        F.lit("Blood").alias("composition"),
+        F.when(c % 3 == 0, "SC_DGDDMBVV")
+        .when(c % 3 == 1, "SC_X1N69WJM")
+        .otherwise("SC_K52V7463")
+        .alias("sequencing_center_id"),
+        F.lit("True").alias("visible"),
+    )
+    tables["biospecimen-diagnoses"] = customer.select(
+        F.concat(F.lit("BD_"), c).alias("kf_id"),
+        F.concat(F.lit("DG_"), c).alias("diagnosis_id"),
+        F.concat(F.lit("BS_"), c).alias("biospecimen_id"),
+        F.lit("True").alias("visible"),
+    )
+    tables["genomic-files"] = customer.select(
+        F.concat(F.lit("GF_"), (c % 500)).alias("kf_id"),
+        F.lit("gVCF").alias("data_type"),
+        F.lit("gvcf").alias("file_format"),
+        F.lit("True").alias("visible"),
+    ).dropDuplicates(["kf_id"])
+    tables["biospecimen-genomic-files"] = customer.select(
+        F.concat(F.lit("BGF_"), c).alias("kf_id"),
+        F.concat(F.lit("BS_"), c).alias("biospecimen_id"),
+        F.concat(F.lit("GF_"), (c % 500)).alias("genomic_file_id"),
+        F.lit("True").alias("visible"),
+    )
+    out = run_pipeline(tables)
+    union = None
+    for target, df in out.items():
+        part = df.agg(
+            F.count(F.lit(1)).alias("n"), F.countDistinct("target_id").alias("n_ids")
+        ).select(F.lit(target).alias("resource_type"), "n", "n_ids")
+        union = part if union is None else union.unionByName(part)
+    return union.orderBy("resource_type")
+
+
 _RS_SNOMED = "http://snomed.info/sct"
 _RS_CANCER = (
     f"struct_pack(system := '{_RS_SNOMED}', code := '86049000', "

@@ -401,6 +401,7 @@ _CHECK_FIRST = [
     "q82_fhir_reference_entities_json",
     "q83_fhir_specimen_json",
     "q84_fhir_drs_json",
+    "q85_fhir_full_pipeline",
 ]
 _CHECK_LAST = [
     "q01_pricing_summary",
@@ -451,6 +452,11 @@ _CHECK_LAST = [
     # grouped-matrix shapes — keep q37/q39 (stateful stream, multimodal) in
     "q45_exists_semi_join",
     "q49_pivot_status_matrix",
+    # q85 runs the full wide cascade end-to-end; q24's bytes are r01-green
+    # and Patient remains the entry() smoke; q57 sketches cover quantiles
+    "q23_fhir_transform_cascade",
+    "q24_fhir_patient_resources",
+    "q47_grouped_percentiles",
 ]
 
 
