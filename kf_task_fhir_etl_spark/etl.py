@@ -58,8 +58,23 @@ def build_resources(
 
 
 def run_pipeline(
-    endpoint_tables: dict[str, DataFrame], metadata: DataFrame | None = None
+    endpoint_tables: dict[str, DataFrame],
+    metadata: DataFrame | None = None,
+    cache_wide: bool = False,
 ) -> dict[str, DataFrame]:
-    """extract(already-loaded tables) → transform → build."""
+    """extract(already-loaded tables) → transform → build.
+
+    ``cache_wide``: persist the transform outputs before the builders
+    consume them — the Spark analogue of the reference holding the wide
+    pandas frame in RAM (``etl/ingest.py:485``). Off by default: measured
+    at bench scale the end-to-end cost is dominated by driver-side plan
+    construction (16 builders × a 100+-column cascade schema), not by
+    recomputation, so the cache's materialization job only added time
+    (11 s → 14 s at sf0.01). Turn it on when builders are RUN (actions
+    issued) separately rather than composed into one job, or when the
+    cascade input is expensive relative to executor memory."""
     transformed = transform_study(endpoint_tables)
+    if cache_wide:
+        for key, df in transformed.tables.items():
+            transformed.tables[key] = df.cache()
     return build_resources(transformed, metadata=metadata)
