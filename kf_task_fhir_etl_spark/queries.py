@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kf_task_fhir_etl_spark.catalog import load_table
@@ -457,6 +457,11 @@ _CHECK_LAST = [
     "q23_fhir_transform_cascade",
     "q24_fhir_patient_resources",
     "q47_grouped_percentiles",
+    # new r02 gates parked at the tail (window is full of unproven/changed
+    # entries); they rotate into the hash window next round — locally
+    # verified green via scripts/driver_sim.py meanwhile
+    "q86_cube_order_matrix",
+    "q87_range_frame_running",
 ]
 
 
@@ -525,6 +530,70 @@ def q42_topn_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), "l_orderkey")
         .limit(10)
     )
+
+
+@register(
+    "q86_cube_order_matrix",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus,
+           COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST
+    """,
+)
+def q86_cube_order_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE completes the grouping-sets trio next to ROLLUP (q43) and
+    explicit-values pivot (q49): all four aggregation levels — leaf,
+    per-priority, per-status, grand total — computed in ONE shuffle via the
+    map-side Expand, where four separate GROUP BYs would scan and shuffle
+    four times. The per-status margin is the set ROLLUP cannot express."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy(F.asc_nulls_first("o_orderpriority"), F.asc_nulls_first("o_orderstatus"))
+    )
+
+
+@register(
+    "q87_range_frame_running",
+    oracle="""
+    SELECT event_id, user_id,
+           COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                          RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS n_last_hour,
+           ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                          RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW), 2) AS value_last_hour
+    FROM events ORDER BY user_id, event_id
+    """,
+)
+def q87_range_frame_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window aggregates complete the frame coverage next to
+    q50's ROWS frames: a per-user trailing one-hour count/sum where the
+    frame boundary is a VALUE offset on the ordering key, not a row count —
+    rows sharing a timestamp enter the frame together (exactly why q50 had
+    to use ROWS + a tiebreak, and why this query needs none: RANGE is
+    deterministic under ties by construction). The ordering key is the
+    µs-epoch integer so both engines bound the frame with the same exact
+    arithmetic; one shuffle on user_id serves both windows. This is the
+    as-of/sliding-aggregate shape (trailing revenue, rate limiting) that a
+    bucketized range join (q29) approximates when the window must span
+    partitions."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3600 * 1_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_last_hour"),
+        F.round(F.sum("value").over(w), 2).alias("value_last_hour"),
+    ).orderBy("user_id", "event_id")
 
 
 @register(
