@@ -75,3 +75,33 @@ def test_surrogate_id_deterministic_across_sessions(spark):
     import hashlib
 
     assert ids1[0] == hashlib.md5(b"patient|PT_1").hexdigest()
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    tokens=st.lists(st.integers(0, 400), min_size=1, max_size=20),
+    budget=st.integers(50, 300),
+)
+def test_pack_sequences_invariants(spark, tokens, budget):
+    """Packing invariants for any token distribution and budget:
+    (1) seq ids are non-decreasing in doc order and start at 0;
+    (2) every offset is in [0, budget);
+    (3) exclusive cumsum is reconstructible: offset_i = (sum of previous
+        tokens) mod budget and seq_i = floor(prev_sum / budget)."""
+    from kf_task_fhir_etl_spark.operators.sampling import pack_sequences
+
+    rows = [("g", i, t) for i, t in enumerate(tokens)]
+    df = spark.createDataFrame(rows, "grp string, doc_id long, n_tok long")
+    got = {
+        r["doc_id"]: (r["seq_id"], r["seq_offset"])
+        for r in pack_sequences(df, budget, "grp", "doc_id", "n_tok").collect()
+    }
+    prev_sum = 0
+    last_seq = 0
+    for i, t in enumerate(tokens):
+        seq, off = got[i]
+        assert seq == prev_sum // budget
+        assert off == prev_sum % budget
+        assert seq >= last_seq
+        last_seq = seq
+        prev_sum += t
