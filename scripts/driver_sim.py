@@ -49,6 +49,15 @@ def main() -> int:
             key=repr,
         )
         if name not in oracles:
+            # the driver still canonicalizes rows-only results through a
+            # pandas sort (r02 q57 crashed exactly there on an array column)
+            try:
+                p = sdf.toPandas()
+                p.sort_values(by=list(p.columns), kind="mergesort")
+            except TypeError as e:
+                print(f"  {name}: CANON-ERROR (rows-only) {e}")
+                failures.append(name)
+                continue
             print(f"  {name}: rows-only check, rows={len(srows)}")
             continue
         res = con.execute(oracles[name])
@@ -60,8 +69,39 @@ def main() -> int:
             [tuple(round(v, 6) if isinstance(v, float) else v for v in (r[i] for i in didx)) for r in draw],
             key=repr,
         )
-        ok = scols == dcols and srows == drows
-        status = "OK" if ok else "MISMATCH"
+        # pandas-faithful dtype check: the real driver canonicalizes both
+        # sides through pandas (.toPandas() / duckdb .df()) and hashes value
+        # reprs, so a DuckDB HUGEINT (object dtype) vs Spark BIGINT (int64)
+        # mismatch fails THERE even when python-int equality here passes
+        # (r02 q71). Compare the str repr of every cell on the native
+        # pandas frames after the same canonical sort.
+        dtype_ok = True
+        if dcols == scols:
+            spd = sdf.toPandas()[scols]
+            dpd = con.execute(oracles[name]).df()[scols]
+            # exempt a column only when BOTH sides are float (rounded-value
+            # equality above already covers it); int64-vs-float64 is exactly
+            # the mismatch we must flag.
+            import pandas.api.types as pt
+
+            strict = [
+                c
+                for c in scols
+                if not (pt.is_float_dtype(spd[c]) and pt.is_float_dtype(dpd[c]))
+            ]
+
+            def _canon_str(df):
+                s = df[strict].astype(str) if strict else df.head(0)
+                return s.sort_values(by=strict, kind="mergesort").reset_index(drop=True) if strict else s
+
+            try:
+                dtype_ok = _canon_str(spd).equals(_canon_str(dpd))
+            except TypeError as e:  # unhashable list cell = driver CANON-ERROR
+                print(f"  {name}: CANON-ERROR {e}")
+                failures.append(name)
+                continue
+        ok = scols == dcols and srows == drows and dtype_ok
+        status = "OK" if ok else ("DTYPE-MISMATCH" if srows == drows and scols == dcols else "MISMATCH")
         print(f"  {name}: cols={'OK' if scols == dcols else scols} rows={len(srows)}/{len(drows)} {status}")
         if not ok:
             failures.append(name)

@@ -235,8 +235,27 @@ def test_approx_sketches_error_bounds(spark):
         assert abs(row["approx_users"] - users) <= max(1, 0.05 * users)
         pw = exact[et]["pw"]
         windows = [(pw[0], pw[1]), (pw[2], pw[3]), (pw[4], pw[5])]
-        for got, (lo, hi) in zip(row["value_quantiles"], windows):
+        for got, (lo, hi) in zip((row["p50"], row["p90"], row["p99"]), windows):
             assert lo - 1e-9 <= got <= hi + 1e-9, (et, got, lo, hi)
+
+
+def test_lsh_neardup_recall_floor(spark):
+    """q88's contract: OR-amplified LSH near-dup (8 tables x 3 planes)
+    recovers >= 0.8 of the exact pair set at threshold 0.4, and every LSH
+    pair is a true pair (precision 1.0 — in-bucket verification is exact)."""
+    from kf_task_fhir_etl_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = similarity.embedding_neardup_pairs(emb, threshold=0.4).select("id_a", "id_b")
+    lsh = similarity.embedding_neardup_lsh(
+        emb, threshold=0.4, dim=64, planes=3, tables=8
+    ).select("id_a", "id_b")
+    n_exact = exact.count()
+    n_lsh = lsh.count()
+    n_hits = lsh.join(exact, ["id_a", "id_b"], "leftsemi").count()
+    assert n_hits == n_lsh  # precision 1.0: LSH pairs ⊆ exact pairs
+    if n_exact:
+        assert n_hits / n_exact >= 0.8, (n_hits, n_exact)
 
 
 def test_deterministic_split_stable_and_near_frac(spark):
