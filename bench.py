@@ -9,7 +9,13 @@ stdout discipline: the JSON line must be the ONLY thing on stdout (the
 round-1 driver recorded ``"parsed": null`` because JVM/warning noise shares
 the stream). fd 1 is redirected into stderr for the whole run — including
 anything the JVM child process writes — and the JSON goes to a dup of the
-original stdout saved before the redirect."""
+original stdout saved before the redirect.
+
+Size discipline: the round-2 driver ALSO recorded ``"parsed": null`` because
+the one-line JSON for 87 queries (~4 KB) overflowed the driver's stdout tail
+capture, truncating the head of the object. The stdout line is therefore a
+compact summary (total, sf, n, the 10 slowest queries); the full per-query
+timing map is written to BENCH_FULL.json next to this script."""
 
 from __future__ import annotations
 
@@ -49,6 +55,21 @@ def main() -> None:
     total = round(time.perf_counter() - total_start, 3)
 
     spark.stop()
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
+    with open(full_path, "w") as f:
+        json.dump(
+            {
+                "metric": "total_query_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            },
+            f,
+            indent=1,
+        )
+        f.write("\n")
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
     with os.fdopen(real_stdout_fd, "w") as out:
         out.write(
             json.dumps(
@@ -56,8 +77,10 @@ def main() -> None:
                     "metric": "total_query_wall_clock",
                     "value": total,
                     "unit": "sec",
-                    "queries": timings,
                     "sf": sf,
+                    "n_queries": len(timings),
+                    "queries": slowest,
+                    "full": "BENCH_FULL.json",
                 }
             )
             + "\n"
