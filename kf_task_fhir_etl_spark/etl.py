@@ -41,15 +41,20 @@ def build_resources(
 ) -> dict[str, DataFrame]:
     """Run every applicable builder; returns {target_name: resource_df}."""
     out: dict[str, DataFrame] = {}
+    # partial-presence wide tables lack cross-entity columns builders
+    # reference unconditionally — pad them null (presence-sensitive
+    # SEQUENCING columns excepted; see mappings.DYNAMIC_PRESENCE_COLUMNS).
+    # Padded once per source table, not once per builder: the projection is
+    # ~100 driver-side column expressions, and all 16 builders share it.
+    padded: dict[str, DataFrame] = {}
     for target in transformed.targets:
         module, table_key = BUILDERS[target]
-        table = transformed.tables.get(table_key)
-        if table is None:
-            continue
-        # partial-presence wide tables lack cross-entity columns builders
-        # reference unconditionally — pad them null (presence-sensitive
-        # SEQUENCING columns excepted; see mappings.DYNAMIC_PRESENCE_COLUMNS)
-        table = pad_concepts(table)
+        if table_key not in padded:
+            table = transformed.tables.get(table_key)
+            if table is None:
+                continue
+            padded[table_key] = pad_concepts(table)
+        table = padded[table_key]
         if target == "DRSDocumentReference":
             out[target] = module.build(table, metadata=metadata)
         else:
@@ -61,20 +66,34 @@ def run_pipeline(
     endpoint_tables: dict[str, DataFrame],
     metadata: DataFrame | None = None,
     cache_wide: bool = False,
+    checkpoint_wide: bool = True,
 ) -> dict[str, DataFrame]:
     """extract(already-loaded tables) → transform → build.
 
-    ``cache_wide``: persist the transform outputs before the builders
-    consume them — the Spark analogue of the reference holding the wide
-    pandas frame in RAM (``etl/ingest.py:485``). Off by default: measured
-    at bench scale the end-to-end cost is dominated by driver-side plan
-    construction (16 builders × a 100+-column cascade schema), not by
-    recomputation, so the cache's materialization job only added time
-    (11 s → 14 s at sf0.01). Turn it on when builders are RUN (actions
-    issued) separately rather than composed into one job, or when the
-    cascade input is expensive relative to executor memory."""
+    ``checkpoint_wide`` (default ON): eagerly ``localCheckpoint`` the
+    transform outputs before the 16 builders consume them — the Spark
+    analogue of the reference materializing the wide pandas frame in RAM
+    (``etl/ingest.py:485``). This truncates the 12-join cascade out of
+    every builder's logical plan, so Catalyst analyzes/optimizes the
+    cascade ONCE instead of 16× (measured at sf0.01: downstream
+    optimize+execute of the 16-builder union drops 10.4 s → 0.4 s for a
+    one-time ~2.5 s materialization; end-to-end ~18 s → ~9 s). At scale
+    the trade is the same one the reference already makes: one wide-table
+    materialization versus sixteen re-executions of the join cascade —
+    strictly fewer shuffles. Set False to keep the pipeline fully lazy
+    (e.g. when only one builder's output will ever be consumed and the
+    optimizer's column pruning makes its single cascade pass cheap).
+
+    ``cache_wide``: legacy knob — ``.cache()`` the transform outputs
+    without truncating lineage. Superseded by ``checkpoint_wide`` (cache
+    keeps the full cascade in every builder's analyzed plan, so it saved
+    recomputation but not the dominant plan-construction cost; measured
+    it *added* 3 s at sf0.01)."""
     transformed = transform_study(endpoint_tables)
     if cache_wide:
         for key, df in transformed.tables.items():
             transformed.tables[key] = df.cache()
+    elif checkpoint_wide:
+        for key, df in transformed.tables.items():
+            transformed.tables[key] = df.localCheckpoint(eager=True)
     return build_resources(transformed, metadata=metadata)

@@ -51,6 +51,30 @@ def stringify_col(col: Column, dtype: T.DataType) -> Column:
     return F.when(F.length(out) == 0, F.lit(None).cast(T.StringType())).otherwise(out)
 
 
+def _stringify_sql(name: str, dtype: T.DataType) -> str:
+    """SQL-string twin of :func:`stringify_col` — semantically identical
+    (tests/test_properties.py cross-checks them), but parsed JVM-side in one
+    shot. Rationale: ``normalize`` runs over 100+-column wide tables and
+    every Column method is a driver-side py4j round-trip; ~10 calls/column ×
+    100 columns × every pipeline/narrow query adds whole seconds of pure
+    plan-construction time (cProfile: 39k round-trips in q85). One
+    ``selectExpr`` keeps the identical expression tree at ~zero driver cost."""
+    c = f"`{name}`"
+    if isinstance(dtype, (T.DoubleType, T.FloatType, T.DecimalType)):
+        back = dtype.simpleString()
+        null_like = f"{c} IS NULL" if isinstance(dtype, T.DecimalType) else f"{c} IS NULL OR isnan({c})"
+        return (
+            f"CASE WHEN {null_like} THEN CAST(NULL AS STRING) "
+            f"WHEN TRY_CAST({c} AS BIGINT) IS NOT NULL AND {c} = CAST(TRY_CAST({c} AS BIGINT) AS {back}) "
+            f"THEN CAST(TRY_CAST({c} AS BIGINT) AS STRING) "
+            f"ELSE CAST({c} AS STRING) END AS {c}"
+        )
+    if isinstance(dtype, T.BooleanType):
+        return f"CASE WHEN {c} THEN 'True' WHEN NOT {c} THEN 'False' END AS {c}"
+    out = f"TRIM(CAST({c} AS STRING))" if isinstance(dtype, T.StringType) else f"CAST({c} AS STRING)"
+    return f"NULLIF({out}, '') AS {c}"
+
+
 def normalize(df: DataFrame, drop_duplicates: bool = True) -> DataFrame:
     """Apply the full clean_up_df semantics to every column.
 
@@ -59,8 +83,7 @@ def normalize(df: DataFrame, drop_duplicates: bool = True) -> DataFrame:
     a hash-repartition on all columns; Spark plans it as a partial (map-side)
     aggregate first, so the shuffle only carries distinct rows.
     """
-    cols = [stringify_col(F.col(f.name), f.dataType).alias(f.name) for f in df.schema.fields]
-    out = df.select(cols)
+    out = df.selectExpr(*[_stringify_sql(f.name, f.dataType) for f in df.schema.fields])
     if drop_duplicates:
         out = out.dropDuplicates()
     return out

@@ -38,6 +38,15 @@ def get_spark(app_name: str = "kf_task_fhir_etl_spark", master: str | None = Non
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
+        # PySpark 4 captures a Python call site (stack walk + JVM origin RPC)
+        # for EVERY DataFrame/Column call to enrich error messages. On
+        # plan-construction-heavy programs (16 JSON builders; cProfile shows
+        # 39k py4j round-trips building q85) that's pure driver overhead —
+        # off by default here, flip on when debugging an analysis error.
+        .config(
+            "spark.python.sql.dataFrameDebugging.enabled",
+            os.environ.get("SPARK_GRAFT_DF_DEBUG", "false"),
+        )
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

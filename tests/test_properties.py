@@ -39,6 +39,33 @@ def test_normalize_idempotent(spark, rows):
 
 @SETTINGS
 @given(
+    rows=st.lists(
+        st.tuples(
+            st.one_of(st.none(), texty),
+            st.one_of(st.none(), st.floats(width=64)),  # incl. NaN/inf
+            st.one_of(st.none(), st.booleans()),
+            st.one_of(st.none(), st.integers(-(10**12), 10**12)),
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_stringify_sql_twin_matches_column_form(spark, rows):
+    """_stringify_sql (the one-py4j-call selectExpr form normalize uses) is
+    cell-for-cell identical to stringify_col (the Column-expression form)."""
+    from kf_task_fhir_etl_spark.functions.normalize import _stringify_sql, stringify_col
+
+    df = spark.createDataFrame(rows, "s string, x double, b boolean, i long")
+    via_col = df.select(
+        [stringify_col(F.col(f.name), f.dataType).alias(f.name) for f in df.schema.fields]
+    )
+    via_sql = df.selectExpr(*[_stringify_sql(f.name, f.dataType) for f in df.schema.fields])
+    assert via_col.collect() == via_sql.collect()
+    assert via_col.schema == via_sql.schema
+
+
+@SETTINGS
+@given(
     a=st.lists(st.sampled_from("abcdefgh"), max_size=8),
     b=st.lists(st.sampled_from("abcdefgh"), max_size=8),
 )
