@@ -97,10 +97,14 @@ def _hyperplane(plane: int, dim: int) -> list[float]:
     return comps
 
 
-def lsh_signature(vec: Column, dim: int, planes: int = 8) -> Column:
-    """Sign-of-projection bit string across ``planes`` hyperplanes."""
+def lsh_signature(vec: Column, dim: int, planes: int = 8, plane_offset: int = 0) -> Column:
+    """Sign-of-projection bit string across ``planes`` hyperplanes.
+
+    ``plane_offset`` selects which deterministic hyperplanes participate —
+    table ``t`` of a multi-table (OR-amplified) LSH index uses planes
+    ``[t*planes, (t+1)*planes)`` so every table buckets independently."""
     bits = []
-    for p in range(planes):
+    for p in range(plane_offset, plane_offset + planes):
         plane = _hyperplane(p, dim)
         proj = dot(vec, F.array(*[F.lit(v) for v in plane]))
         bits.append(F.when(proj > 0, F.lit("1")).otherwise(F.lit("0")))
@@ -259,6 +263,7 @@ def embedding_neardup_lsh(
     threshold: float = 0.9,
     dim: int = 64,
     planes: int = 8,
+    tables: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -274,19 +279,44 @@ def embedding_neardup_lsh(
     threshold rises (at 0.9+, vectors agree on most hyperplane signs).
     Deterministic: md5-derived hyperplanes (``_hyperplane``), so the result
     is reproducible in any engine — the q66 DuckDB oracle recomputes the
-    identical signatures from the same plane constants."""
+    identical signatures from the same plane constants.
+
+    ``tables`` > 1 turns on OR-amplification — the standard recall lever
+    for banded LSH: ``tables`` independent signature tables (table ``t``
+    uses hyperplanes ``[t*planes, (t+1)*planes)``), a true pair is found if
+    it collides in ANY table (miss probability ``(1-pᵇ)ᴸ``), and the
+    verified pairs are deduplicated across tables. Cost model at 100 TB:
+    the explode replicates each vector ``tables``× into the signature
+    shuffle (the inherent multi-table index size), the per-bucket kernels
+    are unchanged, and the cross-table dedupe is one extra shuffle bounded
+    by the candidate-pair count — never O(corpus²). q88 gates the measured
+    recall of this path against the exact q15 pair set."""
     base = corpus.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
-    sig = base.withColumn("sig", lsh_signature(F.col("v"), dim, planes))
-    bucketed = sig.select("id", "v", F.lit(0).alias("b"), "sig")
 
     def keyed(key, pdf):
         return _pair_kernel(threshold)((0, 0), pdf)
 
-    return (
-        bucketed.groupBy("sig")
-        .applyInPandas(keyed, schema="id_a long, id_b long, cosine double")
-        .orderBy("id_a", "id_b")
+    if tables == 1:
+        bucketed = base.withColumn("sig", lsh_signature(F.col("v"), dim, planes))
+    else:
+        sigs = F.array(
+            *[
+                F.concat(
+                    F.lit(f"{t}:"),
+                    lsh_signature(F.col("v"), dim, planes, plane_offset=t * planes),
+                )
+                for t in range(tables)
+            ]
+        )
+        bucketed = base.select("id", "v", F.explode(sigs).alias("sig"))
+    pairs = bucketed.groupBy("sig").applyInPandas(
+        keyed, schema="id_a long, id_b long, cosine double"
     )
+    if tables > 1:
+        # a pair colliding in several tables is emitted once per table with
+        # an identical (deterministic) cosine — full-row dedupe
+        pairs = pairs.dropDuplicates()
+    return pairs.orderBy("id_a", "id_b")
 
 
 def _seed_centroids(corpus: DataFrame, nlist: int, id_col: str, vec_col: str):
