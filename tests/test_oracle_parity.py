@@ -42,3 +42,52 @@ def test_query_matches_oracle(name, spark, duck_smoke):
     d_vals = normalize_rows([tuple(r[i] for i in d_idx) for r in duck_rows])
     mismatches = [(a, b) for a, b in zip(s_vals, d_vals) if a != b]
     assert not mismatches, f"{name}: first value mismatches: {mismatches[:3]}"
+
+
+# ---------------------------------------------------------------------------
+# sf0.1 spot checks for the two biggest builders (VERDICT r02 #5): a 10× row
+# count vs the driver's sf0.01 window catches volume-dependent
+# nondeterminism (e.g. collect_set ordering under real parallelism) that the
+# small factors can hide. Full-registry sf0.1 parity would double the suite's
+# runtime; these two dominate the byte-identical surface.
+# ---------------------------------------------------------------------------
+
+SF_BIG = "/root/testdata/sf0.1"
+
+
+@pytest.fixture(scope="module")
+def duck_big():
+    import os
+
+    import duckdb
+
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events documents embeddings"
+    ).split():
+        p = f"{SF_BIG}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", ["q83_fhir_specimen_json", "q84_fhir_drs_json"])
+def test_big_builders_match_oracle_at_sf01(name, spark, duck_big):
+    fn = q.queries()[name]
+    sdf = fn(spark, SF_BIG)
+    spark_cols = sdf.columns
+    spark_rows = [tuple(r) for r in sdf.collect()]
+
+    res = duck_big.execute(q.oracle_sql()[name])
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = [tuple(r) for r in res.fetchall()]
+
+    assert sorted(spark_cols) == sorted(duck_cols)
+    assert len(spark_rows) == len(duck_rows)
+    s_idx = [spark_cols.index(c) for c in sorted(spark_cols)]
+    d_idx = [duck_cols.index(c) for c in sorted(duck_cols)]
+    s_vals = normalize_rows([tuple(r[i] for i in s_idx) for r in spark_rows])
+    d_vals = normalize_rows([tuple(r[i] for i in d_idx) for r in duck_rows])
+    mismatches = [(a, b) for a, b in zip(s_vals, d_vals) if a != b]
+    assert not mismatches, f"{name}@sf0.1: first mismatches: {mismatches[:2]}"

@@ -223,3 +223,36 @@ def test_streaming_rollup_sink_matches_batch(spark, tmp_path):
         )
 
     assert rows(spark.read.parquet(store)) == rows(rollup.time_bucket_rollup(ev, "hour"))
+
+
+def test_rollup_sink_replay_guard_and_fs_probe(spark, tmp_path):
+    """At-least-once replay safety (ADVICE r02): re-delivering an already
+    committed batchId must be a no-op (no double counting), a NEWER batch
+    must merge, and the store/meta probe goes through spark.read so the
+    behavior is filesystem-agnostic."""
+    from kf_task_fhir_etl_spark.catalog import load_table
+    from kf_task_fhir_etl_spark.streaming.rollup_sink import (
+        last_committed_batch,
+        merge_batch_into_store,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    store = str(tmp_path / "store")
+
+    assert last_committed_batch(spark, store) == -1
+    assert merge_batch_into_store(spark, ev, store, "hour", batch_id=0) is True
+    once = sorted(map(tuple, spark.read.parquet(store).drop("hll_users").collect()))
+    assert last_committed_batch(spark, store) == 0
+
+    # replay of batch 0 (and of anything below it) is skipped
+    assert merge_batch_into_store(spark, ev, store, "hour", batch_id=0) is False
+    assert sorted(map(tuple, spark.read.parquet(store).drop("hll_users").collect())) == once
+
+    # a genuinely new batch still merges (counts double exactly once)
+    assert merge_batch_into_store(spark, ev, store, "hour", batch_id=1) is True
+    twice = {
+        (r["bucket"], r["event_type"]): r["n"]
+        for r in spark.read.parquet(store).collect()
+    }
+    before = {(r[0], r[1]): r[2] for r in once}
+    assert twice == {key: 2 * n for key, n in before.items()}
