@@ -343,53 +343,40 @@ def q08_resource_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Correctness-window ordering. The round-1 driver hash-checked only the FIRST
-# 50 registry entries (dict order) — q51-q63 ran in bench but got no
-# CORRECTNESS rows (VERDICT r01 §"What's missing" #1). The registry is larger
-# than the window, so ordering is a rotation policy:
+# Correctness-window ordering. The driver hash-checks only the FIRST 50
+# registry entries (dict order) per round. The registry is larger than the
+# window, so ordering is a rotation policy:
 #   _CHECK_FIRST — queries with no green row yet, or whose implementation /
 #     oracle changed this round (must re-prove);
 #   _CHECK_LAST — queries that stayed green in a previous round AND whose
-#     operator surface is redundantly covered by an in-window sibling
-#     (q01→q42, q21→q53, q14→q36, q17/q18→q38, q08→q24, q06→q26, q25/q35→
-#     narrow-builder siblings, q46→q45, q43/q48/q44→q49/q53/q45-kin). They
-#     still run in bench every round and keep their oracles — only their
-#     hash-check priority rotates.
+#     code paths are untouched this round (or redundantly covered by an
+#     in-window sibling). They still run in bench every round and keep their
+#     oracles — only their hash-check priority rotates.
 # Every entry keeps BOTH a queries() and an oracle_sql() registration either
 # way; nothing is retired.
+#
+# r03 composition (exactly 50):
+# - q57/q71 (red in r02, fixed this round) + q86/q87 (never driver-checked)
+#   + q88 (new recall gate) — the rotation-debt closers;
+# - everything downstream of this round's normalize/etl/builder changes
+#   (selectExpr stringify twin, per-table concept padding, checkpoint_wide):
+#   the whole FHIR surface q03/q23/q74-q85 plus the r01-green builder gates
+#   q24-q27/q30-q35 and the generic cascade q02 — all must re-prove on the
+#   changed code;
+# - the similarity file was touched (multi-table lsh_signature offset):
+#   q14/q15/q16/q36/q66 re-prove;
+# - remaining slots re-prove r01-green entries that have sat out a round
+#   (q05/q08/q10/q13/q20/q29/q40-q48 window/set/join shapes).
+# After this round every one of the 88 entries has a green row in r01-r03.
 # ---------------------------------------------------------------------------
 _CHECK_FIRST = [
-    "q51_json_extract",
-    "q52_word_explode_topk",
-    "q53_time_bucket_rollup",
-    "q54_star_broadcast_join",
-    "q55_decorrelated_avg_qty",
-    "q56_regional_revenue_chain",
     "q57_approx_sketches",
-    "q58_embedding_centroids",
-    "q59_stream_stream_join",
-    "q60_train_test_split",
-    "q61_source_quota_sample",
-    "q62_doc_chunking",
-    "q63_dup_clusters",
-    "q07_try_cast_json",
-    "q19_token_stats",
-    "q22_sessionization",
-    "q38_corpus_prep_pipeline",
-    "q16_ann_lsh_topk",
-    "q64_fhir_drs_metadata_hashes",
-    "q65_fhir_specimen_bodysite_dispatch",
-    "q66_embedding_neardup_lsh",
-    "q12_minhash_verified_pairs",
-    "q15_embedding_neardup",
-    "q11_minhash_lsh_candidates",
-    "q67_bpe_token_budget",
-    "q68_rolling_fingerprints",
-    "q69_stratified_sample",
-    "q70_incremental_rollup",
     "q71_sequence_packing",
-    "q72_canonical_docs",
-    "q73_salted_skew_join",
+    "q86_cube_order_matrix",
+    "q87_range_frame_running",
+    "q88_embedding_lsh_recall",
+    "q03_normalize_dedup",
+    "q23_fhir_transform_cascade",
     "q74_fhir_proband_status_json",
     "q75_fhir_family_json",
     "q76_fhir_research_study_json",
@@ -402,66 +389,82 @@ _CHECK_FIRST = [
     "q83_fhir_specimen_json",
     "q84_fhir_drs_json",
     "q85_fhir_full_pipeline",
-]
-_CHECK_LAST = [
-    "q01_pricing_summary",
-    "q03_normalize_dedup",
-    "q05_sentinel_filter",
-    "q06_group_collect",
-    "q08_resource_json",
-    "q09_topk_per_group",
-    "q14_ann_cosine_topk",
-    "q17_language_id",
-    "q18_quality_score",
-    "q21_window_agg",
+    "q24_fhir_patient_resources",
     "q25_fhir_disease_narrow",
-    "q35_fhir_histopathology",
-    "q43_rollup_order_stats",
-    "q44_customer_set_ops",
-    "q46_not_exists_anti_join",
-    "q48_multi_distinct_agg",
-    # r02 rotation: green in r01, siblings in-window (q39 stays in-window as
-    # the multimodal Arrow gate; q21/q53/q61 cover the window shapes; q68's
-    # rolling fingerprints subsume q20's normalize+md5 surface)
-    "q40_multimodal_frame_sample",
-    "q41_multimodal_metadata_stats",
-    "q50_window_frames",
-    "q20_fingerprint",
-    # q28 asof stays in-window; the bucketized range join rotates
-    "q29_range_join",
-    # q38's pipeline composes exact_dedup in-window
-    "q10_dedup_exact",
-    # q23 runs the REAL transform cascade in-window; q02's generic form rotates
-    "q02_outer_join_cascade",
-    # q11's minimal-band emission is the same banding trick; Hamming pytest'd
-    "q13_simhash",
-    # q54/q55/q56 cover the filtered join-agg-topN shapes
-    "q42_topn_shipping_priority",
-    # superseded by their byte-identical full-JSON gates (q76/q74/q78/q75)
+    "q26_fhir_family_groups",
+    "q27_fhir_specimen_narrow",
+    "q30_fhir_vital_status_json",
+    "q31_fhir_drs_document_reference",
+    "q32_fhir_family_relationship",
     "q33_fhir_research_study",
     "q34_fhir_proband_status",
-    "q32_fhir_family_relationship",
-    "q26_fhir_family_groups",
-    # specimen/DRS surfaces re-gated by q65/q64 (bodySite+method+security /
-    # metadata+hashes+acl); their remaining fields stay r01-green
-    "q27_fhir_specimen_narrow",
-    "q31_fhir_drs_document_reference",
-    # byte-identical since r01; static surface, r01-green
-    "q30_fhir_vital_status_json",
-    # left-semi runs inside q38's exact_dedup in-window; q53/q70 cover the
-    # grouped-matrix shapes — keep q37/q39 (stateful stream, multimodal) in
+    "q35_fhir_histopathology",
+    "q02_outer_join_cascade",
+    "q14_ann_cosine_topk",
+    "q15_embedding_neardup",
+    "q16_ann_lsh_topk",
+    "q36_ann_ivf_topk",
+    "q66_embedding_neardup_lsh",
+    "q05_sentinel_filter",
+    "q08_resource_json",
+    "q10_dedup_exact",
+    "q13_simhash",
+    "q20_fingerprint",
+    "q29_range_join",
+    "q40_multimodal_frame_sample",
+    "q41_multimodal_metadata_stats",
+    "q42_topn_shipping_priority",
+    "q43_rollup_order_stats",
+    "q44_customer_set_ops",
     "q45_exists_semi_join",
-    "q49_pivot_status_matrix",
-    # q85 runs the full wide cascade end-to-end; q24's bytes are r01-green
-    # and Patient remains the entry() smoke; q57 sketches cover quantiles
-    "q23_fhir_transform_cascade",
-    "q24_fhir_patient_resources",
+    "q46_not_exists_anti_join",
     "q47_grouped_percentiles",
-    # new r02 gates parked at the tail (window is full of unproven/changed
-    # entries); they rotate into the hash window next round — locally
-    # verified green via scripts/driver_sim.py meanwhile
-    "q86_cube_order_matrix",
-    "q87_range_frame_running",
+    "q48_multi_distinct_agg",
+]
+_CHECK_LAST = [
+    # r02-green, code paths untouched this round: TPC-H-ish aggregates and
+    # window/rollup shapes
+    "q01_pricing_summary",
+    "q04_recode_split",
+    "q06_group_collect",
+    "q07_try_cast_json",
+    "q09_topk_per_group",
+    "q21_window_agg",
+    "q22_sessionization",
+    "q28_asof_join",
+    "q49_pivot_status_matrix",
+    "q50_window_frames",
+    "q51_json_extract",
+    "q52_word_explode_topk",
+    "q53_time_bucket_rollup",
+    "q54_star_broadcast_join",
+    "q55_decorrelated_avg_qty",
+    "q56_regional_revenue_chain",
+    "q58_embedding_centroids",
+    # r02-green streaming gates (streaming sources untouched; the rollup
+    # SINK's new replay guard is pytest-gated, not query-visible)
+    "q37_stateful_user_totals_stream",
+    "q59_stream_stream_join",
+    "q70_incremental_rollup",
+    # r02-green dedup/sampling/text operators, untouched
+    "q11_minhash_lsh_candidates",
+    "q12_minhash_verified_pairs",
+    "q17_language_id",
+    "q18_quality_score",
+    "q19_token_stats",
+    "q38_corpus_prep_pipeline",
+    "q39_multimodal_features",
+    "q60_train_test_split",
+    "q61_source_quota_sample",
+    "q62_doc_chunking",
+    "q63_dup_clusters",
+    "q64_fhir_drs_metadata_hashes",
+    "q65_fhir_specimen_bodysite_dispatch",
+    "q67_bpe_token_budget",
+    "q68_rolling_fingerprints",
+    "q69_stratified_sample",
+    "q72_canonical_docs",
+    "q73_salted_skew_join",
 ]
 
 
