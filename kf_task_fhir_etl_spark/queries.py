@@ -375,6 +375,8 @@ _CHECK_FIRST = [
     "q86_cube_order_matrix",
     "q87_range_frame_running",
     "q88_embedding_lsh_recall",
+    "q89_quality_filter_funnel",
+    "q90_contamination_screen",
     "q03_normalize_dedup",
     "q23_fhir_transform_cascade",
     "q74_fhir_proband_status_json",
@@ -418,10 +420,11 @@ _CHECK_FIRST = [
     "q44_customer_set_ops",
     "q45_exists_semi_join",
     "q46_not_exists_anti_join",
-    "q47_grouped_percentiles",
-    "q48_multi_distinct_agg",
 ]
 _CHECK_LAST = [
+    # r01-green; displaced from the re-prove slots by the new q89/q90 gates
+    "q47_grouped_percentiles",
+    "q48_multi_distinct_agg",
     # r02-green, code paths untouched this round: TPC-H-ish aggregates and
     # window/rollup shapes
     "q01_pricing_summary",

@@ -1595,3 +1595,138 @@ def q88_embedding_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_hits") / F.col("n_exact"), 6).alias("recall"),
         )
     )
+
+
+_Q89_METRIC_SQL = r"""
+    WITH w AS (
+      SELECT source,
+             CASE WHEN len(trim(text)) = 0 THEN []::VARCHAR[]
+                  ELSE string_split_regex(trim(text), '\s+') END AS w
+      FROM documents
+    ), m AS (
+      SELECT source,
+             len(w) AS n_words,
+             CASE WHEN len(w) > 0
+                  THEN ROUND(list_sum(list_transform(w, x -> len(x)))::DOUBLE / len(w), 6)
+                  ELSE 0.0 END AS mean_word_len,
+             CASE WHEN len(w) > 0
+                  THEN ROUND(len(list_distinct(w))::DOUBLE / len(w), 6)
+                  ELSE 0.0 END AS distinct_word_ratio,
+             CASE WHEN len(w) > 0
+                  THEN ROUND(list_max(list_transform(list_distinct(w),
+                       d -> len(list_filter(w, x -> x = d))))::DOUBLE / len(w), 6)
+                  ELSE 0.0 END AS top_word_ratio,
+             CASE WHEN len(w) >= 2
+                  THEN ROUND(1.0 - len(list_distinct(list_transform(range(1, len(w)),
+                       i -> array_to_string(w[i:i+1], ' '))))::DOUBLE / (len(w) - 1), 6)
+                  ELSE 0.0 END AS dup_bigram_ratio,
+             CASE WHEN len(w) >= 3
+                  THEN ROUND(1.0 - len(list_distinct(list_transform(range(1, len(w) - 1),
+                       i -> array_to_string(w[i:i+2], ' '))))::DOUBLE / (len(w) - 2), 6)
+                  ELSE 0.0 END AS dup_trigram_ratio
+      FROM w)
+"""
+
+
+@register(
+    "q89_quality_filter_funnel",
+    oracle=_Q89_METRIC_SQL
+    + """
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN n_words BETWEEN 20 AND 100000
+                          AND mean_word_len BETWEEN 2.0 AND 10.0
+                          AND distinct_word_ratio >= 0.25
+                          AND top_word_ratio <= 0.20
+                          AND dup_trigram_ratio <= 0.30
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           ROUND(AVG(mean_word_len), 4) + 0.0 AS avg_word_len,
+           ROUND(AVG(distinct_word_ratio), 4) + 0.0 AS avg_distinct_ratio,
+           ROUND(AVG(top_word_ratio), 4) + 0.0 AS avg_top_word,
+           ROUND(AVG(dup_bigram_ratio), 4) + 0.0 AS avg_dup_bigram,
+           ROUND(AVG(dup_trigram_ratio), 4) + 0.0 AS avg_dup_trigram
+    FROM m GROUP BY source ORDER BY source
+    """,
+)
+def q89_quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style corpus quality gate (operators/filters.py): word-shape
+    and repetition metrics (mean word length, distinct-word ratio, top-word
+    dominance, duplicate bi/trigram fractions) feed a composite keep
+    decision; the funnel reports per-source doc counts, kept counts, and
+    metric means. Every metric is a codegen array expression evaluated per
+    row — the whole filter stage is one projection with zero shuffle beyond
+    the final per-source aggregate, exactly how a 100 TB filter pass should
+    look (map-side decision, aggregate only for reporting). The DuckDB
+    oracle recomputes each formula with list lambdas (same int-division and
+    rounding), so keep decisions are hash-checked at the boundary values
+    too."""
+    from kf_task_fhir_etl_spark.operators import filters
+
+    docs = load_table(spark, sf_dir, "documents")
+    ann = filters.apply_quality_filters(docs)
+    return (
+        ann.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_kept"),
+            (F.round(F.avg("mean_word_len"), 4) + 0.0).alias("avg_word_len"),
+            (F.round(F.avg("distinct_word_ratio"), 4) + 0.0).alias("avg_distinct_ratio"),
+            (F.round(F.avg("top_word_ratio"), 4) + 0.0).alias("avg_top_word"),
+            (F.round(F.avg("dup_bigram_ratio"), 4) + 0.0).alias("avg_dup_bigram"),
+            (F.round(F.avg("dup_trigram_ratio"), 4) + 0.0).alias("avg_dup_trigram"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "q90_contamination_screen",
+    oracle=r"""
+    WITH wdocs AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+    ), doc_grams AS (
+      SELECT doc_id,
+             UNNEST(list_distinct(list_transform(range(1, len(w) - 3),
+                    i -> array_to_string(w[i:i+4], ' ')))) AS gram
+      FROM wdocs WHERE len(w) >= 5
+    ), eval_grams AS (
+      SELECT DISTINCT UNNEST(list_distinct(list_transform(range(1, len(w[1:30]) - 3),
+                    i -> array_to_string((w[1:30])[i:i+4], ' ')))) AS gram
+      FROM wdocs WHERE doc_id % 50 = 0 AND len(w[1:30]) >= 5
+    ), scored AS (
+      SELECT d.doc_id,
+             COUNT(*) AS total_ngrams,
+             CAST(SUM(CASE WHEN e.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS contaminated_ngrams
+      FROM doc_grams d LEFT JOIN eval_grams e ON d.gram = e.gram
+      GROUP BY d.doc_id)
+    SELECT doc_id, total_ngrams, contaminated_ngrams,
+           ROUND(contaminated_ngrams::DOUBLE / total_ngrams, 6) AS contamination_ratio
+    FROM scored
+    WHERE ROUND(contaminated_ngrams::DOUBLE / total_ngrams, 6) >= 0.1
+    ORDER BY contamination_ratio DESC, doc_id
+    """,
+)
+def q90_contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/filters.py::contamination_scores):
+    an eval set is built as 30-word prefixes of every 50th document (the
+    realistic leak: benchmarks quoting corpus passages), and every document
+    is scored by the fraction of its distinct word 5-grams present in the
+    eval n-gram set. Flags both the quoted sources themselves AND their
+    transitive near-duplicates (e.g. a doc that merely copies a quoted doc)
+    — the screen a pretraining pipeline runs before the tokenizer. Plan
+    shape: explode to distinct (doc, xxhash64(gram)) rows, broadcast the
+    eval gram set, left-semi mark, one groupBy(doc) — the only shuffle is
+    the per-doc aggregate; the oracle joins the raw gram strings (hashing is
+    a pure shuffle-width optimization, collision odds ~2⁻⁶⁴)."""
+    from kf_task_fhir_etl_spark.operators import filters
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = filters.words(F.col("text"))
+    eval_docs = docs.filter(F.col("doc_id") % 50 == 0).select(
+        "doc_id", F.array_join(F.slice(w, 1, 30), " ").alias("text")
+    )
+    scores = filters.contamination_scores(docs, eval_docs, n=5)
+    return scores.filter(F.col("contamination_ratio") >= 0.1).orderBy(
+        F.desc("contamination_ratio"), "doc_id"
+    )

@@ -563,3 +563,65 @@ def test_rolling_fingerprint_rows_matches_array_form(spark):
         (r["id"], r["fp"]) for r in text.rolling_fingerprint_rows(docs).collect()
     }
     assert row_form == array_form and row_form
+
+
+def test_quality_metrics_known_values(spark):
+    """Hand-computed metric values: 6 words, 'a' appears 3x -> top_word 0.5;
+    bigrams [a b, b a, a b, b a, a cat] -> 3 distinct of 5 -> dup 0.4."""
+    from kf_task_fhir_etl_spark.operators import filters
+
+    df = spark.createDataFrame([(1, "a b a b a cat"), (2, ""), (3, None)], "id long, text string")
+    m = filters.quality_metrics(F.col("text"))
+    rows = {r["id"]: r for r in df.select("id", *[e.alias(k) for k, e in m.items()]).collect()}
+    r1 = rows[1]
+    assert r1["n_words"] == 6
+    assert r1["distinct_word_ratio"] == round(3 / 6, 6)
+    assert r1["top_word_ratio"] == round(3 / 6, 6)
+    assert r1["dup_bigram_ratio"] == round(1 - 3 / 5, 6)
+    assert r1["mean_word_len"] == round((1 + 1 + 1 + 1 + 1 + 3) / 6, 6)
+    assert r1["alpha_word_ratio"] == 1.0
+    for empty_id in (2, 3):
+        r = rows[empty_id]
+        assert r["n_words"] == 0 and r["top_word_ratio"] == 0.0 and r["dup_bigram_ratio"] == 0.0
+
+
+def test_gopher_keep_thresholds(spark):
+    """keep flips exactly at the documented thresholds."""
+    from kf_task_fhir_etl_spark.operators import filters
+
+    good = " ".join(f"w{i}" for i in range(30))          # 30 distinct words
+    too_short = "one two three"                           # < min_words
+    dominated = " ".join(["spam"] * 25 + ["x", "y", "z", "q", "r"])  # top_word 25/30
+    df = spark.createDataFrame(
+        [(1, good), (2, too_short), (3, dominated)], "id long, text string"
+    )
+    out = {r["id"]: r["keep"] for r in filters.apply_quality_filters(df).collect()}
+    assert out == {1: True, 2: False, 3: False}
+
+
+def test_contamination_scores_exact(spark):
+    """A doc sharing its full prefix with the eval set scores 1.0; a
+    disjoint doc scores 0.0; a half-overlapping doc scores the exact
+    fraction of its distinct 5-grams."""
+    from kf_task_fhir_etl_spark.operators import filters
+
+    eval_docs = spark.createDataFrame([(100, "e1 e2 e3 e4 e5 e6")], "doc_id long, text string")
+    docs = spark.createDataFrame(
+        [
+            (1, "e1 e2 e3 e4 e5 e6"),       # identical: 2 grams, both hit
+            (2, "x1 x2 x3 x4 x5 x6"),       # disjoint: 2 grams, none hit
+            (3, "e1 e2 e3 e4 e5 z6"),       # grams: [e1..e5 hit, e2..z6 miss]
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["total_ngrams"], r["contaminated_ngrams"], r["contamination_ratio"])
+        for r in filters.contamination_scores(docs, eval_docs, n=5).collect()
+    }
+    assert got == {1: (2, 2, 1.0), 2: (2, 0, 0.0), 3: (2, 1, 0.5)}
+    # hashed and string-keyed paths agree
+    got_str = {
+        r["doc_id"]: r["contamination_ratio"]
+        for r in filters.contamination_scores(docs, eval_docs, n=5, use_hash=False).collect()
+    }
+    assert got_str == {k: v[2] for k, v in got.items()}
