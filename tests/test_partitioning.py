@@ -203,3 +203,42 @@ def test_pack_sequences_agg_reuses_window_partitioning(spark):
     agg = packed.groupBy("source", "seq_id").count()
     plan = agg._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_quality_filters_map_side_only(spark):
+    """The q89 filter stage: all metrics + keep decision are one codegen
+    projection — no Exchange (shuffle), no Python eval nodes — so at 100 TB
+    the whole gatekeeping pass rides the scan."""
+    from kf_task_fhir_etl_spark.operators import filters
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ann = filters.apply_quality_filters(docs).filter("keep")
+    plan = _formatted_plan(ann)
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan  # no BatchEvalPython / ArrowEvalPython
+
+
+def test_contamination_broadcasts_eval_and_shuffles_once(spark):
+    """The q90 screen: the eval n-gram set rides a BroadcastExchange into a
+    left-semi join (no shuffle of the corpus grams against it); the only
+    hash-partition exchanges are the per-doc aggregates."""
+    from kf_task_fhir_etl_spark.operators import filters
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    w = filters.words(F.col("text"))
+    eval_docs = docs.filter(F.col("doc_id") % 50 == 0).select(
+        "doc_id", F.array_join(F.slice(w, 1, 30), " ").alias("text")
+    )
+    plan = _formatted_plan(filters.contamination_scores(docs, eval_docs, n=5))
+    assert "BroadcastExchange" in plan
+    assert "EvalPython" not in plan
+    shuffles = [
+        line
+        for line in plan.splitlines()
+        if "Exchange hashpartitioning" in line
+    ]
+    # totals agg + matched agg + the final totals⋈matched join alignment —
+    # all on the doc key; nothing shuffles on the gram key
+    assert all("id" in line for line in shuffles)
+    assert not any("gram" in line for line in shuffles)
