@@ -1,0 +1,357 @@
+r"""Corpus-construction query gates (q91-q97): TF-IDF keywords, PII
+redaction, semantic dedup, mixture resampling, bucketed co-located joins,
+streaming dedup, and sharded deterministic shuffling — each paired with a
+DuckDB oracle recomputing the identical engine-portable formulas.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kf_task_fhir_etl_spark.catalog import load_table
+from kf_task_fhir_etl_spark.operators import bucketing, corpus, semantic
+from kf_task_fhir_etl_spark.queries import register
+
+# ---------------------------------------------------------------------------
+# q91 — TF-IDF keyword extraction (source-level top terms)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q91_tfidf_keywords",
+    oracle=r"""
+    WITH toks AS (
+      SELECT source AS grp,
+             UNNEST(string_split_regex(trim(lower(text)), '\s+')) AS term
+      FROM documents WHERE len(trim(text)) > 0
+    ), tf AS (
+      SELECT grp, term, COUNT(*) AS tf FROM toks GROUP BY grp, term
+    ), dfreq AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ), n AS (
+      SELECT COUNT(DISTINCT grp) AS n_groups FROM tf
+    ), scored AS (
+      SELECT grp, tf.term AS term, tf, df,
+             ROUND(tf * ln((n_groups + 1.0) / (df + 1.0)), 6) AS tfidf
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    )
+    SELECT grp AS "group", rnk, term, tf, df, tfidf FROM (
+      SELECT grp, term, tf, df, tfidf,
+             ROW_NUMBER() OVER (PARTITION BY grp ORDER BY tfidf DESC, term ASC) AS rnk
+      FROM scored)
+    WHERE rnk <= 5
+    ORDER BY "group", rnk
+    """,
+)
+def q91_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus keyword extraction (operators/corpus.py::tfidf): each source is
+    one term-frequency document; smoothed IDF weighs down boilerplate terms
+    shared by every source; top-5 per source by score. The only corpus-sized
+    intermediate is the (group, term, tf) table — df/N are aggregates OF
+    that table, so at 100 TB the raw text is scanned once. The oracle
+    recomputes tf·ln((N+1)/(df+1)) with the same double ops and 6dp
+    rounding before the rank comparison."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = corpus.tfidf(docs, "source")
+    return corpus.top_terms(scored, 5).orderBy("group", "rnk")
+
+
+# ---------------------------------------------------------------------------
+# q92 — PII redaction
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q92_pii_redaction",
+    oracle=r"""
+    WITH aug AS (
+      SELECT doc_id, text
+        || CASE WHEN doc_id % 7 = 0
+                THEN ' contact user' || doc_id || '@example.com please' ELSE '' END
+        || CASE WHEN doc_id % 11 = 0
+                THEN ' host 10.0.' || (doc_id % 256) || '.' || (doc_id % 250) || ' up' ELSE '' END
+        || CASE WHEN doc_id % 13 = 0
+                THEN ' call 555-201-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') ELSE '' END
+        AS aug_text
+      FROM documents)
+    SELECT doc_id,
+           len(regexp_extract_all(aug_text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+           len(regexp_extract_all(aug_text,
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ip,
+           len(regexp_extract_all(aug_text, '\b\d{3}-\d{3}-\d{4}\b')) AS n_phone,
+           md5(regexp_replace(regexp_replace(regexp_replace(aug_text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+               '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g')) AS redacted_md5
+    FROM aug ORDER BY doc_id
+    """,
+)
+def q92_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub gate (operators/corpus.py::redact_pii): deterministic
+    synthetic PII (emails / IPv4 / phone numbers derived from doc_id) is
+    appended to a subset of documents, then the redactor must find and
+    replace every instance — per-category counts AND the md5 of the fully
+    redacted text are hash-checked, so both a missed entity and an
+    over-eager replacement (false positive on organic text) fail the gate.
+    The whole pass is one codegen projection (regexp_count +
+    regexp_replace), zero shuffle — the map-side scrub a 100 TB pipeline
+    runs alongside quality filtering. Patterns stay in the ASCII subset
+    where Java regex and DuckDB's RE2 agree."""
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                did % 7 == 0,
+                F.concat(F.lit(" contact user"), did.cast("string"), F.lit("@example.com please")),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 11 == 0,
+                F.concat(
+                    F.lit(" host 10.0."),
+                    (did % 256).cast("string"),
+                    F.lit("."),
+                    (did % 250).cast("string"),
+                    F.lit(" up"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 13 == 0,
+                F.concat(
+                    F.lit(" call 555-201-"),
+                    F.lpad((did % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("aug_text"),
+    )
+    red = corpus.redact_pii(aug, "aug_text", "redacted")
+    return red.select(
+        "doc_id",
+        "n_email",
+        "n_ip",
+        "n_phone",
+        F.md5(F.col("redacted")).alias("redacted_md5"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q93 — semantic (cluster-bounded) dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q93_semantic_dedup",
+    oracle="""
+    WITH cent AS (
+      SELECT label, list(cavg ORDER BY dim) AS cvec FROM (
+        SELECT label, dim, ROUND(AVG(val), 4) + 0.0 AS cavg
+        FROM (SELECT label, UNNEST(embedding) AS val,
+                     generate_subscripts(embedding, 1) AS dim
+              FROM embeddings)
+        GROUP BY label, dim)
+      GROUP BY label
+    ), assigned AS (
+      SELECT vec_id, embedding, cluster FROM (
+        SELECT e.vec_id, e.embedding, c.label AS cluster,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY ROUND(list_cosine_similarity(e.embedding::DOUBLE[], c.cvec), 6) DESC,
+                          c.label ASC) AS rn
+        FROM embeddings e CROSS JOIN cent c)
+      WHERE rn = 1
+    ), pairs AS (
+      SELECT a.cluster, a.vec_id AS id_a, b.vec_id AS id_b,
+             ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
+      FROM assigned a JOIN assigned b
+        ON a.cluster = b.cluster AND a.vec_id < b.vec_id)
+    SELECT cluster, id_b AS vec_id, MAX(cos) AS max_cos
+    FROM pairs WHERE cos >= 0.4
+    GROUP BY cluster, id_b
+    ORDER BY cluster, vec_id
+    """,
+)
+def q93_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup gate (operators/semantic.py): embeddings are assigned to
+    their nearest per-label prototype (broadcast K×dim table, 6dp-rounded
+    cosine argmax, min-label tie-break), then near-dup pairs are searched
+    ONLY within clusters and every doc with a smaller-id neighbor at
+    cosine ≥ 0.4 is dropped. Output is the dropped set with each doc's
+    strongest in-cluster neighbor similarity — assignment, pair cosine,
+    and the survivor rule are all recomputed by the oracle, so a single
+    flipped cluster assignment fails the hash. Scale shape: pair space is
+    cluster-bounded (the SemDeDup argument: duplicates co-embed, so
+    confining the O(m²) join to clusters loses almost nothing while
+    dividing the work by K)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic.semantic_dedup_dropped(emb, threshold=0.4).orderBy("cluster", "vec_id")
+
+
+# ---------------------------------------------------------------------------
+# q94 — temperature-scaled mixture resampling
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q94_mixture_resample",
+    oracle="""
+    WITH stats AS (
+      SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+    ), d AS (
+      SELECT SUM(POWER(n, 0.5)) AS denom FROM stats
+    ), quotas AS (
+      SELECT lang, LEAST(n, CAST(FLOOR(300.0 * ROUND(POWER(n, 0.5) / denom, 6)) AS BIGINT)) AS quota
+      FROM stats CROSS JOIN d
+    ), ranked AS (
+      SELECT lang, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
+      FROM documents)
+    SELECT r.lang, r.doc_id FROM ranked r JOIN quotas q USING (lang)
+    WHERE rn <= quota ORDER BY lang, doc_id
+    """,
+)
+def q94_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture gate (operators/corpus.py::mixture_resample): the
+    corpus is resampled toward the α=0.5 temperature mixture over languages
+    (w ∝ n^α — the multilingual-pretraining rule that keeps head languages
+    from drowning tail ones), with membership decided by deterministic
+    md5 rank within each language. The gate hash-checks the EXACT kept row
+    set, so quota arithmetic (6dp-rounded weights before the floor) and
+    the rank order must both match the oracle. One window on the group key
+    plus a broadcast quota join — no RNG, no driver state, snapshot-stable
+    under incremental ingest."""
+    docs = load_table(spark, sf_dir, "documents")
+    kept = corpus.mixture_resample(docs, "lang", "doc_id", alpha=0.5, target_total=300)
+    return kept.select("lang", "doc_id").orderBy("lang", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q95 — bucketed co-located join (shuffle-once, join-free-forever)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q95_bucketed_colocated_join",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_items,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def q95_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-table join gate (operators/bucketing.py): lineitem and
+    orders are written ONCE as 16-bucket tables hash-partitioned and
+    sorted on the order key, then joined with zero Exchange under the join
+    — ``require_no_shuffle_join`` raises if either side re-shuffles, so
+    the gate fails (errors, not mis-hashes) the moment the layout stops
+    being exploited. This is the 100 TB pattern for fact-fact joins that
+    recur every run: pay the orderkey shuffle at ingest, never again.
+    The revenue aggregate is hash-checked against the plain-join oracle,
+    proving bucketing is invisible to results."""
+    tag = re.sub(r"[^A-Za-z0-9]", "_", os.path.basename(sf_dir.rstrip("/")))
+    ltab, otab = f"kf_li_bucketed_{tag}", f"kf_ord_bucketed_{tag}"
+    base = os.path.join(tempfile.gettempdir(), "kf_spark_bucketed")
+    if not spark.catalog.tableExists(ltab):
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice", "l_discount"
+        )
+        bucketing.write_bucketed(li, ltab, "l_orderkey", buckets=16, path=os.path.join(base, ltab))
+    if not spark.catalog.tableExists(otab):
+        orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+        bucketing.write_bucketed(
+            orders, otab, "o_orderkey", buckets=16, path=os.path.join(base, otab)
+        )
+    joined = bucketing.bucketed_join(
+        spark, ltab, otab, left_key="l_orderkey", right_key="o_orderkey", hint="merge"
+    )
+    out = (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )
+    bucketing.require_no_shuffle_join(out)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# q96 — streaming deduplication
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q96_streaming_dedup",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q96_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact-dedup gate: the event stream is unioned with itself
+    (every event arrives exactly twice — the at-least-once delivery shape)
+    and ``dropDuplicatesWithinWatermark`` on event_id must collapse each
+    pair back to one row, bounded by the 2-hour watermark instead of
+    unbounded keep-all-keys state. The deduped sink aggregates to
+    per-type counts/sums, which the batch oracle recomputes from the
+    ORIGINAL (unduplicated) table — any leaked duplicate doubles a count
+    and fails the hash. State at 100 TB: keys expire with the watermark,
+    so memory is bounded by the duplication window, not the stream
+    length."""
+    from kf_task_fhir_etl_spark.streaming.events import read_events_stream, run_stream_to_memory
+
+    ev = read_events_stream(spark, sf_dir)
+    doubled = ev.union(read_events_stream(spark, sf_dir))
+    deduped = doubled.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(["event_id"])
+    run_stream_to_memory(deduped, "q96_dedup_mem", output_mode="append")
+    return (
+        spark.table("q96_dedup_mem")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q97 — sharded deterministic shuffle (training order)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q97_shuffle_shards",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, md5('1:' || doc_id::VARCHAR) AS hh FROM documents
+    ), s AS (
+      SELECT doc_id, hh, ('0x' || substr(hh, 1, 4))::INT % 16 AS shard FROM h)
+    SELECT doc_id, shard,
+           ROW_NUMBER() OVER (PARTITION BY shard ORDER BY hh, doc_id) AS pos
+    FROM s ORDER BY shard, pos
+    """,
+)
+def q97_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order gate (operators/corpus.py::
+    shuffle_shards): every document gets a (shard, position) from the md5
+    of (seed, key) — a reproducible global shuffle with NO global sort:
+    one hash shuffle on the shard key and a per-shard window, parallelism
+    = shard count. The oracle recomputes every shard id and rank, so the
+    gate pins both the hash layout and the within-shard order; epoch seeds
+    re-key the hash for fresh orders over the same corpus. Contrast
+    ``orderBy(rand())``: nondeterministic per run/retry and a full
+    range-partitioned sort at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return corpus.shuffle_shards(docs, "doc_id", shards=16, seed=1).orderBy("shard", "pos")

@@ -24,19 +24,40 @@ def write_bucketed(
     buckets: int = 32,
     sort: bool = True,
     mode: str = "overwrite",
+    path: str | None = None,
 ) -> None:
-    """Persist ``df`` as a bucketed (and bucket-sorted) managed table."""
+    """Persist ``df`` as a bucketed (and bucket-sorted) table — managed by
+    default, external when ``path`` is given (the data files land at
+    ``path`` while the bucket spec still registers in the catalog)."""
     writer = df.write.mode(mode).bucketBy(buckets, key)
     if sort:
         writer = writer.sortBy(key)
+    if path is not None:
+        writer = writer.option("path", path)
     writer.saveAsTable(table)
 
 
-def bucketed_join(spark: SparkSession, left_table: str, right_table: str, key: str) -> DataFrame:
-    """Join two same-bucketed tables on their bucket key. With matching
-    bucket specs the physical plan has no Exchange under either join child —
-    assert it with ``require_no_shuffle_join``."""
-    return spark.table(left_table).join(spark.table(right_table), on=[key])
+def bucketed_join(
+    spark: SparkSession,
+    left_table: str,
+    right_table: str,
+    key: str | None = None,
+    left_key: str | None = None,
+    right_key: str | None = None,
+    hint: str | None = None,
+) -> DataFrame:
+    """Join two same-bucketed tables on their bucket key (either one shared
+    ``key`` or a ``left_key``/``right_key`` pair). With matching bucket
+    specs the physical plan has no Exchange under either join child —
+    assert it with ``require_no_shuffle_join``. ``hint`` (e.g. ``"merge"``)
+    pins the join strategy so a broadcast pick can't silently bypass the
+    bucketed layout being exercised."""
+    left, right = spark.table(left_table), spark.table(right_table)
+    if hint is not None:
+        left = left.hint(hint)
+    if key is not None:
+        return left.join(right, on=[key])
+    return left.join(right, on=left[left_key] == right[right_key])
 
 
 def require_no_shuffle_join(df: DataFrame) -> None:

@@ -1,0 +1,211 @@
+"""Corpus-construction operators past the filter/dedup gate: TF-IDF keyword
+extraction, PII redaction, temperature-scaled mixture resampling, and
+sharded deterministic shuffling — the stages that turn a cleaned document
+pool into an actual training corpus.
+
+Design rules shared with operators/filters.py and operators/sampling.py:
+
+- every transform is a codegen column expression or an equi-join — no Python
+  in the hot path, no driver-side state at any corpus size;
+- every stochastic-looking choice (sample membership, shuffle order) is a
+  pure function of the row's key via md5, so re-runs, retries, and
+  incremental ingests are stable and a DuckDB oracle can recompute the
+  exact same decision;
+- formulas are engine-portable (ASCII regex classes, explicit rounding
+  before any threshold/rank comparison) so correctness gates hash VALUES,
+  not just shapes.
+
+The reference (kids-first/kf-task-fhir-etl) has no corpus surface — these
+are engine extensions in the spirit of its deterministic re-runnable ETL
+(`etl/ingest.py:519-531`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from kf_task_fhir_etl_spark.operators.filters import words
+
+# ---------------------------------------------------------------------------
+# TF-IDF keyword extraction
+# ---------------------------------------------------------------------------
+
+
+def term_counts(docs: DataFrame, group_col: str, text_col: str = "text") -> DataFrame:
+    """(group, term, tf) — lowercased whitespace terms exploded and counted
+    per group. The explode is a Generate node (map-side fan-out, no
+    shuffle); the count is one hash aggregate on (group, term) with
+    map-side partial combine, so each executor emits at most its local
+    distinct-term set regardless of how many occurrences it scanned."""
+    term = F.explode(words(F.lower(F.col(text_col)))).alias("term")
+    return (
+        docs.select(F.col(group_col).alias("group"), term)
+        .groupBy("group", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def tfidf(docs: DataFrame, group_col: str, text_col: str = "text") -> DataFrame:
+    """Smoothed TF-IDF per (group, term): ``tf · ln((N+1)/(df+1))`` where N
+    is the number of groups and df the number of groups containing the
+    term.
+
+    Plan shape at 100 TB: the tf table is the only corpus-sized
+    intermediate; df is a second aggregate OF that table (not of the raw
+    corpus), N is a one-row aggregate broadcast via cross join, and the
+    tf⋈df equi-join shuffles on the term key — the same key the df
+    aggregate just partitioned by, so AQE reuses the exchange. Nothing is
+    ever collected; scores round to 6dp so the DuckDB oracle (natural log,
+    double division — bit-identical inputs) hashes the same values."""
+    tf = term_counts(docs, group_col, text_col)
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = tf.agg(F.count_distinct(F.col("group")).alias("n_groups"))
+    return (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "group",
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log((F.col("n_groups") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+
+
+def top_terms(scored: DataFrame, k: int) -> DataFrame:
+    """Top-k terms per group by (tfidf desc, term asc) — one row_number
+    window over the group key; per-group sort, never global."""
+    w = Window.partitionBy("group").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("group", "rnk", "term", "tf", "df", "tfidf")
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+# (name, pattern, replacement) applied in order. Patterns restrict to ASCII
+# classes + \b/\d, the subset where Java regex and DuckDB's RE2 agree.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\b\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
+]
+
+
+def redact_pii(df: DataFrame, text_col: str = "text", out_col: str = "redacted") -> DataFrame:
+    """Replace emails / IPv4 addresses / phone numbers with typed tokens and
+    count each category (counts taken on the ORIGINAL text, so they are
+    independent of replacement order; the patterns themselves are
+    non-overlapping by construction).
+
+    Pure map-side: ``regexp_count`` + chained ``regexp_replace`` are JVM
+    built-ins inside one codegen projection — the scrub pass over 100 TB is
+    embarrassingly parallel with zero shuffle, exactly like the quality
+    filter stage it runs next to."""
+    text = F.col(text_col)
+    counts = {f"n_{name}": F.regexp_count(text, F.lit(pat)) for name, pat, _ in PII_PATTERNS}
+    red: Column = text
+    for _, pat, repl in PII_PATTERNS:
+        red = F.regexp_replace(red, pat, repl)
+    return df.select(
+        "*", *[c.alias(nm) for nm, c in counts.items()], red.alias(out_col)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled mixture resampling
+# ---------------------------------------------------------------------------
+
+
+def mixture_quotas(
+    df: DataFrame, group_col: str, alpha: float, target_total: int
+) -> DataFrame:
+    """Per-group document quotas under temperature-scaled sampling:
+    ``w_g = n_g^α / Σ n^α``, ``quota_g = min(n_g, floor(target · w_g))`` —
+    the α-sampling rule multilingual/multi-domain pretraining uses to keep
+    head domains from drowning tail domains (α=1 preserves the empirical
+    mixture, α=0 is uniform, α≈0.5 the usual compromise).
+
+    The group-count table is tiny (|domains| rows), so the normalizer is a
+    one-row cross join and the whole quota computation is driver-free.
+    ``w`` is rounded to 6dp before the floor so both engines threshold the
+    same double."""
+    stats = df.groupBy(F.col(group_col).alias("group")).agg(F.count(F.lit(1)).alias("n_docs"))
+    denom = stats.agg(
+        F.sum(F.pow(F.col("n_docs").cast("double"), F.lit(alpha))).alias("denom")
+    )
+    return stats.crossJoin(F.broadcast(denom)).select(
+        "group",
+        "n_docs",
+        F.least(
+            F.col("n_docs"),
+            F.floor(
+                F.lit(float(target_total))
+                * F.round(F.pow(F.col("n_docs").cast("double"), F.lit(alpha)) / F.col("denom"), 6)
+            ),
+        ).alias("quota"),
+    )
+
+
+def mixture_resample(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    alpha: float = 0.5,
+    target_total: int = 200,
+) -> DataFrame:
+    """Resample the corpus to the temperature-scaled mixture: rank rows
+    within each group by (md5(key), key) — the deterministic pseudo-random
+    order shared with ``sampling.quota_sample`` — and keep the first
+    ``quota_g``. One row_number window on the group key plus a broadcast
+    join against the |domains|-row quota table; membership is a pure
+    function of the key set, so snapshots nest and retries are stable."""
+    quotas = mixture_quotas(df, group_col, alpha, target_total)
+    order = F.md5(F.col(key_col).cast("string"))
+    w = Window.partitionBy(group_col).orderBy(order, F.col(key_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .join(F.broadcast(quotas), on=F.col(group_col) == F.col("group"))
+        .filter(F.col("__rn") <= F.col("quota"))
+        .drop("__rn", "group", "n_docs", "quota")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sharded deterministic shuffle (training order)
+# ---------------------------------------------------------------------------
+
+
+def shuffle_shards(
+    df: DataFrame, key_col: str, shards: int = 64, seed: int = 0
+) -> DataFrame:
+    """Assign every row a (shard, position) in a deterministic global
+    shuffle: ``shard = md5₁₆(seed:key) mod shards`` and position = rank of
+    the full md5 within the shard. This is how a 100 TB corpus gets its
+    training order WITHOUT a global sort: one hash shuffle on the shard key,
+    a per-shard sort (parallelism = shards), and readers stream shards in
+    any order — versus ``orderBy(rand())``, which is a full-range global
+    sort that re-draws every run and funnels tail skew into one task.
+
+    The md5 hex string itself is the sort key (lexicographic order is
+    engine-portable; no 64-bit integer parsing needed), and ``seed`` prefixes
+    the hash input so epochs get independent orders from the same corpus."""
+    keyed = F.concat_ws(":", F.lit(str(seed)), F.col(key_col).cast("string"))
+    h = F.md5(keyed)
+    shard = F.conv(F.substring(h, 1, 4), 16, 10).cast("int") % F.lit(shards)
+    w = Window.partitionBy("shard").orderBy(F.col("__h"), F.col(key_col))
+    return (
+        df.withColumn("__h", h)
+        .withColumn("shard", shard)
+        .withColumn("pos", F.row_number().over(w))
+        .drop("__h")
+    )

@@ -357,7 +357,7 @@ def q08_resource_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # r03 composition (exactly 50):
 # - q57/q71 (red in r02, fixed this round) + q86/q87 (never driver-checked)
-#   + q88 (new recall gate) — the rotation-debt closers;
+#   + q88-q97 (new gates this round) — the rotation-debt closers;
 # - everything downstream of this round's normalize/etl/builder changes
 #   (selectExpr stringify twin, per-table concept padding, checkpoint_wide):
 #   the whole FHIR surface q03/q23/q74-q85 plus the r01-green builder gates
@@ -377,6 +377,13 @@ _CHECK_FIRST = [
     "q88_embedding_lsh_recall",
     "q89_quality_filter_funnel",
     "q90_contamination_screen",
+    "q91_tfidf_keywords",
+    "q92_pii_redaction",
+    "q93_semantic_dedup",
+    "q94_mixture_resample",
+    "q95_bucketed_colocated_join",
+    "q96_streaming_dedup",
+    "q97_shuffle_shards",
     "q03_normalize_dedup",
     "q23_fhir_transform_cascade",
     "q74_fhir_proband_status_json",
@@ -413,6 +420,9 @@ _CHECK_FIRST = [
     "q13_simhash",
     "q20_fingerprint",
     "q29_range_join",
+]
+_CHECK_LAST = [
+    # r01-green; displaced from the re-prove slots by the new q89-q97 gates
     "q40_multimodal_frame_sample",
     "q41_multimodal_metadata_stats",
     "q42_topn_shipping_priority",
@@ -420,9 +430,6 @@ _CHECK_FIRST = [
     "q44_customer_set_ops",
     "q45_exists_semi_join",
     "q46_not_exists_anti_join",
-]
-_CHECK_LAST = [
-    # r01-green; displaced from the re-prove slots by the new q89/q90 gates
     "q47_grouped_percentiles",
     "q48_multi_distinct_agg",
     # r02-green, code paths untouched this round: TPC-H-ish aggregates and
@@ -492,7 +499,7 @@ def oracle_sql() -> dict[str, str]:
 def _load_extra_registries() -> None:
     """Import sibling modules that register additional queries (deferred to
     avoid a circular import at module load)."""
-    from kf_task_fhir_etl_spark import fhir_queries, training_queries  # noqa: F401
+    from kf_task_fhir_etl_spark import corpus_queries, fhir_queries, training_queries  # noqa: F401
 
 
 # ---------------------------------------------------------------------------

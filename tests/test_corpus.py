@@ -1,0 +1,212 @@
+"""Unit tests for the corpus-construction operators (operators/corpus.py,
+operators/semantic.py, operators/bucketing.py) behind gates q91-q97."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from kf_task_fhir_etl_spark.operators import bucketing, corpus, semantic
+
+# ---------------------------------------------------------------------------
+# TF-IDF
+# ---------------------------------------------------------------------------
+
+
+def test_tfidf_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [
+            ("a", "the cat sat"),
+            ("b", "the dog sat sat"),
+            ("c", "the bird"),
+        ],
+        ["src", "text"],
+    )
+    rows = {(r["group"], r["term"]): r for r in corpus.tfidf(docs, "src").collect()}
+    # 'the' in all 3 groups: idf = ln(4/4) = 0 → score 0 everywhere
+    assert rows[("a", "the")]["tfidf"] == 0.0
+    # 'sat' tf=2 in b, df=2: 2·ln(4/3)
+    assert rows[("b", "sat")]["tfidf"] == pytest.approx(2 * math.log(4 / 3), abs=1e-6)
+    # 'bird' tf=1 df=1: ln(2)
+    assert rows[("c", "bird")]["tfidf"] == pytest.approx(math.log(2), abs=1e-6)
+
+
+def test_top_terms_rank_and_ties(spark):
+    docs = spark.createDataFrame(
+        [("a", "zz aa zz aa qq")], ["src", "text"]
+    )
+    top = corpus.top_terms(corpus.tfidf(docs, "src"), 2).collect()
+    # single group → idf 0 for every term → all scores tie → term asc decides
+    assert [(r["rnk"], r["term"]) for r in top] == [(1, "aa"), (2, "qq")]
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+
+def test_redact_pii_counts_and_text(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob@x.org and eve@y.co.uk now"),
+            (2, "server 10.0.3.25 port"),
+            (3, "call 555-123-4567 or 555-999-0000"),
+            (4, "clean text 1.2 only v1.2.3"),
+        ],
+        ["id", "text"],
+    )
+    rows = {r["id"]: r for r in corpus.redact_pii(df).collect()}
+    assert (rows[1]["n_email"], rows[1]["n_ip"], rows[1]["n_phone"]) == (2, 0, 0)
+    assert rows[1]["redacted"] == "mail <EMAIL> and <EMAIL> now"
+    assert rows[2]["redacted"] == "server <IP> port"
+    assert rows[3]["redacted"] == "call <PHONE> or <PHONE>"
+    # partial version strings / decimals must NOT be flagged
+    assert rows[4]["redacted"] == rows[4]["text"]
+    assert (rows[4]["n_email"], rows[4]["n_ip"], rows[4]["n_phone"]) == (0, 0, 0)
+
+
+# ---------------------------------------------------------------------------
+# Mixture resampling
+# ---------------------------------------------------------------------------
+
+
+def _mix_df(spark, counts: dict[str, int]):
+    rows = [(g, f"{g}-{i}") for g, n in counts.items() for i in range(n)]
+    return spark.createDataFrame(rows, ["grp", "key"])
+
+
+def test_mixture_quotas_alpha_flattens(spark):
+    df = _mix_df(spark, {"big": 90, "small": 10})
+    q1 = {r["group"]: r["quota"] for r in corpus.mixture_quotas(df, "grp", 1.0, 50).collect()}
+    q0 = {r["group"]: r["quota"] for r in corpus.mixture_quotas(df, "grp", 0.0, 50).collect()}
+    # α=1 preserves the 9:1 mixture; α=0 is uniform (capped by group size)
+    assert q1 == {"big": 45, "small": 5}
+    assert q0 == {"big": 25, "small": 10}
+
+
+def test_mixture_resample_deterministic_and_capped(spark):
+    df = _mix_df(spark, {"big": 40, "small": 5})
+    kept = corpus.mixture_resample(df, "grp", "key", alpha=0.5, target_total=30)
+    got = sorted((r["grp"], r["key"]) for r in kept.collect())
+    # identical on re-run (pure function of keys)
+    again = sorted(
+        (r["grp"], r["key"])
+        for r in corpus.mixture_resample(df, "grp", "key", alpha=0.5, target_total=30).collect()
+    )
+    assert got == again
+    per = {g: sum(1 for gg, _ in got if gg == g) for g in ("big", "small")}
+    # quota never exceeds group size
+    assert per["small"] <= 5
+    denom = math.sqrt(40) + math.sqrt(5)
+    assert per["big"] == min(40, math.floor(30 * round(math.sqrt(40) / denom, 6)))
+
+
+# ---------------------------------------------------------------------------
+# Sharded shuffle
+# ---------------------------------------------------------------------------
+
+
+def test_shuffle_shards_deterministic_dense_and_seeded(spark):
+    df = spark.range(0, 200).withColumnRenamed("id", "k")
+    a = corpus.shuffle_shards(df, "k", shards=8, seed=0)
+    rows = {r["k"]: (r["shard"], r["pos"]) for r in a.collect()}
+    again = {
+        r["k"]: (r["shard"], r["pos"])
+        for r in corpus.shuffle_shards(df, "k", shards=8, seed=0).collect()
+    }
+    assert rows == again
+    # positions are dense 1..n within every shard
+    by_shard: dict[int, list[int]] = {}
+    for shard, pos in rows.values():
+        by_shard.setdefault(shard, []).append(pos)
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+    # a different seed produces a different order
+    b = {
+        r["k"]: (r["shard"], r["pos"])
+        for r in corpus.shuffle_shards(df, "k", shards=8, seed=1).collect()
+    }
+    assert b != rows
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup
+# ---------------------------------------------------------------------------
+
+
+def _emb_df(spark):
+    # two tight clusters on orthogonal axes + one exact duplicate pair
+    rows = [
+        (0, [1.0, 0.0, 0.0], 0),
+        (1, [0.99, 0.01, 0.0], 0),  # near-dup of 0
+        (2, [0.0, 1.0, 0.0], 1),
+        (3, [0.0, 0.98, 0.05], 1),  # near-dup of 2
+        (4, [0.0, 0.0, 1.0], 2),    # isolated
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+
+
+def test_assign_clusters_recovers_labels(spark):
+    emb = _emb_df(spark)
+    assigned = semantic.assign_clusters(emb, semantic.label_prototypes(emb))
+    got = {r["id"]: r["cluster"] for r in assigned.collect()}
+    assert got == {0: 0, 1: 0, 2: 1, 3: 1, 4: 2}
+
+
+def test_semantic_dedup_drops_higher_id_of_each_pair(spark):
+    dropped = semantic.semantic_dedup_dropped(_emb_df(spark), threshold=0.9)
+    got = {(r["cluster"], r["vec_id"]) for r in dropped.collect()}
+    assert got == {(0, 1), (1, 3)}
+
+
+def test_semantic_dedup_never_crosses_clusters(spark):
+    # identical vectors in different clusters are NOT compared
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [0.0, 1.0], 1),
+        (2, [1.0, 0.0], 0),
+        (3, [1.0, 0.0], 1),  # near row 0/2 but assigned to... nearest prototype
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    # prototype 0 = mean([1,0],[1,0]) = [1,0]; prototype 1 = mean([0,1],[1,0])
+    assigned = {r["id"]: r["cluster"] for r in semantic.assign_clusters(
+        emb, semantic.label_prototypes(emb)).collect()}
+    # row 3 re-assigns to cluster 0 (closer to [1,0] than to [0.5,0.5]... cosine ties
+    # break to the smaller cluster id)
+    assert assigned[3] == 0
+    dropped = {r["vec_id"] for r in semantic.semantic_dedup_dropped(emb, threshold=0.99).collect()}
+    assert dropped == {2, 3}
+
+
+# ---------------------------------------------------------------------------
+# Bucketed co-located join
+# ---------------------------------------------------------------------------
+
+
+def test_bucketed_join_has_no_shuffle_and_matches_plain_join(spark, tmp_path):
+    left = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("lv")
+    )
+    right = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("rv")
+    )
+    try:
+        bucketing.write_bucketed(left, "t_bl", "k", buckets=4, path=str(tmp_path / "bl"))
+        bucketing.write_bucketed(right, "t_br", "k", buckets=4, path=str(tmp_path / "br"))
+        joined = bucketing.bucketed_join(spark, "t_bl", "t_br", key="k", hint="merge")
+        bucketing.require_no_shuffle_join(joined)
+        plain = left.join(right, "k")
+        assert sorted(map(tuple, joined.collect())) == sorted(map(tuple, plain.collect()))
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_bl")
+        spark.sql("DROP TABLE IF EXISTS t_br")
+
+
+def test_require_no_shuffle_join_rejects_unbucketed(spark):
+    left = spark.range(0, 100).select(F.col("id").alias("k"))
+    right = spark.range(0, 100).select(F.col("id").alias("k"))
+    joined = left.hint("merge").join(right, "k")
+    with pytest.raises(AssertionError, match="re-shuffled"):
+        bucketing.require_no_shuffle_join(joined)
