@@ -355,3 +355,202 @@ def q97_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     range-partitioned sort at 100 TB."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return corpus.shuffle_shards(docs, "doc_id", shards=16, seed=1).orderBy("shard", "pos")
+
+
+# ---------------------------------------------------------------------------
+# q98 — cross-corpus span dedup (repeated-passage removal)
+# ---------------------------------------------------------------------------
+
+_SPANS_SQL = r"""
+    wtab AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+      FROM {src} WHERE len(trim(text)) > 0
+    ), spans AS (
+      SELECT doc_id, i AS pos,
+             array_to_string(w[(i * 10 + 1):(i * 10 + 10)], ' ') AS span
+      FROM wtab, UNNEST(range(0, CAST(ceil(len(w) / 10.0) AS BIGINT))) AS t(i)
+    ), firsts AS (
+      SELECT doc_id, pos, span,
+             ROW_NUMBER() OVER (PARTITION BY span ORDER BY doc_id, pos) AS rn
+      FROM spans
+    ), totals AS (
+      SELECT doc_id, COUNT(*) AS n_spans FROM spans GROUP BY doc_id
+    ), rebuilt AS (
+      SELECT doc_id, COUNT(*) AS n_kept,
+             string_agg(span, ' ' ORDER BY pos) AS kept_text
+      FROM firsts WHERE rn = 1 GROUP BY doc_id
+    )
+"""
+
+
+@register(
+    "q98_span_dedup",
+    oracle="WITH "
+    + _SPANS_SQL.format(src="documents")
+    + """
+    SELECT t.doc_id, t.n_spans,
+           COALESCE(r.n_kept, 0) AS n_kept,
+           md5(COALESCE(r.kept_text, '')) AS kept_md5
+    FROM totals t LEFT JOIN rebuilt r USING (doc_id)
+    ORDER BY t.doc_id
+    """,
+)
+def q98_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-passage removal (operators/corpus.py::span_dedup): every
+    10-word span that already appeared earlier in the corpus (by (doc, pos)
+    order) is cut, and documents are reassembled from their surviving
+    spans — the C4/CCNet passage-dedup stage that removes boilerplate and
+    mirrored content EXACT dedup can't see (it needs whole-document
+    equality) and MinHash only flags (it doesn't excise). The gate hashes
+    each doc's span counts AND the md5 of its reassembled text, so a
+    single mis-kept or mis-ordered span fails. Plan: map-side span
+    explode, one first-occurrence window on the span key, one reassembly
+    groupBy — two shuffles total."""
+    docs = load_table(spark, sf_dir, "documents")
+    dd = corpus.span_dedup(docs, "doc_id", "text", span_words=10)
+    return dd.select(
+        "doc_id", "n_spans", "n_kept", F.md5(F.col("kept_text")).alias("kept_md5")
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q99 — percentile-threshold quality filter
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q99_percentile_quality_filter",
+    oracle=r"""
+    WITH m AS (
+      SELECT source, doc_id,
+             CASE WHEN len(trim(text)) = 0 THEN 0.0
+                  ELSE ROUND(len(list_distinct(string_split_regex(trim(text), '\s+')))::DOUBLE
+                       / len(string_split_regex(trim(text), '\s+')), 6) END AS score
+      FROM documents
+    ), r AS (
+      SELECT source, doc_id, score,
+             ROUND(PERCENT_RANK() OVER (PARTITION BY source ORDER BY score, doc_id), 6) AS pr
+      FROM m)
+    SELECT source, doc_id, score, pr FROM r
+    WHERE pr >= 0.25 ORDER BY source, doc_id
+    """,
+)
+def q99_percentile_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive quality gate (operators/corpus.py::percentile_filter): each
+    source keeps its top 75% of documents by distinct-word ratio — the
+    per-domain percentile form of a fixed threshold, which survives domain
+    drift (a clean domain isn't truncated by a dirty domain's scale and
+    vice versa). The kept row SET, each score, and each percent_rank are
+    hash-checked; the (score, doc_id) order is total so rank is
+    deterministic in both engines. One window per source group — same
+    shuffle as any per-domain ranking."""
+    from kf_task_fhir_etl_spark.operators import filters
+
+    docs = load_table(spark, sf_dir, "documents")
+    score = F.round(filters.distinct_word_ratio(F.col("text")), 6)
+    kept = corpus.percentile_filter(docs, "source", score, "doc_id", min_pr=0.25)
+    return kept.select("source", "doc_id", "score", "pr").orderBy("source", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q100 — end-to-end corpus build (filter → span-dedup → reshard)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q100_corpus_build_pipeline",
+    oracle=r"""
+    WITH wtab0 AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+      FROM documents WHERE len(trim(text)) > 0
+    ), m AS (
+      SELECT doc_id, w, len(w) AS n_words,
+             CASE WHEN len(w) > 0
+                  THEN ROUND(list_sum(list_transform(w, x -> len(x)))::DOUBLE / len(w), 6)
+                  ELSE 0.0 END AS mwl,
+             CASE WHEN len(w) > 0
+                  THEN ROUND(len(list_distinct(w))::DOUBLE / len(w), 6)
+                  ELSE 0.0 END AS dwr,
+             CASE WHEN len(w) > 0
+                  THEN ROUND(list_max(list_transform(list_distinct(w),
+                       d -> len(list_filter(w, x -> x = d))))::DOUBLE / len(w), 6)
+                  ELSE 0.0 END AS twr,
+             CASE WHEN len(w) >= 3
+                  THEN ROUND(1.0 - len(list_distinct(list_transform(range(1, len(w) - 1),
+                       i -> array_to_string(w[i:i+2], ' '))))::DOUBLE / (len(w) - 2), 6)
+                  ELSE 0.0 END AS dtr
+      FROM wtab0
+    ), wtab AS (
+      SELECT doc_id, w FROM m
+      WHERE n_words BETWEEN 20 AND 100000 AND mwl BETWEEN 2.0 AND 10.0
+        AND dwr >= 0.25 AND twr <= 0.20 AND dtr <= 0.30
+    ), spans AS (
+      SELECT doc_id, i AS pos,
+             array_to_string(w[(i * 10 + 1):(i * 10 + 10)], ' ') AS span
+      FROM wtab, UNNEST(range(0, CAST(ceil(len(w) / 10.0) AS BIGINT))) AS t(i)
+    ), firsts AS (
+      SELECT doc_id, pos, span,
+             ROW_NUMBER() OVER (PARTITION BY span ORDER BY doc_id, pos) AS rn
+      FROM spans
+    ), rebuilt AS (
+      SELECT doc_id, COUNT(*) AS n_kept,
+             string_agg(span, ' ' ORDER BY pos) AS kept_text
+      FROM firsts WHERE rn = 1 GROUP BY doc_id
+    ), toks AS (
+      -- LEFT join: a doc whose every span was already seen keeps a row
+      -- with n_kept = 0 (the engine does not drop it; dedup decisions
+      -- stay visible downstream)
+      SELECT k.doc_id, COALESCE(r.n_kept, 0) AS n_kept,
+             CASE WHEN r.kept_text IS NULL OR len(r.kept_text) = 0 THEN 0
+                  ELSE len(string_split_regex(r.kept_text, '\s+')) END AS n_tokens,
+             ('0x' || substr(md5('2:' || k.doc_id::VARCHAR), 1, 4))::INT % 8 AS shard
+      FROM wtab k LEFT JOIN rebuilt r USING (doc_id))
+    SELECT shard, COUNT(*) AS n_docs,
+           CAST(SUM(n_kept) AS BIGINT) AS total_spans,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           md5(string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id)) AS docs_md5
+    FROM toks GROUP BY shard ORDER BY shard
+    """,
+)
+def q100_corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-build capstone: Gopher quality gate (q89's thresholds) →
+    cross-corpus span dedup (q98) → token recount on the deduplicated text
+    → deterministic 8-shard reshard (q97's hash layout, seed 2) →
+    per-shard corpus stats with an md5 over the exact member list. Every
+    stage is one of the individually-gated operators; this gate pins their
+    COMPOSITION (filter-before-dedup ordering, dedup-before-count, the
+    reshard keying) — the actual shape of a pretraining data build. The
+    oracle replays the full chain in SQL, so a drifted threshold, a
+    mis-kept span, or one doc landing in the wrong shard all fail."""
+    from kf_task_fhir_etl_spark.operators import filters
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = (
+        filters.apply_quality_filters(docs)
+        .filter(F.col("keep"))
+        .select("doc_id", "text")
+    )
+    dd = corpus.span_dedup(kept, "doc_id", "text", span_words=10)
+    toks = dd.select(
+        "doc_id",
+        "n_kept",
+        F.size(filters.words(F.col("kept_text"))).alias("n_tokens"),
+    )
+    sharded = corpus.shuffle_shards(toks, "doc_id", shards=8, seed=2)
+    return (
+        sharded.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_kept").alias("total_spans"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.sort_array(F.collect_list("doc_id")), lambda x: x.cast("string")
+                    ),
+                    ",",
+                )
+            ).alias("docs_md5"),
+        )
+        .orderBy("shard")
+    )

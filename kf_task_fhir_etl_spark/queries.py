@@ -384,6 +384,9 @@ _CHECK_FIRST = [
     "q95_bucketed_colocated_join",
     "q96_streaming_dedup",
     "q97_shuffle_shards",
+    "q98_span_dedup",
+    "q99_percentile_quality_filter",
+    "q100_corpus_build_pipeline",
     "q03_normalize_dedup",
     "q23_fhir_transform_cascade",
     "q74_fhir_proband_status_json",
@@ -417,12 +420,12 @@ _CHECK_FIRST = [
     "q05_sentinel_filter",
     "q08_resource_json",
     "q10_dedup_exact",
+]
+_CHECK_LAST = [
+    # r01-green; displaced from the re-prove slots by the new q89-q100 gates
     "q13_simhash",
     "q20_fingerprint",
     "q29_range_join",
-]
-_CHECK_LAST = [
-    # r01-green; displaced from the re-prove slots by the new q89-q97 gates
     "q40_multimodal_frame_sample",
     "q41_multimodal_metadata_stats",
     "q42_topn_shipping_priority",

@@ -132,6 +132,56 @@ def test_shuffle_shards_deterministic_dense_and_seeded(spark):
 
 
 # ---------------------------------------------------------------------------
+# Span dedup
+# ---------------------------------------------------------------------------
+
+
+def test_span_dedup_removes_repeated_passages(spark):
+    # doc 2 repeats doc 1's first span verbatim; doc 3 is a full copy of doc 1
+    s1 = "a b c d e"
+    s2 = "f g h i j"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{s1} {s2}"),
+            (2, f"{s1} x y z w v"),
+            (3, f"{s1} {s2}"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in corpus.span_dedup(docs, span_words=5).collect()}
+    assert (rows[1]["n_spans"], rows[1]["n_kept"]) == (2, 2)
+    assert rows[1]["kept_text"] == f"{s1} {s2}"
+    # doc 2 loses the repeated first span, keeps its own tail
+    assert (rows[2]["n_spans"], rows[2]["n_kept"]) == (2, 1)
+    assert rows[2]["kept_text"] == "x y z w v"
+    # doc 3 loses everything but is NOT dropped
+    assert (rows[3]["n_spans"], rows[3]["n_kept"]) == (2, 0)
+    assert rows[3]["kept_text"] == ""
+
+
+def test_span_dedup_short_tail_span(spark):
+    docs = spark.createDataFrame([(1, "a b c d e f g")], ["doc_id", "text"])
+    row = corpus.span_dedup(docs, span_words=5).collect()[0]
+    # 7 words → one full span + one 2-word tail
+    assert (row["n_spans"], row["n_kept"]) == (2, 2)
+    assert row["kept_text"] == "a b c d e f g"
+
+
+# ---------------------------------------------------------------------------
+# Percentile filter
+# ---------------------------------------------------------------------------
+
+
+def test_percentile_filter_keeps_top_share_per_group(spark):
+    rows = [("g1", i, float(i)) for i in range(1, 5)] + [("g2", i, float(-i)) for i in range(1, 5)]
+    df = spark.createDataFrame(rows, ["grp", "k", "v"])
+    kept = corpus.percentile_filter(df, "grp", F.col("v"), "k", min_pr=0.5)
+    got = sorted((r["grp"], r["k"]) for r in kept.collect())
+    # pr of 4 rows: 0, 1/3, 2/3, 1 → keep the top two per group
+    assert got == [("g1", 3), ("g1", 4), ("g2", 1), ("g2", 2)]
+
+
+# ---------------------------------------------------------------------------
 # Semantic dedup
 # ---------------------------------------------------------------------------
 
