@@ -44,8 +44,15 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     registry = q.queries()
-    # Warm the JVM/session on the smallest SF so q1 doesn't absorb startup cost.
-    registry[sorted(registry)[0]](spark, "/root/testdata/sf0.001").count()
+    # Warm the JVM/session on the smallest SF so q1 doesn't absorb startup
+    # cost. Three representative queries cover the three execution regimes
+    # whose first run pays one-time setup that is NOT per-query cost:
+    # codegen'd relational plans, interpreted higher-order functions
+    # (~4 s of expression-interpreter JIT, measured on q89's n-gram
+    # metrics), and Arrow/Python-worker spin-up for pandas kernels.
+    for warm in ("q01_pricing_summary", "q89_quality_filter_funnel", "q15_embedding_neardup"):
+        if warm in registry:
+            registry[warm](spark, "/root/testdata/sf0.001").count()
 
     total_start = time.perf_counter()
     for name in sorted(registry):
