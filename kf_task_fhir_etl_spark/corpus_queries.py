@@ -1,7 +1,10 @@
-r"""Corpus-construction query gates (q91-q97): TF-IDF keywords, PII
-redaction, semantic dedup, mixture resampling, bucketed co-located joins,
-streaming dedup, and sharded deterministic shuffling — each paired with a
-DuckDB oracle recomputing the identical engine-portable formulas.
+r"""Corpus-construction and incremental-ETL query gates (q91-q101): TF-IDF
+keywords, PII redaction, semantic dedup, mixture resampling, bucketed
+co-located joins, streaming dedup, sharded deterministic shuffling, span
+dedup, percentile quality filtering, the composed corpus build, and SCD2
+history maintenance — each paired with a DuckDB oracle recomputing the
+identical engine-portable formulas (or, for q101, deriving the same result
+by an independent method).
 """
 
 from __future__ import annotations
@@ -14,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kf_task_fhir_etl_spark.catalog import load_table
-from kf_task_fhir_etl_spark.operators import bucketing, corpus, semantic
+from kf_task_fhir_etl_spark.operators import bucketing, corpus, scd, semantic
 from kf_task_fhir_etl_spark.queries import register
 
 # ---------------------------------------------------------------------------
@@ -554,3 +557,86 @@ def q100_corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+# ---------------------------------------------------------------------------
+# q101 — SCD type-2 dimension history (incremental snapshot merges)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q101_scd2_history",
+    oracle="""
+    WITH s1 AS (
+      SELECT o_orderkey AS order_key, o_orderstatus AS status, o_totalprice AS price
+      FROM orders
+    ), s2 AS (
+      SELECT order_key,
+             CASE WHEN order_key % 7 = 0 THEN 'X2' ELSE status END AS status,
+             CASE WHEN order_key % 11 = 0 THEN ROUND(price + 10, 2) ELSE price END AS price
+      FROM s1
+    ), s3 AS (
+      SELECT order_key,
+             CASE WHEN order_key % 5 = 0 THEN 'X3' ELSE status END AS status,
+             price
+      FROM s2 WHERE order_key % 13 != 0
+    ), vers AS (
+      SELECT order_key, status, price, 1 AS t FROM s1
+      UNION ALL SELECT order_key, status, price, 2 FROM s2
+      UNION ALL SELECT order_key, status, price, 3 FROM s3
+    ), marked AS (
+      SELECT order_key, status, price, t,
+             CASE WHEN LAG(status) OVER w IS NULL
+                       OR status IS DISTINCT FROM LAG(status) OVER w
+                       OR price IS DISTINCT FROM LAG(price) OVER w
+                  THEN 1 ELSE 0 END AS chg
+      FROM vers WINDOW w AS (PARTITION BY order_key ORDER BY t)
+    ), islands AS (
+      SELECT order_key, status, price, t,
+             SUM(chg) OVER (PARTITION BY order_key ORDER BY t) AS grp
+      FROM marked
+    ), hist AS (
+      SELECT order_key, status, price,
+             CAST(MIN(t) AS INT) AS valid_from, MAX(t) AS last_t
+      FROM islands GROUP BY order_key, status, price, grp)
+    SELECT order_key, status, price, valid_from,
+           CAST(CASE WHEN last_t = 3 THEN 9999 ELSE last_t + 1 END AS INT) AS valid_to
+    FROM hist ORDER BY order_key, valid_from
+    """,
+)
+def q101_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 gate (operators/scd.py): three deterministic order-table
+    snapshots (epoch 2 flips statuses/prices for some keys; epoch 3 flips
+    more and DELETES every 13th key) are merged into a versioned history —
+    unchanged rows stay open, changed rows close-and-reopen, deletions
+    close. The engine applies snapshots ITERATIVELY (one full-outer join
+    per epoch, the nightly-merge shape); the oracle derives the identical
+    final history by a deliberately different method — gaps-and-islands over
+    the unioned snapshot versions — so agreement pins the merge semantics,
+    not the implementation. Open intervals carry the 9999 high-epoch
+    sentinel, keeping the history hash-comparable and the as-of predicate
+    sargable."""
+    o = load_table(spark, sf_dir, "orders")
+    k = F.col("order_key")
+    s1 = o.select(
+        F.col("o_orderkey").alias("order_key"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+    )
+    s2 = s1.select(
+        "order_key",
+        F.when(k % 7 == 0, F.lit("X2")).otherwise(F.col("status")).alias("status"),
+        F.when(k % 11 == 0, F.round(F.col("price") + 10, 2)).otherwise(F.col("price")).alias(
+            "price"
+        ),
+    )
+    s3 = s2.filter(k % 13 != 0).select(
+        "order_key",
+        F.when(k % 5 == 0, F.lit("X3")).otherwise(F.col("status")).alias("status"),
+        "price",
+    )
+    keys, attrs = ["order_key"], ["status", "price"]
+    hist = scd.scd2_init(s1, keys, attrs, t=1)
+    hist = scd.scd2_apply(hist, s2, keys, attrs, t=2)
+    hist = scd.scd2_apply(hist, s3, keys, attrs, t=3)
+    return hist.orderBy("order_key", "valid_from")

@@ -387,6 +387,7 @@ _CHECK_FIRST = [
     "q98_span_dedup",
     "q99_percentile_quality_filter",
     "q100_corpus_build_pipeline",
+    "q101_scd2_history",
     "q03_normalize_dedup",
     "q23_fhir_transform_cascade",
     "q74_fhir_proband_status_json",
@@ -419,10 +420,10 @@ _CHECK_FIRST = [
     "q66_embedding_neardup_lsh",
     "q05_sentinel_filter",
     "q08_resource_json",
-    "q10_dedup_exact",
 ]
 _CHECK_LAST = [
-    # r01-green; displaced from the re-prove slots by the new q89-q100 gates
+    # r01-green; displaced from the re-prove slots by the new q89-q101 gates
+    "q10_dedup_exact",
     "q13_simhash",
     "q20_fingerprint",
     "q29_range_join",

@@ -8,7 +8,7 @@ import math
 import pytest
 from pyspark.sql import functions as F
 
-from kf_task_fhir_etl_spark.operators import bucketing, corpus, semantic
+from kf_task_fhir_etl_spark.operators import bucketing, corpus, scd, semantic
 
 # ---------------------------------------------------------------------------
 # TF-IDF
@@ -228,6 +228,51 @@ def test_semantic_dedup_never_crosses_clusters(spark):
     assert assigned[3] == 0
     dropped = {r["vec_id"] for r in semantic.semantic_dedup_dropped(emb, threshold=0.99).collect()}
     assert dropped == {2, 3}
+
+
+# ---------------------------------------------------------------------------
+# SCD2 history
+# ---------------------------------------------------------------------------
+
+
+def _hist_rows(df):
+    return sorted(
+        (r["k"], r["v"], r["valid_from"], r["valid_to"]) for r in df.collect()
+    )
+
+
+def test_scd2_change_delete_readd_and_asof(spark):
+    snap = lambda rows: spark.createDataFrame(rows, ["k", "v"])
+    keys, attrs = ["k"], ["v"]
+    h = scd.scd2_init(snap([(1, "a"), (2, "b")]), keys, attrs, t=1)
+    # t=2: key 1 changes, key 2 deleted, key 3 appears
+    h = scd.scd2_apply(h, snap([(1, "a2"), (3, "c")]), keys, attrs, t=2)
+    # t=3: key 2 re-appears (new open row, old closed row untouched)
+    h = scd.scd2_apply(h, snap([(1, "a2"), (3, "c"), (2, "b9")]), keys, attrs, t=3)
+    assert _hist_rows(h) == [
+        (1, "a", 1, 2),
+        (1, "a2", 2, 9999),
+        (2, "b", 1, 2),
+        (2, "b9", 3, 9999),
+        (3, "c", 2, 9999),
+    ]
+    assert sorted((r["k"], r["v"]) for r in scd.scd2_as_of(h, 1).collect()) == [
+        (1, "a"),
+        (2, "b"),
+    ]
+    assert sorted((r["k"], r["v"]) for r in scd.scd2_as_of(h, 2).collect()) == [
+        (1, "a2"),
+        (3, "c"),
+    ]
+
+
+def test_scd2_idempotent_reapply(spark):
+    snap = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    keys, attrs = ["k"], ["v"]
+    h = scd.scd2_init(snap, keys, attrs, t=1)
+    # applying the SAME snapshot again changes nothing (every row kept open)
+    h2 = scd.scd2_apply(h, snap, keys, attrs, t=2)
+    assert _hist_rows(h2) == _hist_rows(h)
 
 
 # ---------------------------------------------------------------------------
