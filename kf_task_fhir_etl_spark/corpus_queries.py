@@ -640,3 +640,179 @@ def q101_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist = scd.scd2_apply(hist, s2, keys, attrs, t=2)
     hist = scd.scd2_apply(hist, s3, keys, attrs, t=3)
     return hist.orderBy("order_key", "valid_from")
+
+
+# ---------------------------------------------------------------------------
+# q102 — PageRank over the buyer-supplier graph (fixed power iterations)
+# ---------------------------------------------------------------------------
+
+
+def _q102_oracle(iters: int = 5) -> str:
+    head = """
+    WITH e0 AS (
+      SELECT DISTINCT 'c' || o_custkey AS a, 's' || l_suppkey AS b
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE EXTRACT(year FROM o_orderdate) = 1995
+    ), edges AS (
+      SELECT a AS src, b AS dst FROM e0 UNION SELECT b, a FROM e0
+    ), deg AS (
+      SELECT src, COUNT(*) AS deg FROM edges GROUP BY src
+    ), nn AS (
+      SELECT COUNT(*) AS n FROM deg
+    ), r0 AS (
+      SELECT src AS node, 1.0 / n AS pr FROM deg CROSS JOIN nn
+    )"""
+    its = ""
+    prev = "r0"
+    for i in range(1, iters + 1):
+        its += f""", it{i} AS (
+      SELECT e.dst AS node,
+             ROUND(0.15 / MAX(nn.n) + 0.85 * SUM(r.pr / d.deg), 12) AS pr
+      FROM edges e JOIN {prev} r ON e.src = r.node
+                   JOIN deg d ON e.src = d.src
+                   CROSS JOIN nn
+      GROUP BY e.dst
+    )"""
+        prev = f"it{i}"
+    return head + its + f"""
+    SELECT node, ROUND(pr, 6) AS pr FROM {prev} ORDER BY node
+    """
+
+
+@register("q102_pagerank", oracle=_q102_oracle(5))
+def q102_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-depth PageRank (operators/graph.py) over the TPC-H
+    buyer-supplier graph (customer c bought from supplier s in 1995,
+    symmetrized — the year predicate pushes into the orders scan and keeps
+    the gate's graph verification-sized; the operator itself is
+    size-agnostic).
+    Five power iterations from the uniform vector; every per-round rank is
+    rounded to 12dp so distributed partial sums and the oracle's
+    sequential sums stay bit-identical, and the oracle UNROLLS the same
+    five rounds as chained CTEs — the whole trajectory, not just the fixed
+    point, must match. Same iterative-DataFrame shape as
+    dedup.connected_components: per-round join + aggregate on the node
+    key, lineage checkpointed, edges shuffled to their partitioning
+    once."""
+    from kf_task_fhir_etl_spark.operators import graph
+
+    o = load_table(spark, sf_dir, "orders").filter(F.year("o_orderdate") == 1995)
+    li = load_table(spark, sf_dir, "lineitem")
+    e0 = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("a"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("b"),
+        )
+        .distinct()
+    )
+    edges = graph.symmetrize(e0, "a", "b")
+    return graph.pagerank(edges, iters=5).orderBy("node")
+
+
+# ---------------------------------------------------------------------------
+# q103 — one-pass data profiling
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q103_data_profile",
+    oracle="""
+    SELECT 'o_custkey' AS "column",
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+           CAST(MIN(o_custkey) AS VARCHAR) AS min_value,
+           CAST(MAX(o_custkey) AS VARCHAR) AS max_value
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderdate',
+           CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderdate) AS BIGINT),
+           CAST(MIN(o_orderdate) AS VARCHAR), CAST(MAX(o_orderdate) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderkey',
+           CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT),
+           CAST(MIN(o_orderkey) AS VARCHAR), CAST(MAX(o_orderkey) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority',
+           CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+           MIN(o_orderpriority), MAX(o_orderpriority)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus',
+           CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+           MIN(o_orderstatus), MAX(o_orderstatus)
+    FROM orders
+    ORDER BY "column"
+    """,
+)
+def q103_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feed-profiling gate (operators/profile.py): null counts, EXACT
+    distinct cardinalities, and native-order min/max for five orders
+    columns, computed in ONE aggregate over one scan (4×|cols| agg
+    expressions in a single reduction, then a struct-explode to long form)
+    — versus the oracle's five separate scans. Min/max are taken in the
+    column's own type and rendered afterwards, so integer columns don't
+    sort lexicographically; the timestamp column pins cross-engine string
+    rendering. At 100 TB the same pass swaps exact distinct for HLL
+    (documented in the operator)."""
+    from kf_task_fhir_etl_spark.operators import profile
+
+    o = load_table(spark, sf_dir, "orders")
+    cols = ["o_custkey", "o_orderdate", "o_orderkey", "o_orderpriority", "o_orderstatus"]
+    return profile.profile(o, cols).orderBy("column")
+
+
+# ---------------------------------------------------------------------------
+# q104 — unpivot/melt (wide yearly revenue back to long form)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q104_unpivot_yearly_revenue",
+    oracle="""
+    SELECT o_orderpriority,
+           'y' || CAST(y AS VARCHAR) AS yr,
+           ROUND(SUM(CASE WHEN EXTRACT(year FROM o_orderdate) = y
+                          THEN o_totalprice ELSE 0 END), 2) AS revenue
+    FROM orders CROSS JOIN (VALUES (1993), (1994), (1995), (1996)) t(y)
+    GROUP BY o_orderpriority, y
+    ORDER BY o_orderpriority, yr
+    """,
+)
+def q104_unpivot_yearly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot gate (§2.6 engine surface): a conditional-aggregate wide
+    table (one revenue column per year) melts back to long form with the
+    native ``DataFrame.unpivot`` — the inverse of q49's pivot, closing the
+    reshape pair. The oracle computes the long form directly, so melt
+    column naming, ordering, and the zero-fill of empty (priority, year)
+    cells are all pinned."""
+    o = load_table(spark, sf_dir, "orders")
+    years = [1993, 1994, 1995, 1996]
+    wide = o.groupBy("o_orderpriority").agg(
+        *[
+            F.round(
+                F.sum(
+                    F.when(F.year("o_orderdate") == y, F.col("o_totalprice")).otherwise(
+                        F.lit(0.0)
+                    )
+                ),
+                2,
+            ).alias(f"y{y}")
+            for y in years
+        ]
+    )
+    return (
+        wide.unpivot(
+            ids=["o_orderpriority"],
+            values=[f"y{y}" for y in years],
+            variableColumnName="yr",
+            valueColumnName="revenue",
+        )
+        .orderBy("o_orderpriority", "yr")
+    )

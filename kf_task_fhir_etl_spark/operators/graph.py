@@ -1,0 +1,83 @@
+"""Iterative graph computation as DataFrame plans — PageRank, alongside the
+connected-components operator in operators/dedup.py.
+
+The engine pattern for iteration (shared with dedup.connected_components):
+each round is one equi-join + one aggregate on the node key, the loop lives
+in the DRIVER as plan construction, and ``localCheckpoint`` truncates
+lineage each round so the plan stays flat instead of doubling (measured 2×
+on connected components, SCALE.md). Round count is FIXED (power iteration
+to a chosen depth), which keeps the computation deterministic and lets an
+oracle unroll the same rounds.
+
+Cross-engine float discipline: per-round ranks round to 12dp — far above
+ULP-level summation-order drift (~1e-16 relative), far below any real rank
+gap — so Spark's distributed partial sums and a sequential SQL engine
+produce bit-identical ranks round after round; final output rounds to 6dp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def symmetrize(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Undirected → directed both ways, self-loops and duplicates dropped."""
+    fwd = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    rev = edges.select(F.col(dst).alias("src"), F.col(src).alias("dst"))
+    return fwd.unionByName(rev).filter(F.col("src") != F.col("dst")).distinct()
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 5,
+    damping: float = 0.85,
+    round_digits: int = 12,
+) -> DataFrame:
+    """Power-iteration PageRank over a DIRECTED edge list (symmetrize first
+    for undirected graphs): ``pr'(v) = (1−d)/N + d·Σ_{u→v} pr(u)/deg(u)``,
+    run for a fixed ``iters`` rounds from the uniform vector. Returns
+    (node, pr) with pr rounded to 6dp.
+
+    Plan shape per round: contributions = edges ⋈ ranks on src (both sides
+    hash-partitioned on the node key — AQE reuses the exchange across
+    rounds), then one groupBy(dst) sum with map-side partial aggregation.
+    At 100 TB the edge list is the big side and is shuffled ONCE to its
+    partitioning; the rank vector (|V| rows) is the per-round churn.
+    Requires every node to have out-degree ≥ 1 (true for symmetrized
+    graphs); dangling-mass redistribution is deliberately out of scope."""
+    # materialize the edge list ONCE — nodes/degrees/the joined edge table
+    # all derive from it, and without this the upstream edge construction
+    # (often a join+distinct over the fact tables) re-runs for every
+    # derivation (measured 3× on the buyer-supplier graph)
+    edges = edges.localCheckpoint()
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n = nodes.count()
+    deg = edges.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
+    # co-locate the per-round join on the node key once
+    edges_deg = (
+        edges.join(deg, edges["src"] == deg["node"])
+        .select("src", "dst", "deg")
+        .repartition("src")
+        .localCheckpoint()
+    )
+    ranks = nodes.select("node", (F.lit(1.0) / F.lit(float(n))).alias("pr"))
+    base = (1.0 - damping) / n
+    for _ in range(iters):
+        contribs = edges_deg.join(ranks, edges_deg["src"] == ranks["node"]).select(
+            F.col("dst").alias("node"), (F.col("pr") / F.col("deg")).alias("w")
+        )
+        ranks = (
+            contribs.groupBy("node")
+            .agg(
+                F.round(
+                    F.lit(base) + F.lit(damping) * F.sum("w"), round_digits
+                ).alias("pr")
+            )
+            .localCheckpoint()
+        )
+    return ranks.select("node", F.round(F.col("pr"), 6).alias("pr"))

@@ -388,6 +388,9 @@ _CHECK_FIRST = [
     "q99_percentile_quality_filter",
     "q100_corpus_build_pipeline",
     "q101_scd2_history",
+    "q102_pagerank",
+    "q103_data_profile",
+    "q104_unpivot_yearly_revenue",
     "q03_normalize_dedup",
     "q23_fhir_transform_cascade",
     "q74_fhir_proband_status_json",
@@ -411,18 +414,20 @@ _CHECK_FIRST = [
     "q32_fhir_family_relationship",
     "q33_fhir_research_study",
     "q34_fhir_proband_status",
-    "q35_fhir_histopathology",
     "q02_outer_join_cascade",
     "q14_ann_cosine_topk",
     "q15_embedding_neardup",
     "q16_ann_lsh_topk",
     "q36_ann_ivf_topk",
     "q66_embedding_neardup_lsh",
-    "q05_sentinel_filter",
-    "q08_resource_json",
 ]
 _CHECK_LAST = [
-    # r01-green; displaced from the re-prove slots by the new q89-q101 gates
+    # r01-green; displaced from the re-prove slots by the new q89-q104 gates
+    # (q35's builder is redundantly covered in-window by q79's byte-identical
+    # whole-resource gate)
+    "q35_fhir_histopathology",
+    "q05_sentinel_filter",
+    "q08_resource_json",
     "q10_dedup_exact",
     "q13_simhash",
     "q20_fingerprint",

@@ -231,6 +231,55 @@ def test_semantic_dedup_never_crosses_clusters(spark):
 
 
 # ---------------------------------------------------------------------------
+# PageRank
+# ---------------------------------------------------------------------------
+
+
+def test_pagerank_star_ranks_hub_highest_and_sums_to_one(spark):
+    from kf_task_fhir_etl_spark.operators import graph
+
+    # star: hub 0 connected to 1..4
+    edges = spark.createDataFrame([(0, i) for i in range(1, 5)], ["src", "dst"])
+    pr = {r["node"]: r["pr"] for r in graph.pagerank(graph.symmetrize(edges), iters=10).collect()}
+    assert pr[0] == max(pr.values())
+    leaves = {pr[i] for i in range(1, 5)}
+    assert len(leaves) == 1  # symmetry
+    # stochastic vector preserved (tolerance = |V| × the final 6dp rounding)
+    assert abs(sum(pr.values()) - 1.0) < 5e-6 * len(pr)
+
+
+def test_pagerank_deterministic_across_runs(spark):
+    from kf_task_fhir_etl_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [(i, (i * 7 + 3) % 20) for i in range(40)], ["src", "dst"]
+    )
+    sym = graph.symmetrize(edges)
+    a = sorted(map(tuple, graph.pagerank(sym, iters=5).collect()))
+    b = sorted(map(tuple, graph.pagerank(sym, iters=5).collect()))
+    assert a == b
+
+
+# ---------------------------------------------------------------------------
+# Data profile
+# ---------------------------------------------------------------------------
+
+
+def test_profile_metrics(spark):
+    from kf_task_fhir_etl_spark.operators import profile
+
+    df = spark.createDataFrame(
+        [(1, "x"), (2, None), (10, "y"), (2, "x")], ["n", "s"]
+    )
+    rows = {r["column"]: r for r in profile.profile(df, ["n", "s"]).collect()}
+    assert (rows["n"]["n_nulls"], rows["n"]["n_distinct"]) == (0, 3)
+    # native numeric ordering, not lexicographic ('10' < '2' as strings)
+    assert (rows["n"]["min_value"], rows["n"]["max_value"]) == ("1", "10")
+    assert (rows["s"]["n_nulls"], rows["s"]["n_distinct"]) == (1, 2)
+    assert (rows["s"]["min_value"], rows["s"]["max_value"]) == ("x", "y")
+
+
+# ---------------------------------------------------------------------------
 # SCD2 history
 # ---------------------------------------------------------------------------
 
