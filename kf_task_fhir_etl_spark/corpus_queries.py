@@ -816,3 +816,60 @@ def q104_unpivot_yearly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority", "yr")
     )
+
+
+# ---------------------------------------------------------------------------
+# q105 — blocked fuzzy matching (entity resolution)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q105_fuzzy_match",
+    oracle="""
+    WITH clean AS (
+      SELECT DISTINCT p_name FROM part
+    ), dirty AS (
+      SELECT p_partkey,
+             substr(p_name, 1, pos - 1) || substr(p_name, pos + 1) AS dirty_name
+      FROM (SELECT p_partkey, p_name,
+                   (p_partkey % (len(p_name) - 1)) + 2 AS pos
+            FROM part)
+    ), cand AS (
+      SELECT d.p_partkey, d.dirty_name, c.p_name AS cname,
+             levenshtein(d.dirty_name, c.p_name) AS dist
+      FROM dirty d JOIN clean c
+        ON substr(d.dirty_name, 1, 1) = substr(c.p_name, 1, 1)
+    ), best AS (
+      SELECT p_partkey, dirty_name, cname, dist,
+             ROW_NUMBER() OVER (PARTITION BY p_partkey ORDER BY dist, cname) AS rn
+      FROM cand)
+    SELECT p_partkey, dirty_name, cname AS matched, dist
+    FROM best WHERE rn = 1 ORDER BY p_partkey
+    """,
+)
+def q105_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution gate (operators/fuzzy.py): every part name is
+    deterministically corrupted (one character deleted at a key-derived
+    position ≥ 2) and must be matched back to the clean name list by
+    blocked Levenshtein — the dirty-feed reconciliation an ETL engine runs
+    on supplier/product/customer reference data. The first-character block
+    is provably corruption-stable here (deletions never touch position 1),
+    making the blocked join's recall exact, so every match AND distance is
+    hash-checked. Clean side is a broadcast reference list; distances run
+    in codegen inside blocks — never all-pairs."""
+    from kf_task_fhir_etl_spark.operators import fuzzy
+
+    p = load_table(spark, sf_dir, "part")
+    name = F.col("p_name")
+    pos = (F.col("p_partkey") % (F.length(name) - 1) + 2).cast("int")
+    dirty = p.select(
+        "p_partkey",
+        F.concat(
+            name.substr(F.lit(1), pos - 1),
+            name.substr(pos + 1, F.length(name)),
+        ).alias("dirty_name"),
+    )
+    clean = p.select("p_name")
+    return fuzzy.blocked_fuzzy_match(
+        dirty, clean, "p_partkey", "dirty_name", "p_name"
+    ).orderBy("p_partkey")

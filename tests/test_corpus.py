@@ -231,6 +231,40 @@ def test_semantic_dedup_never_crosses_clusters(spark):
 
 
 # ---------------------------------------------------------------------------
+# Fuzzy matching
+# ---------------------------------------------------------------------------
+
+
+def test_blocked_fuzzy_match_finds_nearest_within_block(spark):
+    from kf_task_fhir_etl_spark.operators import fuzzy
+
+    clean = spark.createDataFrame(
+        [("red widget",), ("red gadget",), ("blue bolt",)], ["name"]
+    )
+    dirty = spark.createDataFrame(
+        [(1, "red widgt"), (2, "blue blt"), (3, "red gadgets")], ["k", "dname"]
+    )
+    got = {
+        r["k"]: (r["matched"], r["dist"])
+        for r in fuzzy.blocked_fuzzy_match(dirty, clean, "k", "dname", "name").collect()
+    }
+    assert got == {
+        1: ("red widget", 1),
+        2: ("blue bolt", 1),
+        3: ("red gadget", 1),
+    }
+
+
+def test_blocked_fuzzy_match_never_crosses_blocks(spark):
+    from kf_task_fhir_etl_spark.operators import fuzzy
+
+    clean = spark.createDataFrame([("abcd",)], ["name"])
+    # identical except first char → different block → NO match row at all
+    dirty = spark.createDataFrame([(1, "xbcd")], ["k", "dname"])
+    assert fuzzy.blocked_fuzzy_match(dirty, clean, "k", "dname", "name").count() == 0
+
+
+# ---------------------------------------------------------------------------
 # PageRank
 # ---------------------------------------------------------------------------
 
