@@ -51,14 +51,15 @@ def tfidf(docs: DataFrame, group_col: str, text_col: str = "text") -> DataFrame:
     is the number of groups and df the number of groups containing the
     term.
 
-    Plan shape at 100 TB: the tf table is the only corpus-sized
-    intermediate; df is a second aggregate OF that table (not of the raw
-    corpus), N is a one-row aggregate broadcast via cross join, and the
-    tf⋈df equi-join shuffles on the term key — the same key the df
-    aggregate just partitioned by, so AQE reuses the exchange. Nothing is
+    Plan shape at 100 TB: the tf aggregate is materialized ONCE
+    (localCheckpoint — without it Catalyst plans three independent corpus
+    scans for tf/df/N: the pruned subtrees differ, so runtime exchange
+    reuse never fires, verified in tests/test_partitioning.py); df and N
+    are aggregates OF that materialized table, N broadcasts via cross
+    join, and the tf⋈df equi-join shuffles on the term key. Nothing is
     ever collected; scores round to 6dp so the DuckDB oracle (natural log,
     double division — bit-identical inputs) hashes the same values."""
-    tf = term_counts(docs, group_col, text_col)
+    tf = term_counts(docs, group_col, text_col).localCheckpoint()
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = tf.agg(F.count_distinct(F.col("group")).alias("n_groups"))
     return (

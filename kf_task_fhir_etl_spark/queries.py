@@ -357,17 +357,23 @@ def q08_resource_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # r03 composition (exactly 50):
 # - q57/q71 (red in r02, fixed this round) + q86/q87 (never driver-checked)
-#   + q88-q97 (new gates this round) — the rotation-debt closers;
+#   + the 18 gates NEW this round (q88-q105) — the rotation-debt closers;
 # - everything downstream of this round's normalize/etl/builder changes
 #   (selectExpr stringify twin, per-table concept padding, checkpoint_wide):
-#   the whole FHIR surface q03/q23/q74-q85 plus the r01-green builder gates
-#   q24-q27/q30-q35 and the generic cascade q02 — all must re-prove on the
-#   changed code;
-# - the similarity file was touched (multi-table lsh_signature offset):
-#   q14/q15/q16/q36/q66 re-prove;
-# - remaining slots re-prove r01-green entries that have sat out a round
-#   (q05/q08/q10/q13/q20/q29/q40-q48 window/set/join shapes).
-# After this round every one of the 88 entries has a green row in r01-r03.
+#   the whole FHIR surface q03/q23/q74-q85 plus the narrow builder gates
+#   q24-q27/q30-q33 and the generic cascade q02 — all must re-prove on the
+#   changed code (q34/q35 displaced to _CHECK_LAST: their builders are
+#   covered in-window by q74/q79's byte-identical whole-resource gates);
+# - similarity.py was touched (multi-table lsh_signature offset):
+#   q14/q15/q16/q36/q66 re-prove; filters.py was rewritten (zip_with
+#   n-grams, run-length top-word) — covered in-window by q89/q90/q98/q100,
+#   whose oracles recompute the original formulas.
+# r01-green entries that sat out r02 (q05/q08/q10/q13/q20/q29/q40-q48)
+# were re-prove candidates early in the round but were displaced by the
+# new gates; each already holds a green row from r01 on unchanged code.
+# After this round every one of the 105 entries has a green row in r01-r03
+# except those displaced r01-greens — zero rows red, zero never-checked
+# among changed/new code.
 # ---------------------------------------------------------------------------
 _CHECK_FIRST = [
     "q57_approx_sketches",

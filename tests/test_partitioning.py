@@ -242,3 +242,63 @@ def test_contamination_broadcasts_eval_and_shuffles_once(spark):
     # all on the doc key; nothing shuffles on the gram key
     assert all("id" in line for line in shuffles)
     assert not any("gram" in line for line in shuffles)
+
+
+def test_pii_redaction_map_side_only(spark):
+    """The q92 scrub: counts + chained replaces are one codegen projection
+    — zero Exchange, zero Python — so the pass rides the scan like the
+    quality filters it runs next to."""
+    from kf_task_fhir_etl_spark.operators import corpus
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _formatted_plan(corpus.redact_pii(docs))
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_shuffle_shards_single_exchange(spark):
+    """The q97 reshard: exactly ONE hash exchange (on the shard key) — the
+    deterministic training order never triggers a global range sort."""
+    from kf_task_fhir_etl_spark.operators import corpus
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select("doc_id")
+    plan = _formatted_plan(corpus.shuffle_shards(docs, "doc_id", shards=8))
+    import re
+
+    # count exchange NODES (the formatted output repeats each node in the
+    # tree sketch and in the detail list — match the detail headers only)
+    exchanges = re.findall(r"^\(\d+\) Exchange", plan, re.M)
+    assert len(exchanges) == 1, plan
+    assert "hashpartitioning" in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_tfidf_single_corpus_scan(spark):
+    """q91: the raw documents scan appears ONCE in the physical plan — df
+    and N are aggregates of the tf table, not rescans of the corpus — and
+    the one-row N rides a BroadcastExchange."""
+    from kf_task_fhir_etl_spark.operators import corpus
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _formatted_plan(corpus.tfidf(docs, "source"))
+    # the tf aggregate is checkpointed, so the downstream plan reads the
+    # materialized table — the parquet corpus appears in NO further scan
+    # (without the checkpoint Catalyst planned three independent scans)
+    assert "Scan parquet" not in plan
+    assert "ExistingRDD" in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_scd2_apply_closed_rows_bypass_join(spark):
+    """q101: the full-outer join's inputs are filtered to the OPEN slice —
+    the plan pushes valid_to predicates below the join, so closed history
+    never shuffles."""
+    from kf_task_fhir_etl_spark.operators import scd
+
+    snap1 = spark.createDataFrame([(i, str(i % 3)) for i in range(100)], ["k", "v"])
+    snap2 = spark.createDataFrame([(i, str(i % 4)) for i in range(100)], ["k", "v"])
+    hist = scd.scd2_apply(scd.scd2_init(snap1, ["k"], ["v"], t=1), snap2, ["k"], ["v"], t=2)
+    plan = _formatted_plan(hist)
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+    # the open-slice filter sits below the join on the history side
+    assert "valid_to" in plan
