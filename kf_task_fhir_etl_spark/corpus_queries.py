@@ -873,3 +873,77 @@ def q105_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy.blocked_fuzzy_match(
         dirty, clean, "p_partkey", "dirty_name", "p_name"
     ).orderBy("p_partkey")
+
+
+# ---------------------------------------------------------------------------
+# q106 — deterministic KMV distinct sketches (+ exact mergeability)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q106_kmv_distinct",
+    oracle="""
+    WITH d AS (
+      SELECT DISTINCT event_type AS g, user_id AS key FROM events
+    ), h AS (
+      SELECT g, ('0x' || substr(md5(key::VARCHAR), 1, 8))::BIGINT / 4294967296.0 AS h
+      FROM d
+    ), rk AS (
+      SELECT g, h, ROW_NUMBER() OVER (PARTITION BY g ORDER BY h) AS rn FROM h
+    ), state AS (
+      SELECT g, COUNT(*) AS sz, MAX(CASE WHEN rn = 64 THEN h END) AS h64
+      FROM rk WHERE rn <= 64 GROUP BY g
+    ), exact AS (
+      SELECT g, COUNT(*) AS n_exact FROM d GROUP BY g
+    ), hh AS (
+      SELECT g, half, h, ROW_NUMBER() OVER (PARTITION BY g, half ORDER BY h) AS rn
+      FROM (SELECT DISTINCT event_type AS g, event_id % 2 AS half,
+                   ('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT / 4294967296.0 AS h
+            FROM events)
+    ), mu AS (
+      SELECT DISTINCT g, h FROM hh WHERE rn <= 64
+    ), mrk AS (
+      SELECT g, h, ROW_NUMBER() OVER (PARTITION BY g ORDER BY h) AS rn FROM mu
+    ), mstate AS (
+      SELECT g, COUNT(*) AS sz, MAX(CASE WHEN rn = 64 THEN h END) AS h64
+      FROM mrk WHERE rn <= 64 GROUP BY g)
+    SELECT e.g AS event_type, e.n_exact,
+           CASE WHEN s.sz < 64 THEN s.sz::DOUBLE ELSE ROUND(63.0 / s.h64, 6) END AS kmv_est,
+           CASE WHEN m.sz < 64 THEN m.sz::DOUBLE ELSE ROUND(63.0 / m.h64, 6) END AS merged_est
+    FROM exact e JOIN state s ON e.g = s.g JOIN mstate m ON e.g = m.g
+    ORDER BY event_type
+    """,
+)
+def q106_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic approximate-distinct gate (operators/sketch.py): KMV
+    sketches of users-per-event-type, estimated directly AND via two
+    half-stream sketches merged with ``kmv_merge`` — KMV's merge is exact
+    (k smallest of a union = k smallest of the per-part minima), so
+    ``merged_est`` must hash-equal the direct estimate, pinning the
+    mergeability property sketches exist for. Unlike q57's HLL++ (whose
+    binary state is engine-internal and therefore gates rows-only), every
+    KMV value is a pure md5 function the oracle recomputes — the
+    hash-checkable face of the sketch family. State per group is k
+    doubles; shuffles carry sketch state, never key sets."""
+    from kf_task_fhir_etl_spark.operators import sketch
+
+    ev = load_table(spark, sf_dir, "events")
+    exact = (
+        ev.select(F.col("event_type").alias("group"), "user_id")
+        .distinct()
+        .groupBy("group")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+    )
+    direct = sketch.kmv_estimate(sketch.kmv_state(ev, "event_type", "user_id", 64), 64)
+    halves = sketch.kmv_state(
+        ev.filter(F.col("event_id") % 2 == 0), "event_type", "user_id", 64
+    ).unionByName(
+        sketch.kmv_state(ev.filter(F.col("event_id") % 2 == 1), "event_type", "user_id", 64)
+    )
+    merged = sketch.kmv_estimate(sketch.kmv_merge(halves, 64), 64)
+    return (
+        exact.join(direct.withColumnRenamed("n_est", "kmv_est"), "group")
+        .join(merged.withColumnRenamed("n_est", "merged_est"), "group")
+        .select(F.col("group").alias("event_type"), "n_exact", "kmv_est", "merged_est")
+        .orderBy("event_type")
+    )

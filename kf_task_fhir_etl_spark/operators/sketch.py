@@ -1,0 +1,71 @@
+"""KMV (k-minimum-values) distinct-count sketches — the DETERMINISTIC
+approximate-distinct that q57's HLL++ cannot be: Spark's HLL state is
+implementation-internal, so its estimates gate rows-only; KMV is defined
+entirely by "the k smallest md5 hashes of the distinct keys", which any
+engine reproduces bit-for-bit. Estimate: ``(k−1) / h_k`` where ``h_k`` is
+the k-th smallest hash mapped into [0,1); groups with fewer than k distinct
+keys fall back to the exact count (the standard small-cardinality rule).
+
+Mergeability — the property that makes sketches matter at 100 TB — is
+EXACT for KMV: the k smallest of a union equals the k smallest of the
+per-part k-smallest sets, so shard sketches combine without error relative
+to a single global sketch (``kmv_merge`` ≡ direct computation, gate-pinned).
+State per group is k hashes (kilobytes); the shuffle carries sketch state,
+never the key sets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# hashes map into [0,1) via the first 8 md5 hex chars / 2^32
+_HASH_SPACE = float(1 << 32)
+
+
+def _unit_hash(key: Column) -> Column:
+    return F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast("double") / F.lit(
+        _HASH_SPACE
+    )
+
+
+def kmv_state(df: DataFrame, group_col: str, key_col: str, k: int = 64) -> DataFrame:
+    """(group, hashes) — the sorted k smallest unit-hashes of the DISTINCT
+    keys per group (fewer if the group is smaller): the sketch state.
+    One distinct + one per-group top-k window; both shuffle on the group
+    key only."""
+    hashed = (
+        df.select(F.col(group_col).alias("group"), F.col(key_col).alias("key"))
+        .distinct()
+        .select("group", _unit_hash(F.col("key")).alias("h"))
+    )
+    w = Window.partitionBy("group").orderBy("h")
+    return (
+        hashed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .groupBy("group")
+        .agg(F.array_sort(F.collect_list("h")).alias("hashes"))
+    )
+
+
+def kmv_merge(states: DataFrame, k: int = 64) -> DataFrame:
+    """Union sketch states (multiple rows per group) into one state per
+    group: concatenate, dedupe, keep the k smallest — exactly the state a
+    single pass over the union would produce."""
+    return states.groupBy("group").agg(
+        F.slice(
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("hashes")))), 1, k
+        ).alias("hashes")
+    )
+
+
+def kmv_estimate(states: DataFrame, k: int = 64) -> DataFrame:
+    """(group, n_est) from sketch state: (k−1)/h_k, or the exact size of
+    the hash set when it never filled (|hashes| < k ⇒ every distinct key's
+    hash is present). 6dp-rounded — deterministic, so estimates hash-match
+    across engines."""
+    size = F.size("hashes")
+    est = F.when(size < k, size.cast("double")).otherwise(
+        F.round(F.lit(float(k - 1)) / F.element_at("hashes", k), 6)
+    )
+    return states.select("group", est.alias("n_est"))

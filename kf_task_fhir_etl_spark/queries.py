@@ -398,6 +398,7 @@ _CHECK_FIRST = [
     "q103_data_profile",
     "q104_unpivot_yearly_revenue",
     "q105_fuzzy_match",
+    "q106_kmv_distinct",
     "q03_normalize_dedup",
     "q23_fhir_transform_cascade",
     "q74_fhir_proband_status_json",
@@ -419,7 +420,6 @@ _CHECK_FIRST = [
     "q30_fhir_vital_status_json",
     "q31_fhir_drs_document_reference",
     "q32_fhir_family_relationship",
-    "q33_fhir_research_study",
     "q02_outer_join_cascade",
     "q14_ann_cosine_topk",
     "q15_embedding_neardup",
@@ -429,8 +429,9 @@ _CHECK_FIRST = [
 ]
 _CHECK_LAST = [
     # r01-green; displaced from the re-prove slots by the new q89-q104 gates
-    # (q34/q35's builders are redundantly covered in-window by q74/q79's
-    # byte-identical whole-resource gates)
+    # (q33/q34/q35's builders are redundantly covered in-window by
+    # q76/q74/q79's byte-identical whole-resource gates)
+    "q33_fhir_research_study",
     "q34_fhir_proband_status",
     "q35_fhir_histopathology",
     "q05_sentinel_filter",

@@ -231,6 +231,47 @@ def test_semantic_dedup_never_crosses_clusters(spark):
 
 
 # ---------------------------------------------------------------------------
+# KMV sketches
+# ---------------------------------------------------------------------------
+
+
+def test_kmv_estimate_accuracy_and_small_group_exact(spark):
+    from kf_task_fhir_etl_spark.operators import sketch
+
+    rows = [("big", i) for i in range(2000)] + [("small", i) for i in range(10)]
+    df = spark.createDataFrame(rows, ["g", "k"])
+    est = {r["group"]: r["n_est"] for r in sketch.kmv_estimate(
+        sketch.kmv_state(df, "g", "k", 64), 64).collect()}
+    # k=64 → relative error ~1/sqrt(62) ≈ 13%; assert a generous 3-sigma bound
+    assert abs(est["big"] - 2000) / 2000 < 0.4
+    # below-k groups are exact by construction
+    assert est["small"] == 10.0
+
+
+def test_kmv_merge_identity(spark):
+    from kf_task_fhir_etl_spark.operators import sketch
+
+    df = spark.createDataFrame([("g", i) for i in range(500)], ["g", "k"])
+    direct = sketch.kmv_state(df, "g", "k", 32)
+    halves = sketch.kmv_state(df.filter(F.col("k") % 2 == 0), "g", "k", 32).unionByName(
+        sketch.kmv_state(df.filter(F.col("k") % 2 == 1), "g", "k", 32)
+    )
+    merged = sketch.kmv_merge(halves, 32)
+    # merge is EXACT: same state, same estimate
+    assert direct.collect()[0]["hashes"] == merged.collect()[0]["hashes"]
+
+
+def test_kmv_duplicates_do_not_inflate(spark):
+    from kf_task_fhir_etl_spark.operators import sketch
+
+    once = spark.createDataFrame([("g", i) for i in range(300)], ["g", "k"])
+    thrice = once.unionAll(once).unionAll(once)
+    a = sketch.kmv_estimate(sketch.kmv_state(once, "g", "k", 64), 64).collect()
+    b = sketch.kmv_estimate(sketch.kmv_state(thrice, "g", "k", 64), 64).collect()
+    assert a[0]["n_est"] == b[0]["n_est"]
+
+
+# ---------------------------------------------------------------------------
 # Fuzzy matching
 # ---------------------------------------------------------------------------
 
