@@ -13,7 +13,8 @@ Everything is a pure column expression or an equi-join:
   shape as the MinHash candidate join (operators/dedup.py) — never all-pairs.
 
 Formulas are engine-portable (ASCII regex classes, explicit fold orders), so
-the DuckDB oracles recompute them exactly (q89-q91).
+the DuckDB oracles recompute them exactly (q89/q90 and, via
+operators/corpus.py compositions, q98-q100).
 """
 
 from __future__ import annotations

@@ -132,3 +132,85 @@ def test_pack_sequences_invariants(spark, tokens, budget):
         assert seq >= last_seq
         last_seq = seq
         prev_sum += t
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcdefgh"), min_size=1, max_size=30).map(
+            lambda ws: " ".join(ws)
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    span=st.integers(2, 5),
+)
+def test_span_dedup_invariants(spark, docs, span):
+    """Span-dedup invariants for any corpus and span size:
+    (1) the multiset of kept spans across the corpus equals the DISTINCT
+        span set of the corpus (each span text survives exactly once);
+    (2) each doc's kept count never exceeds its span count;
+    (3) the doc owning a span's global first occurrence keeps it."""
+    from kf_task_fhir_etl_spark.operators.corpus import span_dedup
+
+    df = spark.createDataFrame(list(enumerate(docs)), ["doc_id", "text"])
+    rows = {r["doc_id"]: r for r in span_dedup(df, span_words=span).collect()}
+
+    def spans_of(text):
+        w = text.split()
+        return [" ".join(w[i : i + span]) for i in range(0, len(w), span)]
+
+    all_spans, first_owner = [], {}
+    for i, d in enumerate(docs):
+        for pos, s in enumerate(spans_of(d)):
+            all_spans.append(s)
+            first_owner.setdefault(s, (i, pos))
+    kept_total = sum(r["n_kept"] for r in rows.values())
+    assert kept_total == len(set(all_spans))
+    for i, d in enumerate(docs):
+        assert rows[i]["n_kept"] <= rows[i]["n_spans"] == len(spans_of(d))
+        expected = [s for pos, s in enumerate(spans_of(d)) if first_owner[s] == (i, pos)]
+        assert rows[i]["kept_text"] == " ".join(expected)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    snaps=st.lists(
+        st.dictionaries(st.integers(0, 5), st.sampled_from("xyzw"), max_size=6),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_scd2_matches_sequential_reference(spark, snaps):
+    """SCD2 applied snapshot-by-snapshot must equal a row-at-a-time Python
+    reference for ANY sequence of keyed states (changes, deletions,
+    re-appearances)."""
+    from kf_task_fhir_etl_spark.operators import scd
+
+    keys, attrs = ["k"], ["v"]
+    hist = None
+    for t, snap in enumerate(snaps, start=1):
+        sdf = spark.createDataFrame(
+            list(snap.items()) or [(None, None)], "k int, v string"
+        ).filter("k IS NOT NULL")
+        if hist is None:
+            hist = scd.scd2_init(sdf, keys, attrs, t=t)
+        else:
+            hist = scd.scd2_apply(hist, sdf, keys, attrs, t=t)
+    got = sorted((r["k"], r["v"], r["valid_from"], r["valid_to"]) for r in hist.collect())
+
+    # reference: replay sequentially over dicts
+    ref, open_rows = [], {}
+    for t, snap in enumerate(snaps, start=1):
+        for k, (v, vf) in list(open_rows.items()):
+            if k not in snap:
+                ref.append((k, v, vf, t))
+                del open_rows[k]
+            elif snap[k] != v:
+                ref.append((k, v, vf, t))
+                open_rows[k] = (snap[k], t)
+        for k, v in snap.items():
+            if k not in open_rows:
+                open_rows[k] = (v, t)
+    ref += [(k, v, vf, 9999) for k, (v, vf) in open_rows.items()]
+    assert got == sorted(ref)
