@@ -399,6 +399,8 @@ _CHECK_FIRST = [
     "q104_unpivot_yearly_revenue",
     "q105_fuzzy_match",
     "q106_kmv_distinct",
+    "q107_rank_functions",
+    "q108_grouping_sets",
     "q03_normalize_dedup",
     "q23_fhir_transform_cascade",
     "q74_fhir_proband_status_json",
@@ -418,8 +420,6 @@ _CHECK_FIRST = [
     "q26_fhir_family_groups",
     "q27_fhir_specimen_narrow",
     "q30_fhir_vital_status_json",
-    "q31_fhir_drs_document_reference",
-    "q32_fhir_family_relationship",
     "q02_outer_join_cascade",
     "q14_ann_cosine_topk",
     "q15_embedding_neardup",
@@ -429,8 +429,10 @@ _CHECK_FIRST = [
 ]
 _CHECK_LAST = [
     # r01-green; displaced from the re-prove slots by the new q89-q104 gates
-    # (q33/q34/q35's builders are redundantly covered in-window by
-    # q76/q74/q79's byte-identical whole-resource gates)
+    # (q31-q35's builders are redundantly covered in-window by the
+    # byte-identical whole-resource gates q84/q78/q76/q74/q79)
+    "q31_fhir_drs_document_reference",
+    "q32_fhir_family_relationship",
     "q33_fhir_research_study",
     "q34_fhir_proband_status",
     "q35_fhir_histopathology",
@@ -838,3 +840,93 @@ def q49_pivot_status_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("O"), F.lit(0)).alias("status_o"),
         F.coalesce(F.col("P"), F.lit(0)).alias("status_p"),
     ).orderBy("o_orderpriority")
+
+
+@register(
+    "q107_rank_functions",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority, rnk, drnk, tile,
+           ROUND(pr, 6) AS pr, ROUND(cd, 6) AS cd
+    FROM (
+      SELECT o_orderkey, o_orderpriority,
+             RANK() OVER w AS rnk,
+             DENSE_RANK() OVER w AS drnk,
+             NTILE(4) OVER w AS tile,
+             PERCENT_RANK() OVER w AS pr,
+             CUME_DIST() OVER w AS cd
+      FROM orders
+      WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey))
+    WHERE o_orderkey % 97 = 0
+    ORDER BY o_orderpriority, o_orderkey
+    """,
+)
+def q107_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ranking-function surface in one window (§2.6): rank,
+    dense_rank, ntile, percent_rank, cume_dist over a TOTAL per-partition
+    order (price then key), so every function is deterministic and the
+    oracle hash-checks all five — including ntile's uneven-bucket rounding
+    and cume_dist's inclusive fraction. The sample filter applies AFTER
+    the window (ranks are computed over the full partitions; only the
+    output rows thin out)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.ntile(4).over(w).alias("tile"),
+            F.percent_rank().over(w).alias("pr"),
+            F.cume_dist().over(w).alias("cd"),
+        )
+        .filter(F.col("o_orderkey") % 97 == 0)
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            "rnk",
+            "drnk",
+            "tile",
+            F.round("pr", 6).alias("pr"),
+            F.round("cd", 6).alias("cd"),
+        )
+        .orderBy("o_orderpriority", "o_orderkey")
+    )
+
+
+@register(
+    "q108_grouping_sets",
+    oracle="""
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           GROUPING(o_orderstatus) + 2 * GROUPING(o_orderpriority) AS gid,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                            (o_orderstatus), (o_orderpriority), ())
+    ORDER BY gid, status, priority
+    """,
+)
+def q108_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS (§2.6 — beyond q43's ROLLUP and q86's CUBE):
+    the four explicit sets with GROUPING() ids disambiguating aggregated-
+    away dimensions from literal values. Spark evaluates this through the
+    same Expand operator as cube/rollup — one scan, map-side partial
+    aggregation per set — expressed via Spark SQL over a temp view (the
+    DataFrame API exposes only rollup/cube)."""
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("q108_orders")
+    return spark.sql(
+        """
+        SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+               COALESCE(o_orderpriority, 'ALL') AS priority,
+               CAST(GROUPING(o_orderstatus) + 2 * GROUPING(o_orderpriority) AS BIGINT) AS gid,
+               COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS revenue
+        FROM q108_orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), (o_orderpriority), ())
+        ORDER BY gid, status, priority
+        """
+    )
