@@ -947,3 +947,60 @@ def q106_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("group").alias("event_type"), "n_exact", "kmv_est", "merged_est")
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q109 — streaming corpus gatekeeping (quality filter on a document stream)
+# ---------------------------------------------------------------------------
+
+
+def _q109_oracle() -> str:
+    from kf_task_fhir_etl_spark.training_queries import _Q89_METRIC_SQL
+
+    return _Q89_METRIC_SQL + """
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN n_words BETWEEN 20 AND 100000
+                          AND mean_word_len BETWEEN 2.0 AND 10.0
+                          AND distinct_word_ratio >= 0.25
+                          AND top_word_ratio <= 0.20
+                          AND dup_trigram_ratio <= 0.30
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN n_words BETWEEN 20 AND 100000
+                          AND mean_word_len BETWEEN 2.0 AND 10.0
+                          AND distinct_word_ratio >= 0.25
+                          AND top_word_ratio <= 0.20
+                          AND dup_trigram_ratio <= 0.30
+                         THEN n_words ELSE 0 END) AS BIGINT) AS kept_words
+    FROM m GROUP BY source ORDER BY source
+    """
+
+
+@register("q109_streaming_quality_filter", oracle=_q109_oracle())
+def q109_streaming_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming corpus gatekeeping (§2.8 × operators/filters.py): the
+    Gopher quality metrics and keep decision run UNCHANGED on a document
+    STREAM — they are pure column expressions, so the microbatch engine
+    executes the same codegen projection per trigger (the
+    filter-on-arrival form of q89's batch pass; per-doc decisions land in
+    the sink, the per-source funnel aggregates the sink table in batch).
+    The oracle is q89's batch SQL, so stream execution must be decision-
+    for-decision identical to batch — the stateless half of the
+    batch/stream unification the engine claims; stateful halves are gated
+    by q37/q59/q70/q96."""
+    from kf_task_fhir_etl_spark.operators import filters
+    from kf_task_fhir_etl_spark.streaming.documents import read_documents_stream
+    from kf_task_fhir_etl_spark.streaming.events import run_stream_to_memory
+
+    stream = read_documents_stream(spark, sf_dir)
+    ann = filters.apply_quality_filters(stream).select("source", "n_words", "keep")
+    run_stream_to_memory(ann, "q109_quality_mem", output_mode="append")
+    return (
+        spark.table("q109_quality_mem")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_kept"),
+            F.sum(F.when(F.col("keep"), F.col("n_words")).otherwise(0)).alias("kept_words"),
+        )
+        .orderBy("source")
+    )

@@ -401,6 +401,7 @@ _CHECK_FIRST = [
     "q106_kmv_distinct",
     "q107_rank_functions",
     "q108_grouping_sets",
+    "q109_streaming_quality_filter",
     "q03_normalize_dedup",
     "q23_fhir_transform_cascade",
     "q74_fhir_proband_status_json",
@@ -420,7 +421,6 @@ _CHECK_FIRST = [
     "q26_fhir_family_groups",
     "q27_fhir_specimen_narrow",
     "q30_fhir_vital_status_json",
-    "q02_outer_join_cascade",
     "q14_ann_cosine_topk",
     "q15_embedding_neardup",
     "q16_ann_lsh_topk",
@@ -430,7 +430,10 @@ _CHECK_FIRST = [
 _CHECK_LAST = [
     # r01-green; displaced from the re-prove slots by the new q89-q104 gates
     # (q31-q35's builders are redundantly covered in-window by the
-    # byte-identical whole-resource gates q84/q78/q76/q74/q79)
+    # byte-identical whole-resource gates q84/q78/q76/q74/q79; q02's only
+    # changed dependency this round is catalog.load_table's UTC assert,
+    # which every in-window query exercises)
+    "q02_outer_join_cascade",
     "q31_fhir_drs_document_reference",
     "q32_fhir_family_relationship",
     "q33_fhir_research_study",
