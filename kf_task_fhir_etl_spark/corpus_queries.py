@@ -1004,3 +1004,81 @@ def q109_streaming_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# q110 — importance (quality-proportional) sampling
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q110_importance_sample",
+    oracle=r"""
+    WITH m AS (
+      SELECT doc_id, source,
+             CASE WHEN len(trim(text)) = 0 THEN 0.0
+                  ELSE ROUND(len(list_distinct(string_split_regex(trim(text), '\s+')))::DOUBLE
+                       / len(string_split_regex(trim(text), '\s+')), 6) END AS w
+      FROM documents)
+    SELECT source, doc_id, w
+    FROM m
+    WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::INT % 65536 < w * 65536.0
+    ORDER BY source, doc_id
+    """,
+)
+def q110_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-proportional sampling gate (operators/sampling.py::
+    importance_sample): every document survives with probability equal to
+    its distinct-word ratio — per-ROW acceptance versus q69's per-stratum
+    fractions. Membership is the md5-bucket-vs-weight·2¹⁶ comparison, so
+    the exact kept set hash-checks, monotone weight increases only ADD
+    rows, and the whole pass is a zero-shuffle map filter."""
+    from kf_task_fhir_etl_spark.operators import filters, sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.round(filters.distinct_word_ratio(F.col("text")), 6)
+    kept = sampling.importance_sample(docs.withColumn("w", w), "doc_id", F.col("w"))
+    return kept.select("source", "doc_id", "w").orderBy("source", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q111 — per-domain token-budget selection (greedy best-first)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q111_budget_select",
+    oracle=r"""
+    WITH m AS (
+      SELECT doc_id, source,
+             CASE WHEN len(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+             CASE WHEN len(trim(text)) = 0 THEN 0.0
+                  ELSE ROUND(len(list_distinct(string_split_regex(trim(text), '\s+')))::DOUBLE
+                       / len(string_split_regex(trim(text), '\s+')), 6) END AS score
+      FROM documents
+    ), c AS (
+      SELECT source, doc_id, n_tokens, score,
+             SUM(n_tokens) OVER (PARTITION BY source ORDER BY score DESC, doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM m)
+    SELECT source, doc_id, n_tokens, score AS sel_score
+    FROM c WHERE cum <= 800 ORDER BY source, doc_id
+    """,
+)
+def q111_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus cut (operators/sampling.py::budget_select): each
+    source keeps its best documents (distinct-word ratio desc, doc_id
+    ties) while the running token total stays within an 800-token budget —
+    the greedy best-first fill that cuts a corpus to a per-domain token
+    target. One cumulative-sum window per source over a total order; the
+    kept set, scores, and token counts all hash-check. The boundary-
+    crossing document is excluded (strict bound) in both engines."""
+    from kf_task_fhir_etl_spark.operators import filters, sampling
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "n_tokens", F.size(filters.words(F.col("text")))
+    )
+    score = F.round(filters.distinct_word_ratio(F.col("text")), 6)
+    kept = sampling.budget_select(docs, "source", "doc_id", "n_tokens", score, budget=800)
+    return kept.select("source", "doc_id", "n_tokens", "sel_score").orderBy("source", "doc_id")

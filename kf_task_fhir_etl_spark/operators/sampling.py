@@ -152,3 +152,45 @@ def chunk_text(
     return df.select(
         "*", F.explode(starts).alias(start_col)
     ).withColumn(chunk_col, F.substring(F.coalesce(F.col(text_col), F.lit("")), F.col(start_col), size))
+
+
+def importance_sample(df: DataFrame, key_col: str, weight: Column) -> DataFrame:
+    """Keep each row with probability = its own ``weight`` (clamped to
+    [0,1]) — per-ROW acceptance, versus ``stratified_sample``'s per-group
+    fractions: the importance/quality-proportional sampling step of a
+    corpus mix (better documents survive more often). Deterministic: the
+    row's md5 bucket is compared against weight·2¹⁶, so identical inputs
+    always make identical decisions (retry/re-run/snapshot stable), and
+    raising a row's weight can only ADD it to the sample, never swap it
+    for a different row. Pure map-side filter, zero shuffle."""
+    w = F.least(F.greatest(weight, F.lit(0.0)), F.lit(1.0))
+    return df.filter(hash_bucket(F.col(key_col)) < w * F.lit(float(_SPLIT_SPACE)))
+
+
+def budget_select(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    token_col: str,
+    score: Column,
+    budget: int,
+) -> DataFrame:
+    """Per-group token-budget selection: order each group's rows by
+    (score desc, key) and keep rows while the running token total stays
+    within ``budget`` — the greedy best-first fill used to cut a corpus to
+    a target token count per domain. One cumulative-sum window per group
+    (hash shuffle on the group key, per-group sort); the order is total,
+    so the kept set is deterministic and engine-portable. The row that
+    would cross the budget is excluded (strict knapsack bound)."""
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.desc("__score"), F.col(key_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn("__score", score)
+        .withColumn("__cum", F.sum(F.col(token_col)).over(w))
+        .filter(F.col("__cum") <= budget)
+        .drop("__cum")
+        .withColumnRenamed("__score", "sel_score")
+    )

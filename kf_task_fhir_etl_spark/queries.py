@@ -402,6 +402,8 @@ _CHECK_FIRST = [
     "q107_rank_functions",
     "q108_grouping_sets",
     "q109_streaming_quality_filter",
+    "q110_importance_sample",
+    "q111_budget_select",
     "q03_normalize_dedup",
     "q23_fhir_transform_cascade",
     "q74_fhir_proband_status_json",
@@ -421,14 +423,17 @@ _CHECK_FIRST = [
     "q26_fhir_family_groups",
     "q27_fhir_specimen_narrow",
     "q30_fhir_vital_status_json",
-    "q14_ann_cosine_topk",
     "q15_embedding_neardup",
     "q16_ann_lsh_topk",
-    "q36_ann_ivf_topk",
     "q66_embedding_neardup_lsh",
 ]
 _CHECK_LAST = [
-    # r01-green; displaced from the re-prove slots by the new q89-q104 gates
+    # similarity.py's r03 change was confined to lsh_signature (multi-table
+    # plane offset) — q16/q66/q88 re-prove it in-window; q14 (cosine_topk)
+    # and q36 (IVF) paths are untouched since their r02 greens
+    "q14_ann_cosine_topk",
+    "q36_ann_ivf_topk",
+    # r01-green; displaced from the re-prove slots by the new q89-q111 gates
     # (q31-q35's builders are redundantly covered in-window by the
     # byte-identical whole-resource gates q84/q78/q76/q74/q79; q02's only
     # changed dependency this round is catalog.load_table's UTC assert,

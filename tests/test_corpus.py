@@ -231,8 +231,34 @@ def test_semantic_dedup_never_crosses_clusters(spark):
 
 
 # ---------------------------------------------------------------------------
-# KMV sketches
+# Importance sampling / budget selection
 # ---------------------------------------------------------------------------
+
+
+def test_importance_sample_monotone_and_boundary(spark):
+    from kf_task_fhir_etl_spark.operators import sampling
+
+    df = spark.createDataFrame([(i,) for i in range(400)], ["k"])
+    lo = {r["k"] for r in sampling.importance_sample(df, "k", F.lit(0.3)).collect()}
+    hi = {r["k"] for r in sampling.importance_sample(df, "k", F.lit(0.7)).collect()}
+    # raising the weight only ADDS rows (thresholds nest)
+    assert lo <= hi
+    assert len(lo) < len(hi) < 400
+    # weight 0 keeps nothing; weight 1 keeps everything
+    assert sampling.importance_sample(df, "k", F.lit(0.0)).count() == 0
+    assert sampling.importance_sample(df, "k", F.lit(1.0)).count() == 400
+
+
+def test_budget_select_greedy_strict_bound(spark):
+    from kf_task_fhir_etl_spark.operators import sampling
+
+    rows = [("g", 1, 50, 0.9), ("g", 2, 40, 0.8), ("g", 3, 30, 0.7), ("g", 4, 5, 0.6)]
+    df = spark.createDataFrame(rows, ["grp", "k", "tok", "q"])
+    kept = sampling.budget_select(df, "grp", "k", "tok", F.col("q"), budget=100)
+    got = sorted(r["k"] for r in kept.collect())
+    # 50+40=90 fits; adding 30 would cross 100 → excluded (strict), and the
+    # greedy order never skips ahead to the 5-token doc
+    assert got == [1, 2]
 
 
 def test_kmv_estimate_accuracy_and_small_group_exact(spark):
