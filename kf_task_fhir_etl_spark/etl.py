@@ -37,29 +37,51 @@ def cache_snapshot(tables: dict[str, DataFrame]) -> dict[str, DataFrame]:
 
 
 def build_resources(
-    transformed: TransformResult, metadata: DataFrame | None = None
+    transformed: TransformResult,
+    metadata: DataFrame | None = None,
+    parallelism: int = 8,
 ) -> dict[str, DataFrame]:
-    """Run every applicable builder; returns {target_name: resource_df}."""
-    out: dict[str, DataFrame] = {}
+    """Run every applicable builder; returns {target_name: resource_df}
+    in dependency order.
+
+    Builders only CONSTRUCT plans here (no actions), and with deterministic
+    surrogate IDs they are independent of each other — so construction runs
+    on a thread pool: each builder's time is part py4j round-trip latency
+    (overlappable) and part Python expression construction (GIL-bound), so
+    the win is real but bounded — measured ~0.9 s off q85's 9.2 s warm
+    wall at sf0.1 for the 16-builder set. Results are re-ordered to
+    ``transformed.targets`` so load-time referential integrity is
+    unaffected. ``parallelism=1`` restores sequential construction."""
     # partial-presence wide tables lack cross-entity columns builders
     # reference unconditionally — pad them null (presence-sensitive
     # SEQUENCING columns excepted; see mappings.DYNAMIC_PRESENCE_COLUMNS).
     # Padded once per source table, not once per builder: the projection is
     # ~100 driver-side column expressions, and all 16 builders share it.
     padded: dict[str, DataFrame] = {}
+    jobs: list[tuple[str, object, DataFrame]] = []
     for target in transformed.targets:
         module, table_key = BUILDERS[target]
         if table_key not in padded:
             table = transformed.tables.get(table_key)
-            if table is None:
-                continue
-            padded[table_key] = pad_concepts(table)
-        table = padded[table_key]
+            padded[table_key] = None if table is None else pad_concepts(table)
+        if padded[table_key] is None:
+            continue
+        jobs.append((target, module, padded[table_key]))
+
+    def _build(job: tuple[str, object, DataFrame]) -> tuple[str, DataFrame]:
+        target, module, table = job
         if target == "DRSDocumentReference":
-            out[target] = module.build(table, metadata=metadata)
-        else:
-            out[target] = module.build(table)
-    return out
+            return target, module.build(table, metadata=metadata)
+        return target, module.build(table)
+
+    if parallelism > 1 and len(jobs) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=parallelism) as ex:
+            built = dict(ex.map(_build, jobs))
+    else:
+        built = dict(map(_build, jobs))
+    return {target: built[target] for target, _, _ in jobs}
 
 
 def run_pipeline(
