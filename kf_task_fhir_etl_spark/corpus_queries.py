@@ -1082,3 +1082,46 @@ def q111_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     score = F.round(filters.distinct_word_ratio(F.col("text")), 6)
     kept = sampling.budget_select(docs, "source", "doc_id", "n_tokens", score, budget=800)
     return kept.select("source", "doc_id", "n_tokens", "sel_score").orderBy("source", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q112 — stream-static enrichment join
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q112_stream_static_join",
+    oracle="""
+    SELECT c.c_mktsegment AS segment,
+           COUNT(*) AS n_events,
+           ROUND(SUM(e.value), 2) AS total_value
+    FROM events e JOIN customer c ON e.user_id + 1 = c.c_custkey
+    GROUP BY c.c_mktsegment ORDER BY segment
+    """,
+)
+def q112_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment (§2.8 — the remaining core Structured
+    Streaming join shape next to q59's stream-stream form): the event
+    stream joins a STATIC customer dimension per microbatch; Spark plans
+    the static side as an ordinary broadcast, so enrichment adds no
+    streaming state at all — the canonical pattern for attaching dimension
+    attributes on ingest. Joined rows land in the sink; the per-segment
+    rollup aggregates the sink table in batch and must equal the pure
+    batch join oracle row-for-row."""
+    from kf_task_fhir_etl_spark.streaming.events import read_events_stream, run_stream_to_memory
+
+    ev = read_events_stream(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").select(
+        (F.col("c_custkey") - 1).alias("user_id"), F.col("c_mktsegment").alias("segment")
+    )
+    enriched = ev.join(F.broadcast(cust), "user_id").select("segment", "value")
+    run_stream_to_memory(enriched, "q112_enriched_mem", output_mode="append")
+    return (
+        spark.table("q112_enriched_mem")
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("segment")
+    )

@@ -404,6 +404,7 @@ _CHECK_FIRST = [
     "q109_streaming_quality_filter",
     "q110_importance_sample",
     "q111_budget_select",
+    "q112_stream_static_join",
     "q03_normalize_dedup",
     "q23_fhir_transform_cascade",
     "q74_fhir_proband_status_json",
@@ -423,11 +424,14 @@ _CHECK_FIRST = [
     "q26_fhir_family_groups",
     "q27_fhir_specimen_narrow",
     "q30_fhir_vital_status_json",
-    "q15_embedding_neardup",
     "q16_ann_lsh_topk",
     "q66_embedding_neardup_lsh",
 ]
 _CHECK_LAST = [
+    # q15's block-pair kernel path is untouched since its r02 green (r03's
+    # similarity change was lsh_signature-only, re-proven by q16/q66/q88;
+    # q88's ground-truth side also executes the q15 operator in-window)
+    "q15_embedding_neardup",
     # similarity.py's r03 change was confined to lsh_signature (multi-table
     # plane offset) — q16/q66/q88 re-prove it in-window; q14 (cosine_topk)
     # and q36 (IVF) paths are untouched since their r02 greens
