@@ -416,6 +416,60 @@ def test_scd2_change_delete_readd_and_asof(spark):
     ]
 
 
+def test_scd2_streaming_cdc_apply(spark, tmp_path):
+    """SCD2 as a streaming-CDC sink: complete dimension snapshots arrive as
+    microbatches (one file per trigger) and foreachBatch applies each to
+    the maintained history (epoch = batch_id + 1, history checkpointed per
+    batch since a batch DataFrame's lineage dies with its trigger). The
+    final history must equal applying the same snapshots in batch."""
+    from pyspark.sql import types as T
+
+    src = str(tmp_path / "snaps")
+    schema = T.StructType(
+        [T.StructField("k", T.IntegerType()), T.StructField("v", T.StringType())]
+    )
+    snaps = [
+        [(1, "a"), (2, "b")],
+        [(1, "a2"), (3, "c")],
+        [(1, "a2"), (3, "c2")],
+    ]
+    for i, rows in enumerate(snaps, start=1):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(f"{src}/s{i}.parquet")
+
+    state = {"hist": None}
+
+    def apply_batch(bdf, batch_id):
+        t = int(batch_id) + 1
+        if state["hist"] is None:
+            state["hist"] = scd.scd2_init(bdf, ["k"], ["v"], t=t).localCheckpoint()
+        else:
+            state["hist"] = scd.scd2_apply(
+                state["hist"], bdf, ["k"], ["v"], t=t
+            ).localCheckpoint()
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*.parquet")
+    )
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_scd2"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    assert _hist_rows(state["hist"]) == [
+        (1, "a", 1, 2),
+        (1, "a2", 2, 9999),
+        (2, "b", 1, 2),
+        (3, "c", 2, 3),
+        (3, "c2", 3, 9999),
+    ]
+
+
 def test_scd2_idempotent_reapply(spark):
     snap = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
     keys, attrs = ["k"], ["v"]
