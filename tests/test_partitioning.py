@@ -302,3 +302,31 @@ def test_scd2_apply_closed_rows_bypass_join(spark):
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
     # the open-slice filter sits below the join on the history side
     assert "valid_to" in plan
+
+
+def test_importance_sample_map_side_only(spark):
+    """q110: per-row acceptance is a pure filter — zero Exchange, zero
+    Python; the sampling decision rides the scan."""
+    from kf_task_fhir_etl_spark.operators import sampling
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _formatted_plan(sampling.importance_sample(docs, "doc_id", F.lit(0.5)))
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_budget_select_single_group_exchange(spark):
+    """q111: the greedy fill is ONE hash exchange on the group key (the
+    cumulative-sum window); no range sort, no second shuffle."""
+    import re
+
+    from kf_task_fhir_etl_spark.operators import sampling
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    kept = sampling.budget_select(
+        docs, "source", "doc_id", "n_chars", F.col("n_chars").cast("double"), budget=1000
+    )
+    plan = _formatted_plan(kept)
+    exchanges = re.findall(r"^\(\d+\) Exchange", plan, re.M)
+    assert len(exchanges) == 1, plan
+    assert "rangepartitioning" not in plan
