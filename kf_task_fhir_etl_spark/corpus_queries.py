@@ -82,17 +82,23 @@ def q91_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
                 THEN ' call 555-201-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') ELSE '' END
         AS aug_text
       FROM documents)
+    -- counts mirror the engine's sequential attribution: each category is
+    -- counted on the text AFTER the previous categories' replacements
     SELECT doc_id,
            len(regexp_extract_all(aug_text,
                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
-           len(regexp_extract_all(aug_text,
-               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ip,
-           len(regexp_extract_all(aug_text, '\b\d{3}-\d{3}-\d{4}\b')) AS n_phone,
-           md5(regexp_replace(regexp_replace(regexp_replace(aug_text,
+           len(regexp_extract_all(r1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ip,
+           len(regexp_extract_all(r2, '\b\d{3}-\d{3}-\d{4}\b')) AS n_phone,
+           md5(regexp_replace(r2, '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g')) AS redacted_md5
+    FROM (
+      SELECT doc_id, aug_text,
+             regexp_replace(aug_text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS r1,
+             regexp_replace(regexp_replace(aug_text,
                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
-               '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g')) AS redacted_md5
-    FROM aug ORDER BY doc_id
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS r2
+      FROM aug)
+    ORDER BY doc_id
     """,
 )
 def q92_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -391,11 +397,14 @@ _SPANS_SQL = r"""
     oracle="WITH "
     + _SPANS_SQL.format(src="documents")
     + """
-    SELECT t.doc_id, t.n_spans,
+    SELECT d.doc_id,
+           COALESCE(t.n_spans, 0) AS n_spans,
            COALESCE(r.n_kept, 0) AS n_kept,
            md5(COALESCE(r.kept_text, '')) AS kept_md5
-    FROM totals t LEFT JOIN rebuilt r USING (doc_id)
-    ORDER BY t.doc_id
+    FROM (SELECT DISTINCT doc_id FROM documents) d
+    LEFT JOIN totals t USING (doc_id)
+    LEFT JOIN rebuilt r USING (doc_id)
+    ORDER BY d.doc_id
     """,
 )
 def q98_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -103,19 +103,22 @@ PII_PATTERNS: list[tuple[str, str, str]] = [
 
 
 def redact_pii(df: DataFrame, text_col: str = "text", out_col: str = "redacted") -> DataFrame:
-    """Replace emails / IPv4 addresses / phone numbers with typed tokens and
-    count each category (counts taken on the ORIGINAL text, so they are
-    independent of replacement order; the patterns themselves are
-    non-overlapping by construction).
+    """Replace emails / IPv4 addresses / phone numbers with typed tokens.
+    Each category is counted on the text AS THE REDACTOR SEES IT (after the
+    previous categories' replacements), so every count equals the number of
+    replacement tokens actually emitted — overlapping matches (a phone-
+    shaped local part inside an email, digits the IP pattern would also
+    claim) are attributed to exactly one category, the one that consumed
+    them first in ``PII_PATTERNS`` order.
 
     Pure map-side: ``regexp_count`` + chained ``regexp_replace`` are JVM
     built-ins inside one codegen projection — the scrub pass over 100 TB is
     embarrassingly parallel with zero shuffle, exactly like the quality
     filter stage it runs next to."""
-    text = F.col(text_col)
-    counts = {f"n_{name}": F.regexp_count(text, F.lit(pat)) for name, pat, _ in PII_PATTERNS}
-    red: Column = text
-    for _, pat, repl in PII_PATTERNS:
+    red: Column = F.col(text_col)
+    counts: dict[str, Column] = {}
+    for name, pat, repl in PII_PATTERNS:
+        counts[f"n_{name}"] = F.regexp_count(red, F.lit(pat))
         red = F.regexp_replace(red, pat, repl)
     return df.select(
         "*", *[c.alias(nm) for nm, c in counts.items()], red.alias(out_col)
@@ -223,6 +226,10 @@ def span_dedup(
     spans = doc_spans(docs, id_col, text_col, span_words)
     w_first = Window.partitionBy("span").orderBy("id", "pos")
     firsts = spans.withColumn("__rn", F.row_number().over(w_first)).filter(F.col("__rn") == 1)
+    # anchor on the DOCUMENT set, not the span set: a null/empty/whitespace
+    # doc yields zero spans but must still come back (n_spans=0) — same
+    # keep-the-row contract as fully-deduplicated docs
+    base = docs.select(F.col(id_col).alias("id")).distinct()
     totals = spans.groupBy("id").agg(F.count(F.lit(1)).alias("n_spans"))
     rebuilt = firsts.groupBy("id").agg(
         F.count(F.lit(1)).alias("n_kept"),
@@ -234,10 +241,11 @@ def span_dedup(
         ).alias("kept_text"),
     )
     return (
-        totals.join(rebuilt, "id", "left")
+        base.join(totals, "id", "left")
+        .join(rebuilt, "id", "left")
         .select(
             F.col("id").alias(id_col),
-            "n_spans",
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
             F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
             F.coalesce("kept_text", F.lit("")).alias("kept_text"),
         )

@@ -65,18 +65,26 @@ def pagerank(
         .repartition("src")
         .localCheckpoint()
     )
+    nodes = nodes.localCheckpoint()
     ranks = nodes.select("node", (F.lit(1.0) / F.lit(float(n))).alias("pr"))
     base = (1.0 - damping) / n
     for _ in range(iters):
         contribs = edges_deg.join(ranks, edges_deg["src"] == ranks["node"]).select(
             F.col("dst").alias("node"), (F.col("pr") / F.col("deg")).alias("w")
         )
+        sums = contribs.groupBy("node").agg(F.sum("w").alias("w_sum"))
+        # left-join back onto the FULL node set: a zero-in-degree node (legal
+        # in a directed graph — only out-degree ≥ 1 is required) keeps rank
+        # (1−d)/N instead of silently dropping out of the vector and losing
+        # its outgoing contributions in later rounds
         ranks = (
-            contribs.groupBy("node")
-            .agg(
+            nodes.join(sums, "node", "left")
+            .select(
+                "node",
                 F.round(
-                    F.lit(base) + F.lit(damping) * F.sum("w"), round_digits
-                ).alias("pr")
+                    F.lit(base) + F.lit(damping) * F.coalesce(F.col("w_sum"), F.lit(0.0)),
+                    round_digits,
+                ).alias("pr"),
             )
             .localCheckpoint()
         )

@@ -69,14 +69,17 @@ def scd2_apply(
     passthrough union branch, so cost per application is bounded by
     |current| + |snapshot|, not by history depth."""
     closed = history.filter(F.col("valid_to") != open_end)
-    cur = history.filter(F.col("valid_to") == open_end)
+    cur = history.filter(F.col("valid_to") == open_end).withColumn("__cur", F.lit(True))
     snap = snapshot.select(
         *[F.col(c).alias(f"__s_{c}") for c in key_cols + attr_cols]
-    )
+    ).withColumn("__snap", F.lit(True))
     cond = _all([cur[k].eqNullSafe(snap[f"__s_{k}"]) for k in key_cols])
     j = cur.join(snap, cond, "full_outer")
-    in_cur = _all([j[k].isNotNull() for k in key_cols[:1]])
-    in_snap = _all([j[f"__s_{k}"].isNotNull() for k in key_cols[:1]])
+    # presence is detected via explicit marker columns, NOT key-column
+    # null checks — the join condition is null-safe, so keys containing
+    # NULL components are legal and must not read as "absent"
+    in_cur = j["__cur"].isNotNull()
+    in_snap = j["__snap"].isNotNull()
     same = _all([j[a].eqNullSafe(j[f"__s_{a}"]) for a in attr_cols])
 
     kept_open = j.filter(in_cur & in_snap & same).select(

@@ -38,6 +38,12 @@ def kmv_state(df: DataFrame, group_col: str, key_col: str, k: int = 64) -> DataF
         df.select(F.col(group_col).alias("group"), F.col(key_col).alias("key"))
         .distinct()
         .select("group", _unit_hash(F.col("key")).alias("h"))
+        # distinct HASHES, not just distinct keys: a 32-bit collision would
+        # otherwise leave a duplicate value in the state that kmv_merge's
+        # array_distinct removes — breaking the merge ≡ direct identity.
+        # Collapsing collisions here is the standard KMV definition (the
+        # state is a SET of hash values) and restores exact mergeability.
+        .distinct()
     )
     w = Window.partitionBy("group").orderBy("h")
     return (

@@ -11,15 +11,30 @@ in the state store and cannot be queried mid-stream or re-rolled to coarser
 grains; the stored-parquet rollup here is itself a table — q53-style
 re-rollable, joinable, and shareable across queries.
 
+Crash-safety without a transactional table format (none ships in this
+container), via a never-overwrite layout:
+
+- each commit writes a FRESH store version ``{store}.v{batchId}`` — the
+  live version is never touched;
+- the commit point is an atomic ``mkdirs`` of an empty marker directory
+  ``{store}.commits/{batchId}`` AFTER the version is fully written
+  (directory creation is atomic on local/HDFS; an S3A mkdir is one marker
+  PUT);
+- readers resolve the store by listing the marker dir and reading
+  ``.v{max}``; a crash mid-version-write leaves garbage with no marker, so
+  the previous version stays live and the replayed batch rebuilds — no
+  window in which accumulated state can be lost (the overwrite-in-place
+  layout this replaces lost the WHOLE store to a crash mid-overwrite,
+  because the replay guard then skipped the batches that could rebuild it);
+- superseded versions/markers are deleted best-effort after commit
+  (failure leaves garbage, never corruption).
+
 ``foreachBatch`` gives at-least-once batch delivery on restart; the merge
-is NOT idempotent under replay, so the sink carries the standard epoch-id
-guard: the last committed batchId is persisted next to the store and any
-batch with ``batchId <= last`` is skipped. The store itself is probed with
-``spark.read`` (not a local-filesystem ``os.path`` check), so the sink
-behaves identically on HDFS/S3 paths. The guard's remaining window is the
-gap between the store overwrite and the meta write — a crash exactly there
-replays one batch into the store (closing it fully needs a transactional
-table format such as Delta/Iceberg, which this container doesn't ship).
+is NOT idempotent under replay, so the marker id doubles as the epoch
+guard: any batch with ``batchId <= max committed`` is skipped. All paths go
+through the Hadoop FileSystem API, so behavior is identical on
+local/HDFS/S3 (ADVICE r02: an ``os.path`` probe is always false remotely
+and would silently reset the rollup).
 """
 
 from __future__ import annotations
@@ -30,29 +45,47 @@ from pyspark.sql.utils import AnalysisException
 from kf_task_fhir_etl_spark.operators import rollup
 
 
-def _try_read(spark: SparkSession, path: str) -> DataFrame | None:
-    """Probe a parquet table by reading it — works on any Hadoop filesystem
-    (local/HDFS/S3), unlike ``os.path.exists`` which is always false on
-    remote stores and would silently reset the rollup (ADVICE r02)."""
+def _fs(spark: SparkSession, path_str: str):
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(path_str)
+    return path.getFileSystem(spark._jsc.hadoopConfiguration()), path, jvm
+
+
+def _commits_dir(store_path: str) -> str:
+    return store_path.rstrip("/") + ".commits"
+
+
+def _version_path(store_path: str, batch_id: int) -> str:
+    return store_path.rstrip("/") + f".v{batch_id}"
+
+
+def last_committed_batch(spark: SparkSession, store_path: str) -> int:
+    """The highest batchId with a commit marker (-1 when fresh)."""
+    fs, path, _ = _fs(spark, _commits_dir(store_path))
+    if not fs.exists(path):
+        return -1
+    ids = []
+    for status in fs.listStatus(path):
+        name = status.getPath().getName()
+        try:
+            ids.append(int(name))
+        except ValueError:
+            continue
+    return max(ids, default=-1)
+
+
+def read_store(spark: SparkSession, store_path: str) -> DataFrame | None:
+    """The committed rollup (None when fresh): the store version named by
+    the highest commit marker."""
+    last = last_committed_batch(spark, store_path)
+    if last < 0:
+        return None
     try:
-        df = spark.read.parquet(path)
+        df = spark.read.parquet(_version_path(store_path, last))
         df.schema  # force analysis so a missing path surfaces here
         return df
     except AnalysisException:
         return None
-
-
-def _meta_path(store_path: str) -> str:
-    return store_path.rstrip("/") + ".meta"
-
-
-def last_committed_batch(spark: SparkSession, store_path: str) -> int:
-    """The highest batchId already merged into the store (-1 when fresh)."""
-    meta = _try_read(spark, _meta_path(store_path))
-    if meta is None:
-        return -1
-    row = meta.collect()
-    return row[0]["batch_id"] if row else -1
 
 
 def merge_batch_into_store(
@@ -62,25 +95,36 @@ def merge_batch_into_store(
     grain: str = "hour",
     batch_id: int | None = None,
 ) -> bool:
-    """Roll one (micro)batch up and merge it into the parquet rollup store.
-    First batch bootstraps the store. The read-merge-overwrite is safe here
+    """Roll one (micro)batch up and merge it into the rollup store.
+    First batch bootstraps the store. The read-merge-write is safe here
     because the store is rollup-sized (buckets × types), not data-sized.
 
-    With ``batch_id`` set, the merge is replay-guarded: batches at or below
-    the persisted last-committed id are skipped (returns False), and the id
-    is committed after a successful merge."""
-    if batch_id is not None and batch_id <= last_committed_batch(spark, store_path):
+    Replay-guarded: batches at or below the last committed marker are
+    skipped (returns False); the marker is created only after the new
+    store version is fully written. ``batch_id=None`` auto-assigns
+    ``last + 1`` (non-streaming callers)."""
+    last = last_committed_batch(spark, store_path)
+    if batch_id is not None and batch_id <= last:
         return False
+    commit_id = batch_id if batch_id is not None else last + 1
     increment = rollup.time_bucket_rollup(batch_df, grain)
-    current = _try_read(spark, store_path)
+    current = read_store(spark, store_path)
     merged = increment if current is None else rollup.merge_rollups(current, increment)
-    # materialize before overwrite: the merged plan reads store_path itself
-    out = merged.collect()
-    spark.createDataFrame(out, merged.schema).write.mode("overwrite").parquet(store_path)
-    if batch_id is not None:
-        spark.createDataFrame([(batch_id,)], "batch_id long").write.mode("overwrite").parquet(
-            _meta_path(store_path)
-        )
+    out = merged.collect()  # rollup-sized; decouples the read from the write
+    new_version = _version_path(store_path, commit_id)
+    spark.createDataFrame(out, merged.schema).write.mode("overwrite").parquet(new_version)
+    # COMMIT POINT: atomic empty-directory creation
+    fs, marker, _ = _fs(spark, _commits_dir(store_path) + f"/{commit_id}")
+    fs.mkdirs(marker)
+    # best-effort cleanup of superseded versions + markers
+    if last >= 0:
+        try:
+            old_fs, old_path, _ = _fs(spark, _version_path(store_path, last))
+            old_fs.delete(old_path, True)
+            _, old_marker, _ = _fs(spark, _commits_dir(store_path) + f"/{last}")
+            old_fs.delete(old_marker, True)
+        except Exception:
+            pass
     return True
 
 

@@ -1579,10 +1579,20 @@ def q88_embedding_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ground truth at 100 TB would come from a sampled stratum, but the
     operator composition is identical."""
     emb = load_table(spark, sf_dir, "embeddings")
-    exact = similarity.embedding_neardup_pairs(emb, threshold=0.4).select("id_a", "id_b")
-    lsh = similarity.embedding_neardup_lsh(
-        emb, threshold=0.4, dim=64, planes=3, tables=8
-    ).select("id_a", "id_b")
+    # both pair pipelines feed TWO consumers (their own count + the recall
+    # join); without materialization each heavy lineage executes twice —
+    # the same shared-subplan rule as tfidf/pagerank (Catalyst does not
+    # dedupe common subtrees)
+    exact = (
+        similarity.embedding_neardup_pairs(emb, threshold=0.4)
+        .select("id_a", "id_b")
+        .localCheckpoint()
+    )
+    lsh = (
+        similarity.embedding_neardup_lsh(emb, threshold=0.4, dim=64, planes=3, tables=8)
+        .select("id_a", "id_b")
+        .localCheckpoint()
+    )
     hits = lsh.join(exact, ["id_a", "id_b"], "leftsemi")
     return (
         exact.agg(F.count(F.lit(1)).alias("n_exact"))

@@ -67,6 +67,25 @@ def test_redact_pii_counts_and_text(spark):
     assert (rows[4]["n_email"], rows[4]["n_ip"], rows[4]["n_phone"]) == (0, 0, 0)
 
 
+def test_redact_pii_overlapping_matches_attributed_once(spark):
+    # the phone-shaped local part is consumed by the email replacement, so
+    # it must NOT also count as a phone (counts == tokens actually emitted)
+    df = spark.createDataFrame([(1, "contact 555-123-4567@example.com now")], ["id", "text"])
+    r = corpus.redact_pii(df).collect()[0]
+    assert (r["n_email"], r["n_phone"], r["n_ip"]) == (1, 0, 0)
+    assert r["redacted"] == "contact <EMAIL> now"
+
+
+def test_span_dedup_keeps_empty_and_null_docs(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "   "), (3, None)], ["doc_id", "text"]
+    )
+    rows = {r["doc_id"]: r for r in corpus.span_dedup(docs, span_words=2).collect()}
+    assert set(rows) == {1, 2, 3}
+    for i in (2, 3):
+        assert (rows[i]["n_spans"], rows[i]["n_kept"], rows[i]["kept_text"]) == (0, 0, "")
+
+
 # ---------------------------------------------------------------------------
 # Mixture resampling
 # ---------------------------------------------------------------------------
@@ -349,6 +368,22 @@ def test_pagerank_star_ranks_hub_highest_and_sums_to_one(spark):
     assert abs(sum(pr.values()) - 1.0) < 5e-6 * len(pr)
 
 
+def test_pagerank_directed_keeps_zero_indegree_nodes(spark):
+    from kf_task_fhir_etl_spark.operators import graph
+
+    # C has out-links but NO in-links: it must stay in the vector at
+    # (1-d)/N and its contribution to A must keep flowing every round
+    edges = spark.createDataFrame(
+        [("A", "B"), ("B", "A"), ("C", "A")], ["src", "dst"]
+    )
+    pr = {r["node"]: r["pr"] for r in graph.pagerank(edges, iters=8).collect()}
+    assert set(pr) == {"A", "B", "C"}
+    assert pr["C"] == pytest.approx(0.15 / 3, abs=1e-6)
+    assert min(pr["A"], pr["B"]) > pr["C"]
+    # C's rank mass is not lost: the vector still sums to ~1
+    assert sum(pr.values()) == pytest.approx(1.0, abs=1e-5)
+
+
 def test_pagerank_deterministic_across_runs(spark):
     from kf_task_fhir_etl_spark.operators import graph
 
@@ -468,6 +503,27 @@ def test_scd2_streaming_cdc_apply(spark, tmp_path):
         (3, "c", 2, 3),
         (3, "c2", 3, 9999),
     ]
+
+
+def test_scd2_null_key_component_rows_survive(spark):
+    """The join is null-safe, so a NULL key component is a legal key value:
+    such rows must close/keep/open like any other, never vanish."""
+    snap1 = spark.createDataFrame([(None, "x", "a"), (1, "y", "b")], "k1 int, k2 string, v string")
+    snap2 = spark.createDataFrame([(None, "x", "a2")], "k1 int, k2 string, v string")
+    keys, attrs = ["k1", "k2"], ["v"]
+    h = scd.scd2_apply(scd.scd2_init(snap1, keys, attrs, t=1), snap2, keys, attrs, t=2)
+    got = sorted(
+        ((r["k1"], r["k2"], r["v"], r["valid_from"], r["valid_to"]) for r in h.collect()),
+        key=str,
+    )
+    assert got == sorted(
+        [
+            (None, "x", "a", 1, 2),
+            (None, "x", "a2", 2, 9999),
+            (1, "y", "b", 1, 2),  # deleted at t=2 → closed, not dropped
+        ],
+        key=str,
+    )
 
 
 def test_scd2_idempotent_reapply(spark):

@@ -203,7 +203,7 @@ def test_streaming_rollup_sink_matches_batch(spark, tmp_path):
     HLL sketch estimates register-exactly (union ≡ single pass)."""
     from kf_task_fhir_etl_spark.catalog import load_table
     from kf_task_fhir_etl_spark.operators import rollup
-    from kf_task_fhir_etl_spark.streaming.rollup_sink import rollup_stream
+    from kf_task_fhir_etl_spark.streaming.rollup_sink import read_store, rollup_stream
 
     ev = load_table(spark, SF_SMOKE, "events")
     src = str(tmp_path / "stream_src")
@@ -222,7 +222,7 @@ def test_streaming_rollup_sink_matches_batch(spark, tmp_path):
             for r in rollup.finalize_rollup(df).collect()
         )
 
-    assert rows(spark.read.parquet(store)) == rows(rollup.time_bucket_rollup(ev, "hour"))
+    assert rows(read_store(spark, store)) == rows(rollup.time_bucket_rollup(ev, "hour"))
 
 
 def test_rollup_sink_replay_guard_and_fs_probe(spark, tmp_path):
@@ -234,6 +234,7 @@ def test_rollup_sink_replay_guard_and_fs_probe(spark, tmp_path):
     from kf_task_fhir_etl_spark.streaming.rollup_sink import (
         last_committed_batch,
         merge_batch_into_store,
+        read_store,
     )
 
     ev = load_table(spark, SF_SMOKE, "events")
@@ -241,18 +242,52 @@ def test_rollup_sink_replay_guard_and_fs_probe(spark, tmp_path):
 
     assert last_committed_batch(spark, store) == -1
     assert merge_batch_into_store(spark, ev, store, "hour", batch_id=0) is True
-    once = sorted(map(tuple, spark.read.parquet(store).drop("hll_users").collect()))
+    once = sorted(map(tuple, read_store(spark, store).drop("hll_users").collect()))
     assert last_committed_batch(spark, store) == 0
 
     # replay of batch 0 (and of anything below it) is skipped
     assert merge_batch_into_store(spark, ev, store, "hour", batch_id=0) is False
-    assert sorted(map(tuple, spark.read.parquet(store).drop("hll_users").collect())) == once
+    assert sorted(map(tuple, read_store(spark, store).drop("hll_users").collect())) == once
 
     # a genuinely new batch still merges (counts double exactly once)
     assert merge_batch_into_store(spark, ev, store, "hour", batch_id=1) is True
     twice = {
         (r["bucket"], r["event_type"]): r["n"]
-        for r in spark.read.parquet(store).collect()
+        for r in read_store(spark, store).collect()
     }
     before = {(r[0], r[1]): r[2] for r in once}
     assert twice == {key: 2 * n for key, n in before.items()}
+
+
+def test_rollup_sink_survives_crash_mid_version_write(spark, tmp_path):
+    """The never-overwrite layout's crash invariant: a store version written
+    WITHOUT its commit marker (the state a crash mid-commit leaves) is
+    invisible — the previous version stays live, the guard still reports
+    the previous batch, and the replayed batch merges cleanly on top."""
+    import shutil
+
+    from kf_task_fhir_etl_spark.catalog import load_table
+    from kf_task_fhir_etl_spark.streaming.rollup_sink import (
+        _version_path,
+        last_committed_batch,
+        merge_batch_into_store,
+        read_store,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    store = str(tmp_path / "store")
+    assert merge_batch_into_store(spark, ev, store, "hour", batch_id=0)
+    committed = sorted(map(tuple, read_store(spark, store).drop("hll_users").collect()))
+
+    # simulate the crash: batch 1's version data exists, but no marker
+    shutil.copytree(_version_path(store, 0), _version_path(store, 1))
+    assert last_committed_batch(spark, store) == 0
+    assert sorted(map(tuple, read_store(spark, store).drop("hll_users").collect())) == committed
+
+    # the replayed batch 1 now commits over the orphan and doubles counts once
+    assert merge_batch_into_store(spark, ev, store, "hour", batch_id=1)
+    after = {
+        (r["bucket"], r["event_type"]): r["n"] for r in read_store(spark, store).collect()
+    }
+    before = {(r[0], r[1]): r[2] for r in committed}
+    assert after == {k: 2 * n for k, n in before.items()}
