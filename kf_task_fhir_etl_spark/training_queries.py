@@ -1579,31 +1579,31 @@ def q88_embedding_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ground truth at 100 TB would come from a sampled stratum, but the
     operator composition is identical."""
     emb = load_table(spark, sf_dir, "embeddings")
-    # both pair pipelines feed TWO consumers (their own count + the recall
-    # join); without materialization each heavy lineage executes twice —
-    # the same shared-subplan rule as tfidf/pagerank (Catalyst does not
-    # dedupe common subtrees)
+    # one FULL OUTER join of the two (deduplicated) pair sets yields all
+    # three counts in a single pass — each heavy pipeline executes exactly
+    # once in one job (separate count+semi-join consumers executed every
+    # lineage twice; checkpointing instead serialized the pipelines into
+    # sequential jobs and lost stage-level parallelism)
     exact = (
         similarity.embedding_neardup_pairs(emb, threshold=0.4)
-        .select("id_a", "id_b")
-        .localCheckpoint()
+        .select("id_a", "id_b", F.lit(1).alias("e"))
     )
     lsh = (
         similarity.embedding_neardup_lsh(emb, threshold=0.4, dim=64, planes=3, tables=8)
-        .select("id_a", "id_b")
-        .localCheckpoint()
+        .select("id_a", "id_b", F.lit(1).alias("l"))
     )
-    hits = lsh.join(exact, ["id_a", "id_b"], "leftsemi")
-    return (
-        exact.agg(F.count(F.lit(1)).alias("n_exact"))
-        .crossJoin(lsh.agg(F.count(F.lit(1)).alias("n_lsh")))
-        .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hits")))
-        .select(
-            "n_exact",
-            "n_lsh",
-            "n_hits",
-            F.round(F.col("n_hits") / F.col("n_exact"), 6).alias("recall"),
-        )
+    both = exact.join(lsh, ["id_a", "id_b"], "full_outer")
+    return both.agg(
+        F.sum(F.when(F.col("e").isNotNull(), 1).otherwise(0)).alias("n_exact"),
+        F.sum(F.when(F.col("l").isNotNull(), 1).otherwise(0)).alias("n_lsh"),
+        F.sum(
+            F.when(F.col("e").isNotNull() & F.col("l").isNotNull(), 1).otherwise(0)
+        ).alias("n_hits"),
+    ).select(
+        "n_exact",
+        "n_lsh",
+        "n_hits",
+        F.round(F.col("n_hits") / F.col("n_exact"), 6).alias("recall"),
     )
 
 
