@@ -94,8 +94,7 @@ def q91_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, aug_text,
              regexp_replace(aug_text,
                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS r1,
-             regexp_replace(regexp_replace(aug_text,
-               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             regexp_replace(r1,
                '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS r2
       FROM aug)
     ORDER BY doc_id
@@ -895,7 +894,9 @@ def q105_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH d AS (
       SELECT DISTINCT event_type AS g, user_id AS key FROM events
     ), h AS (
-      SELECT g, ('0x' || substr(md5(key::VARCHAR), 1, 8))::BIGINT / 4294967296.0 AS h
+      -- DISTINCT hash VALUES: the engine's sketch state is a set of
+      -- hashes, so 32-bit collisions collapse on both paths
+      SELECT DISTINCT g, ('0x' || substr(md5(key::VARCHAR), 1, 8))::BIGINT / 4294967296.0 AS h
       FROM d
     ), rk AS (
       SELECT g, h, ROW_NUMBER() OVER (PARTITION BY g ORDER BY h) AS rn FROM h

@@ -55,6 +55,7 @@ def pagerank(
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
         .distinct()
+        .localCheckpoint()  # before count(): one evaluation feeds both
     )
     n = nodes.count()
     deg = edges.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
@@ -65,7 +66,6 @@ def pagerank(
         .repartition("src")
         .localCheckpoint()
     )
-    nodes = nodes.localCheckpoint()
     ranks = nodes.select("node", (F.lit(1.0) / F.lit(float(n))).alias("pr"))
     base = (1.0 - damping) / n
     for _ in range(iters):

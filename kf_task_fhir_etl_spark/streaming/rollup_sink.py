@@ -26,8 +26,12 @@ container), via a never-overwrite layout:
   window in which accumulated state can be lost (the overwrite-in-place
   layout this replaces lost the WHOLE store to a crash mid-overwrite,
   because the replay guard then skipped the batches that could rebuild it);
-- superseded versions/markers are deleted best-effort after commit
-  (failure leaves garbage, never corruption).
+- superseded versions/markers are deleted best-effort after commit,
+  RETAINING the immediately-previous version as a lag buffer for
+  concurrent readers (failure leaves garbage, never corruption); an
+  unreadable version that HAS a commit marker raises instead of reading
+  as fresh — silent reset is the one failure this layout must never
+  allow.
 
 ``foreachBatch`` gives at-least-once batch delivery on restart; the merge
 is NOT idempotent under replay, so the marker id doubles as the epoch
@@ -46,9 +50,8 @@ from kf_task_fhir_etl_spark.operators import rollup
 
 
 def _fs(spark: SparkSession, path_str: str):
-    jvm = spark._jvm
-    path = jvm.org.apache.hadoop.fs.Path(path_str)
-    return path.getFileSystem(spark._jsc.hadoopConfiguration()), path, jvm
+    path = spark._jvm.org.apache.hadoop.fs.Path(path_str)
+    return path.getFileSystem(spark._jsc.hadoopConfiguration()), path
 
 
 def _commits_dir(store_path: str) -> str:
@@ -59,11 +62,10 @@ def _version_path(store_path: str, batch_id: int) -> str:
     return store_path.rstrip("/") + f".v{batch_id}"
 
 
-def last_committed_batch(spark: SparkSession, store_path: str) -> int:
-    """The highest batchId with a commit marker (-1 when fresh)."""
-    fs, path, _ = _fs(spark, _commits_dir(store_path))
+def _committed_ids(spark: SparkSession, store_path: str) -> list[int]:
+    fs, path = _fs(spark, _commits_dir(store_path))
     if not fs.exists(path):
-        return -1
+        return []
     ids = []
     for status in fs.listStatus(path):
         name = status.getPath().getName()
@@ -71,7 +73,30 @@ def last_committed_batch(spark: SparkSession, store_path: str) -> int:
             ids.append(int(name))
         except ValueError:
             continue
-    return max(ids, default=-1)
+    return sorted(ids)
+
+
+def last_committed_batch(spark: SparkSession, store_path: str) -> int:
+    """The highest batchId with a commit marker (-1 when fresh)."""
+    ids = _committed_ids(spark, store_path)
+    return ids[-1] if ids else -1
+
+
+def _read_version(spark: SparkSession, store_path: str, batch_id: int) -> DataFrame:
+    """Read a COMMITTED store version. A marker exists for it, so an
+    unreadable version is corruption/out-of-band deletion — raise rather
+    than let a caller mistake an existing store for a fresh one (the
+    silent-reset failure mode this layout exists to prevent)."""
+    try:
+        df = spark.read.parquet(_version_path(store_path, batch_id))
+        df.schema  # force analysis so a missing path surfaces here
+        return df
+    except AnalysisException as exc:
+        raise RuntimeError(
+            f"rollup store {store_path!r} has commit marker {batch_id} but its "
+            f"version data is unreadable — refusing to treat an existing store "
+            f"as fresh"
+        ) from exc
 
 
 def read_store(spark: SparkSession, store_path: str) -> DataFrame | None:
@@ -80,12 +105,7 @@ def read_store(spark: SparkSession, store_path: str) -> DataFrame | None:
     last = last_committed_batch(spark, store_path)
     if last < 0:
         return None
-    try:
-        df = spark.read.parquet(_version_path(store_path, last))
-        df.schema  # force analysis so a missing path surfaces here
-        return df
-    except AnalysisException:
-        return None
+    return _read_version(spark, store_path, last)
 
 
 def merge_batch_into_store(
@@ -103,25 +123,28 @@ def merge_batch_into_store(
     skipped (returns False); the marker is created only after the new
     store version is fully written. ``batch_id=None`` auto-assigns
     ``last + 1`` (non-streaming callers)."""
-    last = last_committed_batch(spark, store_path)
+    committed = _committed_ids(spark, store_path)  # ONE listing per batch
+    last = committed[-1] if committed else -1
     if batch_id is not None and batch_id <= last:
         return False
     commit_id = batch_id if batch_id is not None else last + 1
     increment = rollup.time_bucket_rollup(batch_df, grain)
-    current = read_store(spark, store_path)
+    current = None if last < 0 else _read_version(spark, store_path, last)
     merged = increment if current is None else rollup.merge_rollups(current, increment)
     out = merged.collect()  # rollup-sized; decouples the read from the write
     new_version = _version_path(store_path, commit_id)
     spark.createDataFrame(out, merged.schema).write.mode("overwrite").parquet(new_version)
     # COMMIT POINT: atomic empty-directory creation
-    fs, marker, _ = _fs(spark, _commits_dir(store_path) + f"/{commit_id}")
+    fs, marker = _fs(spark, _commits_dir(store_path) + f"/{commit_id}")
     fs.mkdirs(marker)
-    # best-effort cleanup of superseded versions + markers
-    if last >= 0:
+    # best-effort cleanup, RETAINING the immediately-previous version as a
+    # lag buffer: a concurrent reader that resolved `last` just before this
+    # commit can still finish its action (markers below `last` go too)
+    for old_id in [i for i in committed if i < last]:
         try:
-            old_fs, old_path, _ = _fs(spark, _version_path(store_path, last))
+            old_fs, old_path = _fs(spark, _version_path(store_path, old_id))
             old_fs.delete(old_path, True)
-            _, old_marker, _ = _fs(spark, _commits_dir(store_path) + f"/{last}")
+            _, old_marker = _fs(spark, _commits_dir(store_path) + f"/{old_id}")
             old_fs.delete(old_marker, True)
         except Exception:
             pass

@@ -1593,12 +1593,12 @@ def q88_embedding_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", F.lit(1).alias("l"))
     )
     both = exact.join(lsh, ["id_a", "id_b"], "full_outer")
+    # count(), not sum(when...): count of an empty relation is 0, matching
+    # the oracle's scalar COUNT(*) subqueries when no pairs exist at all
     return both.agg(
-        F.sum(F.when(F.col("e").isNotNull(), 1).otherwise(0)).alias("n_exact"),
-        F.sum(F.when(F.col("l").isNotNull(), 1).otherwise(0)).alias("n_lsh"),
-        F.sum(
-            F.when(F.col("e").isNotNull() & F.col("l").isNotNull(), 1).otherwise(0)
-        ).alias("n_hits"),
+        F.count(F.col("e")).alias("n_exact"),
+        F.count(F.col("l")).alias("n_lsh"),
+        F.count(F.when(F.col("e").isNotNull() & F.col("l").isNotNull(), 1)).alias("n_hits"),
     ).select(
         "n_exact",
         "n_lsh",
