@@ -1,10 +1,12 @@
-r"""Corpus-construction and incremental-ETL query gates (q91-q101): TF-IDF
-keywords, PII redaction, semantic dedup, mixture resampling, bucketed
-co-located joins, streaming dedup, sharded deterministic shuffling, span
-dedup, percentile quality filtering, the composed corpus build, and SCD2
-history maintenance — each paired with a DuckDB oracle recomputing the
-identical engine-portable formulas (or, for q101, deriving the same result
-by an independent method).
+r"""Corpus-construction and incremental-ETL query gates (q91-q112): TF-IDF
+keywords, PII redaction, semantic dedup, mixture/importance/budget
+sampling, bucketed co-located joins, streaming dedup + quality filtering +
+static-join enrichment, sharded deterministic shuffling, span dedup,
+percentile quality filtering, the composed corpus build, SCD2 history
+maintenance, PageRank, data profiling, unpivot, fuzzy matching, and KMV
+sketches — each paired with a DuckDB oracle recomputing the identical
+engine-portable formulas (or, for q101, deriving the same result by an
+independent method).
 """
 
 from __future__ import annotations

@@ -214,3 +214,33 @@ def test_scd2_matches_sequential_reference(spark, snaps):
                 open_rows[k] = (v, t)
     ref += [(k, v, vf, 9999) for k, (v, vf) in open_rows.items()]
     assert got == sorted(ref)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    keys=st.lists(st.integers(0, 10**6), min_size=1, max_size=60, unique=True),
+    split=st.integers(2, 4),
+    k=st.sampled_from([4, 8, 16]),
+)
+def test_kmv_merge_identity_any_partitioning(spark, keys, split, k):
+    """KMV's exact-merge property for ANY way of sharding the key set:
+    merging per-shard sketches equals the single-pass sketch — state AND
+    estimate."""
+    from pyspark.sql import functions as F
+
+    from kf_task_fhir_etl_spark.operators import sketch
+
+    df = spark.createDataFrame([("g", key) for key in keys], ["g", "key"])
+    direct = sketch.kmv_state(df, "g", "key", k)
+    shards = [
+        sketch.kmv_state(df.filter(F.col("key") % split == i), "g", "key", k)
+        for i in range(split)
+    ]
+    merged_in = shards[0]
+    for s in shards[1:]:
+        merged_in = merged_in.unionByName(s)
+    merged = sketch.kmv_merge(merged_in, k)
+    assert direct.collect()[0]["hashes"] == merged.collect()[0]["hashes"]
+    d_est = sketch.kmv_estimate(direct, k).collect()[0]["n_est"]
+    m_est = sketch.kmv_estimate(merged, k).collect()[0]["n_est"]
+    assert d_est == m_est
