@@ -703,7 +703,9 @@ def q102_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     point, must match. Same iterative-DataFrame shape as
     dedup.connected_components: per-round join + aggregate on the node
     key, lineage checkpointed, edges shuffled to their partitioning
-    once."""
+    once. The symmetrized gate graph has no dangling nodes, so the
+    operator's dangling-mass term is identically zero here and the oracle
+    elides it (pytest covers the dangling case on a directed graph)."""
     from kf_task_fhir_etl_spark.operators import graph
 
     o = load_table(spark, sf_dir, "orders").filter(F.year("o_orderdate") == 1995)

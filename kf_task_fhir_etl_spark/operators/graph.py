@@ -35,17 +35,22 @@ def pagerank(
     round_digits: int = 12,
 ) -> DataFrame:
     """Power-iteration PageRank over a DIRECTED edge list (symmetrize first
-    for undirected graphs): ``pr'(v) = (1−d)/N + d·Σ_{u→v} pr(u)/deg(u)``,
-    run for a fixed ``iters`` rounds from the uniform vector. Returns
+    for undirected graphs): ``pr'(v) = (1−d)/N + d·(Σ_{u→v} pr(u)/deg(u)
+    + D/N)`` where ``D`` is the round's dangling mass (total rank held by
+    nodes with no out-links, redistributed uniformly — the standard
+    teleport treatment, so rank mass is conserved on ANY directed graph).
+    Runs a fixed ``iters`` rounds from the uniform vector; returns
     (node, pr) with pr rounded to 6dp.
 
     Plan shape per round: contributions = edges ⋈ ranks on src (both sides
     hash-partitioned on the node key — AQE reuses the exchange across
-    rounds), then one groupBy(dst) sum with map-side partial aggregation.
-    At 100 TB the edge list is the big side and is shuffled ONCE to its
+    rounds), one groupBy(dst) sum with map-side partial aggregation, and a
+    one-row dangling aggregate broadcast via cross join (the left-anti
+    against the degree table is |V|-sized, never edge-sized). At 100 TB
+    the edge list is the big side and is shuffled ONCE to its
     partitioning; the rank vector (|V| rows) is the per-round churn.
-    Requires every node to have out-degree ≥ 1 (true for symmetrized
-    graphs); dangling-mass redistribution is deliberately out of scope."""
+    The dangling sum rounds to ``round_digits`` like the ranks, so the
+    unrolled SQL oracle reproduces every round bit-for-bit."""
     # materialize the edge list ONCE — nodes/degrees/the joined edge table
     # all derive from it, and without this the upstream edge construction
     # (often a join+distinct over the fact tables) re-runs for every
@@ -66,6 +71,7 @@ def pagerank(
         .repartition("src")
         .localCheckpoint()
     )
+    deg_only = deg.select("node")
     ranks = nodes.select("node", (F.lit(1.0) / F.lit(float(n))).alias("pr"))
     base = (1.0 - damping) / n
     for _ in range(iters):
@@ -73,16 +79,25 @@ def pagerank(
             F.col("dst").alias("node"), (F.col("pr") / F.col("deg")).alias("w")
         )
         sums = contribs.groupBy("node").agg(F.sum("w").alias("w_sum"))
-        # left-join back onto the FULL node set: a zero-in-degree node (legal
-        # in a directed graph — only out-degree ≥ 1 is required) keeps rank
-        # (1−d)/N instead of silently dropping out of the vector and losing
-        # its outgoing contributions in later rounds
+        # dangling mass: rank held by nodes with NO out-links this round,
+        # spread uniformly (one-row aggregate, broadcast cross join)
+        dangling = ranks.join(deg_only, "node", "left_anti").agg(
+            F.round(F.coalesce(F.sum("pr"), F.lit(0.0)) / F.lit(float(n)), round_digits).alias(
+                "d_share"
+            )
+        )
+        # left-join back onto the FULL node set: a zero-in-degree node keeps
+        # rank (1−d)/N + d·D/N instead of silently dropping out of the
+        # vector and losing its outgoing contributions in later rounds
         ranks = (
             nodes.join(sums, "node", "left")
+            .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
                 F.round(
-                    F.lit(base) + F.lit(damping) * F.coalesce(F.col("w_sum"), F.lit(0.0)),
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("w_sum"), F.lit(0.0)) + F.col("d_share")),
                     round_digits,
                 ).alias("pr"),
             )

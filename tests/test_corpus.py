@@ -565,3 +565,16 @@ def test_require_no_shuffle_join_rejects_unbucketed(spark):
     joined = left.hint("merge").join(right, "k")
     with pytest.raises(AssertionError, match="re-shuffled"):
         bucketing.require_no_shuffle_join(joined)
+
+
+def test_pagerank_dangling_mass_redistributed(spark):
+    from kf_task_fhir_etl_spark.operators import graph
+
+    # B has no out-links (dangling): its rank must teleport uniformly each
+    # round instead of leaking — the vector still sums to 1
+    edges = spark.createDataFrame([("A", "B")], ["src", "dst"])
+    pr = {r["node"]: r["pr"] for r in graph.pagerank(edges, iters=20).collect()}
+    assert set(pr) == {"A", "B"}
+    assert sum(pr.values()) == pytest.approx(1.0, abs=1e-5)
+    # B receives everything A emits plus its teleport share → ranks higher
+    assert pr["B"] > pr["A"]
