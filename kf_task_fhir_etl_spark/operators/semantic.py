@@ -126,6 +126,7 @@ def semantic_dedup_dropped(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
+    blocks: int = 1,
 ) -> DataFrame:
     """(cluster, vec_id, max_cos) of every document dropped by semantic
     dedup: within its cluster it has a neighbor with a SMALLER id at
@@ -138,12 +139,54 @@ def semantic_dedup_dropped(
     sf0.1); the O(m²) similarity matrix lives only inside the executor and
     reduces to one row per dropped member before anything is emitted.
     Per-cluster working set (m²·8 bytes) is the executor-memory knob — the
-    SemDeDup regime keeps m ≈ n/K small; for outlier clusters compose
-    ``similarity.embedding_neardup_pairs`` per cluster instead."""
+    SemDeDup regime keeps m ≈ n/K small; for OUTLIER clusters too large
+    for one group, pass ``blocks > 1``: members split into deterministic
+    xxhash64 blocks and every (cluster, blockᵢ ≤ blockⱼ) pair becomes its
+    own kernel group (the q15 block-pair shape, keyed by cluster), cutting
+    the per-group working set to 2m/blocks × dim at the cost of m·blocks
+    replication — result identical by construction (every in-cluster pair
+    meets in exactly one group; equivalence pinned in tests)."""
     assigned = assign_clusters(emb, label_prototypes(emb, label_col, vec_col), id_col, vec_col)
-    out = (
-        assigned.select(F.col("cluster").cast("int").alias("cluster"), "id", "vec")
-        .groupBy("cluster")
-        .applyInPandas(_dropped_kernel(threshold), schema="cluster int, vec_id long, max_cos double")
+    if blocks <= 1:
+        out = (
+            assigned.select(F.col("cluster").cast("int").alias("cluster"), "id", "vec")
+            .groupBy("cluster")
+            .applyInPandas(
+                _dropped_kernel(threshold), schema="cluster int, vec_id long, max_cos double"
+            )
+        )
+        return out.withColumnRenamed("vec_id", id_col)
+
+    from kf_task_fhir_etl_spark.operators.similarity import _pair_kernel
+
+    b = F.pmod(F.xxhash64(F.col("id").cast("string")), F.lit(blocks)).cast("int")
+    replicated = (
+        assigned.select(
+            F.col("cluster").cast("int").alias("cluster"),
+            "id",
+            F.col("vec").alias("v"),
+            b.alias("b"),
+        )
+        .select(
+            "cluster", "id", "v", "b",
+            F.explode(F.sequence(F.lit(0), F.lit(blocks - 1))).alias("o"),
+        )
+        .select(
+            "cluster", "id", "v", "b",
+            F.least("b", "o").alias("gi"),
+            F.greatest("b", "o").alias("gj"),
+        )
     )
-    return out.withColumnRenamed("vec_id", id_col)
+    inner = _pair_kernel(threshold)
+
+    def kernel(key, pdf):
+        out = inner((key[1], key[2]), pdf)
+        out.insert(0, "cluster", key[0])
+        return out
+
+    pairs = replicated.groupBy("cluster", "gi", "gj").applyInPandas(
+        kernel, schema="cluster int, id_a long, id_b long, cosine double"
+    )
+    return pairs.groupBy("cluster", F.col("id_b").alias(id_col)).agg(
+        F.max("cosine").alias("max_cos")
+    )

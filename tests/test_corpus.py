@@ -230,6 +230,20 @@ def test_semantic_dedup_drops_higher_id_of_each_pair(spark):
     assert got == {(0, 1), (1, 3)}
 
 
+def test_semantic_dedup_block_pair_path_equivalent(spark):
+    """The outlier-cluster escape hatch: splitting clusters into block
+    pairs returns the identical dropped set (every in-cluster pair meets
+    in exactly one group, same float64 numerics)."""
+    from kf_task_fhir_etl_spark.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    one = sorted(map(tuple, semantic.semantic_dedup_dropped(emb, threshold=0.4).collect()))
+    split = sorted(
+        map(tuple, semantic.semantic_dedup_dropped(emb, threshold=0.4, blocks=3).collect())
+    )
+    assert one == split and len(one) > 0
+
+
 def test_semantic_dedup_never_crosses_clusters(spark):
     # identical vectors in different clusters are NOT compared
     rows = [
