@@ -71,7 +71,12 @@ def pagerank(
         .repartition("src")
         .localCheckpoint()
     )
-    deg_only = deg.select("node")
+    # the dangling node SET is round-invariant (only its mass changes) —
+    # materialize it once so no round re-runs the edge-sized degree
+    # aggregation
+    dangling_nodes = (
+        nodes.join(deg.select("node"), "node", "left_anti").localCheckpoint()
+    )
     ranks = nodes.select("node", (F.lit(1.0) / F.lit(float(n))).alias("pr"))
     base = (1.0 - damping) / n
     for _ in range(iters):
@@ -80,8 +85,9 @@ def pagerank(
         )
         sums = contribs.groupBy("node").agg(F.sum("w").alias("w_sum"))
         # dangling mass: rank held by nodes with NO out-links this round,
-        # spread uniformly (one-row aggregate, broadcast cross join)
-        dangling = ranks.join(deg_only, "node", "left_anti").agg(
+        # spread uniformly (one-row aggregate, broadcast cross join;
+        # |V|-sized semi-join against the pre-materialized dangling set)
+        dangling = ranks.join(dangling_nodes, "node", "leftsemi").agg(
             F.round(F.coalesce(F.sum("pr"), F.lit(0.0)) / F.lit(float(n)), round_digits).alias(
                 "d_share"
             )

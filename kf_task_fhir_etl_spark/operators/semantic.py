@@ -9,10 +9,11 @@ the pair space shrinks by a factor of K while recall concentrates exactly
 where semantic duplicates live (two near-identical documents embed next to
 each other, hence into the same cluster). Cluster assignment is a broadcast
 cross-join against a K×dim prototype table (kilobytes even at K=64k), and
-the within-cluster pair join shuffles on the cluster key only. For clusters
-too large for a pairwise join, compose with
-``similarity.embedding_neardup_pairs`` per cluster (same block-pair kernel,
-partitioned by cluster) — the composition, not the operator, changes.
+the within-cluster kernel shuffles on the cluster key only. Clusters too
+large for one kernel group split into block pairs INSIDE the operator —
+``semantic_dedup_dropped(blocks>1, split_min=...)`` routes them through
+``similarity.block_replicate`` (the q15 block-pair shape keyed by cluster)
+while sub-threshold clusters keep the 1× single-group path.
 
 Determinism/parity: prototypes are per-label mean vectors rounded to 4dp
 (the q58-proven cross-engine reduction), cosines round to 6dp before every
@@ -127,6 +128,7 @@ def semantic_dedup_dropped(
     vec_col: str = "embedding",
     label_col: str = "label",
     blocks: int = 1,
+    split_min: int = 0,
 ) -> DataFrame:
     """(cluster, vec_id, max_cos) of every document dropped by semantic
     dedup: within its cluster it has a neighbor with a SMALLER id at
@@ -140,43 +142,35 @@ def semantic_dedup_dropped(
     reduces to one row per dropped member before anything is emitted.
     Per-cluster working set (m²·8 bytes) is the executor-memory knob — the
     SemDeDup regime keeps m ≈ n/K small; for OUTLIER clusters too large
-    for one group, pass ``blocks > 1``: members split into deterministic
-    xxhash64 blocks and every (cluster, blockᵢ ≤ blockⱼ) pair becomes its
-    own kernel group (the q15 block-pair shape, keyed by cluster), cutting
-    the per-group working set to 2m/blocks × dim at the cost of m·blocks
-    replication — result identical by construction (every in-cluster pair
-    meets in exactly one group; equivalence pinned in tests)."""
-    assigned = assign_clusters(emb, label_prototypes(emb, label_col, vec_col), id_col, vec_col)
+    for one group, pass ``blocks > 1``: clusters with more than
+    ``split_min`` members split into deterministic xxhash64 blocks and
+    every (cluster, blockᵢ ≤ blockⱼ) pair becomes its own kernel group
+    (``similarity.block_replicate`` — the q15 block-pair shape keyed by
+    cluster), cutting the per-group working set to 2m/blocks × dim at the
+    cost of m·blocks replication. Clusters at or under ``split_min`` keep
+    the 1× single-group path (the overwhelming majority in the SemDeDup
+    regime pay nothing for the escape hatch). Result identical either way
+    — every in-cluster pair meets in exactly one group; equivalence
+    pinned in tests."""
+    assigned = assign_clusters(
+        emb, label_prototypes(emb, label_col, vec_col), id_col, vec_col
+    ).select(F.col("cluster").cast("int").alias("cluster"), "id", "vec")
+
+    def _single_group(part: DataFrame) -> DataFrame:
+        return part.groupBy("cluster").applyInPandas(
+            _dropped_kernel(threshold), schema="cluster int, vec_id long, max_cos double"
+        )
+
     if blocks <= 1:
-        out = (
-            assigned.select(F.col("cluster").cast("int").alias("cluster"), "id", "vec")
-            .groupBy("cluster")
-            .applyInPandas(
-                _dropped_kernel(threshold), schema="cluster int, vec_id long, max_cos double"
-            )
-        )
-        return out.withColumnRenamed("vec_id", id_col)
+        return _single_group(assigned).withColumnRenamed("vec_id", id_col)
 
-    from kf_task_fhir_etl_spark.operators.similarity import _pair_kernel
+    from kf_task_fhir_etl_spark.operators.similarity import _pair_kernel, block_replicate
 
-    b = F.pmod(F.xxhash64(F.col("id").cast("string")), F.lit(blocks)).cast("int")
-    replicated = (
-        assigned.select(
-            F.col("cluster").cast("int").alias("cluster"),
-            "id",
-            F.col("vec").alias("v"),
-            b.alias("b"),
-        )
-        .select(
-            "cluster", "id", "v", "b",
-            F.explode(F.sequence(F.lit(0), F.lit(blocks - 1))).alias("o"),
-        )
-        .select(
-            "cluster", "id", "v", "b",
-            F.least("b", "o").alias("gi"),
-            F.greatest("b", "o").alias("gj"),
-        )
-    )
+    sizes = assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("__m"))
+    sized = assigned.join(F.broadcast(sizes), "cluster")
+    small = sized.filter(F.col("__m") <= split_min).drop("__m")
+    big = sized.filter(F.col("__m") > split_min).drop("__m")
+
     inner = _pair_kernel(threshold)
 
     def kernel(key, pdf):
@@ -184,9 +178,16 @@ def semantic_dedup_dropped(
         out.insert(0, "cluster", key[0])
         return out
 
-    pairs = replicated.groupBy("cluster", "gi", "gj").applyInPandas(
-        kernel, schema="cluster int, id_a long, id_b long, cosine double"
+    pairs = (
+        block_replicate(big.withColumnRenamed("vec", "v"), blocks)
+        .groupBy("cluster", "gi", "gj")
+        .applyInPandas(kernel, schema="cluster int, id_a long, id_b long, cosine double")
     )
-    return pairs.groupBy("cluster", F.col("id_b").alias(id_col)).agg(
+    big_dropped = pairs.groupBy("cluster", F.col("id_b").alias("vec_id")).agg(
         F.max("cosine").alias("max_cos")
+    )
+    return (
+        _single_group(small)
+        .unionByName(big_dropped)
+        .withColumnRenamed("vec_id", id_col)
     )

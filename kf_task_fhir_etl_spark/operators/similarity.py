@@ -145,6 +145,27 @@ def ann_lsh_topk(
     )
 
 
+def block_replicate(df: DataFrame, blocks: int) -> DataFrame:
+    """Replicate each (id, v, …) row into every unordered block pair it
+    participates in: block = xxhash64(id) mod blocks, one output row per
+    (gi, gj) = (min(b, o), max(b, o)) for o in [0, blocks) — the group key
+    for a block-pair kernel where every pair of input rows meets in
+    exactly one group. Shared by ``embedding_neardup_pairs`` and
+    ``semantic.semantic_dedup_dropped(blocks>1)``; extra grouping columns
+    (e.g. a cluster id) pass through."""
+    b = F.pmod(F.xxhash64(F.col("id").cast("string")), F.lit(blocks)).cast("int")
+    return (
+        df.withColumn("b", b)
+        .select("*", F.explode(F.sequence(F.lit(0), F.lit(blocks - 1))).alias("o"))
+        .select(
+            *df.columns,
+            "b",
+            F.least("b", "o").alias("gi"),
+            F.greatest("b", "o").alias("gj"),
+        )
+    )
+
+
 def _pair_kernel(threshold: float):
     """applyInPandas kernel for one block pair (gi, gj): exact cosine over
     the cross product of the two blocks' rows (triangle when gi == gj),
@@ -210,20 +231,9 @@ def embedding_neardup_pairs(
 
     base = corpus.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
     if not broadcast_kernel:
-        b = F.pmod(F.xxhash64(F.col("id").cast("string")), F.lit(blocks)).cast("int")
-        replicated = (
-            base.withColumn("b", b)
-            .select("id", "v", "b", F.explode(F.sequence(F.lit(0), F.lit(blocks - 1))).alias("o"))
-            .select(
-                "id",
-                "v",
-                "b",
-                F.least("b", "o").alias("gi"),
-                F.greatest("b", "o").alias("gj"),
-            )
-        )
         return (
-            replicated.groupBy("gi", "gj")
+            block_replicate(base, blocks)
+            .groupBy("gi", "gj")
             .applyInPandas(_pair_kernel(threshold), schema="id_a long, id_b long, cosine double")
             .orderBy("id_a", "id_b")
         )

@@ -1,5 +1,6 @@
-"""Unit tests for the corpus-construction operators (operators/corpus.py,
-operators/semantic.py, operators/bucketing.py) behind gates q91-q97."""
+"""Unit tests for the corpus-construction and incremental-ETL operators
+(operators/{corpus,semantic,bucketing,scd,graph,profile,fuzzy,sketch}.py)
+behind gates q91-q112."""
 
 from __future__ import annotations
 
@@ -238,10 +239,25 @@ def test_semantic_dedup_block_pair_path_equivalent(spark):
 
     emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
     one = sorted(map(tuple, semantic.semantic_dedup_dropped(emb, threshold=0.4).collect()))
-    split = sorted(
+    # split everything through the block path
+    split_all = sorted(
         map(tuple, semantic.semantic_dedup_dropped(emb, threshold=0.4, blocks=3).collect())
     )
-    assert one == split and len(one) > 0
+    # size-conditional: only above-median clusters split, the rest keep the
+    # single-group path — both routes exercised in one call
+    sizes = sorted(
+        r["c"] for r in emb.groupBy("label").agg(F.count(F.lit(1)).alias("c")).collect()
+    )
+    median = sizes[len(sizes) // 2]
+    mixed = sorted(
+        map(
+            tuple,
+            semantic.semantic_dedup_dropped(
+                emb, threshold=0.4, blocks=3, split_min=median
+            ).collect(),
+        )
+    )
+    assert one == split_all == mixed and len(one) > 0
 
 
 def test_semantic_dedup_never_crosses_clusters(spark):
@@ -593,48 +609,3 @@ def test_pagerank_dangling_mass_redistributed(spark):
     # B receives everything A emits plus its teleport share → ranks higher
     assert pr["B"] > pr["A"]
 
-
-# ---------------------------------------------------------------------------
-# Multi-study concurrency (driver-side scheduling)
-# ---------------------------------------------------------------------------
-
-
-def test_run_pipeline_two_studies_concurrently_equals_sequential(spark):
-    """O(studies) orchestration parallelism: two studies' pipelines built on
-    concurrent threads (plan construction + the eager wide-table
-    checkpoints overlap) must produce exactly the resources of sequential
-    runs — py4j and Catalyst analysis are thread-safe for independent
-    lineages, which is what lets a driver program scale with study count."""
-    from concurrent.futures import ThreadPoolExecutor
-
-    from kf_task_fhir_etl_spark.etl import run_pipeline
-    from tests.fixtures import endpoint_tables
-
-    def study(seed: int):
-        # two disjoint "studies": the fixture study as-is, and a variant
-        # with re-keyed external ids so outputs must differ
-        tables = endpoint_tables(spark)
-        if seed:
-            tables = {
-                name: df.withColumn(
-                    "external_id", F.concat(F.lit(f"s{seed}-"), F.col("external_id"))
-                )
-                if "external_id" in df.columns
-                else df
-                for name, df in tables.items()
-            }
-        return tables
-
-    def snapshot(out):
-        return {
-            target: sorted(r["resource_json"] for r in df.select("resource_json").collect())
-            for target, df in out.items()
-        }
-
-    seq = [snapshot(run_pipeline(study(i))) for i in (0, 1)]
-    with ThreadPoolExecutor(max_workers=2) as ex:
-        conc = list(ex.map(lambda i: snapshot(run_pipeline(study(i))), (0, 1)))
-    assert conc[0] == seq[0]
-    assert conc[1] == seq[1]
-    # the re-keyed study genuinely differs (the test isn't vacuous)
-    assert seq[0] != seq[1]
