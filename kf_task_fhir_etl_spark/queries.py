@@ -437,7 +437,7 @@ _CHECK_LAST = [
     # and q36 (IVF) paths are untouched since their r02 greens
     "q14_ann_cosine_topk",
     "q36_ann_ivf_topk",
-    # r01-green; displaced from the re-prove slots by the new q89-q111 gates
+    # r01-green; displaced from the re-prove slots by the new q89-q112 gates
     # (q31-q35's builders are redundantly covered in-window by the
     # byte-identical whole-resource gates q84/q78/q76/q74/q79; q02's only
     # changed dependency this round is catalog.load_table's UTC assert,

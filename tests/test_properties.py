@@ -244,3 +244,33 @@ def test_kmv_merge_identity_any_partitioning(spark, keys, split, k):
     d_est = sketch.kmv_estimate(direct, k).collect()[0]["n_est"]
     m_est = sketch.kmv_estimate(merged, k).collect()[0]["n_est"]
     assert d_est == m_est
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    counts=st.dictionaries(
+        st.sampled_from(["a", "b", "c"]), st.integers(1, 25), min_size=2, max_size=3
+    ),
+    lo=st.integers(5, 20),
+    extra=st.integers(1, 20),
+)
+def test_mixture_resample_nests_under_target_growth(spark, counts, lo, extra):
+    """Growing the target total only ADDS documents (md5-rank selection is
+    a fixed per-group order, so smaller quotas are prefixes of larger
+    ones) — corpus re-mixes never swap documents, the same stability
+    contract as stratified_sample's nested thresholds."""
+    from kf_task_fhir_etl_spark.operators.corpus import mixture_resample
+
+    rows = [(g, f"{g}-{i}") for g, n in counts.items() for i in range(n)]
+    df = spark.createDataFrame(rows, ["grp", "key"])
+    small = {
+        (r["grp"], r["key"])
+        for r in mixture_resample(df, "grp", "key", alpha=0.5, target_total=lo).collect()
+    }
+    large = {
+        (r["grp"], r["key"])
+        for r in mixture_resample(
+            df, "grp", "key", alpha=0.5, target_total=lo + extra
+        ).collect()
+    }
+    assert small <= large
