@@ -247,6 +247,29 @@ def q94_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _content_fingerprint(sf_dir: str, tables: list[str]) -> str:
+    """Short md5 over (size, mtime_ns) of the given tables' parquet files —
+    a cheap content tag for cache keys (no data read)."""
+    import hashlib
+
+    parts = []
+    for t in tables:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        files = (
+            sorted(
+                os.path.join(p, f)
+                for f in os.listdir(p)
+                if not f.startswith((".", "_"))
+            )
+            if os.path.isdir(p)
+            else [p]
+        )
+        for f in files:
+            st = os.stat(f)
+            parts.append(f"{f}:{st.st_size}:{st.st_mtime_ns}")
+    return hashlib.md5("|".join(parts).encode()).hexdigest()[:10]
+
+
 @register(
     "q95_bucketed_colocated_join",
     oracle="""
@@ -266,7 +289,14 @@ def q95_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     recur every run: pay the orderkey shuffle at ingest, never again.
     The revenue aggregate is hash-checked against the plain-join oracle,
     proving bucketing is invisible to results."""
+    # the tag carries a CONTENT fingerprint (size+mtime of the source
+    # parquet) on top of the sf_dir basename: if the test data is
+    # regenerated in place, the fingerprint changes and a fresh bucketed
+    # copy is written instead of silently joining the stale tables a bare
+    # tableExists probe would have reused (stale copies in /tmp are
+    # garbage, never read)
     tag = re.sub(r"[^A-Za-z0-9]", "_", os.path.basename(sf_dir.rstrip("/")))
+    tag = f"{tag}_{_content_fingerprint(sf_dir, ['lineitem', 'orders'])}"
     ltab, otab = f"kf_li_bucketed_{tag}", f"kf_ord_bucketed_{tag}"
     base = os.path.join(tempfile.gettempdir(), "kf_spark_bucketed")
     if not spark.catalog.tableExists(ltab):

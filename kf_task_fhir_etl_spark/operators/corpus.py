@@ -171,8 +171,14 @@ def mixture_resample(
     within each group by (md5(key), key) — the deterministic pseudo-random
     order shared with ``sampling.quota_sample`` — and keep the first
     ``quota_g``. One row_number window on the group key plus a broadcast
-    join against the |domains|-row quota table; membership is a pure
-    function of the key set, so snapshots nest and retries are stable."""
+    join against the |domains|-row quota table. Stability contract:
+    membership is a pure function of the key SET and the parameters, so
+    re-runs/retries over the same corpus are stable, and on a FIXED corpus
+    the kept sets nest as ``target_total`` grows (pytest-propertied).
+    Under incremental ingest they do NOT nest — new documents shift both
+    the per-group quotas and the md5 rank positions — unlike
+    ``sampling.deterministic_split`` / ``stratified_sample``, whose
+    per-row hash thresholds are ingest-stable."""
     quotas = mixture_quotas(df, group_col, alpha, target_total)
     order = F.md5(F.col(key_col).cast("string"))
     w = Window.partitionBy(group_col).orderBy(order, F.col(key_col))

@@ -103,7 +103,9 @@ def _dropped_kernel(threshold: float):
                 {"cluster": "int32", "vec_id": "int64", "max_cos": "float64"}
             )
         M = np.vstack(pdf["vec"].to_numpy()[order]).astype(np.float64)
-        Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+        from kf_task_fhir_etl_spark.operators.similarity import _safe_norms
+
+        Mn = M / _safe_norms(M)
         sims = np.round(Mn @ Mn.T, 6)
         # max over strictly-smaller-id rows for each column (rounded before
         # the max, so max-of-rounded == the oracle's MAX over rounded pairs)
@@ -129,6 +131,7 @@ def semantic_dedup_dropped(
     label_col: str = "label",
     blocks: int = 1,
     split_min: int = 0,
+    prototypes: DataFrame | None = None,
 ) -> DataFrame:
     """(cluster, vec_id, max_cos) of every document dropped by semantic
     dedup: within its cluster it has a neighbor with a SMALLER id at
@@ -151,10 +154,29 @@ def semantic_dedup_dropped(
     the 1× single-group path (the overwhelming majority in the SemDeDup
     regime pay nothing for the escape hatch). Result identical either way
     — every in-cluster pair meets in exactly one group; equivalence
-    pinned in tests."""
-    assigned = assign_clusters(
-        emb, label_prototypes(emb, label_col, vec_col), id_col, vec_col
-    ).select(F.col("cluster").cast("int").alias("cluster"), "id", "vec")
+    pinned in tests.
+
+    ``prototypes`` (a ``(label, centroid)`` DataFrame) makes the operator
+    work on UNLABELED corpora — pass the deterministic k-means centroids
+    from ``kmeans_prototypes`` (or any cluster model). When omitted, the
+    per-label mean prototypes of ``label_col`` are used (the pre-labeled
+    case). Either way the prototype label must be an integral type: the
+    kernel group key is materialized as int, and a lossy cast (e.g. a
+    string label silently becoming NULL) would collapse every cluster into
+    one NULL group — the O(n²)-over-the-whole-corpus failure this guard
+    exists to prevent."""
+    protos = (
+        prototypes if prototypes is not None else label_prototypes(emb, label_col, vec_col)
+    )
+    raw = assign_clusters(emb, protos, id_col, vec_col)
+    ctype = dict(raw.dtypes)["cluster"]
+    if ctype not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"semantic_dedup_dropped: cluster label must be integral, got {ctype!r} "
+            f"— a cast('int') on a non-integer label would yield NULLs and merge "
+            f"all clusters into one group; map labels to ints first"
+        )
+    assigned = raw.select(F.col("cluster").cast("int").alias("cluster"), "id", "vec")
 
     def _single_group(part: DataFrame) -> DataFrame:
         return part.groupBy("cluster").applyInPandas(

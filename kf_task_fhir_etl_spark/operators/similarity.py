@@ -166,6 +166,20 @@ def block_replicate(df: DataFrame, blocks: int) -> DataFrame:
     )
 
 
+def _safe_norms(M):
+    """Row norms with zero mapped to 1, so a zero embedding gets cosine 0
+    against everything (deterministically excluded by any positive
+    threshold) instead of NaN similarities that vanish from the mask with
+    only a runtime divide warning as the signal. Engine-portable: DuckDB's
+    ``list_cosine_similarity`` yields non-finite values for zero vectors,
+    which its threshold comparison likewise excludes — both engines agree
+    a zero vector pairs with nothing."""
+    import numpy as np
+
+    norms = np.linalg.norm(M, axis=1, keepdims=True)
+    return np.where(norms == 0, 1.0, norms)
+
+
 def _pair_kernel(threshold: float):
     """applyInPandas kernel for one block pair (gi, gj): exact cosine over
     the cross product of the two blocks' rows (triangle when gi == gj),
@@ -179,7 +193,7 @@ def _pair_kernel(threshold: float):
         gi, gj = int(key[0]), int(key[1])
         ids = pdf["id"].to_numpy()
         M = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
-        Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+        Mn = M / _safe_norms(M)
         if gi == gj:
             sims = Mn @ Mn.T
             iu, ju = np.triu_indices(len(ids), k=1)
@@ -242,7 +256,7 @@ def embedding_neardup_pairs(
     local = base.collect()  # the broadcast matrix IS the algorithm's working set
     ids = np.array([r["id"] for r in local], dtype=np.int64)
     mat = np.vstack([r["v"] for r in local]).astype(np.float64)
-    mat_n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    mat_n = mat / _safe_norms(mat)
     b_ids = spark.sparkContext.broadcast(ids)
     b_mat = spark.sparkContext.broadcast(mat_n)
 
@@ -252,7 +266,7 @@ def embedding_neardup_pairs(
         all_ids, all_mat = b_ids.value, b_mat.value
         for pdf in batches:
             rows = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
-            rows_n = rows / np.linalg.norm(rows, axis=1, keepdims=True)
+            rows_n = rows / _safe_norms(rows)
             sims = rows_n @ all_mat.T  # (batch, n)
             row_ids = pdf["id"].to_numpy()
             out_a, out_b, out_c = [], [], []
@@ -344,7 +358,7 @@ def _seed_centroids(corpus: DataFrame, nlist: int, id_col: str, vec_col: str):
         .collect()
     )
     mat = np.vstack([r["v"] for r in rows]).astype(np.float64)
-    return mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    return mat / _safe_norms(mat)
 
 
 def _refine_centroids(corpus: DataFrame, cent_n, iters: int, vec_col: str):
@@ -387,7 +401,7 @@ def ivf_assign(spark, vec: Column, cent_n) -> Column:
     def assign(v: pd.Series) -> pd.Series:
         C = b_cent.value
         M = np.vstack(v.to_numpy()).astype(np.float64)
-        M = M / np.linalg.norm(M, axis=1, keepdims=True)
+        M = M / _safe_norms(M)
         return pd.Series(np.argmax(M @ C.T, axis=1).astype("int32"))
 
     return assign(vec)
@@ -404,7 +418,7 @@ def ivf_probes(spark, vec: Column, cent_n, nprobe: int) -> Column:
     def probes(v: pd.Series) -> pd.Series:
         C = b_cent.value
         M = np.vstack(v.to_numpy()).astype(np.float64)
-        M = M / np.linalg.norm(M, axis=1, keepdims=True)
+        M = M / _safe_norms(M)
         sims = M @ C.T
         # stable argsort on (-sim, list_id): lexsort's last key is primary
         order = np.lexsort((np.arange(C.shape[0])[None, :].repeat(len(M), 0), -sims), axis=1)

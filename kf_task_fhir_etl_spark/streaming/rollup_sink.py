@@ -122,7 +122,16 @@ def merge_batch_into_store(
     Replay-guarded: batches at or below the last committed marker are
     skipped (returns False); the marker is created only after the new
     store version is fully written. ``batch_id=None`` auto-assigns
-    ``last + 1`` (non-streaming callers)."""
+    ``last + 1`` (non-streaming callers).
+
+    SINGLE-WRITER contract: the list-markers → read → merge → write
+    sequence is not safe under concurrent writers to the same store (two
+    callers can both merge against the same base and both claim commit id
+    ``last + 1`` — a classic lost update). Structured Streaming's
+    ``foreachBatch`` serializes batches per query, which is the intended
+    deployment; for any other caller the pre-commit marker probe below
+    turns a detected race into an error instead of a silent lost update
+    (best-effort — marker creation itself is the only atomic step)."""
     committed = _committed_ids(spark, store_path)  # ONE listing per batch
     last = committed[-1] if committed else -1
     if batch_id is not None and batch_id <= last:
@@ -134,8 +143,18 @@ def merge_batch_into_store(
     out = merged.collect()  # rollup-sized; decouples the read from the write
     new_version = _version_path(store_path, commit_id)
     spark.createDataFrame(out, merged.schema).write.mode("overwrite").parquet(new_version)
-    # COMMIT POINT: atomic empty-directory creation
+    # COMMIT POINT: atomic empty-directory creation. A marker that already
+    # exists for OUR commit id means another writer committed it after we
+    # resolved `last` — our merge is based on a stale base, so raising here
+    # (instead of mkdirs silently succeeding on the existing directory)
+    # converts the lost update into a hard error.
     fs, marker = _fs(spark, _commits_dir(store_path) + f"/{commit_id}")
+    if fs.exists(marker):
+        raise RuntimeError(
+            f"rollup store {store_path!r}: commit marker {commit_id} already "
+            f"exists — concurrent writer detected; this sink requires a "
+            f"single writer per store (see merge_batch_into_store docstring)"
+        )
     fs.mkdirs(marker)
     # best-effort cleanup, RETAINING the immediately-previous version as a
     # lag buffer: a concurrent reader that resolved `last` just before this
