@@ -975,9 +975,19 @@ def q56_regional_revenue_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q57_approx_sketches")  # no SQL oracle: sketch outputs are
-# implementation-defined (Spark HLL++ vs DuckDB HLL differ by design);
-# tests/test_operators.py bounds the error against the exact answers.
+@register(
+    "q57_approx_sketches",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS users_within_bound,
+           ROUND(quantile_cont(value, 0.5), 6) AS p50,
+           ROUND(quantile_cont(value, 0.9), 6) AS p90,
+           ROUND(quantile_cont(value, 0.99), 6) AS p99,
+           TRUE AS quantiles_within_bound
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
 def q57_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based aggregation: HyperLogLog++ distinct-count and the
     Greenwald-Khanna quantile sketch over events, per event_type. These are
@@ -987,25 +997,55 @@ def q57_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw values, no sort, unlike exact COUNT(DISTINCT) (which Expands rows)
     or exact percentiles (which collect per-group arrays, q47). rsd=0.01
     bounds HLL error at ~1%; accuracy=10000 bounds quantile rank error at
-    1e-4. Values are approximate by contract, so the driver records the
-    rows-only check; the error bound itself is asserted in
-    tests/test_operators.py against exact answers. The quantiles are
-    projected into scalar double columns (p50/p90/p99) rather than an
-    array<double> — the driver's rows-only canonicalization sorts rows via
-    pandas, and list-valued cells are unhashable there (CORRECTNESS_r02
-    q57 err trace)."""
+    1e-4.
+
+    Sketch values themselves are implementation-defined (Spark HLL++ vs
+    DuckDB HLL differ by design), so the raw estimates can never be
+    cross-engine columns — but the CONTRACT each sketch makes is
+    deterministic, and that is what this gate hash-checks (the r03 verdict
+    pattern replacing the old rows-only check): alongside the exact
+    answers (computed relationally, oracle-reproducible) the query emits
+    ``users_within_bound`` = |HLL estimate − exact| ≤ max(5·rsd·exact, 5)
+    and ``quantiles_within_bound`` = each GK estimate lies between the
+    exact quantiles at rank q ∓ 0.005 (50× the 1/accuracy rank guarantee,
+    and ≥ the ±1-rank slack from GK returning a data value where the band
+    edges interpolate — so the band needs n ≳ 400 per group to be
+    non-degenerate; the driver's sf0.01/sf0.1 groups are 2k-20k rows).
+    A silently broken sketch
+    call (wrong column, wrong rsd, a regression returning garbage) flips a
+    boolean and fails the value hash — the failure mode the rows-only
+    check could not see. The bands are 5-20× the published error bounds,
+    so a correct sketch can never flip one by chance."""
     ev = load_table(spark, sf_dir, "events")
-    q = F.percentile_approx("value", [0.5, 0.9, 0.99], 10000)
-    return (
-        ev.groupBy("event_type")
-        .agg(
-            F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
-            q.getItem(0).alias("p50"),
-            q.getItem(1).alias("p90"),
-            q.getItem(2).alias("p99"),
-        )
-        .orderBy("event_type")
+    qa = F.percentile_approx("value", [0.5, 0.9, 0.99], 10000)
+    # exact quantiles at the targets and at the band edges (rank slack
+    # 0.005); percentile() is Spark's exact interpolated quantile — the
+    # same definition as DuckDB's quantile_cont
+    qe = F.percentile("value", F.array(*[F.lit(p) for p in
+        [0.5, 0.9, 0.99, 0.495, 0.505, 0.895, 0.905, 0.985, 0.995]]))
+    agg = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", rsd=0.01).alias("__hll"),
+        qa.alias("__gk"),
+        qe.alias("__ex"),
     )
+    in_band = lambda est, lo, hi: est.between(lo, hi)  # noqa: E731
+    return agg.select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("__hll") - F.col("exact_users"))
+            <= F.greatest(F.ceil(F.col("exact_users") * 0.05), F.lit(5))
+        ).alias("users_within_bound"),
+        F.round(F.col("__ex").getItem(0), 6).alias("p50"),
+        F.round(F.col("__ex").getItem(1), 6).alias("p90"),
+        F.round(F.col("__ex").getItem(2), 6).alias("p99"),
+        (
+            in_band(F.col("__gk").getItem(0), F.col("__ex").getItem(3), F.col("__ex").getItem(4))
+            & in_band(F.col("__gk").getItem(1), F.col("__ex").getItem(5), F.col("__ex").getItem(6))
+            & in_band(F.col("__gk").getItem(2), F.col("__ex").getItem(7), F.col("__ex").getItem(8))
+        ).alias("quantiles_within_bound"),
+    ).orderBy("event_type")
 
 
 @register(

@@ -14,8 +14,9 @@ def test_registry_names_unique_and_oracles_subset():
     oracles = q.oracle_sql()
     assert len(names) == len(set(names))
     assert set(oracles) <= set(names)
-    # at most one intentionally oracle-less entry (q57 sketches)
-    assert {n for n in names if n not in oracles} <= {"q57_approx_sketches"}
+    # every registry entry carries a DuckDB oracle (q57's sketch gate got
+    # its deterministic within-bound oracle in r04)
+    assert set(oracles) == set(names)
 
 
 def test_rotation_lists_are_consistent():
