@@ -1169,3 +1169,172 @@ def q112_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+# ---------------------------------------------------------------------------
+# q113 — IVF Lloyd refinement (the trained coarse quantizer, round by round)
+# ---------------------------------------------------------------------------
+
+
+def _kmeans_ctes(nlist: int, iters: int) -> tuple[str, str]:
+    """The shared unrolled-k-means CTE chain (the q102 unrolled-CTE
+    pattern): ``emb`` (double-cast vectors), ``c0`` (the nlist vectors with
+    the smallest md5(id), normalized), then per round r: ``a{r}`` assigns
+    every vector to its argmax centroid (similarity (v.c)/|v| rounded to
+    12dp before the argmax, ties to the lowest list id), ``n{r}`` recomputes
+    per-list means (rounded 12dp), ``c{r}`` renormalizes (components rounded
+    12dp; empty lists keep the previous centroid) — the identical per-round
+    rounding discipline ``ivf_train_centroids(round_digits=12)`` applies, so
+    every assignment decision and every component is reproduced exactly.
+    Returns (cte_sql, name_of_final_centroid_cte); used by the q113 and
+    q114 oracles."""
+    sql = f"""
+    WITH emb AS (
+      SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    c0 AS (
+      SELECT list_id,
+             list_transform(v, x -> round(x / sqrt(list_inner_product(v, v)), 12)) AS c
+      FROM (
+        SELECT CAST(row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR)), id) - 1 AS INT)
+                 AS list_id, v
+        FROM emb ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT {nlist}
+      )
+    )"""
+    prev = "c0"
+    for r in range(1, iters + 1):
+        sql += f""",
+    a{r} AS (
+      SELECT id, v, list_id FROM (
+        SELECT e.id, e.v, c.list_id,
+               row_number() OVER (
+                 PARTITION BY e.id
+                 ORDER BY round(list_inner_product(e.v, c.c)
+                                / sqrt(list_inner_product(e.v, e.v)), 12) DESC,
+                          c.list_id ASC) AS rn
+        FROM emb e CROSS JOIN {prev} c)
+      WHERE rn = 1
+    ),
+    n{r} AS (
+      SELECT list_id, list(m ORDER BY dim) AS mv FROM (
+        SELECT list_id, dim, round(avg(val), 12) AS m
+        FROM (SELECT list_id, generate_subscripts(v, 1) AS dim, UNNEST(v) AS val FROM a{r})
+        GROUP BY list_id, dim)
+      GROUP BY list_id
+    ),
+    c{r} AS (
+      SELECT p.list_id,
+             CASE WHEN n.mv IS NULL THEN p.c
+                  ELSE list_transform(n.mv,
+                         x -> round(x / sqrt(list_inner_product(n.mv, n.mv)), 12))
+             END AS c
+      FROM {prev} p LEFT JOIN n{r} n USING (list_id)
+    )"""
+        prev = f"c{r}"
+    return sql, prev
+
+
+def _ivf_lloyd_oracle(nlist: int, iters: int) -> str:
+    """q113's oracle: the shared k-means chain plus a final assignment pass
+    and the long-form centroid projection."""
+    ctes, prev = _kmeans_ctes(nlist, iters)
+    return ctes + f""",
+    af AS (
+      SELECT id, list_id FROM (
+        SELECT e.id, c.list_id,
+               row_number() OVER (
+                 PARTITION BY e.id
+                 ORDER BY round(list_inner_product(e.v, c.c)
+                                / sqrt(list_inner_product(e.v, e.v)), 12) DESC,
+                          c.list_id ASC) AS rn
+        FROM emb e CROSS JOIN {prev} c)
+      WHERE rn = 1
+    ),
+    counts AS (SELECT list_id, COUNT(*) AS n_members FROM af GROUP BY list_id)
+    SELECT comp.list_id, comp.dim, comp.component,
+           CAST(COALESCE(n_members, 0) AS BIGINT) AS n_members
+    FROM (
+      SELECT list_id, CAST(generate_subscripts(c, 1) - 1 AS INT) AS dim,
+             UNNEST(c) + 0.0 AS component
+      FROM {prev}
+    ) comp LEFT JOIN counts USING (list_id)
+    ORDER BY list_id, dim
+    """
+
+
+@register("q113_ivf_lloyd_refinement", oracle=_ivf_lloyd_oracle(nlist=4, iters=2))
+def q113_ivf_lloyd_refinement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd-refined IVF coarse quantizer gate
+    (operators/similarity.py::ivf_train_centroids): 2 k-means rounds from
+    deterministic md5 seeds, every per-round mean/similarity/component
+    rounded at 12dp so the oracle's unrolled CTEs replay the identical
+    trajectory — the whole trained state (4 × 64 centroid components plus
+    final per-list membership counts) is value-hashed. This closes the one
+    operator path that was pytest-only through r03 (``iters > 0``); q36
+    continues to gate the iters=0 serving path end-to-end."""
+    from kf_task_fhir_etl_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.ivf_train_centroids(emb, nlist=4, iters=2, round_digits=12)
+    return out.select(
+        "list_id",
+        "dim",
+        (F.col("component") + F.lit(0.0)).alias("component"),
+        "n_members",
+    ).orderBy("list_id", "dim")
+
+
+# ---------------------------------------------------------------------------
+# q114 — unsupervised SemDeDup (k-means prototypes, no label column)
+# ---------------------------------------------------------------------------
+
+
+def _semantic_unsup_oracle(k: int, iters: int, threshold: float) -> str:
+    """q114's oracle: the shared k-means chain supplies the prototypes,
+    then the q93 assignment/pair recomputation runs against THOSE centroids
+    — assignment by full cosine at 6dp (``assign_clusters``' discipline,
+    distinct from the trainer's internal 12dp (v·c)/|v| argmax, each step
+    replicated with its own rounding), dropped = every member with a
+    smaller-id in-cluster neighbor at cos ≥ threshold."""
+    ctes, prev = _kmeans_ctes(k, iters)
+    return ctes + f""",
+    cent AS (SELECT list_id AS label, c AS cvec FROM {prev}),
+    assigned AS (
+      SELECT vec_id, embedding, cluster FROM (
+        SELECT e0.vec_id, e0.embedding, c.label AS cluster,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e0.vec_id
+                 ORDER BY ROUND(list_cosine_similarity(e0.embedding::DOUBLE[], c.cvec), 6) DESC,
+                          c.label ASC) AS rn
+        FROM embeddings e0 CROSS JOIN cent c)
+      WHERE rn = 1
+    ),
+    pairs AS (
+      SELECT a.cluster, a.vec_id AS id_a, b.vec_id AS id_b,
+             ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
+      FROM assigned a JOIN assigned b
+        ON a.cluster = b.cluster AND a.vec_id < b.vec_id)
+    SELECT cluster, id_b AS vec_id, MAX(cos) AS max_cos
+    FROM pairs GROUP BY cluster, id_b HAVING MAX(cos) >= {threshold}
+    ORDER BY cluster, vec_id
+    """
+
+
+@register(
+    "q114_semantic_dedup_unsupervised",
+    oracle=_semantic_unsup_oracle(k=4, iters=1, threshold=0.4),
+)
+def q114_semantic_dedup_unsupervised(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unsupervised SemDeDup gate (operators/semantic.py::kmeans_prototypes
+    + semantic_dedup_dropped(prototypes=...)): unlike q93, the input
+    carries NO label column — the prototypes come from the deterministic
+    k-means trainer (md5 seeds, 1 Lloyd round, 12dp discipline), which is
+    how real SemDeDup clusters a raw corpus. The oracle replays k-means,
+    assignment, and the in-cluster pair triangle end-to-end, so the gate
+    pins the full unlabeled path: trainer → prototype reshape → broadcast
+    assignment → per-cluster Arrow kernel."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    protos = semantic.kmeans_prototypes(emb, k=4, iters=1, round_digits=12)
+    dropped = semantic.semantic_dedup_dropped(emb, threshold=0.4, prototypes=protos)
+    return dropped.select("cluster", "vec_id", "max_cos").orderBy("cluster", "vec_id")

@@ -51,6 +51,33 @@ def label_prototypes(
     )
 
 
+def kmeans_prototypes(
+    emb: DataFrame,
+    k: int = 4,
+    iters: int = 1,
+    round_digits: int | None = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(label, centroid) prototypes for UNLABELED corpora — the
+    deterministic k-means trainer (``similarity.ivf_train_centroids``: md5
+    seeds + Lloyd rounds, per-round 12dp rounding) reshaped into the
+    prototype contract ``semantic_dedup_dropped(prototypes=...)`` expects.
+    Real SemDeDup clusters unsupervised; ``label_prototypes`` is the
+    shortcut when a label column already exists. The label is the int
+    list_id, satisfying the integral-label contract by construction."""
+    from kf_task_fhir_etl_spark.operators.similarity import ivf_train_centroids
+
+    t = ivf_train_centroids(
+        emb, nlist=k, iters=iters, round_digits=round_digits, id_col=id_col, vec_col=vec_col
+    )
+    return t.groupBy(F.col("list_id").alias("label")).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "component"))), lambda s: s["component"]
+        ).alias("centroid")
+    )
+
+
 def assign_clusters(
     emb: DataFrame,
     prototypes: DataFrame,

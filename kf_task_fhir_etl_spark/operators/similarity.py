@@ -343,39 +343,55 @@ def embedding_neardup_lsh(
     return pairs.orderBy("id_a", "id_b")
 
 
-def _seed_centroids(corpus: DataFrame, nlist: int, id_col: str, vec_col: str):
+def _seed_centroids(
+    corpus: DataFrame, nlist: int, id_col: str, vec_col: str, round_digits: int | None = None
+):
     """Deterministic centroid seeds: the ``nlist`` corpus vectors with the
     smallest ``md5(id)`` — reproducible across runs/engines with no RNG
     state, uniformly spread over the id space. TakeOrderedAndProject (sort +
-    limit) ships only nlist rows to the driver."""
+    limit) ships only nlist rows to the driver. ``round_digits`` rounds the
+    normalized components (cross-engine determinism, see
+    ``_refine_centroids``)."""
     import numpy as np
 
     rows = (
         corpus.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
         .withColumn("h", F.md5(F.col("id").cast("string")))
-        .orderBy("h")
+        .orderBy("h", "id")
         .limit(nlist)
         .collect()
     )
     mat = np.vstack([r["v"] for r in rows]).astype(np.float64)
-    return mat / _safe_norms(mat)
+    mat = mat / _safe_norms(mat)
+    return mat if round_digits is None else np.round(mat, round_digits)
 
 
-def _refine_centroids(corpus: DataFrame, cent_n, iters: int, vec_col: str):
+def _refine_centroids(
+    corpus: DataFrame, cent_n, iters: int, vec_col: str, round_digits: int | None = None
+):
     """Lloyd iterations as DataFrame aggregations: assign (Arrow matmul,
     map-side) → per-list elementwise mean (posexplode + groupBy partial
     aggregation — the shuffle is O(nlist × dim), not O(rows)) → collect the
     tiny centroid matrix and rebroadcast. Empty lists keep their previous
-    centroid."""
+    centroid.
+
+    ``round_digits`` turns on the q102/q58 cross-engine determinism
+    discipline (the q113 gate): per-list means, assignment similarities,
+    and normalized centroid components are each rounded at that many
+    digits BEFORE the next dependent step, so an oracle unrolling the same
+    rounds relationally reproduces every argmax and every component —
+    12dp is far above float64 summation-order noise (~1e-13 for these
+    row counts) and far below any real cluster-geometry difference."""
     import numpy as np
 
     spark = corpus.sparkSession
     for _ in range(iters):
         assigned = corpus.select(
-            ivf_assign(spark, F.col(vec_col), cent_n).alias("list_id"),
+            ivf_assign(spark, F.col(vec_col), cent_n, round_digits).alias("list_id"),
             F.posexplode(as_double(F.col(vec_col))).alias("pos", "x"),
         )
-        means = assigned.groupBy("list_id", "pos").agg(F.avg("x").alias("m")).collect()
+        mean_expr = F.avg("x") if round_digits is None else F.round(F.avg("x"), round_digits)
+        means = assigned.groupBy("list_id", "pos").agg(mean_expr.alias("m")).collect()
         new = cent_n.copy()
         acc: dict[int, list[tuple[int, float]]] = {}
         for r in means:
@@ -384,15 +400,17 @@ def _refine_centroids(corpus: DataFrame, cent_n, iters: int, vec_col: str):
             vec = np.array([m for _, m in sorted(pms)], dtype=np.float64)
             n = np.linalg.norm(vec)
             if n > 0:
-                new[lid] = vec / n
+                new[lid] = vec / n if round_digits is None else np.round(vec / n, round_digits)
         cent_n = new
     return cent_n
 
 
-def ivf_assign(spark, vec: Column, cent_n) -> Column:
+def ivf_assign(spark, vec: Column, cent_n, round_digits: int | None = None) -> Column:
     """Nearest-centroid list id (cosine argmax) — one Arrow batch matmul
     against the broadcast centroid matrix; ties break to the lowest list id
-    (np.argmax picks the first maximum)."""
+    (np.argmax picks the first maximum). With ``round_digits`` the
+    similarities are rounded before the argmax, so the decision is
+    reproducible from (v·c)/|v| computed in any engine."""
     import numpy as np
 
     b_cent = spark.sparkContext.broadcast(cent_n)
@@ -402,9 +420,53 @@ def ivf_assign(spark, vec: Column, cent_n) -> Column:
         C = b_cent.value
         M = np.vstack(v.to_numpy()).astype(np.float64)
         M = M / _safe_norms(M)
-        return pd.Series(np.argmax(M @ C.T, axis=1).astype("int32"))
+        sims = M @ C.T
+        if round_digits is not None:
+            sims = np.round(sims, round_digits)
+        return pd.Series(np.argmax(sims, axis=1).astype("int32"))
 
     return assign(vec)
+
+
+def ivf_train_centroids(
+    corpus: DataFrame,
+    nlist: int = 4,
+    iters: int = 2,
+    round_digits: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Train the IVF coarse quantizer (deterministic md5 seeds + ``iters``
+    Lloyd rounds) and return its state as a DataFrame:
+    ``(list_id, dim, component, n_members)`` — the unit-normalized centroid
+    in long form plus the final assignment count per inverted list. This is
+    the inspectable/gateable face of the trainer ``ivf_build_index`` and
+    ``ann_ivf_topk`` share; with ``round_digits`` set, every round's means,
+    similarities, and components are rounded (see ``_refine_centroids``) so
+    the q113 oracle can unroll the identical rounds in SQL. Per-round cost:
+    one map-side Arrow assignment pass + one O(nlist × dim) mean shuffle;
+    driver state is only the nlist × dim matrix."""
+    spark = corpus.sparkSession
+    cent_n = _seed_centroids(corpus, nlist, id_col, vec_col, round_digits)
+    if iters > 0:
+        cent_n = _refine_centroids(
+            corpus.select(as_double(F.col(vec_col)).alias("v")), cent_n, iters, "v", round_digits
+        )
+    counts = (
+        corpus.select(
+            ivf_assign(spark, as_double(F.col(vec_col)), cent_n, round_digits).alias("list_id")
+        )
+        .groupBy("list_id")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+    )
+    cent_rows = [
+        (lid, dim, float(cent_n[lid][dim]))
+        for lid in range(cent_n.shape[0])
+        for dim in range(cent_n.shape[1])
+    ]
+    cent_df = spark.createDataFrame(cent_rows, "list_id int, dim int, component double")
+    # left join: a list that ends up empty still reports its centroid
+    return cent_df.join(counts, "list_id", "left").na.fill({"n_members": 0})
 
 
 def ivf_probes(spark, vec: Column, cent_n, nprobe: int) -> Column:

@@ -376,6 +376,8 @@ def q08_resource_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 # among changed/new code.
 # ---------------------------------------------------------------------------
 _CHECK_FIRST = [
+    "q113_ivf_lloyd_refinement",
+    "q114_semantic_dedup_unsupervised",
     "q57_approx_sketches",
     "q71_sequence_packing",
     "q86_cube_order_matrix",
@@ -396,10 +398,8 @@ _CHECK_FIRST = [
     "q101_scd2_history",
     "q102_pagerank",
     "q103_data_profile",
-    "q104_unpivot_yearly_revenue",
     "q105_fuzzy_match",
     "q106_kmv_distinct",
-    "q107_rank_functions",
     "q108_grouping_sets",
     "q109_streaming_quality_filter",
     "q110_importance_sample",
@@ -428,6 +428,9 @@ _CHECK_FIRST = [
     "q66_embedding_neardup_lsh",
 ]
 _CHECK_LAST = [
+    # r03-green, untouched this round; displaced by the new q113/q114 gates
+    "q104_unpivot_yearly_revenue",
+    "q107_rank_functions",
     # q15's block-pair kernel path is untouched since its r02 green (r03's
     # similarity change was lsh_signature-only, re-proven by q16/q66/q88;
     # q88's ground-truth side also executes the q15 operator in-window)

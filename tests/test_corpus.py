@@ -260,6 +260,36 @@ def test_semantic_dedup_block_pair_path_equivalent(spark):
     assert one == split_all == mixed and len(one) > 0
 
 
+def test_semantic_dedup_rejects_non_integral_labels(spark):
+    """A string label would cast('int') to NULL and collapse every cluster
+    into one O(n^2) group — the operator must refuse instead."""
+    import pytest
+
+    rows = [(0, [1.0, 0.0], "news"), (1, [0.9, 0.1], "web")]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label string")
+    with pytest.raises(ValueError, match="integral"):
+        semantic.semantic_dedup_dropped(emb, threshold=0.5)
+
+
+def test_semantic_dedup_unsupervised_matches_labeled_kernel(spark):
+    """kmeans_prototypes feeds the same dropped-set kernel: on a corpus
+    with no label column the unlabeled path runs end-to-end, its clusters
+    cover every vector, and dropped rows are a subset of the ids."""
+    from kf_task_fhir_etl_spark.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    protos = semantic.kmeans_prototypes(emb, k=3, iters=1, round_digits=12)
+    assert protos.count() == 3
+    dropped = semantic.semantic_dedup_dropped(emb, threshold=0.4, prototypes=protos)
+    rows = dropped.collect()
+    ids = {r["vec_id"] for r in rows}
+    all_ids = {r["vec_id"] for r in emb.collect()}
+    assert len(rows) > 0 and ids <= all_ids
+    assert {r["cluster"] for r in rows} <= {0, 1, 2}
+
+
 def test_semantic_dedup_never_crosses_clusters(spark):
     # identical vectors in different clusters are NOT compared
     rows = [
