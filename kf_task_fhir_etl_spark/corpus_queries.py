@@ -913,7 +913,8 @@ def q105_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     clean = p.select("p_name")
     return fuzzy.blocked_fuzzy_match(
-        dirty, clean, "p_partkey", "dirty_name", "p_name"
+        dirty, clean, "p_partkey", "dirty_name", "p_name",
+        block_fn=fuzzy.first_char_block,  # corruption-stable for this model
     ).orderBy("p_partkey")
 
 

@@ -2305,3 +2305,93 @@ def q65_fhir_specimen_bodysite_dispatch(spark: SparkSession, sf_dir: str) -> Dat
         F.get_json_object(j, "$.meta.security[0].code").alias("sec0_code"),
         F.get_json_object(j, "$.meta.security[1].code").alias("sec1_code"),
     ).orderBy("target_id")
+
+
+@register(
+    "q115_multi_study_pipeline",
+    oracle="""
+    WITH e AS (SELECT COUNT(*) AS n FROM customer WHERE c_custkey % 2 = 0),
+         o AS (SELECT COUNT(*) AS n FROM customer WHERE c_custkey % 2 = 1),
+         r AS (SELECT COUNT(*) AS n FROM region)
+    SELECT * FROM (
+      SELECT 'A' AS study, 'Disease' AS resource_type,
+             (SELECT n FROM e) AS n, (SELECT n FROM e) AS n_ids
+      UNION ALL SELECT 'A', 'Patient', (SELECT n FROM e), (SELECT n FROM e)
+      UNION ALL SELECT 'A', 'ProbandStatus', (SELECT n FROM e), (SELECT n FROM e)
+      UNION ALL SELECT 'A', 'ResearchStudy', (SELECT n FROM r), (SELECT n FROM r)
+      UNION ALL SELECT 'A', 'ResearchSubject', (SELECT n FROM e), (SELECT n FROM e)
+      UNION ALL SELECT 'B', 'Patient', (SELECT n FROM o), (SELECT n FROM o)
+      UNION ALL SELECT 'B', 'Phenotype', (SELECT n FROM o), (SELECT n FROM o)
+      UNION ALL SELECT 'B', 'ProbandStatus', (SELECT n FROM o), (SELECT n FROM o)
+      UNION ALL SELECT 'B', 'ResearchStudy', (SELECT n FROM r), (SELECT n FROM r)
+      UNION ALL SELECT 'B', 'ResearchSubject', (SELECT n FROM o), (SELECT n FROM o)
+      UNION ALL SELECT 'B', 'VitalStatus', (SELECT n FROM o), (SELECT n FROM o)
+    ) ORDER BY study, resource_type
+    """,
+)
+def q115_multi_study_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-study scale-out gate (S9/§2.9): TWO studies with DIFFERENT
+    endpoint-table subsets (study A: participants+diagnoses on the even
+    custkeys; study B: participants+phenotypes+outcomes on the odd) run
+    through ``etl.run_pipeline`` concurrently on a thread pool in ONE
+    Spark job — the deployment shape of the reference's per-study Ingest
+    driver fanned out across a cluster. The union of per-(study, resource)
+    counts is hash-checked: the presence-conditional cascade must pick a
+    different target set per study (Disease only in A; Phenotype and
+    VitalStatus only in B), the two builds must not bleed rows into each
+    other, and distinct-target-id counts must equal emitted counts. The
+    thread-pool ≡ sequential equivalence itself is pinned in
+    tests/test_transform.py; this gate proves it end-to-end under the
+    driver's oracle."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from kf_task_fhir_etl_spark.etl import run_pipeline
+
+    base = _endpoint_tables(spark, sf_dir)
+    customer = load_table(spark, sf_dir, "customer")
+    c = F.col("c_custkey")
+    key_of = F.split(F.col("kf_id"), "_").getItem(1).cast("long")
+
+    def study_tables(parity: int) -> dict[str, DataFrame]:
+        t = {
+            "studies": base["studies"],
+            "participants": base["participants"].filter(key_of % 2 == parity),
+        }
+        cust = customer.filter(c % 2 == parity)
+        if parity == 0:  # study A: diagnoses only
+            t["diagnoses"] = cust.select(
+                F.concat(F.lit("DG_"), c).alias("kf_id"),
+                F.concat(F.lit("PT_"), c).alias("participant_id"),
+                F.lit("dx").alias("source_text_diagnosis"),
+                F.lit("100").alias("age_at_event_days"),
+                F.lit("True").alias("visible"),
+            )
+        else:  # study B: phenotypes + outcomes
+            t["phenotypes"] = cust.select(
+                F.concat(F.lit("PH_"), c).alias("kf_id"),
+                F.concat(F.lit("PT_"), c).alias("participant_id"),
+                F.lit("px").alias("source_text_phenotype"),
+                F.lit("Positive").alias("observed"),
+                F.lit("True").alias("visible"),
+            )
+            t["outcomes"] = cust.select(
+                F.concat(F.lit("OC_"), c).alias("kf_id"),
+                F.concat(F.lit("PT_"), c).alias("participant_id"),
+                F.lit("Alive").alias("vital_status"),
+                F.lit("True").alias("visible"),
+            )
+        return t
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        out_a, out_b = ex.map(lambda p: run_pipeline(study_tables(p)), (0, 1))
+
+    union = None
+    for study, out in (("A", out_a), ("B", out_b)):
+        for target, df in out.items():
+            part = df.agg(
+                F.count(F.lit(1)).alias("n"), F.countDistinct("target_id").alias("n_ids")
+            ).select(
+                F.lit(study).alias("study"), F.lit(target).alias("resource_type"), "n", "n_ids"
+            )
+            union = part if union is None else union.unionByName(part)
+    return union.orderBy("study", "resource_type")

@@ -19,8 +19,31 @@ from pyspark.sql import functions as F
 
 
 def first_char_block(text: Column) -> Column:
-    """Default blocking key: the first character."""
+    """Single-character blocking key. NOT the default: with ~36 possible
+    blocks, Σ|dirty_b|·|clean_b| approaches all-pairs on a corpus-scale
+    input. Use it only when a known corruption model makes position 1 the
+    provably stable region AND the candidate sets are reference-list-sized
+    (the q105 gate's case)."""
     return F.substring(text, 1, 1)
+
+
+def prefix_length_block(text: Column, prefix: int = 2, len_bucket: int = 4) -> Column:
+    """Default blocking key: (first ``prefix`` chars, length ÷ ``len_bucket``)
+    — a composite that keeps blocks small at corpus scale (|alphabet|^prefix
+    × length-buckets, thousands of blocks instead of first-char's ~36, and
+    the max block shrinks multiplicatively since the two components are
+    nearly independent). Recall contract: a match is found iff the true
+    counterpart agrees on the prefix AND lands in the same length bucket —
+    edits at positions > ``prefix`` that move the length by less than the
+    bucket width usually stay co-blocked, but an edit AT a bucket boundary
+    or in the prefix escapes. For guaranteed recall under a known
+    corruption model, pass an explicit corruption-stable key (phonetic
+    code, sorted-token prefix, LSH bucket)."""
+    return F.concat(
+        F.substring(text, 1, prefix),
+        F.lit(":"),
+        F.floor(F.length(text) / F.lit(len_bucket)).cast("string"),
+    )
 
 
 def blocked_fuzzy_match(
@@ -29,7 +52,7 @@ def blocked_fuzzy_match(
     id_col: str,
     dirty_text: str,
     clean_text: str,
-    block_fn: Callable[[Column], Column] = first_char_block,
+    block_fn: Callable[[Column], Column] = prefix_length_block,
     broadcast_clean: bool = True,
 ) -> DataFrame:
     """For every dirty record, the closest clean string by Levenshtein

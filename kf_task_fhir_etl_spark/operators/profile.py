@@ -4,11 +4,7 @@ trusting a new feed (null counts, exact distinct cardinality, min/max).
 One aggregate over ONE scan computes every metric for every column
 (4 × |cols| aggregate expressions in a single hash-less global agg), and the
 single result row explodes into long format (column, metrics) — no
-per-column scans, no driver-side loop over columns at execution time. At
-100 TB swap ``count_distinct`` for ``approx_count_distinct``: exact distinct
-over a global agg is an Expand-style blowup, while the HLL sketch keeps the
-pass one map-side reduction (the q57 trade-off; exact is kept here so the
-DuckDB oracle can hash-check values).
+per-column scans, no driver-side loop over columns at execution time.
 """
 
 from __future__ import annotations
@@ -17,15 +13,29 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def profile(df: DataFrame, cols: list[str]) -> DataFrame:
+def profile(df: DataFrame, cols: list[str], exact: bool = True, rsd: float = 0.01) -> DataFrame:
     """(column, n_nulls, n_distinct, min_value, max_value) per requested
     column — min/max taken in the column's NATIVE ordering, then rendered
-    as strings (so integer columns don't sort lexicographically)."""
+    as strings (so integer columns don't sort lexicographically).
+
+    ``exact`` picks the distinct-count strategy: True (default, the q103
+    oracle-checkable mode) uses ``count_distinct`` — N distinct aggregates
+    in one global agg compile to an Expand (row × |cols|) feeding a single
+    final reducer, fine for profiling samples and small feeds; False swaps
+    in ``approx_count_distinct`` (HLL++, ``rsd`` error), keeping the whole
+    profile one map-side reduction with fixed-size state — the 100 TB
+    mode. Same schema either way, so callers flip the flag, not their
+    downstream code."""
+    nd = (
+        (lambda c: F.count_distinct(F.col(c)))
+        if exact
+        else (lambda c: F.approx_count_distinct(F.col(c), rsd=rsd))
+    )
     aggs = []
     for c in cols:
         aggs += [
             F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nulls"),
-            F.count_distinct(F.col(c)).alias(f"{c}__nd"),
+            nd(c).alias(f"{c}__nd"),
             F.min(F.col(c)).cast("string").alias(f"{c}__min"),
             F.max(F.col(c)).cast("string").alias(f"{c}__max"),
         ]

@@ -378,6 +378,7 @@ def q08_resource_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CHECK_FIRST = [
     "q113_ivf_lloyd_refinement",
     "q114_semantic_dedup_unsupervised",
+    "q115_multi_study_pipeline",
     "q57_approx_sketches",
     "q71_sequence_packing",
     "q86_cube_order_matrix",
@@ -400,7 +401,6 @@ _CHECK_FIRST = [
     "q103_data_profile",
     "q105_fuzzy_match",
     "q106_kmv_distinct",
-    "q108_grouping_sets",
     "q109_streaming_quality_filter",
     "q110_importance_sample",
     "q111_budget_select",
@@ -431,6 +431,7 @@ _CHECK_LAST = [
     # r03-green, untouched this round; displaced by the new q113/q114 gates
     "q104_unpivot_yearly_revenue",
     "q107_rank_functions",
+    "q108_grouping_sets",
     # q15's block-pair kernel path is untouched since its r02 green (r03's
     # similarity change was lsh_signature-only, re-proven by q16/q66/q88;
     # q88's ground-truth side also executes the q15 operator in-window)
