@@ -90,6 +90,37 @@ def non_empty_array(arr: Column) -> Column:
     return F.when(F.size(compact) > 0, compact)
 
 
+def build_from_plan(plan_fn, wide: DataFrame, api_path: str) -> DataFrame:
+    """Classic per-builder output from a ``plan()`` seam: every row-wise
+    builder exposes ``plan(wide) -> (target_id, resource, keep | None)``
+    (pure unresolved Columns over the padded wide table) and derives its
+    ``build()`` through here — while ``etl.build_resources_union`` consumes
+    the same seam to fuse ALL row-wise builders into one select over ONE
+    scan of the checkpointed wide table. Both routes share the expression
+    code, so they cannot drift (equivalence pinned in tests and by q85)."""
+    tid, resource, keep = plan_fn(wide)
+    if keep is not None:
+        wide = wide.filter(keep)
+    return finalize(wide.select(tid.alias("target_id"), resource.alias("resource")), api_path)
+
+
+def fused_element(target: str, api_path: str, tid: Column, resource: Column, keep: Column | None) -> Column:
+    """One builder's contribution to the fused single-pass select: a
+    ``(target, resource_type, target_id, resource_json)`` struct, or NULL
+    for rows the builder would have filtered/skipped — the null-element
+    form lets 13 builders ride one array/explode over a single scan.
+    ``target`` (the registry name) is the union discriminator; API_PATH is
+    NOT unique across builders (four Observations, two Conditions)."""
+    payload = F.struct(
+        F.lit(target).alias("target"),
+        F.lit(api_path).alias("resource_type"),
+        tid.alias("target_id"),
+        F.to_json(resource, {"ignoreNullFields": "true"}).alias("resource_json"),
+    )
+    cond = tid.isNotNull() if keep is None else (keep & tid.isNotNull())
+    return F.when(cond, payload)
+
+
 def finalize(df: DataFrame, resource_type: str) -> DataFrame:
     """Common tail for every builder: require a resolvable ID, one row per
     resource, serialize with absent-if-null fields."""

@@ -15,7 +15,7 @@ from kf_task_fhir_etl_spark.builders.base import (
     coded_concept,
     col,
     disease_id,
-    finalize,
+    build_from_plan,
     identifiers,
     meta,
     patient_id,
@@ -47,7 +47,7 @@ def _ontology_coding(value: Column, system: str) -> Column:
     return F.when(not_missing(value), F.struct(F.lit(system).alias("system"), value.alias("code")))
 
 
-def build(wide: DataFrame) -> DataFrame:
+def plan(wide: DataFrame):
     study_id = col("STUDY|TARGET_SERVICE_ID")
     diagnosis_id = col("DIAGNOSIS|TARGET_SERVICE_ID")
     affected_status = string_or_null(col("PARTICIPANT|IS_AFFECTED_UNDER_STUDY"))
@@ -60,9 +60,6 @@ def build(wide: DataFrame) -> DataFrame:
     event_age_days = col("DIAGNOSIS|EVENT_AGE_DAYS")
 
     ver_coding = recode_coding_array(affected_status, VERIFICATION_STATUS_CODING)
-
-    # not_none(Patient ref) parity (disease.py:102-109)
-    wide = wide.filter(col("PARTICIPANT|TARGET_SERVICE_ID").isNotNull())
 
     code_codings = F.filter(
         F.array(
@@ -123,7 +120,8 @@ def build(wide: DataFrame) -> DataFrame:
         body_site.alias("bodySite"),
         relative_date_extension(event_age_days).alias("_recordedDate"),
     )
-    return finalize(
-        wide.select(disease_id().alias("target_id"), resource.alias("resource")),
-        API_PATH,
-    )
+    return disease_id(), resource, col("PARTICIPANT|TARGET_SERVICE_ID").isNotNull()
+
+
+def build(wide: DataFrame) -> DataFrame:
+    return build_from_plan(plan, wide, API_PATH)

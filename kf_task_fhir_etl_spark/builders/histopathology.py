@@ -16,7 +16,7 @@ from kf_task_fhir_etl_spark.builders.base import (
     DATASERVICE,
     col,
     disease_id,
-    finalize,
+    build_from_plan,
     histopathology_id,
     identifiers,
     meta,
@@ -36,15 +36,7 @@ API_PATH = "Observation"
 STATUS_CODE = "final"
 
 
-def build(wide: DataFrame) -> DataFrame:
-    # not_none parity for all three references (histopathology.py:91-117):
-    # a record missing any of subject/focus/specimen is skipped, never
-    # emitted with a null element
-    wide = wide.filter(
-        col("PARTICIPANT|TARGET_SERVICE_ID").isNotNull()
-        & col("DIAGNOSIS|TARGET_SERVICE_ID").isNotNull()
-        & col("BIOSPECIMEN|TARGET_SERVICE_ID").isNotNull()
-    )
+def plan(wide: DataFrame):
     study_id = col("STUDY|TARGET_SERVICE_ID")
     bd_id = col("BIOSPECIMEN_DIAGNOSIS|TARGET_SERVICE_ID")
     tumor_descriptor = string_or_null(col("BIOSPECIMEN|TUMOR_DESCRIPTOR"))
@@ -85,7 +77,15 @@ def build(wide: DataFrame) -> DataFrame:
             F.struct(tumor_descriptor.alias("text")),
         ).alias("valueCodeableConcept"),
     )
-    return finalize(
-        wide.select(histopathology_id().alias("target_id"), resource.alias("resource")),
-        API_PATH,
+    # not_none parity for all three references (histopathology.py:91-117):
+    # a record missing any of subject/focus/specimen is skipped, never
+    # emitted with a null element
+    return histopathology_id(), resource, (
+        col("PARTICIPANT|TARGET_SERVICE_ID").isNotNull()
+        & col("DIAGNOSIS|TARGET_SERVICE_ID").isNotNull()
+        & col("BIOSPECIMEN|TARGET_SERVICE_ID").isNotNull()
     )
+
+
+def build(wide: DataFrame) -> DataFrame:
+    return build_from_plan(plan, wide, API_PATH)

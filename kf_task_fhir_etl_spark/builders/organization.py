@@ -8,7 +8,7 @@ from pyspark.sql import functions as F
 from kf_task_fhir_etl_spark.builders.base import (
     DATASERVICE,
     col,
-    finalize,
+    build_from_plan,
     identifiers,
     meta,
     organization_id,
@@ -19,7 +19,7 @@ CLASS_NAME = "organization"
 API_PATH = "Organization"
 
 
-def build(wide: DataFrame) -> DataFrame:
+def plan(wide: DataFrame):
     kf_id = col("INVESTIGATOR|TARGET_SERVICE_ID")
     institution = string_or_null(col("INVESTIGATOR|INSTITUTION"))
 
@@ -31,7 +31,8 @@ def build(wide: DataFrame) -> DataFrame:
         F.lit(True).alias("active"),
         institution.alias("name"),
     )
-    return finalize(
-        wide.select(organization_id().alias("target_id"), resource.alias("resource")),
-        API_PATH,
-    )
+    return organization_id(), resource, None
+
+
+def build(wide: DataFrame) -> DataFrame:
+    return build_from_plan(plan, wide, API_PATH)

@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 from kf_task_fhir_etl_spark.builders.base import (
     DATASERVICE,
     col,
-    finalize,
+    build_from_plan,
     identifiers,
     meta,
     patient_id,
@@ -85,7 +85,7 @@ def _us_core_extension(value: Column, url: str, mapping: dict[str, tuple[str, st
     )
 
 
-def build(wide: DataFrame) -> DataFrame:
+def plan(wide: DataFrame):
     study_id = col("STUDY|TARGET_SERVICE_ID")
     participant_id = col("PARTICIPANT|TARGET_SERVICE_ID")
     external_id = string_or_null(col("PARTICIPANT|ID"))
@@ -109,7 +109,8 @@ def build(wide: DataFrame) -> DataFrame:
         F.when(F.size(extension) > 0, extension).alias("extension"),
         recode(gender, ADMINISTRATIVE_GENDER).alias("gender"),
     )
-    return finalize(
-        wide.select(patient_id().alias("target_id"), resource.alias("resource")),
-        API_PATH,
-    )
+    return patient_id(), resource, None
+
+
+def build(wide: DataFrame) -> DataFrame:
+    return build_from_plan(plan, wide, API_PATH)

@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 from kf_task_fhir_etl_spark.builders.base import (
     DATASERVICE,
     col,
-    finalize,
+    build_from_plan,
     identifiers,
     meta,
     patient_id,
@@ -38,7 +38,7 @@ VERIFICATION_STATUS_CODING = {
 }
 
 
-def build(wide: DataFrame) -> DataFrame:
+def plan(wide: DataFrame):
     study_id = col("STUDY|TARGET_SERVICE_ID")
     phen_id = col("PHENOTYPE|TARGET_SERVICE_ID")
     observed = col("PHENOTYPE|OBSERVED")
@@ -48,9 +48,6 @@ def build(wide: DataFrame) -> DataFrame:
     event_age_days = col("PHENOTYPE|EVENT_AGE_DAYS")
 
     ver_coding = recode_coding_array(observed, VERIFICATION_STATUS_CODING)
-
-    # not_none(Patient ref) parity (phenotype.py:78-85)
-    wide = wide.filter(col("PARTICIPANT|TARGET_SERVICE_ID").isNotNull())
 
     code_codings = F.filter(
         F.array(
@@ -81,7 +78,8 @@ def build(wide: DataFrame) -> DataFrame:
         ).alias("code"),
         relative_date_extension(event_age_days).alias("_recordedDate"),
     )
-    return finalize(
-        wide.select(phenotype_id().alias("target_id"), resource.alias("resource")),
-        API_PATH,
-    )
+    return phenotype_id(), resource, col("PARTICIPANT|TARGET_SERVICE_ID").isNotNull()
+
+
+def build(wide: DataFrame) -> DataFrame:
+    return build_from_plan(plan, wide, API_PATH)

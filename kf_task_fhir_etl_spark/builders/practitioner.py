@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 from kf_task_fhir_etl_spark.builders.base import (
     DATASERVICE,
     col,
-    finalize,
+    build_from_plan,
     identifiers,
     meta,
     practitioner_id,
@@ -23,7 +23,7 @@ CLASS_NAME = "practitioner"
 API_PATH = "Practitioner"
 
 
-def build(wide: DataFrame) -> DataFrame:
+def plan(wide: DataFrame):
     kf_id = col("INVESTIGATOR|TARGET_SERVICE_ID")
     external_id = string_or_null(col("INVESTIGATOR|ID"))
     name = string_or_null(col("INVESTIGATOR|NAME"))
@@ -36,7 +36,8 @@ def build(wide: DataFrame) -> DataFrame:
         F.lit(True).alias("active"),
         F.when(name.isNotNull(), F.array(F.struct(name.alias("text")))).alias("name"),
     )
-    return finalize(
-        wide.select(practitioner_id().alias("target_id"), resource.alias("resource")),
-        API_PATH,
-    )
+    return practitioner_id(), resource, None
+
+
+def build(wide: DataFrame) -> DataFrame:
+    return build_from_plan(plan, wide, API_PATH)

@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 from kf_task_fhir_etl_spark.builders.base import (
     DATASERVICE,
     col,
-    finalize,
+    build_from_plan,
     identifiers,
     meta,
     organization_id,
@@ -27,7 +27,7 @@ CLASS_NAME = "practitioner_role"
 API_PATH = "PractitionerRole"
 
 
-def build(wide: DataFrame) -> DataFrame:
+def plan(wide: DataFrame):
     kf_id = col("INVESTIGATOR|TARGET_SERVICE_ID")
     external_id = string_or_null(col("INVESTIGATOR|ID"))
 
@@ -51,7 +51,8 @@ def build(wide: DataFrame) -> DataFrame:
             )
         ).alias("code"),
     )
-    return finalize(
-        wide.select(practitioner_role_id().alias("target_id"), resource.alias("resource")),
-        API_PATH,
-    )
+    return practitioner_role_id(), resource, None
+
+
+def build(wide: DataFrame) -> DataFrame:
+    return build_from_plan(plan, wide, API_PATH)

@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from kf_task_fhir_etl_spark.builders.base import (
     col,
-    finalize,
+    build_from_plan,
     meta,
     patient_id,
     proband_status_id,
@@ -32,7 +32,7 @@ _V2_0136 = "http://terminology.hl7.org/CodeSystem/v2-0136"
 VALUE_CODING = {"True": ("Y", "Yes"), "False": ("N", "No")}
 
 
-def build(wide: DataFrame) -> DataFrame:
+def plan(wide: DataFrame):
     study_id = col("STUDY|TARGET_SERVICE_ID")
     proband = col("PARTICIPANT|IS_PROBAND")
 
@@ -70,9 +70,9 @@ def build(wide: DataFrame) -> DataFrame:
             proband.alias("text"),
         ).alias("valueCodeableConcept"),
     )
-    return finalize(
-        wide.filter(proband.isin("True", "False")).select(
-            proband_status_id().alias("target_id"), resource.alias("resource")
-        ),
-        API_PATH,
-    )
+    # F7 proband-domain gate: only literal "True"/"False" build a resource
+    return proband_status_id(), resource, proband.isin("True", "False")
+
+
+def build(wide: DataFrame) -> DataFrame:
+    return build_from_plan(plan, wide, API_PATH)

@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 from kf_task_fhir_etl_spark.builders.base import (
     DATASERVICE,
     col,
-    finalize,
+    build_from_plan,
     identifier,
     meta,
     non_empty_array,
@@ -56,7 +56,7 @@ def _category_codings(domain: Column) -> Column:
     )
 
 
-def build(wide: DataFrame) -> DataFrame:
+def plan(wide: DataFrame):
     study_id = col("STUDY|TARGET_SERVICE_ID")
     external_id = string_or_null(col("STUDY|ID"))
     version = col("STUDY|VERSION")
@@ -103,7 +103,8 @@ def build(wide: DataFrame) -> DataFrame:
             "principalInvestigator"
         ),
     )
-    return finalize(
-        wide.select(research_study_id().alias("target_id"), resource.alias("resource")),
-        API_PATH,
-    )
+    return research_study_id(), resource, None
+
+
+def build(wide: DataFrame) -> DataFrame:
+    return build_from_plan(plan, wide, API_PATH)

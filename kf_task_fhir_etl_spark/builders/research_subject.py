@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 from kf_task_fhir_etl_spark.builders.base import (
     DATASERVICE,
     col,
-    finalize,
+    build_from_plan,
     identifiers,
     meta,
     patient_id,
@@ -28,7 +28,7 @@ API_PATH = "ResearchSubject"
 STATUS_CODE = "off-study"
 
 
-def build(wide: DataFrame) -> DataFrame:
+def plan(wide: DataFrame):
     study_id = col("STUDY|TARGET_SERVICE_ID")
     participant_id = col("PARTICIPANT|TARGET_SERVICE_ID")
     external_id = string_or_null(col("PARTICIPANT|ID"))
@@ -42,7 +42,8 @@ def build(wide: DataFrame) -> DataFrame:
         reference("ResearchStudy", research_study_id()).alias("study"),
         reference("Patient", patient_id()).alias("individual"),
     )
-    return finalize(
-        wide.select(research_subject_id().alias("target_id"), resource.alias("resource")),
-        API_PATH,
-    )
+    return research_subject_id(), resource, None
+
+
+def build(wide: DataFrame) -> DataFrame:
+    return build_from_plan(plan, wide, API_PATH)

@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from kf_task_fhir_etl_spark.builders.base import (
     DATASERVICE,
     col,
-    finalize,
+    build_from_plan,
     identifiers,
     meta,
     sequencing_center_id,
@@ -37,7 +37,7 @@ SEQUENCING_CENTER_NAME: dict[str, str] = {
 }
 
 
-def build(wide: DataFrame, names: dict[str, str] | None = None) -> DataFrame:
+def plan(wide: DataFrame, names: dict[str, str] | None = None):
     sc_id = col("SEQUENCING|CENTER|TARGET_SERVICE_ID")
     name = recode(sc_id, names or SEQUENCING_CENTER_NAME)
 
@@ -48,7 +48,8 @@ def build(wide: DataFrame, names: dict[str, str] | None = None) -> DataFrame:
         identifiers(f"{DATASERVICE}/sequencing-centers/", sc_id).alias("identifier"),
         name.alias("name"),
     )
-    return finalize(
-        wide.select(sequencing_center_id().alias("target_id"), resource.alias("resource")),
-        API_PATH,
-    )
+    return sequencing_center_id(), resource, None
+
+
+def build(wide: DataFrame, names: dict[str, str] | None = None) -> DataFrame:
+    return build_from_plan(lambda w: plan(w, names), wide, API_PATH)

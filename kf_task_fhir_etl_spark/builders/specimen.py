@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from kf_task_fhir_etl_spark.builders.base import (
     DATASERVICE,
     col,
-    finalize,
+    build_from_plan,
     identifier,
     meta,
     patient_id,
@@ -141,9 +141,7 @@ _CODING_T = "struct<system:string,code:string,display:string>"
 _lookup_coding = recode_coding
 
 
-def build(wide: DataFrame) -> DataFrame:
-    # not_none(Patient ref) parity (specimen.py:487-494)
-    wide = wide.filter(col("PARTICIPANT|TARGET_SERVICE_ID").isNotNull())
+def plan(wide: DataFrame):
     study_id = col("STUDY|TARGET_SERVICE_ID")
     biospecimen_id = col("BIOSPECIMEN|TARGET_SERVICE_ID")
     consent_type = string_or_null(col("BIOSPECIMEN|CONSENT_SHORT_NAME"))
@@ -286,7 +284,9 @@ def build(wide: DataFrame) -> DataFrame:
         specimen_type.alias("type"),
         collection.alias("collection"),
     )
-    return finalize(
-        wide.select(specimen_id().alias("target_id"), resource.alias("resource")),
-        API_PATH,
-    )
+    # not_none(Patient ref) parity (specimen.py:487-494)
+    return specimen_id(), resource, col("PARTICIPANT|TARGET_SERVICE_ID").isNotNull()
+
+
+def build(wide: DataFrame) -> DataFrame:
+    return build_from_plan(plan, wide, API_PATH)

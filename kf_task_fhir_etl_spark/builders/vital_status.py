@@ -14,7 +14,7 @@ from kf_task_fhir_etl_spark.builders.base import (
     DATASERVICE,
     coded_concept,
     col,
-    finalize,
+    build_from_plan,
     identifiers,
     meta,
     patient_id,
@@ -37,17 +37,13 @@ CODE_CODING = {
 }
 
 
-def build(wide: DataFrame) -> DataFrame:
+def plan(wide: DataFrame):
     study_id = col("STUDY|TARGET_SERVICE_ID")
     outcome_id = col("OUTCOME|TARGET_SERVICE_ID")
     vital_status = string_or_null(col("OUTCOME|VITAL_STATUS"))
     event_age_days = col("OUTCOME|EVENT_AGE_DAYS")
 
     value_coding = recode_coding_array(vital_status, CODE_CODING)
-
-    # not_none(Patient ref) parity (vital_status.py:73-80): records without a
-    # resolvable subject are skipped, not emitted
-    wide = wide.filter(col("PARTICIPANT|TARGET_SERVICE_ID").isNotNull())
 
     resource = F.struct(
         F.lit(API_PATH).alias("resourceType"),
@@ -69,7 +65,10 @@ def build(wide: DataFrame) -> DataFrame:
         relative_date_extension(event_age_days).alias("_effectiveDateTime"),
         coded_concept(vital_status, value_coding).alias("valueCodeableConcept"),
     )
-    return finalize(
-        wide.select(vital_status_id().alias("target_id"), resource.alias("resource")),
-        API_PATH,
-    )
+    # not_none(Patient ref) parity (vital_status.py:73-80): records without
+    # a resolvable subject are skipped, not emitted
+    return vital_status_id(), resource, col("PARTICIPANT|TARGET_SERVICE_ID").isNotNull()
+
+
+def build(wide: DataFrame) -> DataFrame:
+    return build_from_plan(plan, wide, API_PATH)

@@ -22,6 +22,7 @@ a real FHIR server.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from kf_task_fhir_etl_spark.builders import BUILDERS
 from kf_task_fhir_etl_spark.plans.mappings import pad_concepts
@@ -84,13 +85,95 @@ def build_resources(
     return {target: built[target] for target, _, _ in jobs}
 
 
+def build_resources_union(
+    transformed: TransformResult,
+    metadata: DataFrame | None = None,
+) -> DataFrame:
+    """Fused single-pass build: ONE select over ONE scan of the
+    (checkpointed) wide table emits every row-wise builder's
+    ``(target, resource_type, target_id, resource_json)`` struct — 13
+    serialized resources per input row via an array of null-able elements
+    + explode — followed by one dedupe shuffle on (target, target_id).
+    Aggregating builders (Family, DRSDocumentReference) and the separate
+    family_relationship table keep their own plans and union in.
+
+    Why: the classic dict path (``build_resources``) makes 16 independent
+    passes over the wide table — after ``localCheckpoint`` column pruning
+    can no longer narrow them, so that is 16 full-width scans and 16
+    dedupe shuffles. Fused: 1 scan + 1 shuffle for the row-wise set (the
+    at-scale win), and both routes share the builders' ``plan()``
+    expressions, so they cannot drift (equivalence pinned in
+    tests/test_transform.py; q85 runs this path under its oracle).
+    Use the dict path when per-target DataFrames are needed (the
+    dependency-ordered load); use this when the consumer wants the union
+    (bulk export, counting gates)."""
+    from kf_task_fhir_etl_spark.builders.base import fused_element
+
+    padded: dict[str, DataFrame] = {}
+    fused_jobs: list[tuple[str, object, DataFrame]] = []
+    classic_jobs: list[tuple[str, object, DataFrame]] = []
+    for target in transformed.targets:
+        module, table_key = BUILDERS[target]
+        if table_key not in padded:
+            table = transformed.tables.get(table_key)
+            padded[table_key] = None if table is None else pad_concepts(table)
+        table = padded[table_key]
+        if table is None:
+            continue
+        if table_key == "default" and hasattr(module, "plan"):
+            fused_jobs.append((target, module, table))
+        else:
+            classic_jobs.append((target, module, table))
+
+    def _element(job: tuple[str, object, DataFrame]):
+        target, module, table = job
+        tid, resource, keep = module.plan(table)
+        return fused_element(target, module.API_PATH, tid, resource, keep)
+
+    def _classic(job: tuple[str, object, DataFrame]) -> DataFrame:
+        target, module, table = job
+        df = (
+            module.build(table, metadata=metadata)
+            if target == "DRSDocumentReference"
+            else module.build(table)
+        )
+        return df.select(
+            F.lit(target).alias("target"), "resource_type", "target_id", "resource_json"
+        )
+
+    # expression construction is py4j-round-trip-bound (same rationale and
+    # measured win as build_resources' pool); element order follows
+    # transformed.targets either way
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        elems = list(ex.map(_element, fused_jobs))
+        classic = list(ex.map(_classic, classic_jobs))
+    fused = None
+    if elems:
+        fused = (
+            padded["default"]
+            .select(F.explode(F.filter(F.array(*elems), lambda x: x.isNotNull())).alias("e"))
+            .select("e.*")
+            .dropDuplicates(["target", "target_id"])
+        )
+    for df in classic:
+        fused = df if fused is None else fused.unionByName(df)
+    return fused
+
+
 def run_pipeline(
     endpoint_tables: dict[str, DataFrame],
     metadata: DataFrame | None = None,
     cache_wide: bool = False,
     checkpoint_wide: bool = True,
-) -> dict[str, DataFrame]:
+    single_pass: bool = False,
+):
     """extract(already-loaded tables) → transform → build.
+
+    ``single_pass=True`` returns ONE unioned DataFrame via
+    ``build_resources_union`` (fused scan) instead of the per-target dict
+    — the mode for union consumers (bulk export, q85).
 
     ``checkpoint_wide`` (default ON): eagerly ``localCheckpoint`` the
     transform outputs before the 16 builders consume them — the Spark
@@ -118,4 +201,6 @@ def run_pipeline(
     elif checkpoint_wide:
         for key, df in transformed.tables.items():
             transformed.tables[key] = df.localCheckpoint(eager=True)
+    if single_pass:
+        return build_resources_union(transformed, metadata=metadata)
     return build_resources(transformed, metadata=metadata)

@@ -1117,14 +1117,15 @@ def q85_fhir_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("GF_"), (c % 500)).alias("genomic_file_id"),
         F.lit("True").alias("visible"),
     )
-    out = run_pipeline(tables)
-    union = None
-    for target, df in out.items():
-        part = df.agg(
-            F.count(F.lit(1)).alias("n"), F.countDistinct("target_id").alias("n_ids")
-        ).select(F.lit(target).alias("resource_type"), "n", "n_ids")
-        union = part if union is None else union.unionByName(part)
-    return union.orderBy("resource_type")
+    out = run_pipeline(tables, single_pass=True)
+    # the fused one-scan build (etl.build_resources_union); per-builder
+    # bytes stay gated by q74-q84, fused ≡ classic pinned in
+    # tests/test_builders.py::test_single_pass_union_equals_classic_dict
+    return (
+        out.groupBy(F.col("target").alias("resource_type"))
+        .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("target_id").alias("n_ids"))
+        .orderBy("resource_type")
+    )
 
 
 _RS_SNOMED = "http://snomed.info/sct"

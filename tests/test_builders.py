@@ -229,3 +229,28 @@ def test_run_pipeline_two_studies_concurrently_equals_sequential(spark):
     assert conc[1] == seq[1]
     # the re-keyed study genuinely differs (the test isn't vacuous)
     assert seq[0] != seq[1]
+
+
+def test_single_pass_union_equals_classic_dict(spark):
+    """The fused one-scan build (etl.build_resources_union) must emit
+    EXACTLY the rows of the classic 16-plan dict path — same targets, same
+    target_ids, byte-identical resource_json — since both consume the same
+    builder plan() expressions. This is the guard that lets q85 gate the
+    fused path while q74-q84 keep gating the per-builder bytes."""
+    from kf_task_fhir_etl_spark.etl import run_pipeline
+    from tests.fixtures import endpoint_tables
+
+    tables = endpoint_tables(spark)
+    classic = run_pipeline(tables)
+    flat_classic = sorted(
+        (target, r["resource_type"], r["target_id"], r["resource_json"])
+        for target, df in classic.items()
+        for r in df.collect()
+    )
+    union = run_pipeline(tables, single_pass=True)
+    flat_union = sorted(
+        (r["target"], r["resource_type"], r["target_id"], r["resource_json"])
+        for r in union.collect()
+    )
+    assert flat_union == flat_classic
+    assert len(flat_union) > 0
