@@ -355,58 +355,34 @@ def q08_resource_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Every entry keeps BOTH a queries() and an oracle_sql() registration either
 # way; nothing is retired.
 #
-# r03 composition (exactly 50):
-# - q57/q71 (red in r02, fixed this round) + q86/q87 (never driver-checked)
-#   + the 18 gates NEW this round (q88-q105) — the rotation-debt closers;
-# - everything downstream of this round's normalize/etl/builder changes
-#   (selectExpr stringify twin, per-table concept padding, checkpoint_wide):
-#   the whole FHIR surface q03/q23/q74-q85 plus the narrow builder gates
-#   q24-q27/q30-q33 and the generic cascade q02 — all must re-prove on the
-#   changed code (q34/q35 displaced to _CHECK_LAST: their builders are
-#   covered in-window by q74/q79's byte-identical whole-resource gates);
-# - similarity.py was touched (multi-table lsh_signature offset):
-#   q14/q15/q16/q36/q66 re-prove; filters.py was rewritten (zip_with
-#   n-grams, run-length top-word) — covered in-window by q89/q90/q98/q100,
-#   whose oracles recompute the original formulas.
-# r01-green entries that sat out r02 (q05/q08/q10/q13/q20/q29/q40-q48)
-# were re-prove candidates early in the round but were displaced by the
-# new gates; each already holds a green row from r01 on unchanged code.
-# After this round every one of the 105 entries has a green row in r01-r03
-# except those displaced r01-greens — zero rows red, zero never-checked
-# among changed/new code.
+# r04 composition (exactly 50) — the zero-staleness round (VERDICT r03
+# item #1: no entry's latest green row may predate its current code):
+# - NEW gates this round: q57 (first value-hash oracle — within-bound
+#   booleans), q113 (IVF Lloyd refinement), q114 (unsupervised SemDeDup),
+#   q115 (multi-study pipeline);
+# - the ENTIRE builder surface changed (plan()-seam refactor + fused
+#   single-pass union): q74-q85 whole-resource byte gates, q65, and the
+#   narrow gates q24/q26/q30/q31-q35 all re-prove. q25/q27 are the two
+#   displaced-by-sibling entries: their builders' full byte-identical JSON
+#   is gated in-window by q77 (disease) and q83 (specimen) which share the
+#   identical plan() expressions, and their own orchestration
+#   (build_resources_narrow) is unchanged and exercised by q74-q84;
+# - similarity/semantic kernels changed (zero-norm guard, seed id
+#   tiebreak, round_digits threading): q15/q36/q66/q88/q93 re-prove
+#   (q14/q16 untouched paths — cosine_topk/lsh_signature — stay r02/r03
+#   green; q113/q114 exercise the changed trainer in-window);
+# - gate-code changes: q95 (content-fingerprint cache key), q103
+#   (profile exact param), q105 (explicit block_fn), q70 (rollup sink
+#   pre-commit marker probe);
+# - the 16 r01-vintage entries flagged by the verdict rotate back in on
+#   unchanged code: q02/q05/q08/q10/q13/q20/q29/q40-q48.
+# After this round every entry's latest green row is from r03 or r04.
 # ---------------------------------------------------------------------------
 _CHECK_FIRST = [
+    "q57_approx_sketches",
     "q113_ivf_lloyd_refinement",
     "q114_semantic_dedup_unsupervised",
     "q115_multi_study_pipeline",
-    "q57_approx_sketches",
-    "q71_sequence_packing",
-    "q86_cube_order_matrix",
-    "q87_range_frame_running",
-    "q88_embedding_lsh_recall",
-    "q89_quality_filter_funnel",
-    "q90_contamination_screen",
-    "q91_tfidf_keywords",
-    "q92_pii_redaction",
-    "q93_semantic_dedup",
-    "q94_mixture_resample",
-    "q95_bucketed_colocated_join",
-    "q96_streaming_dedup",
-    "q97_shuffle_shards",
-    "q98_span_dedup",
-    "q99_percentile_quality_filter",
-    "q100_corpus_build_pipeline",
-    "q101_scd2_history",
-    "q102_pagerank",
-    "q103_data_profile",
-    "q105_fuzzy_match",
-    "q106_kmv_distinct",
-    "q109_streaming_quality_filter",
-    "q110_importance_sample",
-    "q111_budget_select",
-    "q112_stream_static_join",
-    "q03_normalize_dedup",
-    "q23_fhir_transform_cascade",
     "q74_fhir_proband_status_json",
     "q75_fhir_family_json",
     "q76_fhir_research_study_json",
@@ -419,39 +395,25 @@ _CHECK_FIRST = [
     "q83_fhir_specimen_json",
     "q84_fhir_drs_json",
     "q85_fhir_full_pipeline",
+    "q65_fhir_specimen_bodysite_dispatch",
     "q24_fhir_patient_resources",
-    "q25_fhir_disease_narrow",
     "q26_fhir_family_groups",
-    "q27_fhir_specimen_narrow",
     "q30_fhir_vital_status_json",
-    "q16_ann_lsh_topk",
-    "q66_embedding_neardup_lsh",
-]
-_CHECK_LAST = [
-    # r03-green, untouched this round; displaced by the new q113/q114 gates
-    "q104_unpivot_yearly_revenue",
-    "q107_rank_functions",
-    "q108_grouping_sets",
-    # q15's block-pair kernel path is untouched since its r02 green (r03's
-    # similarity change was lsh_signature-only, re-proven by q16/q66/q88;
-    # q88's ground-truth side also executes the q15 operator in-window)
-    "q15_embedding_neardup",
-    # similarity.py's r03 change was confined to lsh_signature (multi-table
-    # plane offset) — q16/q66/q88 re-prove it in-window; q14 (cosine_topk)
-    # and q36 (IVF) paths are untouched since their r02 greens
-    "q14_ann_cosine_topk",
-    "q36_ann_ivf_topk",
-    # r01-green; displaced from the re-prove slots by the new q89-q112 gates
-    # (q31-q35's builders are redundantly covered in-window by the
-    # byte-identical whole-resource gates q84/q78/q76/q74/q79; q02's only
-    # changed dependency this round is catalog.load_table's UTC assert,
-    # which every in-window query exercises)
-    "q02_outer_join_cascade",
     "q31_fhir_drs_document_reference",
     "q32_fhir_family_relationship",
     "q33_fhir_research_study",
     "q34_fhir_proband_status",
     "q35_fhir_histopathology",
+    "q15_embedding_neardup",
+    "q36_ann_ivf_topk",
+    "q66_embedding_neardup_lsh",
+    "q88_embedding_lsh_recall",
+    "q93_semantic_dedup",
+    "q95_bucketed_colocated_join",
+    "q103_data_profile",
+    "q105_fuzzy_match",
+    "q70_incremental_rollup",
+    "q02_outer_join_cascade",
     "q05_sentinel_filter",
     "q08_resource_json",
     "q10_dedup_exact",
@@ -467,8 +429,49 @@ _CHECK_LAST = [
     "q46_not_exists_anti_join",
     "q47_grouped_percentiles",
     "q48_multi_distinct_agg",
-    # r02-green, code paths untouched this round: TPC-H-ish aggregates and
-    # window/rollup shapes
+]
+_CHECK_LAST = [
+    # displaced-by-sibling this round: full byte-identical resources gated
+    # in-window by q77/q83 (same plan() expressions); narrow orchestration
+    # unchanged and exercised by q74-q84
+    "q25_fhir_disease_narrow",
+    "q27_fhir_specimen_narrow",
+    # untouched similarity paths (cosine_topk / lsh_signature), r02-green;
+    # the r04 kernel changes are re-proven in-window by q15/q66/q88/q113
+    "q14_ann_cosine_topk",
+    "q16_ann_lsh_topk",
+    # r03-green, code untouched this round (q86-q112 minus the in-window
+    # re-provers above)
+    "q71_sequence_packing",
+    "q86_cube_order_matrix",
+    "q87_range_frame_running",
+    "q89_quality_filter_funnel",
+    "q90_contamination_screen",
+    "q91_tfidf_keywords",
+    "q92_pii_redaction",
+    "q94_mixture_resample",
+    "q96_streaming_dedup",
+    "q97_shuffle_shards",
+    "q98_span_dedup",
+    "q99_percentile_quality_filter",
+    "q100_corpus_build_pipeline",
+    "q101_scd2_history",
+    "q102_pagerank",
+    "q104_unpivot_yearly_revenue",
+    "q106_kmv_distinct",
+    "q107_rank_functions",
+    "q108_grouping_sets",
+    "q109_streaming_quality_filter",
+    "q110_importance_sample",
+    "q111_budget_select",
+    "q112_stream_static_join",
+    # r03-green FHIR entries whose code paths are untouched this round
+    # (normalize / transform cascade / drs metadata module)
+    "q03_normalize_dedup",
+    "q23_fhir_transform_cascade",
+    "q64_fhir_drs_metadata_hashes",
+    # r01/r02-green, untouched: TPC-H-ish aggregates, window/rollup shapes,
+    # dedup/sampling/text operators, streaming sources
     "q01_pricing_summary",
     "q04_recode_split",
     "q06_group_collect",
@@ -486,12 +489,8 @@ _CHECK_LAST = [
     "q55_decorrelated_avg_qty",
     "q56_regional_revenue_chain",
     "q58_embedding_centroids",
-    # r02-green streaming gates (streaming sources untouched; the rollup
-    # SINK's new replay guard is pytest-gated, not query-visible)
     "q37_stateful_user_totals_stream",
     "q59_stream_stream_join",
-    "q70_incremental_rollup",
-    # r02-green dedup/sampling/text operators, untouched
     "q11_minhash_lsh_candidates",
     "q12_minhash_verified_pairs",
     "q17_language_id",
@@ -503,8 +502,6 @@ _CHECK_LAST = [
     "q61_source_quota_sample",
     "q62_doc_chunking",
     "q63_dup_clusters",
-    "q64_fhir_drs_metadata_hashes",
-    "q65_fhir_specimen_bodysite_dispatch",
     "q67_bpe_token_budget",
     "q68_rolling_fingerprints",
     "q69_stratified_sample",
