@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -60,7 +61,7 @@ def main() -> None:
     # Re-running is safe for every gate: streaming memory sinks re-register
     # under the same queryName, the rollup store's replay guard skips
     # committed batches, and the bucketed tables skip-on-exists.
-    runs_per_query = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    runs_per_query = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     all_runs: dict[str, list[float]] = {}
     total_start = time.perf_counter()
     for name in sorted(registry):
@@ -70,7 +71,7 @@ def main() -> None:
             registry[name](spark, sf_dir).count()
             rs.append(round(time.perf_counter() - start, 3))
         all_runs[name] = rs
-        timings[name] = sorted(rs)[len(rs) // 2]
+        timings[name] = round(statistics.median(rs), 3)
     wall = round(time.perf_counter() - total_start, 3)
     total = round(sum(timings.values()), 3)
 

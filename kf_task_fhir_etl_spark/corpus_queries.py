@@ -1185,8 +1185,12 @@ def _kmeans_ctes(nlist: int, iters: int) -> tuple[str, str]:
     12dp before the argmax, ties to the lowest list id), ``n{r}`` recomputes
     per-list means (rounded 12dp), ``c{r}`` renormalizes (components rounded
     12dp; empty lists keep the previous centroid) — the identical per-round
-    rounding discipline ``ivf_train_centroids(round_digits=12)`` applies, so
-    every assignment decision and every component is reproduced exactly.
+    rounding discipline ``ivf_train_centroids(round_digits=12)`` applies —
+    including the zero-norm conventions (``_safe_norms``: a zero vector
+    keeps norm 1, so its components/similarities stay 0 instead of
+    NULL-propagating; a zero-norm per-list mean keeps the previous
+    centroid) — so every assignment decision and every component is
+    reproduced exactly.
     Returns (cte_sql, name_of_final_centroid_cte); used by the q113 and
     q114 oracles."""
     sql = f"""
@@ -1196,7 +1200,7 @@ def _kmeans_ctes(nlist: int, iters: int) -> tuple[str, str]:
     ),
     c0 AS (
       SELECT list_id,
-             list_transform(v, x -> round(x / sqrt(list_inner_product(v, v)), 12)) AS c
+             list_transform(v, x -> round(x / (CASE WHEN list_inner_product(v, v) = 0 THEN 1 ELSE sqrt(list_inner_product(v, v)) END), 12)) AS c
       FROM (
         SELECT CAST(row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR)), id) - 1 AS INT)
                  AS list_id, v
@@ -1212,7 +1216,7 @@ def _kmeans_ctes(nlist: int, iters: int) -> tuple[str, str]:
                row_number() OVER (
                  PARTITION BY e.id
                  ORDER BY round(list_inner_product(e.v, c.c)
-                                / sqrt(list_inner_product(e.v, e.v)), 12) DESC,
+                                / (CASE WHEN list_inner_product(e.v, e.v) = 0 THEN 1 ELSE sqrt(list_inner_product(e.v, e.v)) END), 12) DESC,
                           c.list_id ASC) AS rn
         FROM emb e CROSS JOIN {prev} c)
       WHERE rn = 1
@@ -1226,7 +1230,9 @@ def _kmeans_ctes(nlist: int, iters: int) -> tuple[str, str]:
     ),
     c{r} AS (
       SELECT p.list_id,
-             CASE WHEN n.mv IS NULL THEN p.c
+             -- NULL mv = empty list; zero-norm mv = degenerate mean: both
+             -- keep the previous centroid (`if n > 0` in _refine_centroids)
+             CASE WHEN n.mv IS NULL OR list_inner_product(n.mv, n.mv) = 0 THEN p.c
                   ELSE list_transform(n.mv,
                          x -> round(x / sqrt(list_inner_product(n.mv, n.mv)), 12))
              END AS c
@@ -1247,7 +1253,7 @@ def _ivf_lloyd_oracle(nlist: int, iters: int) -> str:
                row_number() OVER (
                  PARTITION BY e.id
                  ORDER BY round(list_inner_product(e.v, c.c)
-                                / sqrt(list_inner_product(e.v, e.v)), 12) DESC,
+                                / (CASE WHEN list_inner_product(e.v, e.v) = 0 THEN 1 ELSE sqrt(list_inner_product(e.v, e.v)) END), 12) DESC,
                           c.list_id ASC) AS rn
         FROM emb e CROSS JOIN {prev} c)
       WHERE rn = 1

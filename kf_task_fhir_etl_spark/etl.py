@@ -103,7 +103,8 @@ def build_resources_union(
     dedupe shuffles. Fused: 1 scan + 1 shuffle for the row-wise set (the
     at-scale win), and both routes share the builders' ``plan()``
     expressions, so they cannot drift (equivalence pinned in
-    tests/test_transform.py; q85 runs this path under its oracle).
+    tests/test_builders.py::test_single_pass_union_equals_classic_dict;
+    q85 runs this path under its oracle).
     Use the dict path when per-target DataFrames are needed (the
     dependency-ordered load); use this when the consumer wants the union
     (bulk export, counting gates)."""
@@ -159,6 +160,14 @@ def build_resources_union(
         )
     for df in classic:
         fused = df if fused is None else fused.unionByName(df)
+    if fused is None:
+        # degenerate input (no applicable tables): mirror the classic dict
+        # path's empty-{} behavior with an empty, correctly-typed union
+        from pyspark.sql import SparkSession
+
+        return SparkSession.getActiveSession().createDataFrame(
+            [], "target string, resource_type string, target_id string, resource_json string"
+        )
     return fused
 
 

@@ -65,17 +65,17 @@ def kmeans_prototypes(
     prototype contract ``semantic_dedup_dropped(prototypes=...)`` expects.
     Real SemDeDup clusters unsupervised; ``label_prototypes`` is the
     shortcut when a label column already exists. The label is the int
-    list_id, satisfying the integral-label contract by construction."""
-    from kf_task_fhir_etl_spark.operators.similarity import ivf_train_centroids
+    list_id, satisfying the integral-label contract by construction.
+    Built from the trainer's driver-resident centroid matrix directly —
+    no extra corpus scan, no long-form reassembly (the K×dim matrix is
+    broadcast-sized state by design)."""
+    from kf_task_fhir_etl_spark.operators.similarity import ivf_train_matrix
 
-    t = ivf_train_centroids(
+    cent_n = ivf_train_matrix(
         emb, nlist=k, iters=iters, round_digits=round_digits, id_col=id_col, vec_col=vec_col
     )
-    return t.groupBy(F.col("list_id").alias("label")).agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("dim", "component"))), lambda s: s["component"]
-        ).alias("centroid")
-    )
+    rows = [(lid, [float(x) for x in cent_n[lid]]) for lid in range(cent_n.shape[0])]
+    return emb.sparkSession.createDataFrame(rows, "label int, centroid array<double>")
 
 
 def assign_clusters(

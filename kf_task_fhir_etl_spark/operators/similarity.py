@@ -428,6 +428,29 @@ def ivf_assign(spark, vec: Column, cent_n, round_digits: int | None = None) -> C
     return assign(vec)
 
 
+def ivf_train_matrix(
+    corpus: DataFrame,
+    nlist: int = 4,
+    iters: int = 2,
+    round_digits: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Train the IVF coarse quantizer (deterministic md5 seeds + ``iters``
+    Lloyd rounds) and return the unit-normalized nlist × dim centroid
+    matrix (numpy, driver-resident — it is broadcast state by design).
+    Per-round cost: one map-side Arrow assignment pass + one
+    O(nlist × dim) mean shuffle. With ``round_digits`` set, every round's
+    means, similarities, and components are rounded (see
+    ``_refine_centroids``) for cross-engine determinism."""
+    cent_n = _seed_centroids(corpus, nlist, id_col, vec_col, round_digits)
+    if iters > 0:
+        cent_n = _refine_centroids(
+            corpus.select(as_double(F.col(vec_col)).alias("v")), cent_n, iters, "v", round_digits
+        )
+    return cent_n
+
+
 def ivf_train_centroids(
     corpus: DataFrame,
     nlist: int = 4,
@@ -436,22 +459,14 @@ def ivf_train_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Train the IVF coarse quantizer (deterministic md5 seeds + ``iters``
-    Lloyd rounds) and return its state as a DataFrame:
-    ``(list_id, dim, component, n_members)`` — the unit-normalized centroid
-    in long form plus the final assignment count per inverted list. This is
-    the inspectable/gateable face of the trainer ``ivf_build_index`` and
-    ``ann_ivf_topk`` share; with ``round_digits`` set, every round's means,
-    similarities, and components are rounded (see ``_refine_centroids``) so
-    the q113 oracle can unroll the identical rounds in SQL. Per-round cost:
-    one map-side Arrow assignment pass + one O(nlist × dim) mean shuffle;
-    driver state is only the nlist × dim matrix."""
+    """``ivf_train_matrix`` reshaped into the inspectable/gateable form:
+    ``(list_id, dim, component, n_members)`` — the centroid in long form
+    plus the final assignment count per inverted list (ONE extra corpus
+    scan for the counts; callers that only need the centroids should use
+    ``ivf_train_matrix`` or ``semantic.kmeans_prototypes``, which skip
+    it). The q113 oracle unrolls the identical rounds in SQL."""
     spark = corpus.sparkSession
-    cent_n = _seed_centroids(corpus, nlist, id_col, vec_col, round_digits)
-    if iters > 0:
-        cent_n = _refine_centroids(
-            corpus.select(as_double(F.col(vec_col)).alias("v")), cent_n, iters, "v", round_digits
-        )
+    cent_n = ivf_train_matrix(corpus, nlist, iters, round_digits, id_col, vec_col)
     counts = (
         corpus.select(
             ivf_assign(spark, as_double(F.col(vec_col)), cent_n, round_digits).alias("list_id")

@@ -129,33 +129,45 @@ def merge_batch_into_store(
     callers can both merge against the same base and both claim commit id
     ``last + 1`` — a classic lost update). Structured Streaming's
     ``foreachBatch`` serializes batches per query, which is the intended
-    deployment; for any other caller the pre-commit marker probe below
-    turns a detected race into an error instead of a silent lost update
-    (best-effort — marker creation itself is the only atomic step)."""
+    deployment; for any other caller two probes turn a detected race into
+    an error: a pre-write probe (BEFORE the version parquet is touched, so
+    a stale-base merge never overwrites data another writer already
+    committed under this id) and an atomic ``createNewFile`` commit claim
+    (exactly one writer can create the marker). The residual window — two
+    writers that both pass the pre-write probe interleaving their parquet
+    writes to the same version path before either claims — is why the
+    contract stays single-writer; the probes only bound the blast radius."""
     committed = _committed_ids(spark, store_path)  # ONE listing per batch
     last = committed[-1] if committed else -1
     if batch_id is not None and batch_id <= last:
         return False
     commit_id = batch_id if batch_id is not None else last + 1
+    fs, marker = _fs(spark, _commits_dir(store_path) + f"/{commit_id}")
+    if fs.exists(marker):
+        raise RuntimeError(
+            f"rollup store {store_path!r}: commit marker {commit_id} already "
+            f"exists — concurrent writer detected before any data was "
+            f"written; this sink requires a single writer per store (see "
+            f"merge_batch_into_store docstring)"
+        )
     increment = rollup.time_bucket_rollup(batch_df, grain)
     current = None if last < 0 else _read_version(spark, store_path, last)
     merged = increment if current is None else rollup.merge_rollups(current, increment)
     out = merged.collect()  # rollup-sized; decouples the read from the write
     new_version = _version_path(store_path, commit_id)
     spark.createDataFrame(out, merged.schema).write.mode("overwrite").parquet(new_version)
-    # COMMIT POINT: atomic empty-directory creation. A marker that already
-    # exists for OUR commit id means another writer committed it after we
-    # resolved `last` — our merge is based on a stale base, so raising here
-    # (instead of mkdirs silently succeeding on the existing directory)
-    # converts the lost update into a hard error.
-    fs, marker = _fs(spark, _commits_dir(store_path) + f"/{commit_id}")
-    if fs.exists(marker):
+    # COMMIT POINT: atomic create-if-absent of the marker FILE — exactly
+    # one writer wins; a loser that raced past the pre-write probe raises
+    # here instead of silently double-committing. (_committed_ids and
+    # read_store only look at marker NAMES, so file markers coexist with
+    # the directory markers older stores may hold.)
+    fs.mkdirs(_fs(spark, _commits_dir(store_path))[1])
+    if not fs.createNewFile(marker):
         raise RuntimeError(
-            f"rollup store {store_path!r}: commit marker {commit_id} already "
-            f"exists — concurrent writer detected; this sink requires a "
-            f"single writer per store (see merge_batch_into_store docstring)"
+            f"rollup store {store_path!r}: lost the commit race for marker "
+            f"{commit_id} — concurrent writer detected; version data for "
+            f"this id may be interleaved (single-writer contract violated)"
         )
-    fs.mkdirs(marker)
     # best-effort cleanup, RETAINING the immediately-previous version as a
     # lag buffer: a concurrent reader that resolved `last` just before this
     # commit can still finish its action (markers below `last` go too)
