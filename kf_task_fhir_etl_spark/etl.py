@@ -162,10 +162,17 @@ def build_resources_union(
         fused = df if fused is None else fused.unionByName(df)
     if fused is None:
         # degenerate input (no applicable tables): mirror the classic dict
-        # path's empty-{} behavior with an empty, correctly-typed union
+        # path's empty-{} behavior with an empty, correctly-typed union.
+        # Prefer a session we can reach from an input DataFrame; fall back
+        # to getOrCreate (getActiveSession() is thread-local and None on
+        # worker threads — the q115 concurrent-study pattern).
         from pyspark.sql import SparkSession
 
-        return SparkSession.getActiveSession().createDataFrame(
+        spark = next(
+            (df.sparkSession for df in transformed.tables.values() if df is not None),
+            None,
+        ) or SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
+        return spark.createDataFrame(
             [], "target string, resource_type string, target_id string, resource_json string"
         )
     return fused

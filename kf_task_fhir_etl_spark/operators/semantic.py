@@ -60,7 +60,7 @@ def kmeans_prototypes(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """(label, centroid) prototypes for UNLABELED corpora — the
-    deterministic k-means trainer (``similarity.ivf_train_centroids``: md5
+    deterministic k-means trainer (``similarity.ivf_train_matrix``: md5
     seeds + Lloyd rounds, per-round 12dp rounding) reshaped into the
     prototype contract ``semantic_dedup_dropped(prototypes=...)`` expects.
     Real SemDeDup clusters unsupervised; ``label_prototypes`` is the

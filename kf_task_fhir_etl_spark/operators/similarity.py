@@ -43,7 +43,16 @@ _COSINE_UDF = None
 def cosine_udf(a: Column, b: Column) -> Column:
     """Vectorized Arrow-batched cosine: each batch becomes two (n, dim)
     float64 matrices and one einsum — ~100× the interpreted expression.
-    (Defined lazily: pandas_udf registration needs an active session.)"""
+    (Defined lazily: pandas_udf registration needs an active session.)
+
+    Zero-norm inputs yield NaN — deliberately NOT mapped to 0 here: the
+    q93/q114 assignment sorts this value DESC against DuckDB's
+    list_cosine_similarity, which returns −1.0 for a zero vector; NaN
+    sorts first under DESC in both engines (Spark NULLS/NaN-greatest,
+    pandas-free DuckDB NaN-as-greatest), so the accidental agreement is
+    on NaN, and a 0 convention would break it. The pair/matmul kernels
+    use ``_safe_norms`` instead because there the threshold mask (not an
+    ordering) consumes the value."""
     global _COSINE_UDF
     if _COSINE_UDF is None:
 

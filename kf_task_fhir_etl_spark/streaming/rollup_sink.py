@@ -16,10 +16,11 @@ container), via a never-overwrite layout:
 
 - each commit writes a FRESH store version ``{store}.v{batchId}`` — the
   live version is never touched;
-- the commit point is an atomic ``mkdirs`` of an empty marker directory
+- the commit point is a create-if-absent of a marker FILE
   ``{store}.commits/{batchId}`` AFTER the version is fully written
-  (directory creation is atomic on local/HDFS; an S3A mkdir is one marker
-  PUT);
+  (``FileSystem.createNewFile`` — atomic on HDFS, check-then-create on
+  the local FS and S3A; older stores' directory markers are still
+  honored, since readers only look at marker NAMES);
 - readers resolve the store by listing the marker dir and reading
   ``.v{max}``; a crash mid-version-write leaves garbage with no marker, so
   the previous version stays live and the replayed batch rebuilds — no
@@ -132,11 +133,13 @@ def merge_batch_into_store(
     deployment; for any other caller two probes turn a detected race into
     an error: a pre-write probe (BEFORE the version parquet is touched, so
     a stale-base merge never overwrites data another writer already
-    committed under this id) and an atomic ``createNewFile`` commit claim
-    (exactly one writer can create the marker). The residual window — two
-    writers that both pass the pre-write probe interleaving their parquet
-    writes to the same version path before either claims — is why the
-    contract stays single-writer; the probes only bound the blast radius."""
+    committed under this id) and a ``createNewFile`` commit claim. The
+    claim is atomic only where the FileSystem implements it so (HDFS);
+    the default implementation — local FS, S3A — is check-then-create, so
+    a narrow double-commit window remains there, as does the window where
+    two writers interleave parquet writes to the same version path. The
+    single-writer CONTRACT is the guarantee; the probes only shrink the
+    detection window and bound the blast radius."""
     committed = _committed_ids(spark, store_path)  # ONE listing per batch
     last = committed[-1] if committed else -1
     if batch_id is not None and batch_id <= last:
@@ -156,13 +159,23 @@ def merge_batch_into_store(
     out = merged.collect()  # rollup-sized; decouples the read from the write
     new_version = _version_path(store_path, commit_id)
     spark.createDataFrame(out, merged.schema).write.mode("overwrite").parquet(new_version)
-    # COMMIT POINT: atomic create-if-absent of the marker FILE — exactly
-    # one writer wins; a loser that raced past the pre-write probe raises
-    # here instead of silently double-committing. (_committed_ids and
-    # read_store only look at marker NAMES, so file markers coexist with
-    # the directory markers older stores may hold.)
+    # COMMIT POINT: create-if-absent of the marker FILE (atomic on HDFS,
+    # best-effort elsewhere — see docstring). A loser that raced past the
+    # pre-write probe raises here instead of silently double-committing;
+    # HDFS signals the loss as FileAlreadyExistsException from create(),
+    # normalized to the same error. (_committed_ids and read_store only
+    # look at marker NAMES, so file markers coexist with the directory
+    # markers older stores may hold.)
     fs.mkdirs(_fs(spark, _commits_dir(store_path))[1])
-    if not fs.createNewFile(marker):
+    try:
+        claimed = fs.createNewFile(marker)
+    except Exception as exc:  # py4j-wrapped FileAlreadyExistsException et al.
+        raise RuntimeError(
+            f"rollup store {store_path!r}: lost the commit race for marker "
+            f"{commit_id} — concurrent writer detected; version data for "
+            f"this id may be interleaved (single-writer contract violated)"
+        ) from exc
+    if not claimed:
         raise RuntimeError(
             f"rollup store {store_path!r}: lost the commit race for marker "
             f"{commit_id} — concurrent writer detected; version data for "
