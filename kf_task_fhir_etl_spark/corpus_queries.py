@@ -1345,3 +1345,142 @@ def q114_semantic_dedup_unsupervised(spark: SparkSession, sf_dir: str) -> DataFr
     protos = semantic.kmeans_prototypes(emb, k=4, iters=1, round_digits=12)
     dropped = semantic.semantic_dedup_dropped(emb, threshold=0.4, prototypes=protos)
     return dropped.select("cluster", "vec_id", "max_cos").orderBy("cluster", "vec_id")
+
+
+# ---------------------------------------------------------------------------
+# q116 — deterministic weighted sampling (Efraimidis-Spirakis)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q116_weighted_sample",
+    oracle=r"""
+    WITH clocks AS (
+      SELECT lang, doc_id,
+             ROUND(-ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT)
+                       / 281474976710656.0)
+                   / (len(text) + 1), 10) AS sample_clock
+      FROM documents
+    ), ranked AS (
+      SELECT lang, doc_id, sample_clock,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY sample_clock, doc_id) AS rn
+      FROM clocks)
+    SELECT lang, doc_id, sample_clock FROM ranked WHERE rn <= 20
+    ORDER BY lang, doc_id
+    """,
+)
+def q116_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted-sampling gate (operators/sampling.py::weighted_sample): per
+    language, 20 documents drawn WITHOUT replacement with inclusion odds
+    proportional to a weight (here text length + 1) via the
+    Efraimidis-Spirakis exponential clock on a 48-bit md5 uniform — the
+    deterministic distributed reservoir a corpus-audit/eval-subset step
+    needs. Every clock VALUE (rounded 10dp) plus the chosen set is
+    hash-checked, so the uniform derivation, the -ln(u)/w transform, and
+    the per-group rank must all match the oracle exactly."""
+    from kf_task_fhir_etl_spark.operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    picked = sampling.weighted_sample(
+        docs, "lang", "doc_id", F.length("text") + F.lit(1), k=20
+    )
+    return picked.select("lang", "doc_id", "sample_clock").orderBy("lang", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q117 — bigram language-model fluency scoring (CCNet-style)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q117_bigram_lm_score",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(coalesce(text, ''))), '\s+'),
+                         x -> len(x) > 0) AS t
+      FROM documents
+    ), pairs AS (
+      SELECT doc_id,
+             UNNEST(list_slice(t, 1, len(t) - 1)) AS w1,
+             UNNEST(list_slice(t, 2, len(t))) AS w2
+      FROM toks WHERE len(t) >= 2
+    ), bg AS (
+      SELECT w1, w2, COUNT(*) AS c12 FROM pairs GROUP BY w1, w2
+    ), ctx AS (
+      SELECT w1, SUM(c12) AS c1 FROM bg GROUP BY w1
+    ), voc AS (
+      SELECT COUNT(DISTINCT w) AS v FROM (SELECT UNNEST(t) AS w FROM toks)
+    ), agg AS (
+      SELECT doc_id, COUNT(*) AS n_bigrams,
+             ROUND(AVG(-ln((c12 + 0.5) / (c1 + 0.5 * v))), 6) AS nll
+      FROM pairs JOIN bg USING (w1, w2) JOIN ctx USING (w1) CROSS JOIN voc
+      GROUP BY doc_id)
+    SELECT d.doc_id, COALESCE(n_bigrams, 0) AS n_bigrams, agg.nll
+    FROM documents d LEFT JOIN agg USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+)
+def q117_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM fluency gate (operators/text.py::bigram_logprob_scores):
+    fit an add-0.5-smoothed bigram model on the corpus itself, score every
+    document by its average bigram negative log-probability — the
+    CCNet-style perplexity filter signal. The oracle refits the identical
+    model relationally and every per-doc nll (6dp) is value-hashed; rows
+    anchor on the input set (sub-2-token docs keep n_bigrams=0, nll NULL —
+    no silent drops)."""
+    from kf_task_fhir_etl_spark.operators import text as text_ops
+
+    docs = load_table(spark, sf_dir, "documents")
+    return text_ops.bigram_logprob_scores(docs).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q118 — sparse TF-IDF cosine pairs (lexical near-dup, no embeddings)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q118_tfidf_doc_pairs",
+    oracle=r"""
+    WITH tf AS (
+      SELECT doc_id AS id, term, COUNT(*) AS tf FROM (
+        SELECT doc_id,
+               UNNEST(list_filter(string_split_regex(trim(lower(coalesce(text, ''))), '\s+'),
+                                  x -> len(x) > 0)) AS term
+        FROM documents)
+      GROUP BY id, term
+    ), dfreq AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ), n AS (SELECT COUNT(DISTINCT id) AS n_docs FROM tf),
+    vec AS (
+      SELECT id, tf.term AS term,
+             ROUND(tf * ln((n_docs + 1.0) / (df + 1.0)), 6) AS w
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+      WHERE df <= n_docs * 0.5
+    ), norms AS (
+      SELECT id, ROUND(sqrt(SUM(w * w)), 6) AS nrm FROM vec GROUP BY id
+    ), dots AS (
+      SELECT a.id AS doc_a, b.id AS doc_b, SUM(a.w * b.w) AS dot
+      FROM vec a JOIN vec b ON a.term = b.term AND a.id < b.id
+      GROUP BY a.id, b.id)
+    SELECT doc_a, doc_b, cosine FROM (
+      SELECT doc_a, doc_b,
+             ROUND(dot / (na.nrm * nb.nrm), 6) AS cosine
+      FROM dots JOIN norms na ON na.id = doc_a JOIN norms nb ON nb.id = doc_b)
+    WHERE cosine >= 0.5
+    ORDER BY doc_a, doc_b
+    """,
+)
+def q118_tfidf_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse lexical near-dup gate (operators/corpus.py::tfidf_doc_pairs):
+    documents pair through shared sub-cap-df terms only (the df cap is part
+    of the vector semantics AND the Σ df² work bound — never all-pairs),
+    and the exact filtered-vocabulary TF-IDF cosine decides at 6dp. The
+    no-embedding complement to q15/q66: MinHash finds shingle overlap,
+    this finds weighted-term overlap robust to reordering. Every surviving
+    pair's cosine is value-hashed."""
+    from kf_task_fhir_etl_spark.operators import corpus as corpus_ops
+
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus_ops.tfidf_doc_pairs(docs, threshold=0.5).orderBy("doc_a", "doc_b")

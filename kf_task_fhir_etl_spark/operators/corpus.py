@@ -314,3 +314,70 @@ def shuffle_shards(
         .withColumn("pos", F.row_number().over(w))
         .drop("__h")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sparse TF-IDF cosine pairs (similar-doc detection without embeddings)
+# ---------------------------------------------------------------------------
+
+
+def tfidf_doc_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    df_cap_frac: float = 0.5,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """(doc_a < doc_b, cosine) pairs whose TF-IDF vectors' cosine ≥
+    ``threshold`` — near-duplicate/derivative detection over SPARSE lexical
+    vectors, the no-embedding complement to ``similarity`` (MinHash finds
+    shingle overlap; this finds weighted-term overlap, robust to
+    reordering).
+
+    Vocabulary rule (part of the semantics, and the scale lever): terms
+    with df > ``df_cap_frac``·N are dropped from the VECTORS themselves
+    (weights and norms alike) — a term in most documents carries ~zero IDF
+    anyway, and keeping it would make the term-key join emit ~N² pairs.
+    Under the filtered vocabulary the cosine is EXACT: docs only meet
+    through shared terms, and every shared term contributes to the dot via
+    one (term-key) equi-join + one (pair-key) sum — work is
+    Σ_terms df(term)², capped by the rule, never all-pairs. Weights and
+    cosines round to 6dp before the threshold so a DuckDB oracle
+    recomputes identical decisions."""
+    tf = term_counts(docs, id_col, text_col).withColumnRenamed("group", "id").localCheckpoint()
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = tf.agg(F.count_distinct("id").alias("n_docs"))
+    vec = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .filter(F.col("df") <= F.col("n_docs") * F.lit(df_cap_frac))
+        .select(
+            "id",
+            "term",
+            F.round(
+                F.col("tf") * F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))),
+                6,
+            ).alias("w"),
+        )
+    ).localCheckpoint()
+    norms = vec.groupBy("id").agg(F.round(F.sqrt(F.sum(F.col("w") * F.col("w"))), 6).alias("nrm"))
+    a = vec.select(F.col("id").alias("ida"), "term", F.col("w").alias("wa"))
+    b = vec.select(F.col("id").alias("idb"), "term", F.col("w").alias("wb"))
+    dots = (
+        a.join(b, "term")
+        .filter(F.col("ida") < F.col("idb"))
+        .groupBy("ida", "idb")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    na = norms.select(F.col("id").alias("ida"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("id").alias("idb"), F.col("nrm").alias("nb"))
+    return (
+        dots.join(na, "ida")
+        .join(nb, "idb")
+        .select(
+            F.col("ida").alias("doc_a"),
+            F.col("idb").alias("doc_b"),
+            F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

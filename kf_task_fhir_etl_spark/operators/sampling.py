@@ -194,3 +194,31 @@ def budget_select(
         .drop("__cum")
         .withColumnRenamed("__score", "sel_score")
     )
+
+
+def weighted_sample(
+    df: DataFrame, group_col: str, key_col: str, weight: Column, k: int
+) -> DataFrame:
+    """Per-group weighted sampling WITHOUT replacement, deterministic: the
+    Efraimidis-Spirakis exponential-clock reduction — each row draws the
+    uniform u = md5(key)[:12 hex]/2⁴⁸ (48 exact mantissa bits, engine-
+    portable) and keeps clock = -ln(u)/w; the k SMALLEST clocks per group
+    are the sample. This is THE one-pass distributed reservoir: inclusion
+    probabilities are proportional to weight, no RNG state, re-runs and
+    retries pick the identical set, and at 100 TB it is one row_number
+    window per group (the same shuffle any per-group top-k pays) — never a
+    sequential reservoir walk. Clocks round to 10dp before ranking (ln is
+    1-ulp-library-specific; 10dp is far above that and far below any real
+    clock gap), ties break on the key. Weights must be > 0."""
+    u = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 12), 16, 10).cast(
+        "double"
+    ) / F.lit(float(1 << 48))
+    clock = F.round(-F.log(u) / weight, 10)
+    w = Window.partitionBy(group_col).orderBy(F.col("__clock"), F.col(key_col))
+    return (
+        df.withColumn("__clock", clock)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+        .withColumnRenamed("__clock", "sample_clock")
+    )

@@ -181,3 +181,61 @@ def rolling_fingerprint_rows(
     pos = base.select("id", "t", F.explode(F.sequence(F.lit(0), n_windows - F.lit(1))).alias("i"))
     fp = F.md5(F.col("t").substr(F.col("i") * stride + F.lit(1), F.lit(window)))
     return pos.select("id", fp.alias("fp")).distinct()
+
+
+def bigram_logprob_scores(
+    docs, id_col: str = "doc_id", text_col: str = "text", smoothing: float = 0.5
+):
+    """Per-document average bigram negative log-probability under a bigram
+    language model fit on the corpus itself — the CCNet-style fluency
+    signal (low score ≈ the corpus's own idiom; high ≈ boilerplate, noise,
+    other languages). Returns (id, n_bigrams, nll) with nll NULL for docs
+    with fewer than two tokens (rows are anchored on the INPUT set — no
+    silent drops).
+
+    Model: P(w2|w1) = (c(w1,w2) + k) / (c(w1·) + k·V), add-k smoothing,
+    V = |unigram vocabulary|, c(w1·) = Σ_w2 c(w1,w2) (so contexts and
+    bigram mass agree by construction). Plan shape at 100 TB: bigrams are
+    a map-side slice/zip explode (no join to form pairs); model fitting is
+    two hash aggregates OF the bigram table; scoring re-joins doc bigrams
+    to the model on the (w1, w2) key — one shuffle join, never a per-row
+    UDF. nll rounds to 6dp (ln is 1-ulp library-specific; the average over
+    a doc's bigrams sits far above that)."""
+    from kf_task_fhir_etl_spark.operators.filters import words
+
+    toks = F.filter(words(F.lower(F.col(text_col))), lambda t: F.length(t) > 0)
+    n = F.size(toks)
+    base = docs.select(F.col(id_col).alias("id"), toks.alias("__t"), n.alias("__n"))
+    pairs = base.filter(F.col("__n") >= 2).select(
+        "id",
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("__t"), 1, F.col("__n") - 1).alias("w1"),
+                F.slice(F.col("__t"), 2, F.col("__n") - 1).alias("w2"),
+            )
+        ).alias("bg"),
+    ).select("id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    # model tables: bigram counts materialized once; contexts/vocab derive
+    bigrams = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12")).localCheckpoint()
+    contexts = bigrams.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vocab = base.select(F.explode("__t").alias("w")).agg(
+        F.count_distinct("w").alias("v")
+    )
+    k = F.lit(float(smoothing))
+    scored = (
+        pairs.join(bigrams, ["w1", "w2"])
+        .join(contexts, ["w1"])
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "id",
+            (-F.log((F.col("c12") + k) / (F.col("c1") + k * F.col("v")))).alias("__nll"),
+        )
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_bigrams"), F.round(F.avg("__nll"), 6).alias("nll"))
+    )
+    return (
+        base.select("id")
+        .join(scored, "id", "left")
+        .na.fill({"n_bigrams": 0})
+        .withColumnRenamed("id", id_col)
+    )

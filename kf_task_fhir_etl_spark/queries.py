@@ -359,7 +359,8 @@ def q08_resource_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 # item #1: no entry's latest green row may predate its current code):
 # - NEW gates this round: q57 (first value-hash oracle — within-bound
 #   booleans), q113 (IVF Lloyd refinement), q114 (unsupervised SemDeDup),
-#   q115 (multi-study pipeline);
+#   q115 (multi-study pipeline), q116 (weighted sampling), q117 (bigram-LM
+#   fluency scoring), q118 (sparse TF-IDF cosine pairs);
 # - the ENTIRE builder surface changed (plan()-seam refactor + fused
 #   single-pass union): q74-q85 whole-resource byte gates, q65, and the
 #   narrow gates q24/q26/q30/q31-q35 all re-prove. q25/q27 are the two
@@ -383,6 +384,9 @@ _CHECK_FIRST = [
     "q113_ivf_lloyd_refinement",
     "q114_semantic_dedup_unsupervised",
     "q115_multi_study_pipeline",
+    "q116_weighted_sample",
+    "q117_bigram_lm_score",
+    "q118_tfidf_doc_pairs",
     "q74_fhir_proband_status_json",
     "q75_fhir_family_json",
     "q76_fhir_research_study_json",
@@ -401,9 +405,6 @@ _CHECK_FIRST = [
     "q30_fhir_vital_status_json",
     "q31_fhir_drs_document_reference",
     "q32_fhir_family_relationship",
-    "q33_fhir_research_study",
-    "q34_fhir_proband_status",
-    "q35_fhir_histopathology",
     "q15_embedding_neardup",
     "q36_ann_ivf_topk",
     "q66_embedding_neardup_lsh",
@@ -432,10 +433,14 @@ _CHECK_FIRST = [
 ]
 _CHECK_LAST = [
     # displaced-by-sibling this round: full byte-identical resources gated
-    # in-window by q77/q83 (same plan() expressions); narrow orchestration
-    # unchanged and exercised by q74-q84
+    # in-window by q77/q83/q76/q74/q79 (same plan() expressions); narrow
+    # orchestration unchanged and exercised by q74-q84 (q33/q34/q35 ceded
+    # their slots to the new q116-q118 gates)
     "q25_fhir_disease_narrow",
     "q27_fhir_specimen_narrow",
+    "q33_fhir_research_study",
+    "q34_fhir_proband_status",
+    "q35_fhir_histopathology",
     # untouched similarity paths (cosine_topk / lsh_signature), r02-green;
     # the r04 kernel changes are re-proven in-window by q15/q66/q88/q113
     "q14_ann_cosine_topk",

@@ -681,3 +681,80 @@ def test_pagerank_dangling_mass_redistributed(spark):
     # B receives everything A emits plus its teleport share → ranks higher
     assert pr["B"] > pr["A"]
 
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling / bigram LM / TF-IDF pairs (r04 additions)
+# ---------------------------------------------------------------------------
+
+
+def test_weighted_sample_bounds_and_weight_monotonicity(spark):
+    from kf_task_fhir_etl_spark.operators import sampling
+
+    rows = [(f"g{i % 2}", i, float(1 + i % 7)) for i in range(200)]
+    df = spark.createDataFrame(rows, ["grp", "k", "wgt"])
+    out = sampling.weighted_sample(df, "grp", "k", F.col("wgt"), k=10)
+    got = out.collect()
+    per = {}
+    for r in got:
+        per.setdefault(r["grp"], []).append(r["k"])
+    assert all(len(v) == 10 for v in per.values())
+    # deterministic: second run identical
+    again = sampling.weighted_sample(df, "grp", "k", F.col("wgt"), k=10).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+    # raising a row's weight strictly lowers its clock (same key, same u)
+    one = spark.createDataFrame([("g", 1, 2.0), ("h", 1, 8.0)], ["grp", "k", "wgt"])
+    clocks = {
+        r["grp"]: r["sample_clock"]
+        for r in sampling.weighted_sample(one, "grp", "k", F.col("wgt"), k=1).collect()
+    }
+    assert clocks["h"] < clocks["g"]
+
+
+def test_bigram_lm_scores_anchor_inputs_and_rank_fluency(spark):
+    from kf_task_fhir_etl_spark.operators import text as text_ops
+
+    rows = [
+        (1, "the cat sat on the mat and the cat sat again"),
+        (2, "the cat sat on the mat"),
+        (3, "zq xv qj pk wm"),  # unseen-bigram gibberish
+        (4, "single"),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in text_ops.bigram_logprob_scores(df).collect()}
+    assert set(out) == {1, 2, 3, 4, 5}  # anchored on the input set
+    assert out[4]["n_bigrams"] == 0 and out[4]["nll"] is None
+    assert out[5]["n_bigrams"] == 0 and out[5]["nll"] is None
+    # corpus-idiomatic text scores lower (better) than gibberish
+    assert out[2]["nll"] < out[3]["nll"]
+
+
+def test_tfidf_doc_pairs_identical_docs_hit_cosine_one(spark):
+    from kf_task_fhir_etl_spark.operators import corpus as corpus_ops
+
+    rows = [
+        (1, "alpha beta gamma delta"),
+        (2, "alpha beta gamma delta"),
+        (3, "totally different words here"),
+        (4, "alpha beta gamma epsilon"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    # full vocabulary (df cap off): identical docs at 1.0, overlap below it
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["cosine"]
+        for r in corpus_ops.tfidf_doc_pairs(df, df_cap_frac=1.0, threshold=0.2).collect()
+    }
+    # weights/norms round at 6dp before the division, so "identical"
+    # lands within 2e-6 of 1.0, not exactly on it
+    assert pairs[(1, 2)] == pytest.approx(1.0, abs=2e-6)
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+    assert 0.2 <= pairs[(1, 4)] < 1.0
+    # default cap (df ≤ 0.5·N = 2): alpha/beta/gamma (df=3) leave the
+    # vectors, so 1↔4 lose their only shared terms and the pair vanishes
+    capped = {
+        (r["doc_a"], r["doc_b"]): r["cosine"]
+        for r in corpus_ops.tfidf_doc_pairs(df, threshold=0.3).collect()
+    }
+    assert capped[(1, 2)] == pytest.approx(1.0, abs=2e-6)  # still share sub-cap 'delta'
+    assert (1, 4) not in capped
