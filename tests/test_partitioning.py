@@ -330,3 +330,30 @@ def test_budget_select_single_group_exchange(spark):
     exchanges = re.findall(r"^\(\d+\) Exchange", plan, re.M)
     assert len(exchanges) == 1, plan
     assert "rangepartitioning" not in plan
+
+
+def test_fused_union_scans_wide_table_once(spark):
+    """The single-pass builder union reads the checkpointed wide table in
+    exactly 4 branches — the fused row-wise select plus the three
+    non-fusable plans (Family and DRS aggregate; family_relationship is a
+    separate table) — where the classic per-builder union scans it 16x
+    (column pruning cannot narrow a checkpoint, so each scan is
+    full-width)."""
+    from functools import reduce
+
+    from kf_task_fhir_etl_spark.etl import run_pipeline
+    from tests.fixtures import endpoint_tables
+
+    tables = endpoint_tables(spark)
+    fused_plan = (
+        run_pipeline(tables, single_pass=True)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert fused_plan.count("Scan ExistingRDD") <= 4
+    classic = run_pipeline(tables)
+    classic_plan = (
+        reduce(lambda a, b: a.unionByName(b), classic.values())
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert classic_plan.count("Scan ExistingRDD") >= 13
