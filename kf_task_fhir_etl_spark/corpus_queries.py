@@ -1484,3 +1484,64 @@ def q118_tfidf_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return corpus_ops.tfidf_doc_pairs(docs, threshold=0.5).orderBy("doc_a", "doc_b")
+
+
+# ---------------------------------------------------------------------------
+# q119 — dynamic partition pruning over a partitioned layout
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q119_dynamic_partition_pruning",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def q119_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned-layout gate (operators/bucketing.py::write_partitioned +
+    require_dynamic_partition_pruning) — the directory-pruning complement
+    to q95's bucketing gate: orders are written ONCE partitioned by
+    priority (content-fingerprinted path, q95's regeneration guard), then
+    joined to a dimension whose selective filter ('keep' rows only) is
+    knowable ONLY through the join — so static pruning cannot fire and the
+    gate RAISES unless Spark inserts a dynamicpruning subquery that skips
+    the three dropped priorities' directories at execution time. At 100 TB
+    this is the difference between reading 2/5 and 5/5 of a fact table
+    every dashboard refresh. The aggregate is hash-checked against an
+    independent IN-list oracle, proving pruning is invisible to results."""
+    tag = re.sub(r"[^A-Za-z0-9]", "_", os.path.basename(sf_dir.rstrip("/")))
+    tag = f"{tag}_{_content_fingerprint(sf_dir, ['orders'])}"
+    path = os.path.join(tempfile.gettempdir(), "kf_spark_partitioned", f"orders_{tag}")
+    if not os.path.isdir(path):
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice", "o_orderpriority"
+        )
+        bucketing.write_partitioned(orders, path, "o_orderpriority")
+    facts = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [
+            ("1-URGENT", "keep"),
+            ("2-HIGH", "keep"),
+            ("3-MEDIUM", "drop"),
+            ("4-NOT SPECIFIED", "drop"),
+            ("5-LOW", "drop"),
+        ],
+        ["prio", "action"],
+    )
+    out = (
+        facts.join(
+            F.broadcast(dim.filter(F.col("action") == "keep")),
+            facts.o_orderpriority == dim.prio,
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+    bucketing.require_dynamic_partition_pruning(out)
+    return out

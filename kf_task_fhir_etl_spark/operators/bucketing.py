@@ -75,3 +75,25 @@ def require_no_shuffle_join(df: DataFrame) -> None:
     below = plan[join_pos:]
     if "Exchange hashpartitioning" in below:
         raise AssertionError(f"join input re-shuffled despite bucketing:\n{plan}")
+
+
+def write_partitioned(df: DataFrame, path: str, partition_col: str, mode: str = "overwrite") -> None:
+    """Persist ``df`` partitioned by ``partition_col`` — one directory per
+    value, the layout that lets a filter (static OR runtime) skip whole
+    directories at planning time instead of reading-and-discarding rows."""
+    df.write.mode(mode).partitionBy(partition_col).parquet(path)
+
+
+def require_dynamic_partition_pruning(df: DataFrame) -> None:
+    """Raise unless the physical plan prunes a partitioned scan with a
+    RUNTIME (join-derived) filter — the ``dynamicpruning`` subquery Spark
+    inserts when the dimension side's selective filter is only knowable at
+    execution time. The q119 gate calls this so the layout being exploited
+    is an asserted property, not a hope (the q95 pattern: fail loudly, not
+    slowly)."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    if "dynamicpruning" not in plan.lower():
+        raise AssertionError(
+            "expected a dynamicpruning expression in the partitioned scan's "
+            "PartitionFilters — the join is reading every partition:\n" + plan[:4000]
+        )

@@ -360,7 +360,8 @@ def q08_resource_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 # - NEW gates this round: q57 (first value-hash oracle — within-bound
 #   booleans), q113 (IVF Lloyd refinement), q114 (unsupervised SemDeDup),
 #   q115 (multi-study pipeline), q116 (weighted sampling), q117 (bigram-LM
-#   fluency scoring), q118 (sparse TF-IDF cosine pairs);
+#   fluency scoring), q118 (sparse TF-IDF cosine pairs), q119 (dynamic
+#   partition pruning);
 # - the ENTIRE builder surface changed (plan()-seam refactor + fused
 #   single-pass union): q74-q85 whole-resource byte gates, q65, and the
 #   narrow gates q24/q26/q30/q31-q35 all re-prove. q25/q27 are the two
@@ -387,6 +388,7 @@ _CHECK_FIRST = [
     "q116_weighted_sample",
     "q117_bigram_lm_score",
     "q118_tfidf_doc_pairs",
+    "q119_dynamic_partition_pruning",
     "q74_fhir_proband_status_json",
     "q75_fhir_family_json",
     "q76_fhir_research_study_json",
@@ -404,7 +406,6 @@ _CHECK_FIRST = [
     "q26_fhir_family_groups",
     "q30_fhir_vital_status_json",
     "q31_fhir_drs_document_reference",
-    "q32_fhir_family_relationship",
     "q15_embedding_neardup",
     "q36_ann_ivf_topk",
     "q66_embedding_neardup_lsh",
@@ -434,10 +435,11 @@ _CHECK_FIRST = [
 _CHECK_LAST = [
     # displaced-by-sibling this round: full byte-identical resources gated
     # in-window by q77/q83/q76/q74/q79 (same plan() expressions); narrow
-    # orchestration unchanged and exercised by q74-q84 (q33/q34/q35 ceded
-    # their slots to the new q116-q118 gates)
+    # orchestration unchanged and exercised by q74-q84 (q32/q33/q34/q35 ceded
+    # their slots to the new q116-q119 gates; q78 gates q32's builder bytes)
     "q25_fhir_disease_narrow",
     "q27_fhir_specimen_narrow",
+    "q32_fhir_family_relationship",
     "q33_fhir_research_study",
     "q34_fhir_proband_status",
     "q35_fhir_histopathology",
