@@ -1545,3 +1545,71 @@ def q119_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFram
     )
     bucketing.require_dynamic_partition_pruning(out)
     return out
+
+
+# ---------------------------------------------------------------------------
+# q120 — streaming session windows (append mode, watermark-flushed)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q120_streaming_session_windows",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, ts, value, event_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM gaps)
+    SELECT user_id,
+           epoch_us(MIN(ts)) AS session_start_us,
+           epoch_us(MAX(ts)) + 1800000000 AS session_end_us,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM sess GROUP BY user_id, sid
+    ORDER BY user_id, session_start_us
+    """,
+)
+def q120_streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native streaming session windows end-to-end (§2.8's last primitive):
+    ``session_window(ts, 30 min)`` per user in APPEND mode — the mode that
+    only releases a session once the watermark passes its end, which is
+    exactly what makes naive finite replays emit nothing; the
+    flush-sentinel source (streaming/events.py::read_events_stream_with_flush)
+    advances the watermark past every real session in a second microbatch,
+    the production-shaped backfill close. Every emitted session's exact
+    boundaries (Spark's half-open [first, last+gap) — hence the oracle's
+    ``>= gap`` split, deliberately different from q22's ``> gap`` batch
+    operator), event count, and value sum are hash-checked against a
+    gaps-and-islands oracle. State is partitioned on user_id and expires
+    with the watermark — bounded by the gap, not the stream length."""
+    from kf_task_fhir_etl_spark.streaming.events import (
+        read_events_stream_with_flush,
+        run_stream_to_memory,
+    )
+
+    ev = read_events_stream_with_flush(spark, sf_dir)
+    sess = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("__tv"))
+    )
+    run_stream_to_memory(sess, "q120_sessions_mem", output_mode="append")
+    return (
+        spark.table("q120_sessions_mem")
+        .filter(F.col("user_id") >= 0)
+        .select(
+            "user_id",
+            F.unix_micros(F.col("session_window.start")).alias("session_start_us"),
+            F.unix_micros(F.col("session_window.end")).alias("session_end_us"),
+            "n_events",
+            F.round(F.col("__tv"), 2).alias("total_value"),
+        )
+        .orderBy("user_id", "session_start_us")
+    )

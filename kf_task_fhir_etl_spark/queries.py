@@ -361,7 +361,7 @@ def q08_resource_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   booleans), q113 (IVF Lloyd refinement), q114 (unsupervised SemDeDup),
 #   q115 (multi-study pipeline), q116 (weighted sampling), q117 (bigram-LM
 #   fluency scoring), q118 (sparse TF-IDF cosine pairs), q119 (dynamic
-#   partition pruning);
+#   partition pruning), q120 (streaming session windows);
 # - the ENTIRE builder surface changed (plan()-seam refactor + fused
 #   single-pass union): q74-q85 whole-resource byte gates, q65, and the
 #   narrow gates q24/q26/q30/q31-q35 all re-prove. q25/q27 are the two
@@ -389,6 +389,7 @@ _CHECK_FIRST = [
     "q117_bigram_lm_score",
     "q118_tfidf_doc_pairs",
     "q119_dynamic_partition_pruning",
+    "q120_streaming_session_windows",
     "q74_fhir_proband_status_json",
     "q75_fhir_family_json",
     "q76_fhir_research_study_json",
@@ -405,7 +406,6 @@ _CHECK_FIRST = [
     "q24_fhir_patient_resources",
     "q26_fhir_family_groups",
     "q30_fhir_vital_status_json",
-    "q31_fhir_drs_document_reference",
     "q15_embedding_neardup",
     "q36_ann_ivf_topk",
     "q66_embedding_neardup_lsh",
@@ -473,7 +473,10 @@ _CHECK_LAST = [
     "q111_budget_select",
     "q112_stream_static_join",
     # r03-green FHIR entries whose code paths are untouched this round
-    # (normalize / transform cascade / drs metadata module)
+    # (normalize / transform cascade / drs metadata module; the DRS builder
+    # was NOT part of the plan() refactor and q84 gates its bytes in-window,
+    # so q31 ceded its slot to q120)
+    "q31_fhir_drs_document_reference",
     "q03_normalize_dedup",
     "q23_fhir_transform_cascade",
     "q64_fhir_drs_metadata_hashes",

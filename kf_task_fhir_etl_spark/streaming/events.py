@@ -153,3 +153,67 @@ def click_purchase_interval_join(
         & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {max_gap}")),
         "inner",
     )
+
+
+def read_events_stream_with_flush(
+    spark: SparkSession, sf_dir: str, advance_hours: int = 6, flush_user: int = -1
+) -> DataFrame:
+    """Events stream plus ONE trailing sentinel event ``advance_hours``
+    past max(ts) — delivered as a SECOND microbatch (maxFilesPerTrigger=1,
+    sentinel file given the newer mtime) so the watermark advances past
+    every real event and append-mode windowed/session aggregations FLUSH
+    their trailing state. Without it a finite replay never emits the last
+    sessions: append mode only releases a window once the watermark passes
+    its end, and the watermark trails the newest seen event. This is the
+    standard finite-replay/backfill closing pattern; a production stream
+    doesn't need it (new data keeps arriving). Callers filter
+    ``user_id = flush_user`` back out. The normalized two-file layout is
+    staged once per (sf_dir basename, content fingerprint) under /tmp —
+    regenerated test data restages automatically."""
+    import hashlib
+    import os
+    import tempfile
+    import time
+
+    from kf_task_fhir_etl_spark.catalog import load_table
+
+    src = os.path.join(sf_dir, "events.parquet")
+    files = (
+        sorted(os.path.join(src, f) for f in os.listdir(src) if not f.startswith((".", "_")))
+        if os.path.isdir(src)
+        else [src]
+    )
+    sig = hashlib.md5(
+        "|".join(f"{f}:{os.stat(f).st_size}:{os.stat(f).st_mtime_ns}" for f in files).encode()
+    ).hexdigest()[:10]
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    stage = os.path.join(tempfile.gettempdir(), "kf_spark_flush_stream", f"{tag}_{sig}")
+    if not os.path.isdir(stage):
+        ev = load_table(spark, sf_dir, "events")  # ts normalized to timestamp
+        hi = ev.agg(F.max("ts").alias("m")).collect()[0]["m"]
+        ev.coalesce(1).write.mode("overwrite").parquet(stage)
+        sentinel = spark.createDataFrame(
+            [(-1, hi, flush_user, "__flush__", 0.0, None)], ev.schema
+        ).withColumn("ts", F.col("ts") + F.expr(f"INTERVAL {advance_hours} HOURS"))
+        sentinel.coalesce(1).write.mode("append").parquet(stage)
+        # FileStreamSource batches oldest-mtime-first: pin the order so the
+        # sentinel (the smallest file — one row) can never jump the queue
+        # and late-drop the real events
+        now = time.time()
+        sizes = sorted(
+            (
+                (os.stat(os.path.join(stage, f)).st_size, os.path.join(stage, f))
+                for f in os.listdir(stage)
+                if f.endswith(".parquet")
+            ),
+            key=lambda s: -s[0],  # data file(s) first, sentinel last
+        )
+        for i, (_, full) in enumerate(sizes):
+            os.utime(full, (now - 100 + i, now - 100 + i))
+    schema = spark.read.parquet(stage).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(stage)
+    )
