@@ -80,3 +80,57 @@ def load_catalog(
             if register_views:
                 df.createOrReplaceTempView(name)
     return catalog
+
+
+def content_fingerprint(sf_dir: str, tables: list[str]) -> str:
+    """Short md5 over (path, size, mtime_ns) of the given tables' parquet
+    files — the cheap content tag every /tmp staging cache keys on (no data
+    read), so regenerated test data restages instead of silently reusing a
+    stale layout. Shared by the bucketed (q95), partitioned (q119), and
+    flush-stream (q120) stagers."""
+    import hashlib
+
+    parts = []
+    for t in tables:
+        p = table_path(sf_dir, t)
+        files = (
+            sorted(
+                os.path.join(p, f) for f in os.listdir(p) if not f.startswith((".", "_"))
+            )
+            if os.path.isdir(p)
+            else [p]
+        )
+        for f in files:
+            st = os.stat(f)
+            parts.append(f"{f}:{st.st_size}:{st.st_mtime_ns}")
+    return hashlib.md5("|".join(parts).encode()).hexdigest()[:10]
+
+
+def staged_layout(kind: str, sf_dir: str, tables: list[str], build) -> str:
+    """Build-once /tmp staging with ATOMIC publish: the target path is
+    ``/tmp/kf_spark_{kind}/{sf basename}_{content fingerprint}``; if absent,
+    ``build(tmp_path)`` materializes the layout into a unique sibling temp
+    dir which is then ``os.rename``d into place — a crash or a concurrent
+    racer can never leave a half-built directory that passes the existence
+    probe (the poisoned-cache failure a bare isdir guard allows: the
+    fingerprint keys on the SOURCE, so a torn stage would otherwise be
+    reused forever). The rename loser cleans up its temp dir and uses the
+    winner's."""
+    import shutil
+    import tempfile
+    import uuid
+
+    tag = "".join(c if c.isalnum() else "_" for c in os.path.basename(sf_dir.rstrip("/")))
+    stage = os.path.join(
+        tempfile.gettempdir(), f"kf_spark_{kind}", f"{tag}_{content_fingerprint(sf_dir, tables)}"
+    )
+    if os.path.isdir(stage):
+        return stage
+    os.makedirs(os.path.dirname(stage), exist_ok=True)
+    tmp = f"{stage}.tmp.{os.getpid()}.{uuid.uuid4().hex[:6]}"
+    build(tmp)
+    try:
+        os.rename(tmp, stage)
+    except OSError:  # another process published first — use theirs
+        shutil.rmtree(tmp, ignore_errors=True)
+    return stage

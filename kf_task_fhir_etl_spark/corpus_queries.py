@@ -248,26 +248,12 @@ def q94_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _content_fingerprint(sf_dir: str, tables: list[str]) -> str:
-    """Short md5 over (size, mtime_ns) of the given tables' parquet files —
-    a cheap content tag for cache keys (no data read)."""
-    import hashlib
+    """Shared content tag — see catalog.content_fingerprint (hoisted there
+    in r04 so the bucketed/partitioned/flush-stream stagers cannot
+    drift)."""
+    from kf_task_fhir_etl_spark.catalog import content_fingerprint
 
-    parts = []
-    for t in tables:
-        p = os.path.join(sf_dir, f"{t}.parquet")
-        files = (
-            sorted(
-                os.path.join(p, f)
-                for f in os.listdir(p)
-                if not f.startswith((".", "_"))
-            )
-            if os.path.isdir(p)
-            else [p]
-        )
-        for f in files:
-            st = os.stat(f)
-            parts.append(f"{f}:{st.st_size}:{st.st_mtime_ns}")
-    return hashlib.md5("|".join(parts).encode()).hexdigest()[:10]
+    return content_fingerprint(sf_dir, tables)
 
 
 @register(
@@ -1512,14 +1498,17 @@ def q119_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFram
     this is the difference between reading 2/5 and 5/5 of a fact table
     every dashboard refresh. The aggregate is hash-checked against an
     independent IN-list oracle, proving pruning is invisible to results."""
-    tag = re.sub(r"[^A-Za-z0-9]", "_", os.path.basename(sf_dir.rstrip("/")))
-    tag = f"{tag}_{_content_fingerprint(sf_dir, ['orders'])}"
-    path = os.path.join(tempfile.gettempdir(), "kf_spark_partitioned", f"orders_{tag}")
-    if not os.path.isdir(path):
+    from kf_task_fhir_etl_spark.catalog import staged_layout
+
+    def _build(tmp: str) -> None:
         orders = load_table(spark, sf_dir, "orders").select(
             "o_orderkey", "o_totalprice", "o_orderpriority"
         )
-        bucketing.write_partitioned(orders, path, "o_orderpriority")
+        bucketing.write_partitioned(orders, tmp, "o_orderpriority")
+
+    # atomic publish: a crash mid-write can never leave a half-staged
+    # layout that passes the existence probe (catalog.staged_layout)
+    path = staged_layout("partitioned_orders", sf_dir, ["orders"], _build)
     facts = spark.read.parquet(path)
     dim = spark.createDataFrame(
         [

@@ -70,6 +70,7 @@ def tfidf(docs: DataFrame, group_col: str, text_col: str = "text") -> DataFrame:
             "term",
             "tf",
             "df",
+            "n_groups",
             F.round(
                 F.col("tf") * F.log((F.col("n_groups") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))),
                 6,
@@ -344,22 +345,14 @@ def tfidf_doc_pairs(
     Σ_terms df(term)², capped by the rule, never all-pairs. Weights and
     cosines round to 6dp before the threshold so a DuckDB oracle
     recomputes identical decisions."""
-    tf = term_counts(docs, id_col, text_col).withColumnRenamed("group", "id").localCheckpoint()
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    n = tf.agg(F.count_distinct("id").alias("n_docs"))
+    # ONE canonical weight definition: reuse tfidf() (same tf/df/N formula
+    # the q91 oracle mirrors) and apply the df cap on its output
+    scored = tfidf(docs, id_col, text_col).withColumnRenamed("group", "id")
     vec = (
-        tf.join(dfreq, "term")
-        .crossJoin(F.broadcast(n))
-        .filter(F.col("df") <= F.col("n_docs") * F.lit(df_cap_frac))
-        .select(
-            "id",
-            "term",
-            F.round(
-                F.col("tf") * F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))),
-                6,
-            ).alias("w"),
-        )
-    ).localCheckpoint()
+        scored.filter(F.col("df") <= F.col("n_groups") * F.lit(df_cap_frac))
+        .select("id", "term", F.col("tfidf").alias("w"))
+        .localCheckpoint()
+    )
     norms = vec.groupBy("id").agg(F.round(F.sqrt(F.sum(F.col("w") * F.col("w"))), 6).alias("nrm"))
     a = vec.select(F.col("id").alias("ida"), "term", F.col("w").alias("wa"))
     b = vec.select(F.col("id").alias("idb"), "term", F.col("w").alias("wb"))

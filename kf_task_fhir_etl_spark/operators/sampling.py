@@ -214,7 +214,12 @@ def weighted_sample(
         "double"
     ) / F.lit(float(1 << 48))
     clock = F.round(-F.log(u) / weight, 10)
-    w = Window.partitionBy(group_col).orderBy(F.col("__clock"), F.col(key_col))
+    # NULLS LAST explicitly: a NULL weight/key yields a NULL clock, and
+    # Spark's asc default (NULLS FIRST) would preferentially SAMPLE such
+    # rows while SQL engines' ROW_NUMBER defaults rank them last
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("__clock").asc_nulls_last(), F.col(key_col)
+    )
     return (
         df.withColumn("__clock", clock)
         .withColumn("__rn", F.row_number().over(w))

@@ -168,48 +168,34 @@ def read_events_stream_with_flush(
     standard finite-replay/backfill closing pattern; a production stream
     doesn't need it (new data keeps arriving). Callers filter
     ``user_id = flush_user`` back out. The normalized two-file layout is
-    staged once per (sf_dir basename, content fingerprint) under /tmp —
-    regenerated test data restages automatically."""
-    import hashlib
+    staged once per (sf_dir basename, content fingerprint) under /tmp via
+    ``catalog.staged_layout`` (atomic publish) — regenerated test data
+    restages automatically."""
     import os
-    import tempfile
     import time
 
-    from kf_task_fhir_etl_spark.catalog import load_table
+    from kf_task_fhir_etl_spark.catalog import load_table, staged_layout
 
-    src = os.path.join(sf_dir, "events.parquet")
-    files = (
-        sorted(os.path.join(src, f) for f in os.listdir(src) if not f.startswith((".", "_")))
-        if os.path.isdir(src)
-        else [src]
-    )
-    sig = hashlib.md5(
-        "|".join(f"{f}:{os.stat(f).st_size}:{os.stat(f).st_mtime_ns}" for f in files).encode()
-    ).hexdigest()[:10]
-    tag = os.path.basename(sf_dir.rstrip("/"))
-    stage = os.path.join(tempfile.gettempdir(), "kf_spark_flush_stream", f"{tag}_{sig}")
-    if not os.path.isdir(stage):
+    def build(tmp: str) -> None:
         ev = load_table(spark, sf_dir, "events")  # ts normalized to timestamp
         hi = ev.agg(F.max("ts").alias("m")).collect()[0]["m"]
-        ev.coalesce(1).write.mode("overwrite").parquet(stage)
+        ev.coalesce(1).write.mode("overwrite").parquet(tmp)
+        data_files = set(os.listdir(tmp))
         sentinel = spark.createDataFrame(
             [(-1, hi, flush_user, "__flush__", 0.0, None)], ev.schema
         ).withColumn("ts", F.col("ts") + F.expr(f"INTERVAL {advance_hours} HOURS"))
-        sentinel.coalesce(1).write.mode("append").parquet(stage)
-        # FileStreamSource batches oldest-mtime-first: pin the order so the
-        # sentinel (the smallest file — one row) can never jump the queue
-        # and late-drop the real events
+        sentinel.coalesce(1).write.mode("append").parquet(tmp)
+        # FileStreamSource batches oldest-mtime-first: pin the order from
+        # the listdir snapshot taken BETWEEN the two writes (file size is
+        # no tiebreak — a tiny events table can compress below the
+        # sentinel), so the sentinel can never jump the queue and
+        # late-drop the real events
         now = time.time()
-        sizes = sorted(
-            (
-                (os.stat(os.path.join(stage, f)).st_size, os.path.join(stage, f))
-                for f in os.listdir(stage)
-                if f.endswith(".parquet")
-            ),
-            key=lambda s: -s[0],  # data file(s) first, sentinel last
-        )
-        for i, (_, full) in enumerate(sizes):
-            os.utime(full, (now - 100 + i, now - 100 + i))
+        for f in sorted(f for f in os.listdir(tmp) if f.endswith(".parquet")):
+            is_sentinel = f not in data_files
+            os.utime(os.path.join(tmp, f), (now - (0 if is_sentinel else 100),) * 2)
+
+    stage = staged_layout("flush_stream", sf_dir, ["events"], build)
     schema = spark.read.parquet(stage).schema
     return (
         spark.readStream.schema(schema)
