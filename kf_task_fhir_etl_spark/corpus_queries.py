@@ -1602,3 +1602,61 @@ def q120_streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("user_id", "session_start_us")
     )
+
+
+# ---------------------------------------------------------------------------
+# q121 — Count-Min sketch frequency estimates (deterministic, mergeable)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q121_count_min_sketch",
+    oracle="""
+    WITH rows_ AS (SELECT r FROM (VALUES (0), (1), (2), (3)) t(r)),
+    pairs AS (
+      SELECT e.user_id, r,
+             (('0x' || substr(md5(r || ':' || CAST(e.user_id AS VARCHAR)), 1, 12))::BIGINT)
+               % 256 AS bucket
+      FROM events e CROSS JOIN rows_
+    ), cms AS (
+      SELECT r, bucket, COUNT(*) AS c FROM pairs GROUP BY r, bucket
+    ), kb AS (
+      SELECT DISTINCT user_id, r, bucket FROM pairs
+    ), est AS (
+      SELECT user_id, MIN(c) AS cms_est FROM kb JOIN cms USING (r, bucket) GROUP BY user_id
+    ), exact AS (
+      SELECT user_id, COUNT(*) AS exact_n FROM events GROUP BY user_id
+    )
+    SELECT k.user_id, exact_n, cms_est, cms_est - exact_n AS overcount
+    FROM exact k JOIN est USING (user_id)
+    ORDER BY user_id
+    """,
+)
+def q121_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch gate (operators/sketch.py::cms_build/cms_estimate):
+    per-user event frequencies estimated from a 4×256 sketch, next to the
+    exact counts and the (always ≥ 0) overcount. Because the hash rows are
+    md5-derived, the sketch CONTENTS — not merely its error contract — are
+    engine-portable: the oracle rebuilds the identical counter table and
+    every estimate hash-matches exactly, making this the deterministic
+    frequency-sketch sibling of q106's KMV distinct sketch (and the
+    contrast to q57's engine-internal HLL, gated via within-bound
+    booleans). Mergeable by construction: counters are additive, so
+    per-shard sketches union+re-sum into the global sketch with zero
+    error vs a single build."""
+    from kf_task_fhir_etl_spark.operators import sketch
+
+    ev = load_table(spark, sf_dir, "events")
+    cms = sketch.cms_build(ev, "user_id", depth=4, width=256)
+    est = sketch.cms_estimate(cms, ev.select("user_id"), "user_id", width=256)
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_n"))
+    return (
+        exact.join(est, "user_id")
+        .select(
+            "user_id",
+            "exact_n",
+            "cms_est",
+            (F.col("cms_est") - F.col("exact_n")).alias("overcount"),
+        )
+        .orderBy("user_id")
+    )

@@ -75,3 +75,68 @@ def kmv_estimate(states: DataFrame, k: int = 64) -> DataFrame:
         F.round(F.lit(float(k - 1)) / F.element_at("hashes", k), 6)
     )
     return states.select("group", est.alias("n_est"))
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch — deterministic frequency estimation
+# ---------------------------------------------------------------------------
+
+
+def cms_bucket(row: Column, key: Column, width: int) -> Column:
+    """Row-``row``'s bucket for ``key``: md5 over ``"row:key"`` reduced to
+    48 bits, mod width — deterministic and engine-portable (the same
+    ``'0x'||substr(md5(...),1,12)`` idiom the oracles replay), so the
+    sketch CONTENTS are identical in any engine, not just its error
+    contract."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(row.cast("string"), F.lit(":"), key.cast("string"))), 1, 12),
+        16,
+        10,
+    ).cast("bigint")
+    return h % F.lit(width)
+
+
+def cms_build(df: DataFrame, key_col: str, depth: int = 4, width: int = 256) -> DataFrame:
+    """The Count-Min sketch as a relation: ``(row, bucket, c)`` with
+    ``c = Σ occurrences of keys hashing to (row, bucket)`` — depth
+    independent hash rows, width buckets each. THE bounded-state frequency
+    structure at 100 TB: the sketch is ``depth × width`` counters no matter
+    the key cardinality, it builds in one explode (×depth) + one hash
+    aggregate with map-side combine, and it MERGES by construction —
+    union two sketches and re-sum (counters are additive), so per-shard /
+    per-day sketches roll up without error relative to a global build.
+    Estimates overcount only (collisions add, never subtract):
+    ``est(k) = min over rows of c[row][bucket(row, k)] ≥ true(k)``, with
+    the classic ε=e/width, δ=e^−depth guarantee."""
+    row = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row")
+    return (
+        df.select(F.col(key_col).alias("__k"))
+        .select("__k", row)
+        .select("row", cms_bucket(F.col("row"), F.col("__k"), width).alias("bucket"))
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def cms_estimate(
+    cms: DataFrame, keys: DataFrame, key_col: str, width: int = 256
+) -> DataFrame:
+    """Point-frequency estimates for every row of ``keys``: join each
+    (key, row) pair to its sketch counter and take the per-key MIN across
+    rows. The join is on the tiny (row, bucket) key against the
+    depth×width sketch — broadcast-sized by construction — so estimating
+    any number of keys is one map-side broadcast join + one min
+    aggregate."""
+    depth_rows = cms.select("row").distinct()
+    kb = (
+        keys.select(F.col(key_col).alias("__k"))
+        .distinct()
+        .crossJoin(F.broadcast(depth_rows))
+        .select("__k", "row", cms_bucket(F.col("row"), F.col("__k"), width).alias("bucket"))
+    )
+    return (
+        kb.join(F.broadcast(cms), ["row", "bucket"])
+        .groupBy("__k")
+        .agg(F.min("c").alias("cms_est"))
+        .withColumnRenamed("__k", key_col)
+    )

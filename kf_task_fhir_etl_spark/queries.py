@@ -361,7 +361,7 @@ def q08_resource_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   booleans), q113 (IVF Lloyd refinement), q114 (unsupervised SemDeDup),
 #   q115 (multi-study pipeline), q116 (weighted sampling), q117 (bigram-LM
 #   fluency scoring), q118 (sparse TF-IDF cosine pairs), q119 (dynamic
-#   partition pruning), q120 (streaming session windows);
+#   partition pruning), q120 (streaming session windows), q121 (Count-Min sketch);
 # - the ENTIRE builder surface changed (plan()-seam refactor + fused
 #   single-pass union): q74-q85 whole-resource byte gates, q65, and the
 #   narrow gates q24/q26/q30/q31-q35 all re-prove. q25/q27 are the two
@@ -402,7 +402,6 @@ _CHECK_FIRST = [
     "q83_fhir_specimen_json",
     "q84_fhir_drs_json",
     "q85_fhir_full_pipeline",
-    "q65_fhir_specimen_bodysite_dispatch",
     "q24_fhir_patient_resources",
     "q26_fhir_family_groups",
     "q30_fhir_vital_status_json",
@@ -472,6 +471,10 @@ _CHECK_LAST = [
     "q110_importance_sample",
     "q111_budget_select",
     "q112_stream_static_join",
+    # q65's specimen-dispatch surface is covered in-window by q83's full
+    # byte-identical Specimen gate (identical plan() expressions); it ceded
+    # its slot to the new q121 CMS gate
+    "q65_fhir_specimen_bodysite_dispatch",
     # r03-green FHIR entries whose code paths are untouched this round
     # (normalize / transform cascade / drs metadata module; the DRS builder
     # was NOT part of the plan() refactor and q84 gates its bytes in-window,

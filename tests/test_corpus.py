@@ -758,3 +758,26 @@ def test_tfidf_doc_pairs_identical_docs_hit_cosine_one(spark):
     }
     assert capped[(1, 2)] == pytest.approx(1.0, abs=2e-6)  # still share sub-cap 'delta'
     assert (1, 4) not in capped
+
+
+def test_cms_overcounts_only_and_merges_exactly(spark):
+    """Count-Min contract: every estimate >= its exact count, and the
+    union+re-sum of two shard sketches equals the global sketch exactly
+    (counters are additive)."""
+    from kf_task_fhir_etl_spark.operators import sketch
+
+    df = spark.createDataFrame([(i % 17,) for i in range(500)], ["k"])
+    cms = sketch.cms_build(df, "k", depth=3, width=8)
+    est = {
+        r["k"]: r["cms_est"]
+        for r in sketch.cms_estimate(cms, df.select("k"), "k", width=8).collect()
+    }
+    exact = {r["k"]: r["n"] for r in df.groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(est) == set(exact)
+    assert all(est[k] >= exact[k] for k in exact)
+    # shard merge: split by parity, build per-shard, union + re-sum
+    a = sketch.cms_build(df.filter(F.col("k") % 2 == 0), "k", depth=3, width=8)
+    b = sketch.cms_build(df.filter(F.col("k") % 2 == 1), "k", depth=3, width=8)
+    merged = a.unionByName(b).groupBy("row", "bucket").agg(F.sum("c").alias("c"))
+    direct = sorted(map(tuple, cms.collect()))
+    assert sorted(map(tuple, merged.collect())) == direct
