@@ -1648,7 +1648,7 @@ def q121_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     cms = sketch.cms_build(ev, "user_id", depth=4, width=256)
-    est = sketch.cms_estimate(cms, ev.select("user_id"), "user_id", width=256)
+    est = sketch.cms_estimate(cms, ev.select("user_id"), "user_id")
     exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_n"))
     return (
         exact.join(est, "user_id")

@@ -97,17 +97,20 @@ def cms_bucket(row: Column, key: Column, width: int) -> Column:
 
 
 def cms_build(df: DataFrame, key_col: str, depth: int = 4, width: int = 256) -> DataFrame:
-    """The Count-Min sketch as a relation: ``(row, bucket, c)`` with
+    """The Count-Min sketch as a relation: ``(row, bucket, c, width)`` with
     ``c = Σ occurrences of keys hashing to (row, bucket)`` — depth
     independent hash rows, width buckets each. THE bounded-state frequency
     structure at 100 TB: the sketch is ``depth × width`` counters no matter
     the key cardinality, it builds in one explode (×depth) + one hash
     aggregate with map-side combine, and it MERGES by construction —
-    union two sketches and re-sum (counters are additive), so per-shard /
-    per-day sketches roll up without error relative to a global build.
-    Estimates overcount only (collisions add, never subtract):
-    ``est(k) = min over rows of c[row][bucket(row, k)] ≥ true(k)``, with
-    the classic ε=e/width, δ=e^−depth guarantee."""
+    union two same-shape sketches and re-sum on (row, bucket, width)
+    (counters are additive), so per-shard / per-day sketches roll up
+    without error relative to a global build. Estimates overcount only
+    (collisions add, never subtract): ``est(k) = min over rows of
+    c[row][bucket(row, k)] ≥ true(k)``, with the classic ε=e/width,
+    δ=e^−depth guarantee. ``width`` rides along as a constant column so
+    ``cms_estimate`` hashes with the width the sketch was BUILT with — a
+    mismatched re-specification cannot silently corrupt estimates."""
     row = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row")
     return (
         df.select(F.col(key_col).alias("__k"))
@@ -115,28 +118,31 @@ def cms_build(df: DataFrame, key_col: str, depth: int = 4, width: int = 256) -> 
         .select("row", cms_bucket(F.col("row"), F.col("__k"), width).alias("bucket"))
         .groupBy("row", "bucket")
         .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("width", F.lit(width))
     )
 
 
-def cms_estimate(
-    cms: DataFrame, keys: DataFrame, key_col: str, width: int = 256
-) -> DataFrame:
-    """Point-frequency estimates for every row of ``keys``: join each
-    (key, row) pair to its sketch counter and take the per-key MIN across
-    rows. The join is on the tiny (row, bucket) key against the
-    depth×width sketch — broadcast-sized by construction — so estimating
-    any number of keys is one map-side broadcast join + one min
-    aggregate."""
-    depth_rows = cms.select("row").distinct()
+def cms_estimate(cms: DataFrame, keys: DataFrame, key_col: str) -> DataFrame:
+    """Point-frequency estimates for EVERY distinct key in ``keys`` —
+    including keys the sketch never saw (an empty bucket counts as 0, so
+    an unseen key estimates 0, the true CMS semantics; a LEFT join keeps
+    the implicit zero counters the inner-join form would lose). Shape
+    (depth, width) is read from the sketch itself — the sketch is
+    depth×width rows, broadcast-sized by construction, so the one
+    driver-side ``first()`` is trivial and eliminates the
+    mismatched-width corruption class. Estimating any number of keys is
+    one map-side broadcast join + one min aggregate."""
+    meta = cms.agg(F.max("row").alias("d"), F.max("width").alias("w")).first()
+    depth, width = int(meta["d"]) + 1, int(meta["w"])
     kb = (
         keys.select(F.col(key_col).alias("__k"))
         .distinct()
-        .crossJoin(F.broadcast(depth_rows))
+        .select("__k", F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row"))
         .select("__k", "row", cms_bucket(F.col("row"), F.col("__k"), width).alias("bucket"))
     )
     return (
-        kb.join(F.broadcast(cms), ["row", "bucket"])
+        kb.join(F.broadcast(cms), ["row", "bucket"], "left")
         .groupBy("__k")
-        .agg(F.min("c").alias("cms_est"))
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("cms_est"))
         .withColumnRenamed("__k", key_col)
     )

@@ -363,7 +363,7 @@ def q08_resource_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   fluency scoring), q118 (sparse TF-IDF cosine pairs), q119 (dynamic
 #   partition pruning), q120 (streaming session windows), q121 (Count-Min sketch);
 # - the ENTIRE builder surface changed (plan()-seam refactor + fused
-#   single-pass union): q74-q85 whole-resource byte gates, q65, and the
+#   single-pass union): q74-q85 whole-resource byte gates and the
 #   narrow gates q24/q26/q30/q31-q35 all re-prove. q25/q27 are the two
 #   displaced-by-sibling entries: their builders' full byte-identical JSON
 #   is gated in-window by q77 (disease) and q83 (specimen) which share the
@@ -390,6 +390,7 @@ _CHECK_FIRST = [
     "q118_tfidf_doc_pairs",
     "q119_dynamic_partition_pruning",
     "q120_streaming_session_windows",
+    "q121_count_min_sketch",
     "q74_fhir_proband_status_json",
     "q75_fhir_family_json",
     "q76_fhir_research_study_json",

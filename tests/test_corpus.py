@@ -770,7 +770,7 @@ def test_cms_overcounts_only_and_merges_exactly(spark):
     cms = sketch.cms_build(df, "k", depth=3, width=8)
     est = {
         r["k"]: r["cms_est"]
-        for r in sketch.cms_estimate(cms, df.select("k"), "k", width=8).collect()
+        for r in sketch.cms_estimate(cms, df.select("k"), "k").collect()
     }
     exact = {r["k"]: r["n"] for r in df.groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert set(est) == set(exact)
@@ -778,6 +778,11 @@ def test_cms_overcounts_only_and_merges_exactly(spark):
     # shard merge: split by parity, build per-shard, union + re-sum
     a = sketch.cms_build(df.filter(F.col("k") % 2 == 0), "k", depth=3, width=8)
     b = sketch.cms_build(df.filter(F.col("k") % 2 == 1), "k", depth=3, width=8)
-    merged = a.unionByName(b).groupBy("row", "bucket").agg(F.sum("c").alias("c"))
-    direct = sorted(map(tuple, cms.collect()))
-    assert sorted(map(tuple, merged.collect())) == direct
+    merged = a.unionByName(b).groupBy("row", "bucket", "width").agg(F.sum("c").alias("c"))
+    direct = sorted((r["row"], r["bucket"], r["c"]) for r in cms.collect())
+    assert sorted((r["row"], r["bucket"], r["c"]) for r in merged.collect()) == direct
+    # unseen keys estimate 0 when any of their buckets is empty — they are
+    # NOT dropped (left-join semantics), and never negative
+    ghost = spark.createDataFrame([(999,), (1000,)], ["k"])
+    g = {r["k"]: r["cms_est"] for r in sketch.cms_estimate(cms, ghost, "k").collect()}
+    assert set(g) == {999, 1000} and all(v >= 0 for v in g.values())
