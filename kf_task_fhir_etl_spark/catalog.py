@@ -93,13 +93,19 @@ def content_fingerprint(sf_dir: str, tables: list[str]) -> str:
     parts = []
     for t in tables:
         p = table_path(sf_dir, t)
-        files = (
-            sorted(
-                os.path.join(p, f) for f in os.listdir(p) if not f.startswith((".", "_"))
+        if os.path.isdir(p):
+            # recurse: a directory table may nest partition subdirectories
+            # (part=.../file.parquet), and stat'ing only the top-level
+            # entries would miss regenerated nested files whose parent
+            # dir's size/mtime did not change (ADVICE r04)
+            files = sorted(
+                os.path.join(root, f)
+                for root, dirs, names in os.walk(p)
+                for f in names
+                if not f.startswith((".", "_"))
             )
-            if os.path.isdir(p)
-            else [p]
-        )
+        else:
+            files = [p]
         for f in files:
             st = os.stat(f)
             parts.append(f"{f}:{st.st_size}:{st.st_mtime_ns}")
@@ -131,6 +137,14 @@ def staged_layout(kind: str, sf_dir: str, tables: list[str], build) -> str:
     build(tmp)
     try:
         os.rename(tmp, stage)
-    except OSError:  # another process published first — use theirs
+    except OSError:
+        # EITHER another process published first (use theirs) OR the rename
+        # itself failed (cross-device /tmp, permissions, path length) — only
+        # the first is benign. Discard our build, then verify the winner's
+        # directory actually exists; if not, this was a real rename failure
+        # and swallowing it would surface later as a confusing missing-path
+        # read, so re-raise the original error (ADVICE r04).
         shutil.rmtree(tmp, ignore_errors=True)
+        if not os.path.isdir(stage):
+            raise
     return stage

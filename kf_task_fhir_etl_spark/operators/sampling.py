@@ -209,11 +209,16 @@ def weighted_sample(
     window per group (the same shuffle any per-group top-k pays) — never a
     sequential reservoir walk. Clocks round to 10dp before ranking (ln is
     1-ulp-library-specific; 10dp is far above that and far below any real
-    clock gap), ties break on the key. Weights must be > 0."""
+    clock gap), ties break on the key. Weights must be > 0 — the gate below
+    ENFORCES it: a non-positive (or NULL) weight yields a NULL clock, which
+    NULLS-LAST ranking places after every valid row, so invalid-weight rows
+    are deterministically never sampled while valid rows fill k (previously
+    a negative weight produced a negative clock that sorted FIRST and was
+    preferentially sampled — ADVICE r04)."""
     u = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 12), 16, 10).cast(
         "double"
     ) / F.lit(float(1 << 48))
-    clock = F.round(-F.log(u) / weight, 10)
+    clock = F.when(weight > 0, F.round(-F.log(u) / weight, 10))
     # NULLS LAST explicitly: a NULL weight/key yields a NULL clock, and
     # Spark's asc default (NULLS FIRST) would preferentially SAMPLE such
     # rows while SQL engines' ROW_NUMBER defaults rank them last

@@ -133,6 +133,15 @@ def cms_estimate(cms: DataFrame, keys: DataFrame, key_col: str) -> DataFrame:
     mismatched-width corruption class. Estimating any number of keys is
     one map-side broadcast join + one min aggregate."""
     meta = cms.agg(F.max("row").alias("d"), F.max("width").alias("w")).first()
+    if meta["d"] is None:
+        # empty sketch (built over an empty input): every bucket is an
+        # implicit zero counter, so every key estimates 0 — the same
+        # semantics the LEFT-join path gives unseen keys (ADVICE r04).
+        return (
+            keys.select(F.col(key_col).alias(key_col))
+            .distinct()
+            .withColumn("cms_est", F.lit(0).cast("bigint"))
+        )
     depth, width = int(meta["d"]) + 1, int(meta["w"])
     kb = (
         keys.select(F.col(key_col).alias("__k"))

@@ -786,3 +786,33 @@ def test_cms_overcounts_only_and_merges_exactly(spark):
     ghost = spark.createDataFrame([(999,), (1000,)], ["k"])
     g = {r["k"]: r["cms_est"] for r in sketch.cms_estimate(cms, ghost, "k").collect()}
     assert set(g) == {999, 1000} and all(v >= 0 for v in g.values())
+
+
+def test_cms_estimate_on_empty_sketch_returns_zero_for_every_key(spark):
+    """A sketch built over an empty input has no counter rows; estimates must
+    be 0 for every requested key (ADVICE r04: previously raised TypeError)."""
+    from kf_task_fhir_etl_spark.operators import sketch
+
+    empty = spark.createDataFrame([], "k int")
+    cms = sketch.cms_build(empty, "k", depth=3, width=8)
+    keys = spark.createDataFrame([(1,), (2,), (2,)], ["k"])
+    got = {r["k"]: r["cms_est"] for r in sketch.cms_estimate(cms, keys, "k").collect()}
+    assert got == {1: 0, 2: 0}
+
+
+def test_weighted_sample_invalid_weights_never_sampled(spark):
+    """Weight <= 0 (or NULL) yields a NULL clock → ranked after every valid
+    row, never preferentially sampled (ADVICE r04: a negative weight used to
+    produce a negative clock that sorted FIRST)."""
+    from kf_task_fhir_etl_spark.operators import sampling
+
+    rows = [("g", 1, -5.0), ("g", 2, 0.0), ("g", 3, None), ("g", 4, 1.0), ("g", 5, 2.0)]
+    df = spark.createDataFrame(rows, ["grp", "k", "wgt"])
+    got = sampling.weighted_sample(df, "grp", "k", F.col("wgt"), k=2).collect()
+    assert sorted(r["k"] for r in got) == [4, 5]
+    assert all(r["sample_clock"] is not None for r in got)
+    # only invalid rows left to fill k → they appear with NULL clocks, but
+    # never displace a valid row
+    got3 = sampling.weighted_sample(df, "grp", "k", F.col("wgt"), k=3).collect()
+    valid = [r for r in got3 if r["sample_clock"] is not None]
+    assert sorted(r["k"] for r in valid) == [4, 5]
