@@ -1660,3 +1660,152 @@ def q121_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q122 — approximate profiling (HLL++ distinct counts, within-bound gated)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q122_profile_approx",
+    oracle="""
+    SELECT 'o_custkey' AS "column",
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+           TRUE AS nd_within_bound,
+           CAST(MIN(o_custkey) AS VARCHAR) AS min_value,
+           CAST(MAX(o_custkey) AS VARCHAR) AS max_value
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderdate',
+           CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderdate) AS BIGINT), TRUE,
+           CAST(MIN(o_orderdate) AS VARCHAR), CAST(MAX(o_orderdate) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderkey',
+           CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT), TRUE,
+           CAST(MIN(o_orderkey) AS VARCHAR), CAST(MAX(o_orderkey) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority',
+           CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT), TRUE,
+           MIN(o_orderpriority), MAX(o_orderpriority)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus',
+           CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT), TRUE,
+           MIN(o_orderstatus), MAX(o_orderstatus)
+    FROM orders
+    ORDER BY "column"
+    """,
+)
+def q122_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``profile(exact=False)`` — the 100 TB profiling mode — driver-gated
+    via the q57 within-bound pattern (VERDICT r04 item #3): HLL++ distinct
+    estimates are engine-internal, so the raw estimate can never be a
+    cross-engine column, but the CONTRACT is deterministic. The gate runs
+    BOTH modes over the same five orders columns (exactly q103's, so the
+    two gates differ only in the flag), joins on the column name, and
+    emits the exact metrics plus ``nd_within_bound`` =
+    |HLL estimate − exact| ≤ max(⌈5·rsd·exact⌉, 5) — 5× the published
+    rsd=0.01 bound, so a correct sketch can never flip it, while a wrong
+    column, wrong rsd, or garbage regression fails the value hash. Also
+    pins the flag contract itself: both modes return the identical schema,
+    so the equi-join on ``column`` only works while callers really can
+    flip the flag without touching downstream code."""
+    from kf_task_fhir_etl_spark.operators import profile
+
+    o = load_table(spark, sf_dir, "orders")
+    cols = ["o_custkey", "o_orderdate", "o_orderkey", "o_orderpriority", "o_orderstatus"]
+    exact = profile.profile(o, cols, exact=True)
+    approx = profile.profile(o, cols, exact=False, rsd=0.01).select(
+        "column", F.col("n_distinct").alias("__nd_hll")
+    )
+    return (
+        exact.join(approx, "column")
+        .select(
+            "column",
+            "n_nulls",
+            "n_distinct",
+            (
+                F.abs(F.col("__nd_hll") - F.col("n_distinct"))
+                <= F.greatest(F.ceil(F.col("n_distinct") * 0.05), F.lit(5))
+            ).alias("nd_within_bound"),
+            "min_value",
+            "max_value",
+        )
+        .orderBy("column")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q123 — Count-Min heavy hitters (token-frequency audit, exact-verified)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q123_cms_heavy_hitters",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents
+    ), words AS (
+      SELECT word FROM toks WHERE word <> ''
+    ), rows_ AS (SELECT r FROM (VALUES (0), (1), (2), (3)) t(r)),
+    pairs AS (
+      SELECT word, r,
+             (('0x' || substr(md5(r || ':' || word), 1, 12))::BIGINT) % 512 AS bucket
+      FROM words CROSS JOIN rows_
+    ), cms AS (
+      SELECT r, bucket, COUNT(*) AS c FROM pairs GROUP BY r, bucket
+    ), kb AS (
+      SELECT DISTINCT word, r, bucket FROM pairs
+    ), est AS (
+      SELECT word, MIN(c) AS cms_est FROM kb JOIN cms USING (r, bucket) GROUP BY word
+    ), topk AS (
+      SELECT word, cms_est FROM est ORDER BY cms_est DESC, word LIMIT 20
+    ), exact AS (
+      SELECT word, COUNT(*) AS exact_n FROM words GROUP BY word
+    )
+    SELECT t.word, t.cms_est, e.exact_n, t.cms_est - e.exact_n AS overcount
+    FROM topk t JOIN exact e USING (word)
+    ORDER BY cms_est DESC, word
+    """,
+)
+def q123_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min heavy hitters (operators/sketch.py::cms_topk — VERDICT r04
+    item #4): the token-frequency audit a 100 TB corpus actually runs. The
+    document stream explodes to words (map-side combined before any
+    shuffle), a 4×512 sketch summarizes it, and the top-20 tokens by
+    sketch estimate are reported next to their EXACT counts — every
+    reported heavy hitter's estimate AND exact count hash-checked, with
+    the always-≥0 overcount column making the CMS one-sided-error
+    contract itself a gated value. The md5 bucketing keeps the sketch
+    contents engine-portable (q121), so the oracle rebuilds the identical
+    counter table, ranks the same candidates, and must reproduce the same
+    top-20 byte-for-byte — including boundary ties, which the
+    (estimate DESC, word) total order pins. Ranking is
+    TakeOrderedAndProject (per-partition top-k), never a global sort."""
+    from kf_task_fhir_etl_spark.operators import sketch
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(F.explode(F.split(F.lower(F.col("text")), " ")).alias("word")).filter(
+        F.col("word") != ""
+    )
+    cms = sketch.cms_build(words, "word", depth=4, width=512)
+    top = sketch.cms_topk(cms, words, "word", k=20)
+    exact = words.groupBy("word").agg(F.count(F.lit(1)).alias("exact_n"))
+    return (
+        top.join(exact, "word")
+        .select(
+            "word",
+            "cms_est",
+            "exact_n",
+            (F.col("cms_est") - F.col("exact_n")).alias("overcount"),
+        )
+        .orderBy(F.desc("cms_est"), "word")
+    )

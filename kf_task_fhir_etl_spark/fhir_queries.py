@@ -2396,3 +2396,60 @@ def q115_multi_study_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             union = part if union is None else union.unionByName(part)
     return union.orderBy("study", "resource_type")
+
+
+# ---------------------------------------------------------------------------
+# q124 — multi-target narrow orchestration (one call, three builders)
+# ---------------------------------------------------------------------------
+
+
+def _q124_oracle() -> str:
+    """Compose the multi-target oracle from the already-registered singleton
+    oracles (q24 Patient, q74 ProbandStatus, q81 ResearchSubject) — each
+    wrapped as a subquery and tagged with its resource type. Reuse
+    guarantees the expected bytes are IDENTICAL to the singleton gates':
+    the narrow orchestration must reproduce, in one call, exactly what each
+    per-target gate proves in isolation (and q24's oracle was written
+    against the WIDE path, so matching it is the wide ≡ narrow equality
+    statement under the driver oracle, VERDICT r04 item #6)."""
+    from kf_task_fhir_etl_spark.queries import ORACLES
+
+    parts = [
+        f"SELECT '{rt}' AS resource_type, target_id, resource_json FROM ({ORACLES[name]})"
+        for rt, name in [
+            ("Patient", "q24_fhir_patient_resources"),
+            ("ProbandStatus", "q74_fhir_proband_status_json"),
+            ("ResearchSubject", "q81_fhir_research_subject_json"),
+        ]
+    ]
+    return "\nUNION ALL\n".join(parts) + "\nORDER BY resource_type, target_id"
+
+
+@register("q124_narrow_multi_target", oracle=_q124_oracle())
+def q124_narrow_multi_target(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The narrow orchestration end-to-end (plans/narrow.py::
+    build_resources_narrow) with THREE targets in ONE call — gating the
+    multi-target dict flow itself (target selection, per-target input
+    construction, fixed build order), not just each builder in isolation.
+    Every emitted resource byte must equal the singleton gates' expected
+    JSON (the oracle literally reuses their SQL), so a narrow-input
+    regression — a dropped parent attribute, a wrong join key, a target
+    built from another target's input — fails the value hash on whole
+    resources. Patient's expected bytes come from q24's WIDE-path oracle,
+    making wide ≡ narrow resource equality a driver-gated property rather
+    than a pytest-only pin. Three builders share one scan of the two
+    endpoint tables; row counts stay O(entity) throughout (the narrow
+    path's 100 TB contract — the wide fan-out never materializes)."""
+    from kf_task_fhir_etl_spark.plans.narrow import build_resources_narrow
+
+    out = build_resources_narrow(
+        _endpoint_tables(spark, sf_dir),
+        only={"Patient", "ProbandStatus", "ResearchSubject"},
+    )
+    union = None
+    for target in ("Patient", "ProbandStatus", "ResearchSubject"):
+        part = out[target].select(
+            F.lit(target).alias("resource_type"), "target_id", "resource_json"
+        )
+        union = part if union is None else union.unionByName(part)
+    return union.orderBy("resource_type", "target_id")

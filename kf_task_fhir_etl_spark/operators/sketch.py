@@ -155,3 +155,27 @@ def cms_estimate(cms: DataFrame, keys: DataFrame, key_col: str) -> DataFrame:
         .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("cms_est"))
         .withColumnRenamed("__k", key_col)
     )
+
+
+def cms_topk(cms: DataFrame, candidates: DataFrame, key_col: str, k: int) -> DataFrame:
+    """Heavy hitters from the sketch: estimate every candidate key against
+    ``cms`` and keep the ``k`` largest by ``(cms_est DESC, key)`` — the
+    standard CMS top-k query a 100 TB token/domain-frequency audit runs.
+    The total ordering makes the reported set deterministic (ties at the
+    boundary break on the key), so the result is engine-portable whenever
+    the sketch is (md5 bucketing, ``cms_bucket``).
+
+    Scale: the ranking is ``orderBy().limit(k)`` — Spark's
+    TakeOrderedAndProject, a per-partition top-k merged on the driver, never
+    a global sort. The candidate relation bounds the work: pass the distinct
+    key set when it fits a shuffle (it is ≤ one row per distinct key, far
+    smaller than the raw stream the sketch summarized), or any pre-pruned
+    candidate set — e.g. keys surviving a per-shard count threshold
+    (pigeonhole: a key with global count ≥ φN has count ≥ φN/P in some of P
+    shards), or the union of per-shard exact top-m lists — when even the
+    distinct keys are too many. CMS cannot enumerate keys itself (buckets
+    store only counters), so SOME candidate stream is always required; the
+    estimates, and therefore the reported top-k, are identical for any
+    candidate set containing the true heavy hitters."""
+    est = cms_estimate(cms, candidates, key_col)
+    return est.orderBy(F.desc("cms_est"), F.col(key_col)).limit(k)

@@ -816,3 +816,15 @@ def test_weighted_sample_invalid_weights_never_sampled(spark):
     got3 = sampling.weighted_sample(df, "grp", "k", F.col("wgt"), k=3).collect()
     valid = [r for r in got3 if r["sample_clock"] is not None]
     assert sorted(r["k"] for r in valid) == [4, 5]
+
+
+def test_cms_topk_recovers_exact_heavy_hitters_when_wide(spark):
+    """With width >> distinct keys (no collisions) the sketch estimates are
+    exact, so cms_topk must equal the exact top-k, tie-broken by key."""
+    from kf_task_fhir_etl_spark.operators import sketch
+
+    rows = [(f"k{i % 10}",) for i in range(100)] + [("hot",)] * 50 + [("warm",)] * 30
+    df = spark.createDataFrame(rows, ["k"])
+    cms = sketch.cms_build(df, "k", depth=4, width=4096)
+    top = sketch.cms_topk(cms, df.select("k"), "k", k=3).collect()
+    assert [(r["k"], r["cms_est"]) for r in top] == [("hot", 50), ("warm", 30), ("k0", 10)]
