@@ -1,0 +1,338 @@
+"""Machine-checked check-window composition (VERDICT r04 item #2).
+
+The driver hash-checks only the FIRST 50 registry entries per round, so
+`queries.py` rotates previously-green entries to the tail. The r04 verdict
+found the hand-maintained rotation comment had drifted from the artifact
+(claimed zero staleness while 43 entries rode on r01/r02 proofs). This test
+makes that drift impossible: it diffs the working tree against the previous
+round boundary (the driver's `round N:` artifact commit), maps every changed
+top-level symbol to the registry entries whose query functions transitively
+reference it, and FAILS if an affected entry is rotated out of the first 50
+without an explicit waiver.
+
+Granularity is per-symbol, not per-module: `catalog.py` holds both
+`load_table` (used by every gate) and the staging helpers (used by three), so
+a staging fix must not force a 121-entry window. Resolution is static AST
+name/attribute analysis — conservative where it must be (dynamic dispatch
+through the BUILDERS registry fans out to every builder module; unparseable
+or non-function module changes dirty the whole module).
+"""
+from __future__ import annotations
+
+import ast
+import os
+import subprocess
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+PKG = "kf_task_fhir_etl_spark"
+
+# Entries whose code changed this round but which are deliberately rotated
+# out of the window, each with its sibling-coverage justification. CLEAR
+# THIS DICT at every round boundary — a stale waiver is the drift this test
+# exists to prevent.
+WAIVERS = {
+    # r05: q120's flush-stream staging uses catalog.content_fingerprint /
+    # staged_layout (changed this round: recursive walk + rename re-raise),
+    # which q95 + q119 re-prove in-window through the identical helpers;
+    # q120's own session-window logic is untouched.
+    "q120_streaming_session_windows": "staging helpers gated in-window by q95+q119",
+}
+
+# Names resolved dynamically at runtime that static analysis cannot follow:
+# referencing the name makes the symbol depend on EVERY symbol in the mapped
+# module subtree.
+DYNAMIC_FANOUT = {
+    "BUILDERS": f"{PKG}.builders.",
+}
+
+
+def _git(*args: str) -> str:
+    return subprocess.run(
+        ["git", *args], cwd=REPO, capture_output=True, text=True, check=True
+    ).stdout
+
+
+def _round_boundary() -> str | None:
+    out = _git("log", "--grep", "^round [0-9]*:", "-n", "1", "--format=%H").strip()
+    return out or None
+
+
+def _module_name(relpath: str) -> str:
+    return relpath[: -len(".py")].replace("/", ".")
+
+
+def _symbol_sources(src: str) -> tuple[dict[str, str], str]:
+    """{symbol_name: source_segment} for top-level defs/classes/simple
+    assigns (decorators included), plus the 'residual' — every other
+    non-comment module-level line (imports, loose statements)."""
+    tree = ast.parse(src)
+    lines = src.splitlines()
+    symbols: dict[str, str] = {}
+    covered: set[int] = set()
+    for node in tree.body:
+        name = None
+        start = node.lineno
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
+            name = node.name
+            if node.decorator_list:
+                start = min(d.lineno for d in node.decorator_list)
+        elif isinstance(node, ast.Assign) and len(node.targets) == 1 and isinstance(
+            node.targets[0], ast.Name
+        ):
+            name = node.targets[0].id
+        elif isinstance(node, ast.AnnAssign) and isinstance(node.target, ast.Name):
+            name = node.target.id
+        if name is not None:
+            seg = "\n".join(lines[start - 1 : node.end_lineno])
+            # re-binding the same top-level name concatenates (rare; keeps
+            # both definitions in the compared text)
+            symbols[name] = symbols.get(name, "") + seg
+            covered.update(range(start, node.end_lineno + 1))
+    residual = "\n".join(
+        ln
+        for i, ln in enumerate(lines, 1)
+        if i not in covered and ln.strip() and not ln.lstrip().startswith("#")
+    )
+    return symbols, residual
+
+
+def _collect_project_sources() -> dict[str, str]:
+    out: dict[str, str] = {}
+    for root, _dirs, files in os.walk(os.path.join(REPO, PKG)):
+        for f in files:
+            if f.endswith(".py"):
+                p = os.path.join(root, f)
+                rel = os.path.relpath(p, REPO)
+                with open(p) as fh:
+                    out[_module_name(rel)] = fh.read()
+    return out
+
+
+def _references(node: ast.AST) -> tuple[set[tuple[str, str]], set[str]]:
+    """(attribute pairs {(base_name, attr)}, bare names) referenced inside
+    ``node``. Names serving as an attribute base are not double-counted as
+    bare references."""
+    pairs: set[tuple[str, str]] = set()
+    attr_bases: set[int] = set()
+    for n in ast.walk(node):
+        if isinstance(n, ast.Attribute) and isinstance(n.value, ast.Name):
+            pairs.add((n.value.id, n.attr))
+            attr_bases.add(id(n.value))
+    names = {
+        n.id
+        for n in ast.walk(node)
+        if isinstance(n, ast.Name) and id(n) not in attr_bases
+    }
+    return pairs, names
+
+
+def _imports(node: ast.AST) -> dict[str, tuple[str, str | None]]:
+    """alias -> (module, symbol|None). symbol None means the alias IS a
+    module; attribute access on it resolves within that module."""
+    table: dict[str, tuple[str, str | None]] = {}
+    for n in ast.walk(node):
+        if isinstance(n, ast.Import):
+            for a in n.names:
+                table[a.asname or a.name.split(".")[0]] = (
+                    a.name,
+                    None,
+                )
+        elif isinstance(n, ast.ImportFrom) and n.module:
+            for a in n.names:
+                table[a.asname or a.name] = (n.module, a.name)
+    return table
+
+
+def _build_dependency_graph(sources: dict[str, str]):
+    """Forward edges: (module, symbol) -> set of (module, symbol) it uses."""
+    trees = {m: ast.parse(s) for m, s in sources.items()}
+    # global symbol table
+    symtab: dict[str, set[str]] = {}
+    for m, tree in trees.items():
+        syms = set()
+        for node in tree.body:
+            if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
+                syms.add(node.name)
+            elif isinstance(node, ast.Assign) and len(node.targets) == 1 and isinstance(
+                node.targets[0], ast.Name
+            ):
+                syms.add(node.targets[0].id)
+            elif isinstance(node, ast.AnnAssign) and isinstance(node.target, ast.Name):
+                syms.add(node.target.id)
+        symtab[m] = syms
+
+    def resolve(module: str, imp: dict, base: str, attr: str | None):
+        """Resolve a reference to a (module, symbol) target, or a module
+        prefix for fanout, or None."""
+        targets = []
+        if attr is None and base in symtab.get(module, set()):
+            return [(module, base)]
+        if base in imp:
+            src_mod, src_sym = imp[base]
+            if src_sym is None:
+                mod = src_mod
+            else:
+                candidate = f"{src_mod}.{src_sym}"
+                if candidate in symtab:  # `from pkg import submodule`
+                    mod = candidate
+                else:
+                    if attr is None:
+                        if src_sym in symtab.get(src_mod, set()):
+                            targets.append((src_mod, src_sym))
+                        return targets
+                    # attribute on an imported symbol (e.g. class instance):
+                    # depend on the symbol itself
+                    if src_sym in symtab.get(src_mod, set()):
+                        targets.append((src_mod, src_sym))
+                    return targets
+            if attr is not None and attr in symtab.get(mod, set()):
+                targets.append((mod, attr))
+            elif attr is None and mod in symtab:
+                # bare module reference: conservative, all symbols
+                targets.extend((mod, s) for s in symtab[mod])
+        return targets
+
+    edges: dict[tuple[str, str], set[tuple[str, str]]] = {}
+    for m, tree in trees.items():
+        module_imports = _imports(tree)
+        for node in tree.body:
+            name = None
+            if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
+                name = node.name
+            elif isinstance(node, ast.Assign) and len(node.targets) == 1 and isinstance(
+                node.targets[0], ast.Name
+            ):
+                name = node.targets[0].id
+            elif isinstance(node, ast.AnnAssign) and isinstance(node.target, ast.Name):
+                name = node.target.id
+            if name is None:
+                continue
+            imp = dict(module_imports)
+            imp.update(_imports(node))
+            pairs, bare = _references(node)
+            deps: set[tuple[str, str]] = set()
+            for base, attr in pairs:
+                deps.update(resolve(m, imp, base, attr) or [])
+            for b in bare:
+                deps.update(resolve(m, imp, b, None) or [])
+                if b in DYNAMIC_FANOUT:
+                    prefix = DYNAMIC_FANOUT[b]
+                    for mod in symtab:
+                        if mod.startswith(prefix) or mod == prefix.rstrip("."):
+                            deps.update((mod, s) for s in symtab[mod])
+            deps.discard((m, name))
+            edges[(m, name)] = deps
+    return edges, symtab
+
+
+def _changed_symbols(base: str) -> set[tuple[str, str]]:
+    """Symbols added/removed/modified between the base commit and the
+    working tree, per-symbol where possible, whole-module when module-level
+    residual code (imports, loose statements) changed or a side is
+    unparseable."""
+    changed_files = [
+        f
+        for f in _git("diff", "--name-only", base, "--", PKG).splitlines()
+        if f.endswith(".py")
+    ]
+    changed: set[tuple[str, str]] = set()
+    for rel in changed_files:
+        mod = _module_name(rel)
+        path = os.path.join(REPO, rel)
+        new_src = open(path).read() if os.path.exists(path) else ""
+        try:
+            old_src = _git("show", f"{base}:{rel}")
+        except subprocess.CalledProcessError:
+            old_src = ""
+        try:
+            new_syms, new_res = _symbol_sources(new_src) if new_src else ({}, "")
+            old_syms, old_res = _symbol_sources(old_src) if old_src else ({}, "")
+        except SyntaxError:
+            # unparseable side: dirty everything we know about the module
+            all_names = set()
+            for s in (new_src, old_src):
+                try:
+                    all_names |= set(_symbol_sources(s)[0])
+                except SyntaxError:
+                    pass
+            changed.update((mod, n) for n in all_names)
+            continue
+        if old_res != new_res:
+            changed.update((mod, n) for n in set(old_syms) | set(new_syms))
+            continue
+        for n in set(old_syms) | set(new_syms):
+            if old_syms.get(n) != new_syms.get(n):
+                changed.add((mod, n))
+    return changed
+
+
+def test_changed_code_gates_are_in_the_check_window():
+    base = _round_boundary()
+    if base is None:
+        pytest.skip("no round-boundary commit found")
+    changed = _changed_symbols(base)
+    if not changed:
+        return
+
+    from kf_task_fhir_etl_spark import queries as Q
+
+    Q._load_extra_registries()
+    edges, _symtab = _build_dependency_graph(_collect_project_sources())
+
+    # reverse closure: everything that (transitively) references a changed
+    # symbol is dirty
+    reverse: dict[tuple[str, str], set[tuple[str, str]]] = {}
+    for src_sym, deps in edges.items():
+        for d in deps:
+            reverse.setdefault(d, set()).add(src_sym)
+    dirty = set(changed)
+    frontier = list(changed)
+    while frontier:
+        cur = frontier.pop()
+        for dependent in reverse.get(cur, ()):
+            if dependent not in dirty:
+                dirty.add(dependent)
+                frontier.append(dependent)
+
+    window = set(list(Q._ordered_names())[:50])
+    offenders = {}
+    for entry, fn in Q.QUERIES.items():
+        sym = (fn.__module__, fn.__name__)
+        if sym in dirty and entry not in window and entry not in WAIVERS:
+            offenders[entry] = sym
+    assert not offenders, (
+        "registry entries whose code changed since the round boundary "
+        f"({base[:10]}) are rotated out of the 50-entry check window without "
+        f"a waiver: {sorted(offenders)} — move them into _CHECK_FIRST or add "
+        "a justified WAIVERS entry"
+    )
+
+
+def test_waivers_reference_real_out_of_window_entries():
+    """A waiver for an entry that is back in the window (or gone) is stale
+    and must be removed."""
+    from kf_task_fhir_etl_spark import queries as Q
+
+    Q._load_extra_registries()
+    window = set(list(Q._ordered_names())[:50])
+    for entry in WAIVERS:
+        assert entry in Q.QUERIES, f"waiver for unknown entry {entry}"
+        assert entry not in window, f"stale waiver: {entry} is in the window"
+
+
+def test_check_lists_are_exact_and_disjoint():
+    from kf_task_fhir_etl_spark import queries as Q
+
+    Q._load_extra_registries()
+    first, last = set(Q._CHECK_FIRST), set(Q._CHECK_LAST)
+    assert not first & last
+    unknown = (first | last) - set(Q.QUERIES)
+    assert not unknown, f"rotation lists name unknown entries: {sorted(unknown)}"
+    assert len(Q._CHECK_FIRST) == 50, "window must be exactly the driver's 50 slots"
+    # every registry entry is explicitly placed (no silent middle)
+    assert first | last == set(Q.QUERIES), (
+        "entries missing from rotation lists: "
+        f"{sorted(set(Q.QUERIES) - first - last)}"
+    )
