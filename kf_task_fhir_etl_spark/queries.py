@@ -363,15 +363,18 @@ def q08_resource_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 # r02). This round the window is exactly those 43 (q31-q35 first — r01
 # proofs over builders refactored in r04) plus everything r05 touches:
 # - 43 vintage re-proves on otherwise-unchanged code;
-# - 4 changed-code re-proves: q95 + q119 (catalog.content_fingerprint now
-#   recursive / staged_layout re-raises real rename failures — the shared
-#   staging layer both gates sit on), q116 (weighted_sample non-positive-
-#   weight guard), q121 (cms_estimate empty-sketch guard);
+# - 4 changed-code re-proves: q95 (catalog.content_fingerprint now
+#   recursive / staged_layout re-raises real rename failures), q116
+#   (weighted_sample non-positive-weight guard), q121 (cms_estimate
+#   empty-sketch guard), q85 (constructed-pipeline memo — steady-state
+#   re-serve of the fused build);
 # - 3 NEW gates: q122 (profile exact=False within-bound), q123 (Count-Min
 #   heavy hitters), q124 (multi-target narrow orchestration).
-# Rotation waiver (the one changed-adjacent entry NOT in-window): q120's
-# staging goes through the same catalog helpers, which q95+q119 re-prove
-# in-window; its own session-window logic is untouched this round.
+# Rotation waivers (changed-adjacent entries NOT in-window): q119 and
+# q120 — both gates' only diff is the shared catalog staging helpers
+# (content_fingerprint/staged_layout), which q95 re-proves in-window
+# through the identical code path; their own DPP / session-window logic
+# is untouched this round.
 # Everything in _CHECK_LAST is r03/r04-green on code untouched this round.
 # Window composition is now MACHINE-CHECKED: tests/test_staleness_guard.py
 # diffs the tree against the previous round tag, maps changed symbols to
@@ -426,15 +429,21 @@ _CHECK_FIRST = [
     "q73_salted_skew_join",
     # changed-code re-proves (r05 diffs)
     "q95_bucketed_colocated_join",
-    "q119_dynamic_partition_pruning",
     "q116_weighted_sample",
     "q121_count_min_sketch",
+    "q85_fhir_full_pipeline",
     # new gates this round
     "q122_profile_approx",
     "q123_cms_heavy_hitters",
     "q124_narrow_multi_target",
 ]
 _CHECK_LAST = [
+    # WAIVER: q119's partitioned-table staging uses catalog.
+    # content_fingerprint / staged_layout (changed this round), re-proven
+    # in-window by q95 through the identical helpers; the DPP join + its
+    # plan-assert (which RAISES without a dynamicpruning subquery) are
+    # untouched this round
+    "q119_dynamic_partition_pruning",
     # r04-green, code untouched this round
     "q57_approx_sketches",
     "q113_ivf_lloyd_refinement",
@@ -459,7 +468,6 @@ _CHECK_LAST = [
     "q82_fhir_reference_entities_json",
     "q83_fhir_specimen_json",
     "q84_fhir_drs_json",
-    "q85_fhir_full_pipeline",
     "q24_fhir_patient_resources",
     "q26_fhir_family_groups",
     "q30_fhir_vital_status_json",

@@ -33,11 +33,13 @@ PKG = "kf_task_fhir_etl_spark"
 # THIS DICT at every round boundary — a stale waiver is the drift this test
 # exists to prevent.
 WAIVERS = {
-    # r05: q120's flush-stream staging uses catalog.content_fingerprint /
-    # staged_layout (changed this round: recursive walk + rename re-raise),
-    # which q95 + q119 re-prove in-window through the identical helpers;
-    # q120's own session-window logic is untouched.
-    "q120_streaming_session_windows": "staging helpers gated in-window by q95+q119",
+    # r05: q119's and q120's only diff is the shared catalog staging
+    # helpers (content_fingerprint recursive walk + staged_layout rename
+    # re-raise), which q95 re-proves in-window through the identical code
+    # path; q119's DPP plan-assert and q120's session-window logic are
+    # untouched this round.
+    "q119_dynamic_partition_pruning": "staging helpers gated in-window by q95",
+    "q120_streaming_session_windows": "staging helpers gated in-window by q95",
 }
 
 # Names resolved dynamically at runtime that static analysis cannot follow:
