@@ -97,13 +97,17 @@ def content_fingerprint(sf_dir: str, tables: list[str]) -> str:
             # recurse: a directory table may nest partition subdirectories
             # (part=.../file.parquet), and stat'ing only the top-level
             # entries would miss regenerated nested files whose parent
-            # dir's size/mtime did not change (ADVICE r04)
-            files = sorted(
-                os.path.join(root, f)
-                for root, dirs, names in os.walk(p)
-                for f in names
-                if not f.startswith((".", "_"))
-            )
+            # dir's size/mtime did not change (ADVICE r04). Prune marker /
+            # temp SUBTREES ('_temporary', '_spark_metadata', hidden dirs)
+            # the same way marker files are skipped — their contents are
+            # not data and must not churn the fingerprint.
+            files = []
+            for root, dirs, names in os.walk(p):
+                dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
+                files.extend(
+                    os.path.join(root, f) for f in names if not f.startswith((".", "_"))
+                )
+            files.sort()
         else:
             files = [p]
         for f in files:

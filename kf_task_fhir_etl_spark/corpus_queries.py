@@ -1796,6 +1796,11 @@ def q123_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = docs.select(F.explode(F.split(F.lower(F.col("text")), " ")).alias("word")).filter(
         F.col("word") != ""
     )
+    # three consumers (sketch build, candidate estimate, exact counts) share
+    # the token stream: checkpoint it once so the scan + explode runs once,
+    # not three times (the shared-subplan rule every multi-consumer gate
+    # follows)
+    words = words.localCheckpoint(eager=False)
     cms = sketch.cms_build(words, "word", depth=4, width=512)
     top = sketch.cms_topk(cms, words, "word", k=20)
     exact = words.groupBy("word").agg(F.count(F.lit(1)).alias("exact_n"))

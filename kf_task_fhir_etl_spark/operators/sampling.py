@@ -210,23 +210,22 @@ def weighted_sample(
     sequential reservoir walk. Clocks round to 10dp before ranking (ln is
     1-ulp-library-specific; 10dp is far above that and far below any real
     clock gap), ties break on the key. Weights must be > 0 — the gate below
-    ENFORCES it: a non-positive (or NULL) weight yields a NULL clock, which
-    NULLS-LAST ranking places after every valid row, so invalid-weight rows
-    are deterministically never sampled while valid rows fill k (previously
-    a negative weight produced a negative clock that sorted FIRST and was
-    preferentially sampled — ADVICE r04)."""
+    ENFORCES it: a non-positive (or NULL) weight yields a NULL clock and
+    the row is dropped BEFORE ranking, so invalid-weight rows are never
+    sampled — not even when a group has fewer than k valid rows
+    (Efraimidis-Spirakis inclusion probability is proportional to weight;
+    weight ≤ 0 means probability 0). Previously a negative weight produced
+    a negative clock that sorted FIRST and was preferentially sampled
+    (ADVICE r04); ranking NULLs last still padded them in when valid rows
+    ran short (r05 review)."""
     u = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 12), 16, 10).cast(
         "double"
     ) / F.lit(float(1 << 48))
     clock = F.when(weight > 0, F.round(-F.log(u) / weight, 10))
-    # NULLS LAST explicitly: a NULL weight/key yields a NULL clock, and
-    # Spark's asc default (NULLS FIRST) would preferentially SAMPLE such
-    # rows while SQL engines' ROW_NUMBER defaults rank them last
-    w = Window.partitionBy(group_col).orderBy(
-        F.col("__clock").asc_nulls_last(), F.col(key_col)
-    )
+    w = Window.partitionBy(group_col).orderBy(F.col("__clock"), F.col(key_col))
     return (
         df.withColumn("__clock", clock)
+        .filter(F.col("__clock").isNotNull())
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k)
         .drop("__rn")

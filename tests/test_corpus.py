@@ -801,9 +801,11 @@ def test_cms_estimate_on_empty_sketch_returns_zero_for_every_key(spark):
 
 
 def test_weighted_sample_invalid_weights_never_sampled(spark):
-    """Weight <= 0 (or NULL) yields a NULL clock → ranked after every valid
-    row, never preferentially sampled (ADVICE r04: a negative weight used to
-    produce a negative clock that sorted FIRST)."""
+    """Weight <= 0 (or NULL) means inclusion probability 0: the row is
+    dropped before ranking and can never appear in the sample — not even
+    when the group has fewer than k valid rows (ADVICE r04 + r05 review:
+    a negative weight used to produce a negative clock that sorted FIRST,
+    and NULL-clock rows used to pad short groups)."""
     from kf_task_fhir_etl_spark.operators import sampling
 
     rows = [("g", 1, -5.0), ("g", 2, 0.0), ("g", 3, None), ("g", 4, 1.0), ("g", 5, 2.0)]
@@ -811,11 +813,10 @@ def test_weighted_sample_invalid_weights_never_sampled(spark):
     got = sampling.weighted_sample(df, "grp", "k", F.col("wgt"), k=2).collect()
     assert sorted(r["k"] for r in got) == [4, 5]
     assert all(r["sample_clock"] is not None for r in got)
-    # only invalid rows left to fill k → they appear with NULL clocks, but
-    # never displace a valid row
+    # k larger than the valid pool → only the valid rows come back
     got3 = sampling.weighted_sample(df, "grp", "k", F.col("wgt"), k=3).collect()
-    valid = [r for r in got3 if r["sample_clock"] is not None]
-    assert sorted(r["k"] for r in valid) == [4, 5]
+    assert sorted(r["k"] for r in got3) == [4, 5]
+    assert all(r["sample_clock"] is not None for r in got3)
 
 
 def test_cms_topk_recovers_exact_heavy_hitters_when_wide(spark):

@@ -32,12 +32,18 @@ PKG = "kf_task_fhir_etl_spark"
 # out of the window, each with its sibling-coverage justification. CLEAR
 # THIS DICT at every round boundary — a stale waiver is the drift this test
 # exists to prevent.
+# Waivers are SCOPED to the round boundary they were granted against (the
+# driver's `round N:` commit subject): when the next round's boundary commit
+# lands, every waiver here expires automatically and the guard fails until
+# it is re-justified or removed — a stale waiver can never silently mask a
+# later change to the waived entry.
+WAIVER_ROUND = "round 4:"
 WAIVERS = {
-    # r05: q119's and q120's only diff is the shared catalog staging
-    # helpers (content_fingerprint recursive walk + staged_layout rename
-    # re-raise), which q95 re-proves in-window through the identical code
-    # path; q119's DPP plan-assert and q120's session-window logic are
-    # untouched this round.
+    # r05 (against the round-4 boundary): q119's and q120's only diff is
+    # the shared catalog staging helpers (content_fingerprint recursive
+    # walk + staged_layout rename re-raise), which q95 re-proves in-window
+    # through the identical code path; q119's DPP plan-assert and q120's
+    # session-window logic are untouched this round.
     "q119_dynamic_partition_pruning": "staging helpers gated in-window by q95",
     "q120_streaming_session_windows": "staging helpers gated in-window by q95",
 }
@@ -56,9 +62,18 @@ def _git(*args: str) -> str:
     ).stdout
 
 
-def _round_boundary() -> str | None:
-    out = _git("log", "--grep", "^round [0-9]*:", "-n", "1", "--format=%H").strip()
-    return out or None
+def _round_boundary() -> tuple[str, str] | None:
+    """(commit hash, subject) of the most recent driver round-artifact
+    commit. Matched against the SUBJECT line only (a body that merely
+    quotes a 'round N:' line cannot shift the boundary), with an anchored
+    one-or-more-digits pattern."""
+    import re
+
+    for line in _git("log", "--format=%H\x1f%s").splitlines():
+        sha, _, subject = line.partition("\x1f")
+        if re.match(r"^round [0-9]+:", subject):
+            return sha, subject
+    return None
 
 
 def _module_name(relpath: str) -> str:
@@ -271,9 +286,13 @@ def _changed_symbols(base: str) -> set[tuple[str, str]]:
 
 
 def test_changed_code_gates_are_in_the_check_window():
-    base = _round_boundary()
-    if base is None:
+    boundary = _round_boundary()
+    if boundary is None:
         pytest.skip("no round-boundary commit found")
+    base, subject = boundary
+    # waivers expire at the next round boundary: if the boundary subject no
+    # longer starts with WAIVER_ROUND, every waiver is stale and ignored
+    waivers = set(WAIVERS) if subject.startswith(WAIVER_ROUND) else set()
     changed = _changed_symbols(base)
     if not changed:
         return
@@ -302,13 +321,14 @@ def test_changed_code_gates_are_in_the_check_window():
     offenders = {}
     for entry, fn in Q.QUERIES.items():
         sym = (fn.__module__, fn.__name__)
-        if sym in dirty and entry not in window and entry not in WAIVERS:
+        if sym in dirty and entry not in window and entry not in waivers:
             offenders[entry] = sym
     assert not offenders, (
         "registry entries whose code changed since the round boundary "
-        f"({base[:10]}) are rotated out of the 50-entry check window without "
-        f"a waiver: {sorted(offenders)} — move them into _CHECK_FIRST or add "
-        "a justified WAIVERS entry"
+        f"({base[:10]} {subject!r}) are rotated out of the 50-entry check "
+        f"window without a current-round waiver: {sorted(offenders)} — move "
+        "them into _CHECK_FIRST, or add a justified WAIVERS entry and bump "
+        "WAIVER_ROUND to the current boundary subject"
     )
 
 
