@@ -1343,14 +1343,15 @@ def q114_semantic_dedup_unsupervised(spark: SparkSession, sf_dir: str) -> DataFr
     oracle=r"""
     WITH clocks AS (
       SELECT lang, doc_id,
-             ROUND(-ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT)
-                       / 281474976710656.0)
-                   / (len(text) + 1), 10) AS sample_clock
+             CASE WHEN (len(text) + 1) > 0 THEN
+               ROUND(-ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT)
+                         / 281474976710656.0)
+                     / (len(text) + 1), 10) END AS sample_clock
       FROM documents
     ), ranked AS (
       SELECT lang, doc_id, sample_clock,
              ROW_NUMBER() OVER (PARTITION BY lang ORDER BY sample_clock, doc_id) AS rn
-      FROM clocks)
+      FROM clocks WHERE sample_clock IS NOT NULL)
     SELECT lang, doc_id, sample_clock FROM ranked WHERE rn <= 20
     ORDER BY lang, doc_id
     """,
@@ -1363,7 +1364,11 @@ def q116_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic distributed reservoir a corpus-audit/eval-subset step
     needs. Every clock VALUE (rounded 10dp) plus the chosen set is
     hash-checked, so the uniform derivation, the -ln(u)/w transform, and
-    the per-group rank must all match the oracle exactly."""
+    the per-group rank must all match the oracle exactly. The oracle also
+    restates the operator's invalid-weight contract (non-positive/NULL
+    weight → dropped before ranking, never padded into short groups), so
+    a NULL-text document in a future test corpus diverges loudly in
+    neither engine."""
     from kf_task_fhir_etl_spark.operators import sampling
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1722,8 +1727,9 @@ def q122_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = load_table(spark, sf_dir, "orders")
     cols = ["o_custkey", "o_orderdate", "o_orderkey", "o_orderpriority", "o_orderstatus"]
+    rsd = 0.01  # single source for both the sketch precision and the bound
     exact = profile.profile(o, cols, exact=True)
-    approx = profile.profile(o, cols, exact=False, rsd=0.01).select(
+    approx = profile.profile(o, cols, exact=False, rsd=rsd).select(
         "column", F.col("n_distinct").alias("__nd_hll")
     )
     return (
@@ -1734,7 +1740,7 @@ def q122_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_distinct",
             (
                 F.abs(F.col("__nd_hll") - F.col("n_distinct"))
-                <= F.greatest(F.ceil(F.col("n_distinct") * 0.05), F.lit(5))
+                <= F.greatest(F.ceil(F.col("n_distinct") * (5 * rsd)), F.lit(5))
             ).alias("nd_within_bound"),
             "min_value",
             "max_value",
