@@ -1072,11 +1072,7 @@ def q85_fhir_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cached = _Q85_PIPELINE.get(memo_key)
     if cached is not None:
-        return (
-            cached.groupBy(F.col("target").alias("resource_type"))
-            .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("target_id").alias("n_ids"))
-            .orderBy("resource_type")
-        )
+        return _q85_counts(cached)
 
     customer = load_table(spark, sf_dir, "customer")
     supplier = load_table(spark, sf_dir, "supplier")
@@ -1167,6 +1163,12 @@ def q85_fhir_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the fused one-scan build (etl.build_resources_union); per-builder
     # bytes stay gated by q74-q84, fused ≡ classic pinned in
     # tests/test_builders.py::test_single_pass_union_equals_classic_dict
+    return _q85_counts(out)
+
+
+def _q85_counts(out: DataFrame) -> DataFrame:
+    """q85's gate aggregation — one shared tail for the cold and memoized
+    branches so the output shape cannot diverge between them."""
     return (
         out.groupBy(F.col("target").alias("resource_type"))
         .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("target_id").alias("n_ids"))

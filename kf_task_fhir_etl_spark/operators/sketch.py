@@ -132,6 +132,11 @@ def cms_estimate(cms: DataFrame, keys: DataFrame, key_col: str) -> DataFrame:
     driver-side ``first()`` is trivial and eliminates the
     mismatched-width corruption class. Estimating any number of keys is
     one map-side broadcast join + one min aggregate."""
+    # materialize the sketch once: the depth×width relation (at most a few
+    # thousand rows) feeds BOTH the driver-side shape read below and the
+    # broadcast join — without this the full-stream sketch aggregation (the
+    # heaviest stage at scale) would execute twice per estimate call
+    cms = cms.localCheckpoint(eager=True)
     meta = cms.agg(F.max("row").alias("d"), F.max("width").alias("w")).first()
     if meta["d"] is None:
         # empty sketch (built over an empty input): every bucket is an

@@ -371,10 +371,13 @@ def q08_resource_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 # - 3 NEW gates: q122 (profile exact=False within-bound), q123 (Count-Min
 #   heavy hitters), q124 (multi-target narrow orchestration).
 # Rotation waivers (changed-adjacent entries NOT in-window): q119 and
-# q120 — both gates' only diff is the shared catalog staging helpers
-# (content_fingerprint/staged_layout), which q95 re-proves in-window
-# through the identical code path; their own DPP / session-window logic
-# is untouched this round.
+# q120 — both gates' only diff is the shared catalog staging helpers.
+# Coverage split honestly: content_fingerprint is driver-proven in-window
+# by q95 (which calls it directly); staged_layout's changed branch (the
+# rename-failure re-raise) is NOT driver-gated this round — it is covered
+# by tests/test_catalog.py (real-failure re-raise, benign publish race,
+# build-once reuse). The gates' own DPP / session-window logic is
+# untouched this round; both rotate back in r06.
 # Everything in _CHECK_LAST is r03/r04-green on code untouched this round.
 # Window composition is now MACHINE-CHECKED: tests/test_staleness_guard.py
 # diffs the tree against the previous round tag, maps changed symbols to
@@ -451,9 +454,10 @@ _CHECK_LAST = [
     "q115_multi_study_pipeline",
     "q117_bigram_lm_score",
     "q118_tfidf_doc_pairs",
-    # WAIVER: q120's flush-stream staging uses catalog.content_fingerprint /
-    # staged_layout (changed this round), re-proven in-window by q95+q119
-    # which exercise the identical helpers; session-window logic untouched
+    # WAIVER: q120's flush-stream staging uses catalog.content_fingerprint
+    # (driver-proven in-window by q95) and staged_layout (changed branch
+    # pytest-covered in tests/test_catalog.py, not driver-gated this
+    # round); session-window logic untouched — see the waiver note above
     "q120_streaming_session_windows",
     # r04-green builder/FHIR surface, untouched this round (q124 additionally
     # re-runs the q24/q74/q81 expected bytes through the narrow path)

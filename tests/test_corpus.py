@@ -829,3 +829,26 @@ def test_cms_topk_recovers_exact_heavy_hitters_when_wide(spark):
     cms = sketch.cms_build(df, "k", depth=4, width=4096)
     top = sketch.cms_topk(cms, df.select("k"), "k", k=3).collect()
     assert [(r["k"], r["cms_est"]) for r in top] == [("hot", 50), ("warm", 30), ("k0", 10)]
+
+
+def test_q57_gk_band_precondition_holds_in_driver_corpora(spark):
+    """q57's ±0.005-rank GK band is non-degenerate only when every
+    event_type group holds n ≳ 400 rows (the band edges must straddle at
+    least one data value). The gate itself documents but cannot cheaply
+    assert this, so this test pins the DATA assumption at both driver
+    scales — a regenerated/smaller test corpus fails here loudly instead
+    of flapping the q57 value hash (VERDICT r04 item #8)."""
+    from kf_task_fhir_etl_spark.catalog import load_table
+
+    for sf_dir in ("/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+        counts = [
+            r["n"]
+            for r in load_table(spark, sf_dir, "events")
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        ]
+        assert counts and min(counts) >= 400, (
+            f"{sf_dir}: smallest event_type group has {min(counts) if counts else 0} "
+            "rows; q57's ±0.005-rank GK band needs ≥400 per group"
+        )
