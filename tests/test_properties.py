@@ -274,3 +274,65 @@ def test_mixture_resample_nests_under_target_growth(spark, counts, lo, extra):
         ).collect()
     }
     assert small <= large
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    keys=st.lists(st.integers(0, 30), min_size=1, max_size=60),
+    split=st.integers(2, 4),
+)
+def test_cms_overcount_and_additive_merge_any_sharding(spark, keys, split):
+    """Count-Min invariants for ANY key multiset and ANY sharding: every
+    estimate >= its exact count; unseen keys estimate 0; shard sketches
+    union+re-sum to exactly the global sketch (counters additive)."""
+    from kf_task_fhir_etl_spark.operators import sketch
+
+    df = spark.createDataFrame([(k,) for k in keys], ["k"])
+    cms = sketch.cms_build(df, "k", depth=3, width=16)
+    exact = {}
+    for k in keys:
+        exact[k] = exact.get(k, 0) + 1
+    probe = spark.createDataFrame([(k,) for k in set(keys) | {10**6}], ["k"])
+    est = {r["k"]: r["cms_est"] for r in sketch.cms_estimate(cms, probe, "k").collect()}
+    assert est[10**6] >= 0  # unseen key present, never negative
+    assert all(est[k] >= n for k, n in exact.items())
+    shards = [
+        sketch.cms_build(df.filter(F.col("k") % split == i), "k", depth=3, width=16)
+        for i in range(split)
+    ]
+    u = shards[0]
+    for s in shards[1:]:
+        u = u.unionByName(s)
+    merged = u.groupBy("row", "bucket", "width").agg(F.sum("c").alias("c"))
+    assert sorted((r["row"], r["bucket"], r["c"]) for r in merged.collect()) == sorted(
+        (r["row"], r["bucket"], r["c"]) for r in cms.collect()
+    )
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    weights=st.lists(
+        st.one_of(
+            st.none(),
+            st.floats(min_value=-5, max_value=10, allow_nan=False, width=32),
+        ),
+        min_size=1,
+        max_size=20,
+    ),
+    k=st.integers(1, 6),
+)
+def test_weighted_sample_contract_any_weights(spark, weights, k):
+    """weighted_sample for ANY weight vector (valid, zero, negative, NULL):
+    the sample is exactly min(k, #valid) rows, drawn only from weight>0
+    rows, with non-NULL clocks, deterministically."""
+    from kf_task_fhir_etl_spark.operators import sampling
+
+    rows = [("g", i, w) for i, w in enumerate(weights)]
+    df = spark.createDataFrame(rows, "grp string, k int, wgt float")
+    got = sampling.weighted_sample(df, "grp", "k", F.col("wgt"), k=k).collect()
+    valid = {i for i, w in enumerate(weights) if w is not None and w > 0}
+    assert len(got) == min(k, len(valid))
+    assert all(r["k"] in valid for r in got)
+    assert all(r["sample_clock"] is not None for r in got)
+    again = sampling.weighted_sample(df, "grp", "k", F.col("wgt"), k=k).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
