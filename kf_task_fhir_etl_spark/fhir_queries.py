@@ -1154,10 +1154,14 @@ def q85_fhir_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("True").alias("visible"),
     )
     out = run_pipeline(tables, single_pass=True)
-    # evict superseded snapshots of the same (app, dir): their checkpointed
+    # evict superseded snapshots of the same (app, dir) — their checkpointed
     # wide-table blocks would otherwise stay pinned for the application's
-    # lifetime after every data regeneration (r05 review)
-    for k in [k for k in _Q85_PIPELINE if k[:2] == memo_key[:2]]:
+    # lifetime after every data regeneration — and entries from DEAD
+    # applications (a restarted session's plans are unusable py4j refs and
+    # would leak for the process lifetime; r05 review)
+    for k in [
+        k for k in _Q85_PIPELINE if k[0] != memo_key[0] or k[:2] == memo_key[:2]
+    ]:
         del _Q85_PIPELINE[k]
     _Q85_PIPELINE[memo_key] = out
     # the fused one-scan build (etl.build_resources_union); per-builder

@@ -132,11 +132,15 @@ def cms_estimate(cms: DataFrame, keys: DataFrame, key_col: str) -> DataFrame:
     driver-side ``first()`` is trivial and eliminates the
     mismatched-width corruption class. Estimating any number of keys is
     one map-side broadcast join + one min aggregate."""
-    # materialize the sketch once: the depth×width relation (at most a few
+    # checkpoint the sketch LAZILY: the depth×width relation (at most a few
     # thousand rows) feeds BOTH the driver-side shape read below and the
     # broadcast join — without this the full-stream sketch aggregation (the
-    # heaviest stage at scale) would execute twice per estimate call
-    cms = cms.localCheckpoint(eager=True)
+    # heaviest stage at scale) would execute twice per estimate call. Lazy
+    # (eager=False) so building an estimate plan runs no job as a side
+    # effect; the .first() below materializes it once. Callers estimating
+    # against the same sketch repeatedly should checkpoint/persist it
+    # themselves for cross-call reuse (each call takes its own checkpoint).
+    cms = cms.localCheckpoint(eager=False)
     meta = cms.agg(F.max("row").alias("d"), F.max("width").alias("w")).first()
     if meta["d"] is None:
         # empty sketch (built over an empty input): every bucket is an

@@ -95,14 +95,40 @@ def _module_name(relpath: str) -> str:
     return relpath[: -len(".py")].replace("/", ".")
 
 
+def _fingerprint(node: ast.AST) -> str:
+    """Behavioral fingerprint of a top-level statement: the AST dump
+    (decorators and their oracle strings included) with docstrings
+    stripped — so comment/docstring-only edits do not dirty the symbol
+    (an edit inside a hub like catalog.load_table would otherwise dirty
+    every gate and make the 50-slot window unsatisfiable; r05 review)."""
+    import copy
+
+    node = copy.deepcopy(node)
+    for sub in ast.walk(node):
+        if isinstance(sub, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef, ast.Module)):
+            body = getattr(sub, "body", None)
+            if (
+                body
+                and isinstance(body[0], ast.Expr)
+                and isinstance(body[0].value, ast.Constant)
+                and isinstance(body[0].value.value, str)
+            ):
+                sub.body = body[1:] or [ast.Pass()]
+    return ast.dump(node)
+
+
 def _symbol_sources(src: str) -> tuple[dict[str, str], str]:
-    """{symbol_name: source_segment} for top-level defs/classes/simple
-    assigns (decorators included), plus the 'residual' — every other
-    non-comment module-level line (imports, loose statements)."""
+    """{symbol_name: behavioral fingerprint} for top-level defs/classes/
+    simple assigns, plus the 'residual' — every other non-comment,
+    non-module-docstring module-level line (imports, loose statements)."""
     tree = ast.parse(src)
     lines = src.splitlines()
     symbols: dict[str, str] = {}
     covered: set[int] = set()
+    if tree.body and isinstance(tree.body[0], ast.Expr) and isinstance(
+        tree.body[0].value, ast.Constant
+    ):
+        covered.update(range(tree.body[0].lineno, tree.body[0].end_lineno + 1))
     for node in tree.body:
         name = None
         start = node.lineno
@@ -117,10 +143,9 @@ def _symbol_sources(src: str) -> tuple[dict[str, str], str]:
         elif isinstance(node, ast.AnnAssign) and isinstance(node.target, ast.Name):
             name = node.target.id
         if name is not None:
-            seg = "\n".join(lines[start - 1 : node.end_lineno])
             # re-binding the same top-level name concatenates (rare; keeps
-            # both definitions in the compared text)
-            symbols[name] = symbols.get(name, "") + seg
+            # both definitions in the compared fingerprint)
+            symbols[name] = symbols.get(name, "") + _fingerprint(node)
             covered.update(range(start, node.end_lineno + 1))
     residual = "\n".join(
         ln
@@ -142,38 +167,69 @@ def _collect_project_sources() -> dict[str, str]:
     return out
 
 
+def _dotted(node: ast.AST) -> str | None:
+    """Render a Name / nested-Attribute chain as 'a.b.c', else None."""
+    parts = []
+    while isinstance(node, ast.Attribute):
+        parts.append(node.attr)
+        node = node.value
+    if isinstance(node, ast.Name):
+        parts.append(node.id)
+        return ".".join(reversed(parts))
+    return None
+
+
 def _references(node: ast.AST) -> tuple[set[tuple[str, str]], set[str]]:
-    """(attribute pairs {(base_name, attr)}, bare names) referenced inside
-    ``node``. Names serving as an attribute base are not double-counted as
-    bare references."""
+    """(attribute pairs {(base_dotted_name, attr)}, bare names) referenced
+    inside ``node``. The base of an attribute pair may itself be dotted
+    (``pkg.mod.func`` → base 'pkg.mod', attr 'func'), covering
+    ``import pkg.mod`` usage. Names serving inside an attribute chain are
+    not double-counted as bare references."""
     pairs: set[tuple[str, str]] = set()
-    attr_bases: set[int] = set()
+    in_chain: set[int] = set()
     for n in ast.walk(node):
-        if isinstance(n, ast.Attribute) and isinstance(n.value, ast.Name):
-            pairs.add((n.value.id, n.attr))
-            attr_bases.add(id(n.value))
+        if isinstance(n, ast.Attribute):
+            base = _dotted(n.value)
+            if base is not None:
+                pairs.add((base, n.attr))
+                for sub in ast.walk(n.value):
+                    in_chain.add(id(sub))
     names = {
         n.id
         for n in ast.walk(node)
-        if isinstance(n, ast.Name) and id(n) not in attr_bases
+        if isinstance(n, ast.Name) and id(n) not in in_chain
     }
     return pairs, names
 
 
-def _imports(node: ast.AST) -> dict[str, tuple[str, str | None]]:
+def _imports(node: ast.AST, module: str = "") -> dict[str, tuple[str, str | None]]:
     """alias -> (module, symbol|None). symbol None means the alias IS a
-    module; attribute access on it resolves within that module."""
+    module; attribute access on it resolves within that module. Relative
+    imports (``from .catalog import x``) resolve against ``module``'s
+    package; ``import pkg.mod`` registers BOTH the bare first segment (how
+    unaliased dotted usage parses) and, when aliased, the alias."""
     table: dict[str, tuple[str, str | None]] = {}
     for n in ast.walk(node):
         if isinstance(n, ast.Import):
             for a in n.names:
-                table[a.asname or a.name.split(".")[0]] = (
-                    a.name,
-                    None,
-                )
-        elif isinstance(n, ast.ImportFrom) and n.module:
+                if a.asname:
+                    table[a.asname] = (a.name, None)
+                else:
+                    # usage is spelled with the full dotted path; resolve()
+                    # handles the dotted base directly, but register the
+                    # head so `import pkg` + `pkg.mod.f` also resolves
+                    table[a.name.split(".")[0]] = (a.name.split(".")[0], None)
+        elif isinstance(n, ast.ImportFrom):
+            if n.level and module:
+                pkg_parts = module.split(".")[: -n.level]
+                base = ".".join(pkg_parts)
+                src = f"{base}.{n.module}" if n.module else base
+            elif n.module:
+                src = n.module
+            else:
+                continue
             for a in n.names:
-                table[a.asname or a.name] = (n.module, a.name)
+                table[a.asname or a.name] = (src, a.name)
     return table
 
 
@@ -203,6 +259,19 @@ def _build_dependency_graph(sources: dict[str, str]):
             # same-module symbol — with or without attribute access
             # (CACHE.get(...) must still depend on CACHE; r05 review)
             return [(module, base)]
+        if "." in base:
+            # dotted base: full-path usage (`import pkg.mod` +
+            # `pkg.mod.func(...)`), or an alias head with a dotted tail
+            if base in symtab:
+                if attr is not None and attr in symtab[base]:
+                    return [(base, attr)]
+                return []
+            head, _, rest = base.partition(".")
+            if head in imp and imp[head][1] is None:
+                mod = f"{imp[head][0]}.{rest}" if rest else imp[head][0]
+                if mod in symtab and attr is not None and attr in symtab[mod]:
+                    return [(mod, attr)]
+            return []
         if base in imp:
             src_mod, src_sym = imp[base]
             if src_sym is None:
@@ -230,7 +299,7 @@ def _build_dependency_graph(sources: dict[str, str]):
 
     edges: dict[tuple[str, str], set[tuple[str, str]]] = {}
     for m, tree in trees.items():
-        module_imports = _imports(tree)
+        module_imports = _imports(tree, m)
         for node in tree.body:
             name = None
             if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
@@ -244,7 +313,7 @@ def _build_dependency_graph(sources: dict[str, str]):
             if name is None:
                 continue
             imp = dict(module_imports)
-            imp.update(_imports(node))
+            imp.update(_imports(node, m))
             pairs, bare = _references(node)
             deps: set[tuple[str, str]] = set()
             for base, attr in pairs:
@@ -306,7 +375,12 @@ def _changed_symbols(base: str) -> set[tuple[str, str]]:
 def test_changed_code_gates_are_in_the_check_window():
     boundary = _round_boundary()
     if boundary is None:
-        pytest.skip("no round-boundary commit found")
+        if os.path.exists(os.path.join(REPO, ".git", "shallow")):
+            pytest.fail(
+                "shallow clone truncated history past the round-boundary "
+                "commit — the staleness guard cannot run; fetch full history"
+            )
+        pytest.skip("no round-boundary commit found (pre-round-1 repo)")
     base, subject = boundary
     # waivers expire at the next round boundary: if the boundary subject no
     # longer starts with WAIVER_ROUND, every waiver is stale and ignored
