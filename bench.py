@@ -76,7 +76,8 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
 
     spark.stop()
-    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
+    here = os.path.dirname(os.path.abspath(__file__))
+    full_path = os.path.join(here, "BENCH_FULL.json")
     with open(full_path, "w") as f:
         json.dump(
             {
@@ -93,6 +94,14 @@ def main() -> None:
             indent=1,
         )
         f.write("\n")
+    # per-round archive (r04 verdict item #7: BENCH_FULL histories should be
+    # files, not git archaeology): SPARK_GRAFT_BENCH_TAG=r05 writes an
+    # immutable copy next to the live artifact
+    tag = os.environ.get("SPARK_GRAFT_BENCH_TAG")
+    if tag:
+        import shutil
+
+        shutil.copyfile(full_path, os.path.join(here, f"BENCH_FULL_{tag}.json"))
     slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
     with os.fdopen(real_stdout_fd, "w") as out:
         out.write(
