@@ -1343,7 +1343,9 @@ def q114_semantic_dedup_unsupervised(spark: SparkSession, sf_dir: str) -> DataFr
     oracle=r"""
     WITH clocks AS (
       SELECT lang, doc_id,
-             CASE WHEN (len(text) + 1) > 0 THEN
+             CASE WHEN (len(text) + 1) > 0
+                   AND ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT > 0
+             THEN
                ROUND(-ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT)
                          / 281474976710656.0)
                      / (len(text) + 1), 10) END AS sample_clock

@@ -217,11 +217,16 @@ def weighted_sample(
     weight ≤ 0 means probability 0). Previously a negative weight produced
     a negative clock that sorted FIRST and was preferentially sampled
     (ADVICE r04); ranking NULLs last still padded them in when valid rows
-    ran short (r05 review)."""
+    ran short, and a NaN weight slipped the ``> 0`` guard entirely (Spark
+    orders NaN above every number) — both closed (r05 review). The
+    2⁻⁴⁸-probability ``u = 0`` edge is excluded deterministically in BOTH
+    engines (Spark's ``log(0)`` is NULL; the q116 oracle guards the same
+    case), so the clock column is never NULL/NaN/Infinity."""
     u = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 12), 16, 10).cast(
         "double"
     ) / F.lit(float(1 << 48))
-    clock = F.when(weight > 0, F.round(-F.log(u) / weight, 10))
+    valid = weight.isNotNull() & ~F.isnan(weight.cast("double")) & (weight > 0) & (u > 0)
+    clock = F.when(valid, F.round(-F.log(u) / weight, 10))
     w = Window.partitionBy(group_col).orderBy(F.col("__clock"), F.col(key_col))
     return (
         df.withColumn("__clock", clock)

@@ -49,11 +49,12 @@ def test_staged_layout_reraises_real_rename_failure(tmp_path, monkeypatch):
     (ADVICE r04)."""
     sf = tmp_path / "sf"
     _touch(str(sf / "documents.parquet"))
-    monkeypatch.setenv("TMPDIR", str(tmp_path / "t"))
-    os.makedirs(tmp_path / "t", exist_ok=True)
+    # staged_layout consults tempfile.gettempdir() only (it makedirs its own
+    # subdir), so the monkeypatched function is the single knob needed
     import tempfile
 
     monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path / "t"))
+    os.makedirs(tmp_path / "t", exist_ok=True)
 
     real_rename = os.rename
 

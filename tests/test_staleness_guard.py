@@ -92,7 +92,32 @@ def _round_boundary() -> tuple[str, str] | None:
 
 
 def _module_name(relpath: str) -> str:
-    return relpath[: -len(".py")].replace("/", ".")
+    name = relpath[: -len(".py")].replace("/", ".")
+    # packages get their RUNTIME name: symbols imported through
+    # `from pkg.functions import coding` resolve against 'pkg.functions',
+    # not 'pkg.functions.__init__' (r05 review: the suffix form left
+    # re-exported helpers with zero dependency edges)
+    if name.endswith(".__init__"):
+        name = name[: -len(".__init__")]
+    return name
+
+
+def _top_level_name(node: ast.AST) -> str | None:
+    """The symbol a top-level statement defines, or None. The SINGLE
+    definition of 'symbol' shared by the symtab, the edges loop, and
+    _changed_symbols — three hand-copied ladders previously risked
+    disagreeing (r05 review). Tuple-target assigns are deliberately
+    unhandled (none exist in the package; they fall into the residual,
+    which dirties the whole module on change — conservative)."""
+    if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
+        return node.name
+    if isinstance(node, ast.Assign) and len(node.targets) == 1 and isinstance(
+        node.targets[0], ast.Name
+    ):
+        return node.targets[0].id
+    if isinstance(node, ast.AnnAssign) and isinstance(node.target, ast.Name):
+        return node.target.id
+    return None
 
 
 def _fingerprint(node: ast.AST) -> str:
@@ -130,18 +155,11 @@ def _symbol_sources(src: str) -> tuple[dict[str, str], str]:
     ):
         covered.update(range(tree.body[0].lineno, tree.body[0].end_lineno + 1))
     for node in tree.body:
-        name = None
+        name = _top_level_name(node)
         start = node.lineno
         if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
-            name = node.name
             if node.decorator_list:
                 start = min(d.lineno for d in node.decorator_list)
-        elif isinstance(node, ast.Assign) and len(node.targets) == 1 and isinstance(
-            node.targets[0], ast.Name
-        ):
-            name = node.targets[0].id
-        elif isinstance(node, ast.AnnAssign) and isinstance(node.target, ast.Name):
-            name = node.target.id
         if name is not None:
             # re-binding the same top-level name concatenates (rare; keeps
             # both definitions in the compared fingerprint)
@@ -239,17 +257,35 @@ def _build_dependency_graph(sources: dict[str, str]):
     # global symbol table
     symtab: dict[str, set[str]] = {}
     for m, tree in trees.items():
-        syms = set()
-        for node in tree.body:
-            if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
-                syms.add(node.name)
-            elif isinstance(node, ast.Assign) and len(node.targets) == 1 and isinstance(
-                node.targets[0], ast.Name
-            ):
-                syms.add(node.targets[0].id)
-            elif isinstance(node, ast.AnnAssign) and isinstance(node.target, ast.Name):
-                syms.add(node.target.id)
-        symtab[m] = syms
+        symtab[m] = {
+            n for n in (_top_level_name(node) for node in tree.body) if n is not None
+        }
+
+    # module-level import aliases per module — the re-export chain packages
+    # use (`functions/__init__.py: from .json_build import coding`): a
+    # symbol not defined in a module may still be importable THROUGH it
+    reexports: dict[str, dict[str, tuple[str, str | None]]] = {
+        m: _imports(tree, m) for m, tree in trees.items()
+    }
+
+    def chase(mod: str, sym: str, depth: int = 0) -> tuple[str, str] | None:
+        """Follow re-exports until (mod, sym) is a defined symbol."""
+        if sym in symtab.get(mod, set()):
+            return (mod, sym)
+        if depth >= 4:
+            return None
+        hop = reexports.get(mod, {}).get(sym)
+        if hop is None:
+            return None
+        src_mod, src_sym = hop
+        if src_sym is None:
+            return None
+        candidate = f"{src_mod}.{src_sym}"
+        if candidate in symtab:
+            # `from . import json_build` style: the alias IS a module —
+            # cannot name a symbol, stop
+            return None
+        return chase(src_mod, src_sym, depth + 1)
 
     def resolve(module: str, imp: dict, base: str, attr: str | None):
         """Resolve a reference to a (module, symbol) target, or a module
@@ -263,14 +299,14 @@ def _build_dependency_graph(sources: dict[str, str]):
             # dotted base: full-path usage (`import pkg.mod` +
             # `pkg.mod.func(...)`), or an alias head with a dotted tail
             if base in symtab:
-                if attr is not None and attr in symtab[base]:
-                    return [(base, attr)]
+                if attr is not None:
+                    return list(filter(None, [chase(base, attr)]))
                 return []
             head, _, rest = base.partition(".")
             if head in imp and imp[head][1] is None:
                 mod = f"{imp[head][0]}.{rest}" if rest else imp[head][0]
-                if mod in symtab and attr is not None and attr in symtab[mod]:
-                    return [(mod, attr)]
+                if mod in symtab and attr is not None:
+                    return list(filter(None, [chase(mod, attr)]))
             return []
         if base in imp:
             src_mod, src_sym = imp[base]
@@ -281,17 +317,17 @@ def _build_dependency_graph(sources: dict[str, str]):
                 if candidate in symtab:  # `from pkg import submodule`
                     mod = candidate
                 else:
-                    if attr is None:
-                        if src_sym in symtab.get(src_mod, set()):
-                            targets.append((src_mod, src_sym))
-                        return targets
-                    # attribute on an imported symbol (e.g. class instance):
-                    # depend on the symbol itself
-                    if src_sym in symtab.get(src_mod, set()):
-                        targets.append((src_mod, src_sym))
+                    # imported symbol — possibly re-exported through a
+                    # package __init__; attribute access (e.g. on a class
+                    # instance) still depends on the symbol itself
+                    hit = chase(src_mod, src_sym)
+                    if hit is not None:
+                        targets.append(hit)
                     return targets
-            if attr is not None and attr in symtab.get(mod, set()):
-                targets.append((mod, attr))
+            if attr is not None:
+                hit = chase(mod, attr)
+                if hit is not None:
+                    targets.append(hit)
             elif attr is None and mod in symtab:
                 # bare module reference: conservative, all symbols
                 targets.extend((mod, s) for s in symtab[mod])
@@ -301,15 +337,7 @@ def _build_dependency_graph(sources: dict[str, str]):
     for m, tree in trees.items():
         module_imports = _imports(tree, m)
         for node in tree.body:
-            name = None
-            if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
-                name = node.name
-            elif isinstance(node, ast.Assign) and len(node.targets) == 1 and isinstance(
-                node.targets[0], ast.Name
-            ):
-                name = node.targets[0].id
-            elif isinstance(node, ast.AnnAssign) and isinstance(node.target, ast.Name):
-                name = node.target.id
+            name = _top_level_name(node)
             if name is None:
                 continue
             imp = dict(module_imports)
@@ -421,6 +449,27 @@ def test_changed_code_gates_are_in_the_check_window():
         f"window without a current-round waiver: {sorted(offenders)} — move "
         "them into _CHECK_FIRST, or add a justified WAIVERS entry and bump "
         "WAIVER_ROUND to the current boundary subject"
+    )
+
+
+def test_extra_edges_match_q124_oracle_composition():
+    """EXTRA_EDGES hand-pins the q124 oracle's value-level coupling; this
+    asserts the pinned set equals the gate names actually referenced in
+    _q124_oracle's source, so extending the composition without updating
+    the edge set fails loudly (r05 review)."""
+    import inspect
+    import re
+
+    from kf_task_fhir_etl_spark import fhir_queries
+
+    src = inspect.getsource(fhir_queries._q124_oracle)
+    referenced = set(re.findall(r'"(q\d+_\w+)"', src))
+    pinned = {
+        sym for sym in EXTRA_EDGES[(f"{PKG}.fhir_queries", "_q124_oracle")]
+    }
+    assert {(f"{PKG}.fhir_queries", n) for n in referenced} == pinned, (
+        f"EXTRA_EDGES out of sync with _q124_oracle: source references "
+        f"{sorted(referenced)}"
     )
 
 
