@@ -101,7 +101,8 @@ def main() -> None:
     if tag:
         import shutil
 
-        shutil.copyfile(full_path, os.path.join(here, f"BENCH_FULL_{tag}.json"))
+        safe = "".join(c if c.isalnum() or c in "-_." else "_" for c in tag)
+        shutil.copyfile(full_path, os.path.join(here, f"BENCH_FULL_{safe}.json"))
     slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
     with os.fdopen(real_stdout_fd, "w") as out:
         out.write(

@@ -34,9 +34,10 @@ PKG = "kf_task_fhir_etl_spark"
 # exists to prevent.
 # Waivers are SCOPED to the round boundary they were granted against (the
 # driver's `round N:` commit subject): when the next round's boundary commit
-# lands, every waiver here expires automatically and the guard fails until
-# it is re-justified or removed — a stale waiver can never silently mask a
-# later change to the waived entry.
+# lands, every waiver here stops masking dirtiness (the active set becomes
+# empty), and test_waivers_reference_real_out_of_window_entries FAILS on the
+# leftover dict until it is re-justified or cleared — a stale waiver can
+# neither mask a later change to the waived entry nor linger silently.
 WAIVER_ROUND = "round 4:"
 WAIVERS = {
     # r05 (against the round-4 boundary): q119's and q120's only diff is
@@ -474,12 +475,22 @@ def test_extra_edges_match_q124_oracle_composition():
 
 
 def test_waivers_reference_real_out_of_window_entries():
-    """A waiver for an entry that is back in the window (or gone) is stale
-    and must be removed."""
+    """A waiver is stale — and must be cleared — when its entry is back in
+    the window, no longer exists, or the round boundary it was granted
+    against has been superseded (expired waivers stop masking dirtiness
+    automatically, but the leftover dict entries fail HERE so they cannot
+    linger)."""
     from kf_task_fhir_etl_spark import queries as Q
 
     Q._load_extra_registries()
     window = set(list(Q._ordered_names())[:50])
+    boundary = _round_boundary()
+    if WAIVERS and boundary is not None:
+        assert boundary[1].startswith(WAIVER_ROUND), (
+            f"WAIVERS were granted against {WAIVER_ROUND!r} but the current "
+            f"boundary is {boundary[1]!r} — clear WAIVERS and bump "
+            "WAIVER_ROUND for the new round"
+        )
     for entry in WAIVERS:
         assert entry in Q.QUERIES, f"waiver for unknown entry {entry}"
         assert entry not in window, f"stale waiver: {entry} is in the window"
