@@ -101,8 +101,15 @@ def content_fingerprint(sf_dir: str, tables: list[str]) -> str:
             # temp SUBTREES ('_temporary', '_spark_metadata', hidden dirs)
             # the same way marker files are skipped — their contents are
             # not data and must not churn the fingerprint.
+            def _raise(err: OSError) -> None:
+                # os.walk's default swallows scandir errors — an unreadable
+                # table would fingerprint as EMPTY, turning an I/O flap into
+                # a silently wrong cache key; fail loudly like the flat
+                # os.listdir path does (r05 review)
+                raise err
+
             files = []
-            for root, dirs, names in os.walk(p):
+            for root, dirs, names in os.walk(p, onerror=_raise):
                 dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
                 files.extend(
                     os.path.join(root, f) for f in names if not f.startswith((".", "_"))

@@ -808,15 +808,27 @@ def test_weighted_sample_invalid_weights_never_sampled(spark):
     and NULL-clock rows used to pad short groups)."""
     from kf_task_fhir_etl_spark.operators import sampling
 
-    rows = [("g", 1, -5.0), ("g", 2, 0.0), ("g", 3, None), ("g", 4, 1.0), ("g", 5, 2.0)]
+    nan = float("nan")
+    rows = [
+        ("g", 1, -5.0),
+        ("g", 2, 0.0),
+        ("g", 3, None),
+        ("g", 6, nan),  # Spark evaluates NaN > 0 as TRUE — needs its own guard
+        ("g", 4, 1.0),
+        ("g", 5, 2.0),
+    ]
     df = spark.createDataFrame(rows, ["grp", "k", "wgt"])
     got = sampling.weighted_sample(df, "grp", "k", F.col("wgt"), k=2).collect()
     assert sorted(r["k"] for r in got) == [4, 5]
     assert all(r["sample_clock"] is not None for r in got)
     # k larger than the valid pool → only the valid rows come back
-    got3 = sampling.weighted_sample(df, "grp", "k", F.col("wgt"), k=3).collect()
-    assert sorted(r["k"] for r in got3) == [4, 5]
-    assert all(r["sample_clock"] is not None for r in got3)
+    got4 = sampling.weighted_sample(df, "grp", "k", F.col("wgt"), k=4).collect()
+    assert sorted(r["k"] for r in got4) == [4, 5]
+    import math
+
+    assert all(
+        r["sample_clock"] is not None and not math.isnan(r["sample_clock"]) for r in got4
+    )
 
 
 def test_cms_topk_recovers_exact_heavy_hitters_when_wide(spark):
@@ -839,8 +851,9 @@ def test_q57_gk_band_precondition_holds_in_driver_corpora(spark):
     scales — a regenerated/smaller test corpus fails here loudly instead
     of flapping the q57 value hash (VERDICT r04 item #8)."""
     from kf_task_fhir_etl_spark.catalog import load_table
+    from tests.conftest import SF_BENCH, SF_CORRECTNESS
 
-    for sf_dir in ("/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+    for sf_dir in (SF_CORRECTNESS, SF_BENCH):
         counts = [
             r["n"]
             for r in load_table(spark, sf_dir, "events")

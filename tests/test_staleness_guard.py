@@ -221,12 +221,18 @@ def _references(node: ast.AST) -> tuple[set[tuple[str, str]], set[str]]:
     return pairs, names
 
 
-def _imports(node: ast.AST, module: str = "") -> dict[str, tuple[str, str | None]]:
+def _imports(
+    node: ast.AST, module: str = "", is_pkg: bool = False
+) -> dict[str, tuple[str, str | None]]:
     """alias -> (module, symbol|None). symbol None means the alias IS a
     module; attribute access on it resolves within that module. Relative
     imports (``from .catalog import x``) resolve against ``module``'s
-    package; ``import pkg.mod`` registers BOTH the bare first segment (how
-    unaliased dotted usage parses) and, when aliased, the alias."""
+    package — which is the module ITSELF when it is a package __init__
+    (``is_pkg``; _module_name strips the '.__init__' suffix, so without
+    this a relative import inside functions/__init__.py would resolve one
+    level too high — r05 review). ``import pkg.mod`` registers the bare
+    first segment (how unaliased dotted usage parses); aliased imports
+    register the alias."""
     table: dict[str, tuple[str, str | None]] = {}
     for n in ast.walk(node):
         if isinstance(n, ast.Import):
@@ -240,7 +246,9 @@ def _imports(node: ast.AST, module: str = "") -> dict[str, tuple[str, str | None
                     table[a.name.split(".")[0]] = (a.name.split(".")[0], None)
         elif isinstance(n, ast.ImportFrom):
             if n.level and module:
-                pkg_parts = module.split(".")[: -n.level]
+                drop = n.level - 1 if is_pkg else n.level
+                parts = module.split(".")
+                pkg_parts = parts[: len(parts) - drop]
                 base = ".".join(pkg_parts)
                 src = f"{base}.{n.module}" if n.module else base
             elif n.module:
@@ -262,11 +270,16 @@ def _build_dependency_graph(sources: dict[str, str]):
             n for n in (_top_level_name(node) for node in tree.body) if n is not None
         }
 
+    # a module is a package iff some other module nests under it — needed
+    # so relative imports inside an __init__ resolve against the package
+    # itself, not its parent (works for synthetic module dicts too)
+    packages = {m for m in trees if any(o.startswith(m + ".") for o in trees)}
+
     # module-level import aliases per module — the re-export chain packages
     # use (`functions/__init__.py: from .json_build import coding`): a
     # symbol not defined in a module may still be importable THROUGH it
     reexports: dict[str, dict[str, tuple[str, str | None]]] = {
-        m: _imports(tree, m) for m, tree in trees.items()
+        m: _imports(tree, m, m in packages) for m, tree in trees.items()
     }
 
     def chase(mod: str, sym: str, depth: int = 0) -> tuple[str, str] | None:
@@ -336,13 +349,13 @@ def _build_dependency_graph(sources: dict[str, str]):
 
     edges: dict[tuple[str, str], set[tuple[str, str]]] = {}
     for m, tree in trees.items():
-        module_imports = _imports(tree, m)
+        module_imports = reexports[m]
         for node in tree.body:
             name = _top_level_name(node)
             if name is None:
                 continue
             imp = dict(module_imports)
-            imp.update(_imports(node, m))
+            imp.update(_imports(node, m, m in packages))
             pairs, bare = _references(node)
             deps: set[tuple[str, str]] = set()
             for base, attr in pairs:
@@ -464,7 +477,7 @@ def test_extra_edges_match_q124_oracle_composition():
     from kf_task_fhir_etl_spark import fhir_queries
 
     src = inspect.getsource(fhir_queries._q124_oracle)
-    referenced = set(re.findall(r'"(q\d+_\w+)"', src))
+    referenced = set(re.findall(r"['\"](q\d+_\w+)['\"]", src))
     pinned = {
         sym for sym in EXTRA_EDGES[(f"{PKG}.fhir_queries", "_q124_oracle")]
     }
