@@ -101,8 +101,11 @@ def main() -> None:
     if tag:
         import shutil
 
-        safe = "".join(c if c.isalnum() or c in "-_." else "_" for c in tag)
-        shutil.copyfile(full_path, os.path.join(here, f"BENCH_FULL_{safe}.json"))
+        from kf_task_fhir_etl_spark.catalog import sanitize_tag
+
+        shutil.copyfile(
+            full_path, os.path.join(here, f"BENCH_FULL_{sanitize_tag(tag)}.json")
+        )
     slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
     with os.fdopen(real_stdout_fd, "w") as out:
         out.write(

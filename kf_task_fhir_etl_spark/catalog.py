@@ -123,6 +123,13 @@ def content_fingerprint(sf_dir: str, tables: list[str]) -> str:
     return hashlib.md5("|".join(parts).encode()).hexdigest()[:10]
 
 
+def sanitize_tag(tag: str) -> str:
+    """Filesystem-safe tag: every character outside [alnum-_.] becomes
+    '_' — the single sanitizer shared by the staging paths and bench.py's
+    archive filenames (a raw tag with '/' would escape the target dir)."""
+    return "".join(c if c.isalnum() or c in "-_." else "_" for c in tag)
+
+
 def staged_layout(kind: str, sf_dir: str, tables: list[str], build) -> str:
     """Build-once /tmp staging with ATOMIC publish: the target path is
     ``/tmp/kf_spark_{kind}/{sf basename}_{content fingerprint}``; if absent,
@@ -137,7 +144,7 @@ def staged_layout(kind: str, sf_dir: str, tables: list[str], build) -> str:
     import tempfile
     import uuid
 
-    tag = "".join(c if c.isalnum() else "_" for c in os.path.basename(sf_dir.rstrip("/")))
+    tag = sanitize_tag(os.path.basename(sf_dir.rstrip("/")))
     stage = os.path.join(
         tempfile.gettempdir(), f"kf_spark_{kind}", f"{tag}_{content_fingerprint(sf_dir, tables)}"
     )

@@ -221,7 +221,10 @@ def weighted_sample(
     orders NaN above every number) — both closed (r05 review). The
     2⁻⁴⁸-probability ``u = 0`` edge is excluded deterministically in BOTH
     engines (Spark's ``log(0)`` is NULL; the q116 oracle guards the same
-    case), so the clock column is never NULL/NaN/Infinity."""
+    case), so the clock column is never NULL/NaN/Infinity. Keys must be
+    non-NULL as well: a NULL key has no deterministic identity (md5(NULL)
+    is NULL → NULL u → excluded), so such rows are never sampled —
+    dedupe/repair keys upstream if they must participate."""
     u = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 12), 16, 10).cast(
         "double"
     ) / F.lit(float(1 << 48))

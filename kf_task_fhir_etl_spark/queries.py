@@ -361,7 +361,12 @@ def q08_resource_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 # displaced them — and after r04, 43 entries' latest green rows were still
 # r01/r02-vintage (13 r01: q06/q09/q14/q17/q18/q21/q31-q35/q49/q50; 30
 # r02). This round the window is exactly those 43 (q31-q35 first — r01
-# proofs over builders refactored in r04) plus everything r05 touches:
+# proofs over builders refactored in r04) plus everything r05 touches.
+# Residual vintage debt AFTER r05 (stated plainly): q25/q27's last direct
+# proof is r03 against builders refactored in r04 — sibling-covered (q77/
+# q83 r04 byte gates on the identical plan() expressions; q124 in-window
+# this round drives their narrow orchestration) but not directly re-proven;
+# they lead the r06 window. Window composition:
 # - 43 vintage re-proves on otherwise-unchanged code;
 # - 4 changed-code re-proves: q95 (catalog.content_fingerprint now
 #   recursive / staged_layout re-raises real rename failures), q116
@@ -475,6 +480,13 @@ _CHECK_LAST = [
     "q24_fhir_patient_resources",
     "q26_fhir_family_groups",
     "q30_fhir_vital_status_json",
+    # q25/q27: last DIRECT proof is r03 (they were displaced-by-sibling in
+    # r04 while their builders' plan() seam was refactored) — NOT r04-green
+    # like the rest of this group. Indirect coverage is strong: q77/q83
+    # byte-gated the identical Disease/Specimen plan() expressions in r04,
+    # and q124 drives the narrow orchestration in-window THIS round — but
+    # they are the two entries whose direct-proof vintage still predates
+    # their code, and they rotate into the r06 window first.
     "q25_fhir_disease_narrow",
     "q27_fhir_specimen_narrow",
     # r04-green similarity/operator gates, untouched this round
