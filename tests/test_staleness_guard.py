@@ -27,6 +27,13 @@ import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 PKG = "kf_task_fhir_etl_spark"
+# Diff scope beyond the package: __spark_entry__.py wires entry()/queries()/
+# oracle_sql() to the registry, so a behavior change there must dirty its
+# dependents like any package module (r05 ADVICE: the PKG-only scope let it
+# change invisibly). scripts/ stays excluded deliberately: driver_sim.py is a
+# local REPLAY of the driver contract, not part of the graded surface — a
+# change there cannot alter what the driver computes.
+EXTRA_SCOPE = ["__spark_entry__.py"]
 
 # Entries whose code changed this round but which are deliberately rotated
 # out of the window, each with its sibling-coverage justification. CLEAR
@@ -38,18 +45,10 @@ PKG = "kf_task_fhir_etl_spark"
 # empty), and test_waivers_reference_real_out_of_window_entries FAILS on the
 # leftover dict until it is re-justified or cleared — a stale waiver can
 # neither mask a later change to the waived entry nor linger silently.
-WAIVER_ROUND = "round 4:"
-WAIVERS = {
-    # r05 (against the round-4 boundary): q119's and q120's only diff is
-    # the shared catalog staging helpers. content_fingerprint is
-    # driver-proven in-window by q95 (a direct caller); staged_layout's
-    # changed rename-failure branch is pytest-covered (tests/
-    # test_catalog.py: re-raise, benign race, build-once reuse) but NOT
-    # driver-gated this round — the window is full with the 43-entry
-    # freshness payoff. The gates' own DPP plan-assert / session-window
-    # logic is untouched; both rotate back into the r06 window.
-    "q119_dynamic_partition_pruning": "fingerprint via q95; staged_layout pytest-only this round",
-    "q120_streaming_session_windows": "fingerprint via q95; staged_layout pytest-only this round",
+WAIVER_ROUND = "round 5:"
+WAIVERS: dict[str, str] = {
+    # r06: empty — q119/q120 (the r05 waivers) rotate back into the window
+    # this round, and every changed-code entry is in _CHECK_FIRST.
 }
 
 # Names resolved dynamically at runtime that static analysis cannot follow:
@@ -183,6 +182,11 @@ def _collect_project_sources() -> dict[str, str]:
                 rel = os.path.relpath(p, REPO)
                 with open(p) as fh:
                     out[_module_name(rel)] = fh.read()
+    for rel in EXTRA_SCOPE:
+        p = os.path.join(REPO, rel)
+        if os.path.exists(p):
+            with open(p) as fh:
+                out[_module_name(rel)] = fh.read()
     return out
 
 
@@ -380,7 +384,7 @@ def _changed_symbols(base: str) -> set[tuple[str, str]]:
     unparseable."""
     changed_files = [
         f
-        for f in _git("diff", "--name-only", base, "--", PKG).splitlines()
+        for f in _git("diff", "--name-only", base, "--", PKG, *EXTRA_SCOPE).splitlines()
         if f.endswith(".py")
     ]
     changed: set[tuple[str, str]] = set()
@@ -428,6 +432,21 @@ def test_changed_code_gates_are_in_the_check_window():
     # longer starts with WAIVER_ROUND, every waiver is stale and ignored
     waivers = set(WAIVERS) if subject.startswith(WAIVER_ROUND) else set()
     changed = _changed_symbols(base)
+    # the driver shim's queries()/oracle_sql() wrap EVERY registry entry —
+    # a change there (beyond docstrings, which _fingerprint ignores) cannot
+    # be attributed to individual entries, so it must be surfaced loudly
+    # rather than mapped to nothing (r05 ADVICE: the PKG-only diff scope let
+    # the shim change without ever dirtying an entry)
+    shim_changed = {
+        s for s in changed if s[0] == "__spark_entry__" and s[1] in ("queries", "oracle_sql")
+    }
+    assert not shim_changed, (
+        f"__spark_entry__ wrapper(s) {sorted(s[1] for s in shim_changed)} changed "
+        "this round: every registry entry's driver-visible behavior may have "
+        "shifted — re-prove the full surface across rounds and update this "
+        "guard's shim handling deliberately (there is no per-entry waiver for "
+        "a whole-surface change)"
+    )
     if not changed:
         return
 
