@@ -62,6 +62,13 @@ def main() -> None:
     # under the same queryName, the rollup store's replay guard skips
     # committed batches, and the bucketed tables skip-on-exists.
     runs_per_query = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    # Queries whose construction is memoized per session (etl.run_pipeline
+    # memo_key): run 1 is the honest COLD cost, later runs measure the
+    # resident-driver warm re-serve. Their per-run split is reported
+    # explicitly and the headline total is published BOTH ways (r05 verdict
+    # #5: the r04→r05 "improvement" was silently this accounting change;
+    # cold/warm must never blend into one number again).
+    memoized_names = {"q85_fhir_full_pipeline", "q115_multi_study_pipeline"}
     all_runs: dict[str, list[float]] = {}
     total_start = time.perf_counter()
     for name in sorted(registry):
@@ -74,6 +81,22 @@ def main() -> None:
         timings[name] = round(statistics.median(rs), 3)
     wall = round(time.perf_counter() - total_start, 3)
     total = round(sum(timings.values()), 3)
+    memoized = {
+        name: {
+            "cold": all_runs[name][0],
+            "warm_median": (
+                round(statistics.median(all_runs[name][1:]), 3)
+                if len(all_runs[name]) > 1
+                else None
+            ),
+        }
+        for name in sorted(memoized_names & set(timings))
+    }
+    # headline with every memoized query counted at its COLD run instead of
+    # the (warm-dominated) median
+    total_cold = round(
+        total + sum(m["cold"] - timings[n] for n, m in memoized.items()), 3
+    )
 
     spark.stop()
     here = os.path.dirname(os.path.abspath(__file__))
@@ -83,8 +106,10 @@ def main() -> None:
             {
                 "metric": "total_query_wall_clock",
                 "value": total,
+                "value_cold": total_cold,
                 "unit": "sec",
                 "queries": timings,
+                "memoized": memoized,
                 "runs_per_query": runs_per_query,
                 "runs": all_runs,
                 "wall_clock_all_runs": wall,
@@ -113,6 +138,7 @@ def main() -> None:
                 {
                     "metric": "total_query_wall_clock",
                     "value": total,
+                    "value_cold": total_cold,
                     "unit": "sec",
                     "sf": sf,
                     "n_queries": len(timings),

@@ -82,6 +82,32 @@ def load_catalog(
     return catalog
 
 
+# {(applicationId, sf_dir, table): DataFrame} — see cached_table
+_TABLE_MEMO: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def cached_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """``load_table`` with a per-application DataFrame memo.
+
+    ``spark.read.parquet`` runs a small schema-inference job (file listing +
+    footer read) on EVERY call; plan-construction-heavy pipelines (q85 builds
+    ~12 endpoint tables from 5 base tables) pay it repeatedly for the same
+    path. The returned DataFrame is an immutable lazy plan, so reusing it is
+    behavior-identical — this just skips the re-probe. Keyed by
+    applicationId so a restarted JVM never serves dead py4j references;
+    entries from dead applications are dropped on access. Callers that need
+    a fresh probe (e.g. after overwriting the files in place) should use
+    ``load_table`` directly — this memo deliberately has no fingerprint
+    check, matching its use on the driver's immutable testdata dirs."""
+    for k in [k for k in _TABLE_MEMO if k[0] != spark.sparkContext.applicationId]:
+        _TABLE_MEMO.pop(k, None)  # dead app; pop() — concurrent callers may race
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    df = _TABLE_MEMO.get(key)
+    if df is None:
+        df = _TABLE_MEMO[key] = load_table(spark, sf_dir, name)
+    return df
+
+
 def content_fingerprint(sf_dir: str, tables: list[str]) -> str:
     """Short md5 over (path, size, mtime_ns) of the given tables' parquet
     files — the cheap content tag every /tmp staging cache keys on (no data

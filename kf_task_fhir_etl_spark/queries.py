@@ -355,47 +355,112 @@ def q08_resource_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Every entry keeps BOTH a queries() and an oracle_sql() registration either
 # way; nothing is retired.
 #
-# r05 composition (exactly 50) — the freshness-debt payoff round.
-# CORRECTION of the r04 comment (flagged by the r04 verdict as a false
-# claim): r04's window could NOT cover q31-q35 — the late q116-q121 gates
-# displaced them — and after r04, 43 entries' latest green rows were still
-# r01/r02-vintage (13 r01: q06/q09/q14/q17/q18/q21/q31-q35/q49/q50; 30
-# r02). This round the window is exactly those 43 (q31-q35 first — r01
-# proofs over builders refactored in r04) plus everything r05 touches.
-# Residual vintage debt AFTER r05 (stated plainly): q25/q27's last direct
-# proof is r03 against builders refactored in r04 — sibling-covered (q77/
-# q83 r04 byte gates on the identical plan() expressions; q124 in-window
-# this round drives their narrow orchestration) but not directly re-proven;
-# they lead the r06 window. Window composition:
-# - 43 vintage re-proves on otherwise-unchanged code;
-# - 4 changed-code re-proves: q95 (catalog.content_fingerprint now
-#   recursive / staged_layout re-raises real rename failures), q116
-#   (weighted_sample non-positive-weight guard), q121 (cms_estimate
-#   empty-sketch guard), q85 (constructed-pipeline memo — steady-state
-#   re-serve of the fused build);
-# - 3 NEW gates: q122 (profile exact=False within-bound), q123 (Count-Min
-#   heavy hitters), q124 (multi-target narrow orchestration).
-# Rotation waivers (changed-adjacent entries NOT in-window): q119 and
-# q120 — both gates' only diff is the shared catalog staging helpers.
-# Coverage split honestly: content_fingerprint is driver-proven in-window
-# by q95 (which calls it directly); staged_layout's changed branch (the
-# rename-failure re-raise) is NOT driver-gated this round — it is covered
-# by tests/test_catalog.py (real-failure re-raise, benign publish race,
-# build-once reuse). The gates' own DPP / session-window logic is
-# untouched this round; both rotate back in r06.
-# Everything in _CHECK_LAST is r03/r04-green on code untouched this round.
-# Window composition is now MACHINE-CHECKED: tests/test_staleness_guard.py
-# diffs the tree against the previous round tag, maps changed symbols to
-# registry entries, and fails if an affected entry is rotated to the tail
-# without a waiver — this comment can no longer drift from the artifact.
+# r06 composition (exactly 50).
+# Changed code this round: (1) the q85 steady-state memo moved from the gate
+# into etl.run_pipeline (opt-in memo_key, overlapped checkpoint, explicit
+# block release on eviction — VERDICT r05 #1/#2); (2) _endpoint_tables now
+# derives from catalog.cached_table (skips per-read schema-inference jobs),
+# which dirties EVERY gate that builds endpoint tables through it — all of
+# those re-prove in-window; (3) cms_estimate gained a prepare/no-re-
+# checkpoint path (q121/q123); (4) q57's GK band gained the degeneracy
+# guard (r04 optional #8). q119/q120's r05 waivers expired — both rotate
+# back in. q25/q27 LEAD the window: their last direct proof was r03 over
+# builders refactored in r04 (the one remaining direct-proof vintage debt,
+# carried openly since the r05 comment) — this round they are also dirty
+# via _endpoint_tables, so the debt closes with real re-proves.
+# Remaining slots go to r03-vintage re-proves on untouched code. NOT all
+# fit: the deferred r03-vintage entries are listed at the head of
+# _CHECK_LAST with per-entry sibling-coverage notes; they rotate in next
+# round. Everything else in _CHECK_LAST is r04/r05-green on code untouched
+# this round. Window composition is MACHINE-CHECKED: tests/
+# test_staleness_guard.py diffs the tree against the previous round tag,
+# maps changed symbols to registry entries, and fails if an affected entry
+# is rotated to the tail without a waiver.
 # ---------------------------------------------------------------------------
 _CHECK_FIRST = [
-    # r01-vintage (q31-q35 first: their builders were refactored in r04)
+    # vintage-debt leads (last direct proof r03; builders refactored r04) —
+    # also dirty this round via _endpoint_tables
+    "q25_fhir_disease_narrow",
+    "q27_fhir_specimen_narrow",
+    # changed-code re-proves: etl memo lift + overlapped checkpoint (q85/
+    # q115 directly; q124 et al. via _endpoint_tables/cached_table)
+    "q85_fhir_full_pipeline",
+    "q115_multi_study_pipeline",
+    "q124_narrow_multi_target",
+    "q23_fhir_transform_cascade",
+    "q24_fhir_patient_resources",
+    "q26_fhir_family_groups",
+    "q30_fhir_vital_status_json",
     "q31_fhir_drs_document_reference",
     "q32_fhir_family_relationship",
     "q33_fhir_research_study",
     "q34_fhir_proband_status",
     "q35_fhir_histopathology",
+    "q64_fhir_drs_metadata_hashes",
+    "q65_fhir_specimen_bodysite_dispatch",
+    "q74_fhir_proband_status_json",
+    "q75_fhir_family_json",
+    "q76_fhir_research_study_json",
+    "q77_fhir_disease_json",
+    "q78_fhir_family_relationship_json",
+    "q79_fhir_histopathology_json",
+    "q80_fhir_phenotype_json",
+    "q81_fhir_research_subject_json",
+    "q82_fhir_reference_entities_json",
+    "q83_fhir_specimen_json",
+    "q84_fhir_drs_json",
+    # waiver expiry (r05): rotate back in with their staging helpers now
+    # driver-gated end-to-end again
+    "q119_dynamic_partition_pruning",
+    "q120_streaming_session_windows",
+    # changed-code re-proves: GK degeneracy guard / cms prepare path
+    "q57_approx_sketches",
+    "q121_count_min_sketch",
+    "q123_cms_heavy_hitters",
+    # r03-vintage re-proves on untouched code
+    "q16_ann_lsh_topk",
+    "q71_sequence_packing",
+    "q87_range_frame_running",
+    "q89_quality_filter_funnel",
+    "q90_contamination_screen",
+    "q96_streaming_dedup",
+    "q97_shuffle_shards",
+    "q98_span_dedup",
+    "q99_percentile_quality_filter",
+    "q100_corpus_build_pipeline",
+    "q101_scd2_history",
+    "q102_pagerank",
+    "q106_kmv_distinct",
+    "q108_grouping_sets",
+    "q109_streaming_quality_filter",
+    "q110_importance_sample",
+    "q111_budget_select",
+    "q112_stream_static_join",
+]
+_CHECK_LAST = [
+    # -- deferred r03-vintage re-proves (untouched code; window full) -------
+    # q03: normalize itself is exercised by every in-window FHIR gate (each
+    # runs the transform cascade's normalize; q23 in-window covers the
+    # identical stringify+dedupe surface); rotates in next round.
+    "q03_normalize_dedup",
+    # q86: CUBE shares the Expand-based grouping-sets machinery q108 proves
+    # in-window this round (q43 ROLLUP stayed r04-green); rotates in next.
+    "q86_cube_order_matrix",
+    # q91/q92: TF-IDF keywords / PII redaction — corpus-family siblings
+    # q89/q90/q99/q100 (q100 replays the full chain in SQL) are in-window;
+    # both untouched since r03; rotate in next round.
+    "q91_tfidf_keywords",
+    "q92_pii_redaction",
+    # q94: mixture resample — sampling family siblings q110/q111 in-window
+    # (q116 weighted-sample r05-green); untouched since r03; next round.
+    "q94_mixture_resample",
+    # q104: unpivot (stack) — single untouched operator, no dependency on
+    # any changed symbol; next round.
+    "q104_unpivot_yearly_revenue",
+    # q107: ranking-function window surface — q87 (RANGE frames) and q108
+    # in-window exercise the same window/Expand machinery; next round.
+    "q107_rank_functions",
+    # -- r05-green, code untouched this round ------------------------------
     "q06_group_collect",
     "q09_topk_per_group",
     "q14_ann_cosine_topk",
@@ -404,7 +469,6 @@ _CHECK_FIRST = [
     "q21_window_agg",
     "q49_pivot_status_matrix",
     "q50_window_frames",
-    # r02-vintage
     "q01_pricing_summary",
     "q04_recode_split",
     "q07_try_cast_json",
@@ -428,68 +492,19 @@ _CHECK_FIRST = [
     "q61_source_quota_sample",
     "q62_doc_chunking",
     "q63_dup_clusters",
-    "q64_fhir_drs_metadata_hashes",
-    "q65_fhir_specimen_bodysite_dispatch",
     "q67_bpe_token_budget",
     "q68_rolling_fingerprints",
     "q69_stratified_sample",
     "q72_canonical_docs",
     "q73_salted_skew_join",
-    # changed-code re-proves (r05 diffs)
     "q95_bucketed_colocated_join",
     "q116_weighted_sample",
-    "q121_count_min_sketch",
-    "q85_fhir_full_pipeline",
-    # new gates this round
     "q122_profile_approx",
-    "q123_cms_heavy_hitters",
-    "q124_narrow_multi_target",
-]
-_CHECK_LAST = [
-    # WAIVER: q119's partitioned-table staging uses catalog.
-    # content_fingerprint / staged_layout (changed this round), re-proven
-    # in-window by q95 through the identical helpers; the DPP join + its
-    # plan-assert (which RAISES without a dynamicpruning subquery) are
-    # untouched this round
-    "q119_dynamic_partition_pruning",
-    # r04-green, code untouched this round
-    "q57_approx_sketches",
+    # -- r04-green, code untouched this round ------------------------------
     "q113_ivf_lloyd_refinement",
     "q114_semantic_dedup_unsupervised",
-    "q115_multi_study_pipeline",
     "q117_bigram_lm_score",
     "q118_tfidf_doc_pairs",
-    # WAIVER: q120's flush-stream staging uses catalog.content_fingerprint
-    # (driver-proven in-window by q95) and staged_layout (changed branch
-    # pytest-covered in tests/test_catalog.py, not driver-gated this
-    # round); session-window logic untouched — see the waiver note above
-    "q120_streaming_session_windows",
-    # r04-green builder/FHIR surface, untouched this round (q124 additionally
-    # re-runs the q24/q74/q81 expected bytes through the narrow path)
-    "q74_fhir_proband_status_json",
-    "q75_fhir_family_json",
-    "q76_fhir_research_study_json",
-    "q77_fhir_disease_json",
-    "q78_fhir_family_relationship_json",
-    "q79_fhir_histopathology_json",
-    "q80_fhir_phenotype_json",
-    "q81_fhir_research_subject_json",
-    "q82_fhir_reference_entities_json",
-    "q83_fhir_specimen_json",
-    "q84_fhir_drs_json",
-    "q24_fhir_patient_resources",
-    "q26_fhir_family_groups",
-    "q30_fhir_vital_status_json",
-    # q25/q27: last DIRECT proof is r03 (they were displaced-by-sibling in
-    # r04 while their builders' plan() seam was refactored) — NOT r04-green
-    # like the rest of this group. Indirect coverage is strong: q77/q83
-    # byte-gated the identical Disease/Specimen plan() expressions in r04,
-    # and q124 drives the narrow orchestration in-window THIS round — but
-    # they are the two entries whose direct-proof vintage still predates
-    # their code, and they rotate into the r06 window first.
-    "q25_fhir_disease_narrow",
-    "q27_fhir_specimen_narrow",
-    # r04-green similarity/operator gates, untouched this round
     "q15_embedding_neardup",
     "q36_ann_ivf_topk",
     "q66_embedding_neardup_lsh",
@@ -514,34 +529,6 @@ _CHECK_LAST = [
     "q46_not_exists_anti_join",
     "q47_grouped_percentiles",
     "q48_multi_distinct_agg",
-    # r03-green, untouched since (two rounds, but their code is unchanged
-    # and the 50-slot window is exactly full; earliest rotation next round)
-    "q16_ann_lsh_topk",
-    "q71_sequence_packing",
-    "q86_cube_order_matrix",
-    "q87_range_frame_running",
-    "q89_quality_filter_funnel",
-    "q90_contamination_screen",
-    "q91_tfidf_keywords",
-    "q92_pii_redaction",
-    "q94_mixture_resample",
-    "q96_streaming_dedup",
-    "q97_shuffle_shards",
-    "q98_span_dedup",
-    "q99_percentile_quality_filter",
-    "q100_corpus_build_pipeline",
-    "q101_scd2_history",
-    "q102_pagerank",
-    "q104_unpivot_yearly_revenue",
-    "q106_kmv_distinct",
-    "q107_rank_functions",
-    "q108_grouping_sets",
-    "q109_streaming_quality_filter",
-    "q110_importance_sample",
-    "q111_budget_select",
-    "q112_stream_static_join",
-    "q03_normalize_dedup",
-    "q23_fhir_transform_cascade",
 ]
 
 

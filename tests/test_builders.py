@@ -254,3 +254,36 @@ def test_single_pass_union_equals_classic_dict(spark):
     )
     assert flat_union == flat_classic
     assert len(flat_union) > 0
+
+
+def test_fused_plan_builders_ignore_their_dataframe_arg(spark):
+    """The overlapped checkpoint path (etl.build_resources_union(checkpoint=
+    True)) constructs the 13 fused ``plan()`` expressions CONCURRENTLY with
+    the wide-table materialization, against the pre-checkpoint frames — which
+    is only sound because every fused builder's ``plan()`` is a pure
+    ``F.col`` expression tree that never consults its DataFrame argument.
+    Pin that contract in its crispest form: ``plan(None)`` must succeed and
+    the produced expressions must resolve against a wide table the builder
+    never saw."""
+    from pyspark.sql import functions as F
+
+    from kf_task_fhir_etl_spark.builders import BUILDERS
+    from kf_task_fhir_etl_spark.etl import run_pipeline
+    from kf_task_fhir_etl_spark.plans.mappings import pad_concepts
+    from kf_task_fhir_etl_spark.plans.transform import transform_study
+    from tests.fixtures import endpoint_tables
+
+    transformed = transform_study(endpoint_tables(spark))
+    wide = pad_concepts(transformed.tables["default"])
+    n_fused = 0
+    for target, (module, table_key) in BUILDERS.items():
+        if table_key != "default" or not hasattr(module, "plan"):
+            continue
+        tid, resource, keep = module.plan(None)  # must not touch the arg
+        cols = [tid.alias("tid"), F.to_json(resource).alias("r")]
+        if keep is not None:  # keep=None means keep-all (fused_element contract)
+            cols.append(keep.alias("k"))
+        out = wide.select(*cols)
+        assert out.limit(1).count() >= 0  # resolvable against an unseen table
+        n_fused += 1
+    assert n_fused == 13

@@ -1,0 +1,89 @@
+"""run_pipeline memo lifecycle (VERDICT r05 #1: the steady-state memo moved
+from the q85 gate into etl.run_pipeline so product callers get it; these pin
+the semantics the gate-level memo had plus the new explicit block release)."""
+
+from __future__ import annotations
+
+import pytest
+
+from kf_task_fhir_etl_spark import etl
+from kf_task_fhir_etl_spark.etl import run_pipeline
+
+from .fixtures import endpoint_tables
+
+
+@pytest.fixture(autouse=True)
+def _clean_memo():
+    etl._PIPELINE_MEMO.clear()
+    yield
+    etl._PIPELINE_MEMO.clear()
+
+
+def _counts(out):
+    return sorted((r["target"], r["target_id"]) for r in out.collect())
+
+
+def test_memo_hit_returns_same_object_and_rows(spark):
+    tables = endpoint_tables(spark)
+    out1 = run_pipeline(tables, single_pass=True, memo_key=("g", "v1"))
+    out2 = run_pipeline(endpoint_tables(spark), single_pass=True, memo_key=("g", "v1"))
+    assert out2 is out1  # re-served constructed plan, not a rebuild
+    assert len(etl._PIPELINE_MEMO) == 1
+    assert _counts(out2)  # still executable
+
+
+def test_memo_version_supersede_releases_and_rebuilds(spark):
+    out1 = run_pipeline(endpoint_tables(spark), single_pass=True, memo_key=("g", "v1"))
+    rows1 = _counts(out1)
+    out2 = run_pipeline(endpoint_tables(spark), single_pass=True, memo_key=("g", "v2"))
+    assert out2 is not out1
+    assert _counts(out2) == rows1
+    # v1 evicted; only v2 remains
+    keys = list(etl._PIPELINE_MEMO)
+    assert len(keys) == 1 and keys[0][2] == "v2"
+    # v1's checkpoint blocks were explicitly released: re-executing the
+    # superseded plan must now fail (its checkpoint data is gone), which is
+    # the proof release_checkpoints did more than drop a Python reference
+    with pytest.raises(Exception):
+        out1.count()
+
+
+def test_memo_mode_is_part_of_the_key(spark):
+    out_union = run_pipeline(endpoint_tables(spark), single_pass=True, memo_key=("g", "v"))
+    out_dict = run_pipeline(endpoint_tables(spark), single_pass=False, memo_key=("g", "v"))
+    assert isinstance(out_dict, dict)
+    assert len(etl._PIPELINE_MEMO) == 2  # union and dict entries coexist
+    # and the dict mode re-serves too
+    again = run_pipeline(endpoint_tables(spark), single_pass=False, memo_key=("g", "v"))
+    assert again is out_dict
+    assert out_union is not None
+
+
+def test_memo_requires_checkpointing(spark):
+    with pytest.raises(ValueError, match="memo_key requires checkpoint_wide"):
+        run_pipeline(endpoint_tables(spark), checkpoint_wide=False, memo_key=("g", "v"))
+    with pytest.raises(ValueError, match="memo_key requires checkpoint_wide"):
+        run_pipeline(endpoint_tables(spark), cache_wide=True, memo_key=("g", "v"))
+
+
+def test_memo_concurrent_same_key_single_winner(spark):
+    """Two threads racing the same memo key must converge on ONE entry and
+    both serve it (the loser's duplicate construction is released)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    tables = [endpoint_tables(spark) for _ in range(2)]
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        outs = list(
+            ex.map(
+                lambda t: run_pipeline(t, single_pass=True, memo_key=("race", "v")),
+                tables,
+            )
+        )
+    assert outs[0] is outs[1]
+    assert len(etl._PIPELINE_MEMO) == 1
+    assert _counts(outs[0])
+
+
+def test_unmemoized_calls_do_not_populate_the_memo(spark):
+    run_pipeline(endpoint_tables(spark), single_pass=True)
+    assert etl._PIPELINE_MEMO == {}
