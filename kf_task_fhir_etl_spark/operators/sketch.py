@@ -122,6 +122,31 @@ def cms_build(df: DataFrame, key_col: str, depth: int = 4, width: int = 256) -> 
     )
 
 
+def _is_checkpointed_relation(df: DataFrame) -> bool:
+    """True when ``df`` is already a (local)checkpoint — its analyzed plan
+    is the materialized LogicalRDD — so taking another checkpoint would only
+    copy blocks. Reaches through py4j internals; any reflection failure
+    reports False and the caller simply takes its own checkpoint (correct,
+    just not reusing)."""
+    try:
+        return (
+            df._jdf.queryExecution().analyzed().getClass().getSimpleName()
+            == "LogicalRDD"
+        )
+    except Exception:
+        return False
+
+
+def prepare_sketch(cms: DataFrame) -> DataFrame:
+    """Materialize a sketch once for repeat-estimate use: returns the
+    eagerly checkpointed depth×width relation, which ``cms_estimate`` /
+    ``cms_topk`` recognize and reuse without re-checkpointing — N estimate
+    calls against one sketch run the stream aggregation once, not N times
+    (ADVICE r05). Release with ``etl.release_checkpoints([sketch])`` when
+    a long-lived session retires it."""
+    return cms.localCheckpoint(eager=True)
+
+
 def cms_estimate(cms: DataFrame, keys: DataFrame, key_col: str) -> DataFrame:
     """Point-frequency estimates for EVERY distinct key in ``keys`` —
     including keys the sketch never saw (an empty bucket counts as 0, so
@@ -137,10 +162,13 @@ def cms_estimate(cms: DataFrame, keys: DataFrame, key_col: str) -> DataFrame:
     # broadcast join — without this the full-stream sketch aggregation (the
     # heaviest stage at scale) would execute twice per estimate call. Lazy
     # (eager=False) so building an estimate plan runs no job as a side
-    # effect; the .first() below materializes it once. Callers estimating
-    # against the same sketch repeatedly should checkpoint/persist it
-    # themselves for cross-call reuse (each call takes its own checkpoint).
-    cms = cms.localCheckpoint(eager=False)
+    # effect; the .first() below materializes it once. An ALREADY
+    # checkpointed sketch (``prepare_sketch``, or any prior estimate's
+    # checkpoint passed back in) is reused as-is — repeat-estimate callers
+    # no longer re-materialize the sketch aggregation once per call or
+    # accumulate orphan checkpoint blocks (ADVICE r05).
+    if not _is_checkpointed_relation(cms):
+        cms = cms.localCheckpoint(eager=False)
     meta = cms.agg(F.max("row").alias("d"), F.max("width").alias("w")).first()
     if meta["d"] is None:
         # empty sketch (built over an empty input): every bucket is an

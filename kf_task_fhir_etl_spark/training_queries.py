@@ -975,6 +975,11 @@ def q56_regional_revenue_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Minimum rows per group for q57's ±0.005 rank band to be wider than GK's
+# ±1-rank data-value slack (see the gate docstring); smaller groups RAISE.
+_GK_MIN_GROUP = 400
+
+
 @register(
     "q57_approx_sketches",
     oracle="""
@@ -1015,7 +1020,14 @@ def q57_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     call (wrong column, wrong rsd, a regression returning garbage) flips a
     boolean and fails the value hash — the failure mode the rows-only
     check could not see. The bands are 5-20× the published error bounds,
-    so a correct sketch can never flip one by chance."""
+    so a correct sketch can never flip one by chance.
+
+    Degeneracy guard (VERDICT r04 optional #8): the band edges are literal
+    percentile probabilities (Spark requires them foldable), so the band
+    cannot scale with group size — instead the gate ASSERTS every group has
+    ≥ ``_GK_MIN_GROUP`` rows and raises on a smaller corpus, rather than
+    emitting a within-bound boolean that could be false for a CORRECT
+    sketch (pytest pins the raise on a 100-row group)."""
     ev = load_table(spark, sf_dir, "events")
     qa = F.percentile_approx("value", [0.5, 0.9, 0.99], 10000)
     # exact quantiles at the targets and at the band edges (rank slack
@@ -1028,8 +1040,18 @@ def q57_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id", rsd=0.01).alias("__hll"),
         qa.alias("__gk"),
         qe.alias("__ex"),
+        F.count(F.lit(1)).alias("__n"),
     )
     in_band = lambda est, lo, hi: est.between(lo, hi)  # noqa: E731
+    big_enough = F.assert_true(
+        F.col("__n") >= _GK_MIN_GROUP,
+        F.concat(
+            F.lit("q57 GK band degenerate: group needs >= "),
+            F.lit(str(_GK_MIN_GROUP)),
+            F.lit(" rows for the ±0.005 rank band, got "),
+            F.col("__n"),
+        ),
+    )
     return agg.select(
         "event_type",
         "exact_users",
@@ -1040,10 +1062,14 @@ def q57_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("__ex").getItem(0), 6).alias("p50"),
         F.round(F.col("__ex").getItem(1), 6).alias("p90"),
         F.round(F.col("__ex").getItem(2), 6).alias("p99"),
-        (
+        # assert_true evaluates per row (NULL when the guard holds, raises
+        # otherwise) — fused into the boolean so the guard cannot be
+        # optimized away
+        F.when(
+            big_enough.isNull(),
             in_band(F.col("__gk").getItem(0), F.col("__ex").getItem(3), F.col("__ex").getItem(4))
             & in_band(F.col("__gk").getItem(1), F.col("__ex").getItem(5), F.col("__ex").getItem(6))
-            & in_band(F.col("__gk").getItem(2), F.col("__ex").getItem(7), F.col("__ex").getItem(8))
+            & in_band(F.col("__gk").getItem(2), F.col("__ex").getItem(7), F.col("__ex").getItem(8)),
         ).alias("quantiles_within_bound"),
     ).orderBy("event_type")
 

@@ -846,10 +846,10 @@ def test_cms_topk_recovers_exact_heavy_hitters_when_wide(spark):
 def test_q57_gk_band_precondition_holds_in_driver_corpora(spark):
     """q57's ±0.005-rank GK band is non-degenerate only when every
     event_type group holds n ≳ 400 rows (the band edges must straddle at
-    least one data value). The gate itself documents but cannot cheaply
-    assert this, so this test pins the DATA assumption at both driver
-    scales — a regenerated/smaller test corpus fails here loudly instead
-    of flapping the q57 value hash (VERDICT r04 item #8)."""
+    least one data value). The gate now ASSERTS this per group (r06 —
+    see test_q57_raises_loudly_on_degenerate_groups); this test keeps
+    pinning the DATA assumption at both driver scales so a regenerated/
+    smaller corpus is caught in pytest before the driver run."""
     import os
 
     from kf_task_fhir_etl_spark.catalog import load_table
@@ -870,3 +870,46 @@ def test_q57_gk_band_precondition_holds_in_driver_corpora(spark):
             f"{sf_dir}: smallest event_type group has {min(counts) if counts else 0} "
             "rows; q57's ±0.005-rank GK band needs ≥400 per group"
         )
+
+
+def test_prepared_sketch_is_reused_without_recheckpointing(spark):
+    """prepare_sketch's checkpoint must be recognized by cms_estimate (no
+    second checkpoint per call, ADVICE r05): estimates against the prepared
+    sketch run no new sketch materialization, and estimates equal the
+    unprepared path's exactly."""
+    from kf_task_fhir_etl_spark.operators import sketch
+
+    df = spark.createDataFrame([(f"k{i % 7}",) for i in range(200)], "k string")
+    cms = sketch.cms_build(df, "k", depth=4, width=64)
+    prepared = sketch.prepare_sketch(cms)
+    assert sketch._is_checkpointed_relation(prepared)
+    assert not sketch._is_checkpointed_relation(cms)
+    # the estimate plan over the prepared sketch must NOT contain a fresh
+    # aggregation of the raw stream — its sketch side is the scanned RDD
+    plan = sketch.cms_estimate(prepared, df.select("k"), "k")._jdf.queryExecution().analyzed().toString()
+    assert "LogicalRDD" in plan
+    want = {
+        r["k"]: r["cms_est"]
+        for r in sketch.cms_estimate(cms, df.select("k"), "k").collect()
+    }
+    got = {
+        r["k"]: r["cms_est"]
+        for r in sketch.cms_estimate(prepared, df.select("k"), "k").collect()
+    }
+    assert got == want and len(got) == 7
+
+
+def test_q57_raises_loudly_on_degenerate_groups(spark, tmp_path):
+    """VERDICT r04 optional #8 closure: on a corpus whose groups are too
+    small for the ±0.005 rank band (here 100 rows), q57 must RAISE its
+    degeneracy assert — never emit a within-bound boolean that could be
+    false for a correct sketch."""
+    from kf_task_fhir_etl_spark.training_queries import q57_approx_sketches
+
+    small = spark.createDataFrame(
+        [("click", f"u{i % 11}", float(i)) for i in range(100)],
+        "event_type string, user_id string, value double",
+    )
+    small.write.parquet(str(tmp_path / "events.parquet"))
+    with pytest.raises(Exception, match="q57 GK band degenerate"):
+        q57_approx_sketches(spark, str(tmp_path)).collect()
