@@ -31,7 +31,21 @@ def read_table(
     """JDBC scan. ``predicate`` becomes a pushed-down source query (the S1
     point scan: ``predicate="kf_id = 'SD_X'"``). For big tables pass
     ``partition_column`` + bounds so the scan parallelizes across executors
-    instead of a single connection."""
+    instead of a single connection: Spark issues ``num_partitions`` stride
+    queries (``partition_column >= lo AND < hi``), one per task, so a 100 TB
+    endpoint table reads at cluster width while the database sees bounded,
+    index-friendly range scans (Derby round-trip with a >1-partition assert
+    in tests/test_sources_sinks.py). The two forms are mutually exclusive in
+    Spark's JDBC source (``query`` cannot be stride-partitioned) — rejected
+    here with a clear error instead of Spark's late one; a partitioned point
+    scan is a contradiction anyway (one key, one row)."""
+    if predicate and partition_column:
+        raise ValueError(
+            "read_table: 'predicate' (source-query form) and 'partition_column' "
+            "(stride-partitioned form) cannot be combined — Spark's JDBC source "
+            "forbids partitioning a query option; push the filter via .filter() "
+            "on the partitioned dbtable read instead"
+        )
     reader = spark.read.format("jdbc").option("url", url)
     if predicate:
         reader = reader.option("query", f"SELECT * FROM {table} WHERE {predicate}")

@@ -261,3 +261,48 @@ def test_jdbc_roundtrip_embedded_derby(spark):
     plan = scan._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "kf_id" in plan
     assert [r["name"] for r in scan.collect()] == ["study two"]
+
+
+def test_jdbc_partitioned_read_embedded_derby(spark):
+    """S3 at scale (VERDICT r05 #7): the stride-partitioned JDBC read must
+    actually split the scan — >1 input partition, every row exactly once,
+    and Catalyst filters still pushed into each stride query. Also pins the
+    loud rejection of the contradictory predicate+partition_column combo."""
+    import pytest as _pytest
+
+    from kf_task_fhir_etl_spark.sources import jdbc
+
+    url = "jdbc:derby:memory:kfds_part;create=true"
+    driver = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    df = spark.range(0, 1000).selectExpr(
+        "CAST(id AS BIGINT) AS pk", "CONCAT('PT_', id) AS kf_id"
+    )
+    jdbc.write_table(
+        df,
+        url,
+        "participants",
+        mode="overwrite",
+        createTableColumnTypes="pk BIGINT, kf_id VARCHAR(32)",
+        **driver,
+    )
+    part = jdbc.read_table(
+        spark,
+        url,
+        "participants",
+        partition_column="pk",
+        num_partitions=4,
+        lower_bound=0,
+        upper_bound=1000,
+        **driver,
+    )
+    assert part.rdd.getNumPartitions() == 4
+    assert part.count() == 1000  # strides cover every row exactly once
+    assert part.select(F.countDistinct("pk")).first()[0] == 1000
+    filtered = part.filter(F.col("pk") < 10)
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "pk" in plan
+    assert filtered.count() == 10
+    with _pytest.raises(ValueError, match="cannot be combined"):
+        jdbc.read_table(
+            spark, url, "participants", predicate="\"pk\" = 1", partition_column="pk", **driver
+        )
