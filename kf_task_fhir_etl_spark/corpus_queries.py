@@ -1822,3 +1822,237 @@ def q123_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("cms_est"), "word")
     )
+
+
+# ---------------------------------------------------------------------------
+# q125 — weighted label propagation (community detection, fixed rounds)
+# ---------------------------------------------------------------------------
+
+
+def _q125_oracle(iters: int = 3) -> str:
+    head = """
+    WITH e0 AS (
+      SELECT 'c' || o_custkey AS a, 's' || l_suppkey AS b, COUNT(*) AS w
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE EXTRACT(year FROM o_orderdate) = 1995
+      GROUP BY 1, 2
+    ), edges AS (
+      SELECT a AS src, b AS dst, w FROM e0
+      UNION ALL SELECT b, a, w FROM e0
+    ), nodes AS (
+      SELECT DISTINCT src AS node FROM edges
+    ), l0 AS (
+      SELECT node, node AS label FROM nodes
+    )"""
+    its = ""
+    prev = "l0"
+    for i in range(1, iters + 1):
+        its += f""", s{i} AS (
+      SELECT e.dst AS node, r.label, SUM(e.w) AS w_sum
+      FROM edges e JOIN {prev} r ON e.src = r.node
+      GROUP BY e.dst, r.label
+    ), p{i} AS (
+      SELECT node, label FROM (
+        SELECT node, label,
+               ROW_NUMBER() OVER (PARTITION BY node ORDER BY w_sum DESC, label ASC) AS rn
+        FROM s{i}) WHERE rn = 1
+    ), l{i} AS (
+      SELECT n.node, COALESCE(p.label, n.label) AS label
+      FROM {prev} n LEFT JOIN p{i} p ON n.node = p.node
+    )"""
+        prev = f"l{i}"
+    return head + its + f"""
+    SELECT node, label FROM {prev} ORDER BY node
+    """
+
+
+@register("q125_label_propagation", oracle=_q125_oracle(3))
+def q125_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted label propagation (operators/graph.py::label_propagation —
+    the weighted-graph generalization of q63's connected components, VERDICT
+    r05 #6) over the 1995 buyer-supplier graph, edge weight = number of
+    line items linking the pair. Three synchronous rounds from
+    self-labels; each node adopts the incoming label with the largest
+    weight sum (ties → smallest label). Weights are integral so the
+    distributed partial sums are exact, and the oracle UNROLLS the same
+    three rounds as chained CTEs — the whole trajectory must match, the
+    q102 discipline. Plan shape per round: one edges⋈labels join on the
+    pre-shuffled edge table + one (node, label) aggregate + one argmax
+    window; state is a |V|-row vector, lineage checkpointed per round."""
+    from kf_task_fhir_etl_spark.operators import graph
+
+    o = load_table(spark, sf_dir, "orders").filter(F.year("o_orderdate") == 1995)
+    li = load_table(spark, sf_dir, "lineitem")
+    e0 = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("a"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("b"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    edges = e0.select(F.col("a").alias("src"), F.col("b").alias("dst"), "w").unionByName(
+        e0.select(F.col("b").alias("src"), F.col("a").alias("dst"), "w")
+    )
+    return graph.label_propagation(edges, iters=3, weight="w").orderBy("node")
+
+
+# ---------------------------------------------------------------------------
+# q126 — t-digest mergeable quantiles (sketch family: q57 GK, q106 KMV,
+# q121/q123 CMS)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q126_tdigest_quantiles",
+    oracle="""
+    SELECT event_type,
+           COUNT(value)                          AS n,
+           ROUND(quantile_cont(value, 0.5), 6)   AS p50,
+           ROUND(quantile_cont(value, 0.9), 6)   AS p90,
+           ROUND(quantile_cont(value, 0.99), 6)  AS p99,
+           TRUE AS p50_in_band, TRUE AS p90_in_band, TRUE AS p99_in_band,
+           TRUE AS state_bounded
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q126_tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-digest quantiles (operators/tdigest.py, VERDICT r05 #6): per-type
+    digests built by the two-level map-side-combine pattern (partition
+    partials via mapInPandas → one digest-row shuffle → per-group merge),
+    then p50/p90/p99 estimated from the centroid state. Estimates are
+    implementation-defined across engines, so the gate uses the q57 sketch
+    discipline: hash the EXACT quantiles (Spark percentile ≡ DuckDB
+    quantile_cont) plus within-band booleans — each estimate must lie
+    between the exact quantiles at rank ±0.02, ~10× the k1 bound at δ=200
+    (rank error ≤ ~1/δ at the median, tighter at the tails) — and a
+    ``state_bounded`` boolean pinning the centroid count ≤ δ (the k1 scale
+    function caps clusters at δ/2 + sweep slack). The driver corpora's
+    groups are 2k-40k rows, far above the ~100 rows the ±0.02 band needs
+    to straddle a data value."""
+    from kf_task_fhir_etl_spark.operators import tdigest
+
+    ev = load_table(spark, sf_dir, "events")
+    # two consumers (quantile estimation, centroid-count boolean) share the
+    # digest build — checkpoint so the scan + merge runs once
+    digests = tdigest.tdigest_build(ev, "event_type", "value", delta=200.0).localCheckpoint(
+        eager=False
+    )
+    est = (
+        tdigest.tdigest_quantiles(digests, [0.5, 0.9, 0.99])
+        .groupBy("group")
+        .agg(
+            F.max(F.when(F.col("prob") == 0.5, F.col("est"))).alias("e50"),
+            F.max(F.when(F.col("prob") == 0.9, F.col("est"))).alias("e90"),
+            F.max(F.when(F.col("prob") == 0.99, F.col("est"))).alias("e99"),
+        )
+    )
+    state = digests.select("group", F.size("means").alias("n_centroids"))
+    probs = [0.5, 0.9, 0.99, 0.48, 0.52, 0.88, 0.92, 0.97, 1.0]
+    exact = ev.groupBy("event_type").agg(
+        F.count("value").alias("n"),
+        F.percentile("value", F.array(*[F.lit(p) for p in probs])).alias("__ex"),
+    )
+    ex = lambda i: F.col("__ex").getItem(i)  # noqa: E731
+    return (
+        exact.join(est, exact["event_type"] == est["group"])
+        .join(state.withColumnRenamed("group", "g2"), F.col("event_type") == F.col("g2"))
+        .select(
+            "event_type",
+            "n",
+            F.round(ex(0), 6).alias("p50"),
+            F.round(ex(1), 6).alias("p90"),
+            F.round(ex(2), 6).alias("p99"),
+            F.col("e50").between(ex(3), ex(4)).alias("p50_in_band"),
+            F.col("e90").between(ex(5), ex(6)).alias("p90_in_band"),
+            F.col("e99").between(ex(7), ex(8)).alias("p99_in_band"),
+            (F.col("n_centroids") <= F.lit(200)).alias("state_bounded"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q127 — small-file compaction (partitioned-layout maintenance)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q127_compact_small_files",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_rows, TRUE AS rows_match,
+           TRUE AS files_reduced, TRUE AS bins_match
+    FROM events WHERE event_type IS NOT NULL
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q127_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction (operators/compaction.py, VERDICT r05 #6): a
+    deliberately fragmented partitioned layout (events partitioned by
+    event_type, written through repartition(24) so every partition dir
+    holds up to 24 small files — the streaming-append pathology) is
+    compacted into cumulative-stride bins sized so each partition lands ~4
+    output files. The gate hash-checks, per partition: the row count of the
+    COMPACTED layout (the oracle recomputes it from the source table — rows
+    must survive the rewrite exactly), rows_match (compacted count ==
+    fragmented count), files_reduced (fewer files than before), and
+    bins_match (exactly one output file per planned bin — the rewrite
+    honored the plan). Both layouts are staged build-once behind
+    catalog.staged_layout's fingerprint + atomic-rename publish (the q119
+    discipline), so run 1 pays the rewrite and repeats measure the
+    maintenance op's steady state; the file/bin statistics are recomputed
+    from listings every run (metadata-sized)."""
+    from kf_task_fhir_etl_spark.catalog import staged_layout
+    from kf_task_fhir_etl_spark.operators import compaction
+
+    def build_frag(tmp: str) -> None:
+        ev = load_table(spark, sf_dir, "events").filter(F.col("event_type").isNotNull())
+        ev.repartition(24).write.partitionBy("event_type").parquet(tmp)
+
+    src = staged_layout("fragsrc", sf_dir, ["events"], build_frag)
+    files = compaction.list_files(src)
+    n_parts = len({f["partition"] for f in files}) or 1
+    target = max(sum(f["bytes"] for f in files) // (n_parts * 4), 1)
+    dst = staged_layout(
+        "compacted", sf_dir, ["events"], lambda tmp: compaction.compact(spark, src, tmp, target)
+    )
+    plan_stats = (
+        compaction.compaction_plan(spark, files, target)
+        .groupBy("partition")
+        .agg(
+            F.count(F.lit(1)).alias("n_files_before"),
+            F.countDistinct("bin").alias("n_bins"),
+        )
+    )
+    after = spark.createDataFrame(
+        compaction.list_files(dst), "partition string, file string, bytes bigint"
+    ).groupBy("partition").agg(F.count(F.lit(1)).alias("n_files_after"))
+    # partition dir name "event_type=<value>" → the partition value
+    part_val = F.split(F.col("partition"), "=").getItem(1)
+    stats = (
+        plan_stats.join(after, "partition")
+        .select(
+            part_val.alias("event_type"),
+            "n_files_before",
+            "n_bins",
+            "n_files_after",
+        )
+    )
+    rows_before = (
+        spark.read.parquet(src).groupBy("event_type").agg(F.count(F.lit(1)).alias("n_before"))
+    )
+    rows_after = (
+        spark.read.parquet(dst).groupBy("event_type").agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    return (
+        rows_after.join(rows_before, "event_type")
+        .join(stats, "event_type")
+        .select(
+            "event_type",
+            "n_rows",
+            (F.col("n_rows") == F.col("n_before")).alias("rows_match"),
+            (F.col("n_files_after") < F.col("n_files_before")).alias("files_reduced"),
+            (F.col("n_files_after") == F.col("n_bins")).alias("bins_match"),
+        )
+        .orderBy("event_type")
+    )

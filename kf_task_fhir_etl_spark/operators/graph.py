@@ -110,3 +110,67 @@ def pagerank(
             .localCheckpoint()
         )
     return ranks.select("node", F.round(F.col("pr"), 6).alias("pr"))
+
+
+def label_propagation(
+    edges: DataFrame,
+    iters: int = 3,
+    weight: str | None = None,
+    round_digits: int = 12,
+) -> DataFrame:
+    """Synchronous WEIGHTED label propagation (community detection) —
+    generalizes the unweighted connected-components iteration
+    (operators/dedup.py) the way the r05 verdict sketched: each round,
+    every node adopts the label carrying the MAXIMUM total incoming edge
+    weight among its neighbors' current labels, ties broken by the
+    smallest label; nodes with no in-edges keep their label. Labels start
+    as the node ids. Synchronous rounds + the total (weight DESC, label
+    ASC) tie order make every round deterministic, so an oracle can unroll
+    the trajectory as chained CTEs (q125) exactly like q102's PageRank.
+
+    ``weight``: edge-weight column name (None → every edge weighs 1).
+    Fractional weights are rounded to ``round_digits`` at aggregation so
+    distributed partial sums and a sequential engine agree bit-for-bit;
+    integral weights are exact either way.
+
+    Plan shape per round: edges ⋈ labels on src (the edge table is
+    shuffled to its join partitioning ONCE and reused every round), one
+    groupBy(dst, label) weight sum with map-side partial aggregation, one
+    row_number window per dst for the argmax, then a left join back onto
+    the full node set so isolated/no-in-edge nodes never drop out of the
+    vector. Per-round ``localCheckpoint`` keeps the plan flat (the shared
+    iteration discipline of pagerank/connected_components). State is two
+    |V|-row vectors; the edge list never materializes on the driver."""
+    from pyspark.sql import Window
+
+    w_col = F.col(weight).cast("double") if weight else F.lit(1.0).cast("double")
+    edges = (
+        edges.select(F.col("src"), F.col("dst"), w_col.alias("w"))
+        .repartition("src")
+        .localCheckpoint()
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = nodes.select("node", F.col("node").alias("label"))
+    pick = Window.partitionBy("node").orderBy(F.desc("w_sum"), F.asc("label"))
+    for _ in range(iters):
+        scores = (
+            edges.join(labels, edges["src"] == labels["node"])
+            .groupBy(F.col("dst").alias("node"), "label")
+            .agg(F.round(F.sum("w"), round_digits).alias("w_sum"))
+        )
+        best = (
+            scores.withColumn("__rn", F.row_number().over(pick))
+            .filter(F.col("__rn") == 1)
+            .select("node", F.col("label").alias("new_label"))
+        )
+        labels = (
+            labels.join(best, "node", "left")
+            .select("node", F.coalesce("new_label", "label").alias("label"))
+            .localCheckpoint()
+        )
+    return labels

@@ -417,10 +417,12 @@ _CHECK_FIRST = [
     "q57_approx_sketches",
     "q121_count_min_sketch",
     "q123_cms_heavy_hitters",
+    # NEW gates this round (label propagation / t-digest / compaction —
+    # VERDICT r05 #6, each landing WITH its gate)
+    "q125_label_propagation",
+    "q126_tdigest_quantiles",
+    "q127_compact_small_files",
     # r03-vintage re-proves on untouched code
-    "q16_ann_lsh_topk",
-    "q71_sequence_packing",
-    "q87_range_frame_running",
     "q89_quality_filter_funnel",
     "q90_contamination_screen",
     "q96_streaming_dedup",
@@ -457,9 +459,19 @@ _CHECK_LAST = [
     # q104: unpivot (stack) — single untouched operator, no dependency on
     # any changed symbol; next round.
     "q104_unpivot_yearly_revenue",
-    # q107: ranking-function window surface — q87 (RANGE frames) and q108
-    # in-window exercise the same window/Expand machinery; next round.
+    # q107: ranking-function window surface — q108 in-window exercises the
+    # same window/Expand machinery; next round.
     "q107_rank_functions",
+    # q16: ANN family siblings q36 (IVF) / q88 (LSH recall) r04-green and
+    # q14 (brute cosine) r05-green cover the LSH-bucketed serving path;
+    # displaced by the three new gates; next round.
+    "q16_ann_lsh_topk",
+    # q71: packing/chunking family — q62 (chunking) r05-green, q110/q111
+    # (sampling windows) in-window; displaced by the new gates; next round.
+    "q71_sequence_packing",
+    # q87: RANGE-frame windows — q108's Expand/window machinery in-window,
+    # q50 (ROWS frames) r05-green; displaced by the new gates; next round.
+    "q87_range_frame_running",
     # -- r05-green, code untouched this round ------------------------------
     "q06_group_collect",
     "q09_topk_per_group",

@@ -1,0 +1,196 @@
+"""Unit tests for the r06 operators: weighted label propagation
+(operators/graph.py), t-digest quantiles (operators/tdigest.py), and
+small-file compaction (operators/compaction.py) — gates q125/q126/q127."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kf_task_fhir_etl_spark.operators import compaction, graph, tdigest
+
+# ---------------------------------------------------------------------------
+# label propagation
+# ---------------------------------------------------------------------------
+
+
+def _labels(df):
+    return {r["node"]: r["label"] for r in df.collect()}
+
+
+def test_label_propagation_two_weighted_communities(spark):
+    # two triangles bridged by ONE light edge: heavy intra-community weights
+    # must pull each triangle onto its own min label
+    tri = [("a1", "a2", 5), ("a2", "a3", 5), ("a1", "a3", 5),
+           ("b1", "b2", 5), ("b2", "b3", 5), ("b1", "b3", 5),
+           ("a3", "b1", 1)]
+    e0 = spark.createDataFrame(tri, "src string, dst string, w long")
+    edges = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    )
+    got = _labels(graph.label_propagation(edges, iters=4, weight="w"))
+    assert {got["a1"], got["a2"], got["a3"]} == {"a1"}
+    assert {got["b1"], got["b2"], got["b3"]} == {"b1"}
+
+
+def test_label_propagation_tie_breaks_to_min_label(spark):
+    # node x receives equal weight from labels 'a' and 'b' → adopts 'a'
+    edges = spark.createDataFrame(
+        [("a", "x", 3), ("b", "x", 3)], "src string, dst string, w long"
+    )
+    got = _labels(graph.label_propagation(edges, iters=1, weight="w"))
+    assert got["x"] == "a"
+
+
+def test_label_propagation_no_in_edges_keeps_label_and_default_weight(spark):
+    # 's' has no in-edges → keeps its own label every round; weight=None
+    # counts edges (so two parallel u→v edges outweigh one heavy... they
+    # weigh 2 vs 1)
+    edges = spark.createDataFrame(
+        [("s", "v", 9), ("u", "v", 1), ("u", "v", 1)], "src string, dst string, w long"
+    )
+    unweighted = _labels(graph.label_propagation(edges, iters=1))
+    assert unweighted["s"] == "s"
+    assert unweighted["v"] == "u"  # 2 unweighted edges beat 1
+    weighted = _labels(graph.label_propagation(edges, iters=1, weight="w"))
+    assert weighted["v"] == "s"  # weight 9 beats 1+1
+
+
+def test_label_propagation_deterministic_across_runs(spark):
+    import random
+
+    random.seed(3)
+    rows = [(f"n{random.randrange(40)}", f"n{random.randrange(40)}", random.randrange(1, 5))
+            for _ in range(200)]
+    edges = spark.createDataFrame(rows, "src string, dst string, w long").filter(
+        F.col("src") != F.col("dst")
+    )
+    a = _labels(graph.label_propagation(edges, iters=3, weight="w"))
+    b = _labels(graph.label_propagation(edges, iters=3, weight="w"))
+    assert a == b
+
+
+# ---------------------------------------------------------------------------
+# t-digest
+# ---------------------------------------------------------------------------
+
+
+def test_tdigest_exact_on_tiny_groups(spark):
+    # fewer values than centroids → every value is its own centroid and the
+    # digest's quantiles interpolate the exact data
+    df = spark.createDataFrame([("g", float(v)) for v in range(1, 12)], "g string, v double")
+    d = tdigest.tdigest_build(df, "g", "v", delta=200.0)
+    row = d.collect()[0]
+    assert row["n"] == 11 and len(row["means"]) == 11
+    est = {r["prob"]: r["est"] for r in tdigest.tdigest_quantiles(d, [0.0, 0.5, 1.0]).collect()}
+    assert est[0.0] == 1.0 and est[1.0] == 11.0
+    assert est[0.5] == pytest.approx(6.0, abs=0.5)
+
+
+def test_tdigest_rank_bound_and_state_bound_any_sharding(spark):
+    import random
+
+    random.seed(11)
+    vals = [random.gauss(0, 1) for _ in range(4000)]
+    exact = sorted(vals)
+
+    def rank_of(x: float) -> float:
+        import bisect
+
+        return bisect.bisect_left(exact, x) / len(exact)
+
+    for parts in (1, 7, 32):
+        df = spark.createDataFrame([("g", v) for v in vals], "g string, v double").repartition(
+            parts
+        )
+        d = tdigest.tdigest_build(df, "g", "v", delta=100.0)
+        row = d.collect()[0]
+        assert row["n"] == 4000
+        assert len(row["means"]) <= 100  # k1 bound: ~delta/2 + sweep slack
+        assert abs(sum(row["weights"]) - 4000) < 1e-6
+        for r in tdigest.tdigest_quantiles(d, [0.1, 0.5, 0.9, 0.99]).collect():
+            assert abs(rank_of(r["est"]) - r["prob"]) <= 0.03, (parts, r)
+
+
+def test_tdigest_merge_equals_whole_build_bounds(spark):
+    # split one group's data into two "day" digests, re-key, merge → the
+    # merged digest satisfies the same rank bound as a whole-data build
+    import random
+
+    random.seed(5)
+    vals = [random.expovariate(0.1) for _ in range(3000)]
+    df = spark.createDataFrame(
+        [(f"day{i % 2}", v) for i, v in enumerate(vals)], "g string, v double"
+    )
+    daily = tdigest.tdigest_build(df, "g", "v", delta=100.0)
+    monthly = tdigest.tdigest_merge(daily.withColumn("group", F.lit("month")))
+    row = monthly.collect()[0]
+    assert row["n"] == 3000
+    exact = sorted(vals)
+    import bisect
+
+    for r in tdigest.tdigest_quantiles(monthly, [0.5, 0.95]).collect():
+        rank = bisect.bisect_left(exact, r["est"]) / len(exact)
+        assert abs(rank - r["prob"]) <= 0.03
+
+
+def test_tdigest_nulls_and_nans_excluded(spark):
+    df = spark.createDataFrame(
+        [("g", 1.0), ("g", None), ("g", float("nan")), ("g", 3.0)], "g string, v double"
+    )
+    row = tdigest.tdigest_build(df, "g", "v").collect()[0]
+    assert row["n"] == 2 and row["vmin"] == 1.0 and row["vmax"] == 3.0
+
+
+# ---------------------------------------------------------------------------
+# compaction
+# ---------------------------------------------------------------------------
+
+
+def test_compaction_plan_binning_arithmetic(spark):
+    # ordered by bytes DESC then path; bin = floor((cumsum - bytes)/target)
+    files = [
+        {"partition": "p=1", "file": "a", "bytes": 60},
+        {"partition": "p=1", "file": "b", "bytes": 50},
+        {"partition": "p=1", "file": "c", "bytes": 40},
+        {"partition": "p=1", "file": "d", "bytes": 30},
+        {"partition": "p=2", "file": "e", "bytes": 10},
+    ]
+    plan = {
+        (r["partition"], r["file"]): r["bin"]
+        for r in compaction.compaction_plan(spark, files, target_bytes=100).collect()
+    }
+    # cumsums: a=60 (bin floor(0/100)=0), b=110 (floor(60/100)=0),
+    # c=150 (floor(110/100)=1), d=180 (floor(150/100)=1)
+    assert plan == {("p=1", "a"): 0, ("p=1", "b"): 0, ("p=1", "c"): 1, ("p=1", "d"): 1, ("p=2", "e"): 0}
+
+
+def test_compact_preserves_rows_and_honors_bins(spark, tmp_path):
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    df = spark.range(0, 20000).select(
+        (F.col("id") % 3).cast("string").alias("part"),
+        "id",
+        F.md5(F.col("id").cast("string")).alias("payload"),
+    )
+    df.repartition(12).write.partitionBy("part").parquet(src)
+    n_before_files = len(compaction.list_files(src))
+    assert n_before_files > 6
+    summary = {r["partition"]: r for r in compaction.compact(spark, src, dst, 128 * 1024).collect()}
+    for part, s in summary.items():
+        assert s["n_files_after"] == s["n_bins"] <= s["n_files_before"]
+    a = spark.read.parquet(src).select("id", "payload", "part")
+    b = spark.read.parquet(dst).select("id", "payload", "part")
+    assert a.count() == b.count() == 20000
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    # fresh-destination contract
+    with pytest.raises(ValueError, match="exists"):
+        compaction.compact(spark, src, dst, 128 * 1024)
+
+
+def test_compact_flat_unpartitioned_layout(spark, tmp_path):
+    src, dst = str(tmp_path / "flat_src"), str(tmp_path / "flat_dst")
+    spark.range(0, 5000).repartition(9).write.parquet(src)
+    summary = compaction.compact(spark, src, dst, 10**9).collect()
+    assert len(summary) == 1 and summary[0]["partition"] == ""
+    assert summary[0]["n_files_after"] == 1  # everything fits one bin
+    assert spark.read.parquet(dst).count() == 5000
