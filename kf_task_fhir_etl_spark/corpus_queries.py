@@ -2056,3 +2056,99 @@ def q127_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q128 — streaming CDC apply (LWW keyed-table maintenance from a change
+# stream, the streaming complement of q101's batch SCD2)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q128_streaming_cdc_apply",
+    oracle="""
+    SELECT o_orderkey AS order_key,
+           CASE WHEN o_orderkey % 7 = 0 THEN 'X2' ELSE o_orderstatus END AS status,
+           ROUND(o_totalprice, 2) AS price
+    FROM orders WHERE o_orderkey % 13 <> 0
+    ORDER BY order_key
+    """,
+)
+def q128_streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC apply (streaming/cdc.py): three change epochs derived
+    from orders — (1) upsert every key, (2) upsert status 'X2' for keys
+    %7==0, (3) DELETE keys %13==0 — staged as one parquet file each and
+    streamed through ``foreachBatch`` with maxFilesPerTrigger=1, so the
+    sink applies three microbatches of last-writer-wins merges (tombstones
+    retained in the store) onto the shared versioned-marker store. The
+    gate hash-checks the final LIVE table against the oracle's closed-form
+    last-writer-wins: deleted keys absent, %7 keys updated, everything
+    else at its epoch-1 value. Store + checkpoint are keyed by the source
+    content fingerprint (regenerated data rebuilds; a re-run replays into
+    the replay guard and reads the committed store — the restart
+    idempotency the marker layout exists for). Batch-boundary independence
+    is pytest-pinned separately by replaying the same changes in shuffled
+    batch splits."""
+    import os as _os
+
+    from kf_task_fhir_etl_spark.catalog import content_fingerprint, sanitize_tag, staged_layout
+    from kf_task_fhir_etl_spark.streaming import cdc
+
+    orders = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+
+    def build_changes(tmp: str) -> None:
+        e1 = orders.select(
+            k.alias("order_key"),
+            F.col("o_orderstatus").alias("status"),
+            F.round(F.col("o_totalprice"), 2).alias("price"),
+            F.lit(1).cast("long").alias("seq"),
+            F.lit(cdc.OP_UPSERT).alias("op"),
+        )
+        e2 = orders.filter(k % 7 == 0).select(
+            k.alias("order_key"),
+            F.lit("X2").alias("status"),
+            F.round(F.col("o_totalprice"), 2).alias("price"),
+            F.lit(2).cast("long").alias("seq"),
+            F.lit(cdc.OP_UPSERT).alias("op"),
+        )
+        e3 = orders.filter(k % 13 == 0).select(
+            k.alias("order_key"),
+            F.lit(None).cast("string").alias("status"),
+            F.lit(None).cast("double").alias("price"),
+            F.lit(3).cast("long").alias("seq"),
+            F.lit(cdc.OP_DELETE).alias("op"),
+        )
+        # one file per epoch, in epoch order (file mtime drives microbatch
+        # order locally — though LWW makes ANY order converge)
+        for i, df in enumerate((e1, e2, e3), start=1):
+            df.coalesce(1).write.parquet(_os.path.join(tmp, f"e{i}"))
+
+    changes_dir = staged_layout("cdc_changes", sf_dir, ["orders"], build_changes)
+    fp = content_fingerprint(sf_dir, ["orders"])
+    base = _os.path.join(
+        "/tmp", "kf_spark_cdcstore", f"{sanitize_tag(_os.path.basename(sf_dir.rstrip('/')))}_{fp}"
+    )
+    _os.makedirs(base, exist_ok=True)
+    store = _os.path.join(base, "store")
+    stream = (
+        spark.readStream.schema(
+            "order_key bigint, status string, price double, seq long, op string"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(_os.path.join(changes_dir, "e*"))
+    )
+    q = cdc.cdc_stream(
+        stream,
+        store,
+        key_cols=["order_key"],
+        order_col="seq",
+        op_col="op",
+        checkpoint=_os.path.join(base, "ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    live = cdc.read_table(spark, store)
+    return live.select("order_key", "status", "price").orderBy("order_key")

@@ -417,11 +417,15 @@ _CHECK_FIRST = [
     "q57_approx_sketches",
     "q121_count_min_sketch",
     "q123_cms_heavy_hitters",
-    # NEW gates this round (label propagation / t-digest / compaction —
-    # VERDICT r05 #6, each landing WITH its gate)
+    # NEW gates this round (label propagation / t-digest / compaction /
+    # streaming CDC apply — VERDICT r05 #6, each landing WITH its gate)
     "q125_label_propagation",
     "q126_tdigest_quantiles",
     "q127_compact_small_files",
+    "q128_streaming_cdc_apply",
+    # changed-code re-prove: rollup_sink now delegates to the extracted
+    # streaming/versioned_store.py (the commit layout q128 shares)
+    "q70_incremental_rollup",
     # r03-vintage re-proves on untouched code
     "q89_quality_filter_funnel",
     "q90_contamination_screen",
@@ -434,10 +438,8 @@ _CHECK_FIRST = [
     "q102_pagerank",
     "q106_kmv_distinct",
     "q108_grouping_sets",
-    "q109_streaming_quality_filter",
     "q110_importance_sample",
     "q111_budget_select",
-    "q112_stream_static_join",
 ]
 _CHECK_LAST = [
     # -- deferred r03-vintage re-proves (untouched code; window full) -------
@@ -472,6 +474,13 @@ _CHECK_LAST = [
     # q87: RANGE-frame windows — q108's Expand/window machinery in-window,
     # q50 (ROWS frames) r05-green; displaced by the new gates; next round.
     "q87_range_frame_running",
+    # q109/q112: streaming quality filter / stream-static join — displaced
+    # by q128 + the q70 re-prove; the in-window streaming set (q96, q119,
+    # q120, q128, q70) exercises the shared microbatch/foreachBatch/store
+    # infra, and q109's batch twin q89 is in-window; both untouched since
+    # r03; next round.
+    "q109_streaming_quality_filter",
+    "q112_stream_static_join",
     # -- r05-green, code untouched this round ------------------------------
     "q06_group_collect",
     "q09_topk_per_group",
@@ -524,7 +533,6 @@ _CHECK_LAST = [
     "q93_semantic_dedup",
     "q103_data_profile",
     "q105_fuzzy_match",
-    "q70_incremental_rollup",
     "q02_outer_join_cascade",
     "q05_sentinel_filter",
     "q08_resource_json",

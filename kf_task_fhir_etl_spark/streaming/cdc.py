@@ -1,0 +1,109 @@
+"""Streaming CDC apply — maintain a keyed table from a change stream
+(upserts + deletes), the Delta ``MERGE INTO``-loop every 100 TB warehouse
+runs on its ingest edge, re-expressed on the shared versioned-marker store
+(``streaming/versioned_store.py``).
+
+Semantics: LAST-WRITER-WINS per key by a caller-named ordering column
+(change sequence / LSN / commit timestamp), with ties broken
+delete-over-upsert. Deletes are retained as TOMBSTONE rows inside the
+store, so a late-arriving change with a LOWER sequence than an applied
+delete can never resurrect the row — the classic out-of-order-CDC hazard.
+The live table is simply the store minus tombstones (``read_table``).
+
+Correctness is microbatch-boundary independent: each batch is reduced to
+its per-key winners, unioned with the store, and re-reduced — LWW is
+associative/commutative over the (order, op) total order, so ANY split of
+the change set into batches, in ANY batch order, converges to the same
+final store (pytest pins a shuffled-batch replay; the q128 gate streams
+three epoch files through ``foreachBatch``).
+
+Scale shape: the per-batch reduction is one window over the BATCH (batch-
+sized); the merge shuffles (store + batch winners) on the key — the store
+is table-sized, so this is copy-on-write maintenance exactly like
+``keyed_parquet_upsert``, made crash-safe/replay-guarded by the versioned
+store (new version written to a fresh directory, distributed end-to-end —
+``collect_store=False``). Partition the store by a stable key prefix at
+real scale so only touched partitions rewrite; tombstones are compacted
+away by retention policy (not modeled here), never by the apply path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kf_task_fhir_etl_spark.streaming import versioned_store
+
+OP_UPSERT = "upsert"
+OP_DELETE = "delete"
+
+
+def cdc_reduce(changes: DataFrame, key_cols: list[str], order_col: str, op_col: str) -> DataFrame:
+    """One winner per key: highest ``order_col``; on an exact order tie a
+    delete beats an upsert (``op_col`` ascending — 'delete' < 'upsert' —
+    so the tombstone wins deterministically). The caller's change feed is
+    expected to make (key, order, op) unique (true of any LSN-stamped CDC
+    source); duplicate (key, order, op) rows are exact duplicates under
+    LWW and collapse to the same winner."""
+    w = Window.partitionBy(*key_cols).orderBy(F.desc(order_col), F.asc(op_col))
+    return (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def cdc_apply_batch(
+    current: DataFrame | None,
+    batch: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    op_col: str,
+) -> DataFrame:
+    """Pure merge function: reduce the batch, union with the store (which
+    already holds one winner per key, tombstones included), re-reduce.
+    Associative — see module docstring."""
+    winners = cdc_reduce(batch, key_cols, order_col, op_col)
+    if current is None:
+        return winners
+    return cdc_reduce(current.unionByName(winners), key_cols, order_col, op_col)
+
+
+def read_table(spark: SparkSession, store_path: str) -> DataFrame | None:
+    """The LIVE table (tombstones filtered); None when the store is fresh."""
+    store = versioned_store.read_store(spark, store_path)
+    if store is None:
+        return None
+    return store.filter(F.col("__op") != OP_DELETE).drop("__op", "__order")
+
+
+def cdc_stream(
+    changes: DataFrame,
+    store_path: str,
+    key_cols: list[str],
+    order_col: str,
+    op_col: str,
+    checkpoint: str | None = None,
+):
+    """Attach the CDC-apply sink to a change stream. The stream's rows are
+    (keys…, attrs…, order_col, op_col) with op ∈ {'upsert', 'delete'};
+    delete rows may carry null attrs. Returns the started StreamingQuery.
+    Store rows internally carry ``__op``/``__order`` (the winner's op and
+    sequence) so later batches can LWW against them; ``read_table`` strips
+    both."""
+    spark = changes.sparkSession
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        staged = batch_df.withColumn("__op", F.col(op_col)).withColumn(
+            "__order", F.col(order_col)
+        ).drop(op_col, order_col)
+
+        def merge(current: DataFrame | None) -> DataFrame:
+            return cdc_apply_batch(current, staged, key_cols, "__order", "__op")
+
+        versioned_store.apply_batch(spark, store_path, merge, batch_id=batch_id)
+
+    writer = changes.writeStream.foreachBatch(sink).outputMode("append")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()

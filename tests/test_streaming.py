@@ -291,3 +291,72 @@ def test_rollup_sink_survives_crash_mid_version_write(spark, tmp_path):
     }
     before = {(r[0], r[1]): r[2] for r in committed}
     assert after == {k: 2 * n for k, n in before.items()}
+
+
+def test_cdc_apply_batch_boundary_independent_and_tombstones(spark, tmp_path):
+    """streaming/cdc.py: ANY split of the change set into batches, applied
+    in ANY order through the versioned store, converges to the same final
+    table; an out-of-order late update older than an applied delete must
+    NOT resurrect the row."""
+    import itertools
+
+    from kf_task_fhir_etl_spark.streaming import cdc, versioned_store
+
+    changes = [
+        # (key, attr, seq, op)
+        (1, "a1", 1, "upsert"),
+        (2, "b1", 1, "upsert"),
+        (3, "c1", 1, "upsert"),
+        (1, "a2", 2, "upsert"),
+        (2, None, 3, "delete"),
+        (2, "b2", 2, "upsert"),  # older than the delete — must stay dead
+        (3, "c3", 3, "upsert"),
+    ]
+    schema = "key int, attr string, seq long, op string"
+    want = {(1, "a2"), (3, "c3")}
+
+    def run(split: list[list[tuple]], store: str) -> set:
+        for i, batch_rows in enumerate(split):
+            batch = spark.createDataFrame(batch_rows, schema)
+            staged = batch.withColumnRenamed("op", "__op").withColumnRenamed("seq", "__order")
+            versioned_store.apply_batch(
+                spark,
+                store,
+                lambda cur, b=staged: cdc.cdc_apply_batch(cur, b, ["key"], "__order", "__op"),
+                batch_id=i,
+            )
+        live = cdc.read_table(spark, store)
+        return {(r["key"], r["attr"]) for r in live.collect()}
+
+    splits = [
+        [changes],  # one batch
+        [changes[:3], changes[3:5], changes[5:]],  # three batches
+        [changes[5:], changes[3:5], changes[:3]],  # reordered batch content
+        [[c] for c in changes[::-1]],  # one change per batch, reversed
+    ]
+    for i, split in enumerate(splits):
+        assert run(split, str(tmp_path / f"store{i}")) == want, f"split {i}"
+
+
+def test_cdc_replay_guard_skips_committed_batches(spark, tmp_path):
+    from kf_task_fhir_etl_spark.streaming import cdc, versioned_store
+
+    store = str(tmp_path / "store")
+    b = spark.createDataFrame([(1, "x", 1, "upsert")], "key int, attr string, seq long, op string")
+    staged = b.withColumnRenamed("op", "__op").withColumnRenamed("seq", "__order")
+    merge = lambda cur: cdc.cdc_apply_batch(cur, staged, ["key"], "__order", "__op")  # noqa: E731
+    assert versioned_store.apply_batch(spark, store, merge, batch_id=0) is True
+    # replayed batch (foreachBatch at-least-once) is a no-op
+    assert versioned_store.apply_batch(spark, store, merge, batch_id=0) is False
+    assert {(r["key"], r["attr"]) for r in cdc.read_table(spark, store).collect()} == {(1, "x")}
+
+
+def test_cdc_delete_beats_upsert_on_equal_sequence(spark, tmp_path):
+    from kf_task_fhir_etl_spark.streaming import cdc
+
+    b = spark.createDataFrame(
+        [(1, "x", 5, "upsert"), (1, None, 5, "delete")],
+        "key int, attr string, __order long, __op string",
+    )
+    out = cdc.cdc_reduce(b, ["key"], "__order", "__op").collect()
+    assert len(out) == 1 and out[0]["__op"] == "delete"
