@@ -82,11 +82,13 @@ def load_catalog(
     return catalog
 
 
-# {(applicationId, sf_dir, table): DataFrame} — see cached_table
-_TABLE_MEMO: dict[tuple[str, str, str], DataFrame] = {}
+# {(applicationId, sf_dir, table): (version, DataFrame)} — see cached_table
+_TABLE_MEMO: dict[tuple[str, str, str], tuple[str | None, DataFrame]] = {}
 
 
-def cached_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def cached_table(
+    spark: SparkSession, sf_dir: str, name: str, version: str | None = None
+) -> DataFrame:
     """``load_table`` with a per-application DataFrame memo.
 
     ``spark.read.parquet`` runs a small schema-inference job (file listing +
@@ -95,16 +97,26 @@ def cached_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path. The returned DataFrame is an immutable lazy plan, so reusing it is
     behavior-identical — this just skips the re-probe. Keyed by
     applicationId so a restarted JVM never serves dead py4j references;
-    entries from dead applications are dropped on access. Callers that need
-    a fresh probe (e.g. after overwriting the files in place) should use
-    ``load_table`` directly — this memo deliberately has no fingerprint
-    check, matching its use on the driver's immutable testdata dirs."""
-    for k in [k for k in _TABLE_MEMO if k[0] != spark.sparkContext.applicationId]:
+    entries from dead applications are dropped on access.
+
+    ``version``: callers that key REBUILDS on a data-identity tag (q85/q115
+    pass ``content_fingerprint``) must thread the same tag here, or a
+    regeneration of ``sf_dir`` in-place would correctly invalidate their
+    pipeline memo yet rebuild it from THIS memo's pre-regeneration
+    DataFrames — whose captured file listing points at deleted part files
+    (FileNotFoundException on every execution until JVM restart). A changed
+    ``version`` forces a fresh probe and replaces the entry; ``None`` keeps
+    the last entry whatever its version (the immutable-testdata fast path).
+    Callers that need an unconditional fresh probe use ``load_table``."""
+    app = spark.sparkContext.applicationId
+    for k in [k for k in _TABLE_MEMO if k[0] != app]:
         _TABLE_MEMO.pop(k, None)  # dead app; pop() — concurrent callers may race
-    key = (spark.sparkContext.applicationId, sf_dir, name)
-    df = _TABLE_MEMO.get(key)
-    if df is None:
-        df = _TABLE_MEMO[key] = load_table(spark, sf_dir, name)
+    key = (app, sf_dir, name)
+    hit = _TABLE_MEMO.get(key)
+    if hit is not None and (version is None or hit[0] == version):
+        return hit[1]
+    df = load_table(spark, sf_dir, name)
+    _TABLE_MEMO[key] = (version, df)
     return df
 
 
@@ -156,6 +168,25 @@ def sanitize_tag(tag: str) -> str:
     return "".join(c if c.isalnum() or c in "-_." else "_" for c in tag)
 
 
+def staged_base(kind: str, sf_dir: str, tables: list[str]) -> str:
+    """The fingerprint-keyed staging path convention in ONE place:
+    ``{tempdir}/kf_spark_{kind}/{sf basename}_{content fingerprint}``.
+    ``staged_layout`` publishes built layouts atomically at this path;
+    stateful consumers that manage their own directory lifecycle (q128's
+    CDC store+checkpoint) use it directly so every staged artifact shares
+    the same temp root, cleanup, and regeneration-invalidation behavior
+    (r06 review: a hand-built '/tmp' variant diverged on hosts where
+    TMPDIR is elsewhere)."""
+    import tempfile
+
+    tag = sanitize_tag(os.path.basename(sf_dir.rstrip("/")))
+    return os.path.join(
+        tempfile.gettempdir(),
+        f"kf_spark_{kind}",
+        f"{tag}_{content_fingerprint(sf_dir, tables)}",
+    )
+
+
 def staged_layout(kind: str, sf_dir: str, tables: list[str], build) -> str:
     """Build-once /tmp staging with ATOMIC publish: the target path is
     ``/tmp/kf_spark_{kind}/{sf basename}_{content fingerprint}``; if absent,
@@ -167,13 +198,9 @@ def staged_layout(kind: str, sf_dir: str, tables: list[str], build) -> str:
     reused forever). The rename loser cleans up its temp dir and uses the
     winner's."""
     import shutil
-    import tempfile
     import uuid
 
-    tag = sanitize_tag(os.path.basename(sf_dir.rstrip("/")))
-    stage = os.path.join(
-        tempfile.gettempdir(), f"kf_spark_{kind}", f"{tag}_{content_fingerprint(sf_dir, tables)}"
-    )
+    stage = staged_base(kind, sf_dir, tables)
     if os.path.isdir(stage):
         return stage
     os.makedirs(os.path.dirname(stage), exist_ok=True)

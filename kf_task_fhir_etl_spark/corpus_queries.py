@@ -2091,7 +2091,7 @@ def q128_streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch splits."""
     import os as _os
 
-    from kf_task_fhir_etl_spark.catalog import content_fingerprint, sanitize_tag, staged_layout
+    from kf_task_fhir_etl_spark.catalog import staged_base, staged_layout
     from kf_task_fhir_etl_spark.streaming import cdc
 
     orders = load_table(spark, sf_dir, "orders")
@@ -2125,10 +2125,10 @@ def q128_streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             df.coalesce(1).write.parquet(_os.path.join(tmp, f"e{i}"))
 
     changes_dir = staged_layout("cdc_changes", sf_dir, ["orders"], build_changes)
-    fp = content_fingerprint(sf_dir, ["orders"])
-    base = _os.path.join(
-        "/tmp", "kf_spark_cdcstore", f"{sanitize_tag(_os.path.basename(sf_dir.rstrip('/')))}_{fp}"
-    )
+    # staged_base (not a hand-built path): the store+checkpoint pair keys on
+    # the same tag+fingerprint convention as every other staged artifact,
+    # under the same temp root
+    base = staged_base("cdcstore", sf_dir, ["orders"])
     _os.makedirs(base, exist_ok=True)
     store = _os.path.join(base, "store")
     stream = (

@@ -145,9 +145,9 @@ def build_resources_union(
         tid, resource, keep = module.plan(table)
         return fused_element(target, module.API_PATH, tid, resource, keep)
 
-    def _classic(job: tuple[str, object, str], tables: dict[str, DataFrame]) -> DataFrame:
+    def _classic(job: tuple[str, object, str], padded_map: dict[str, DataFrame]) -> DataFrame:
         target, module, table_key = job
-        table = pad_concepts(tables[table_key])
+        table = padded_map[table_key]
         df = (
             module.build(table, metadata=metadata)
             if target == "DRSDocumentReference"
@@ -172,10 +172,16 @@ def build_resources_union(
             elems = [_element(job) for job in fused_jobs]
             for key, fut in futures.items():
                 transformed.tables[key] = fut.result()
+        # post-checkpoint frames invalidate the pre-checkpoint pads: re-pad
+        # ONCE per table_key against the truncated lineage and share across
+        # the classic jobs (two jobs on one table_key must not pad twice —
+        # construction cost is the measured bottleneck here)
+        ck_padded = {
+            tk: pad_concepts(transformed.tables[tk])
+            for tk in {j[2] for j in classic_jobs}
+        }
         with ThreadPoolExecutor(max_workers=8) as ex:
-            classic = list(
-                ex.map(lambda j: _classic(j, transformed.tables), classic_jobs)
-            )
+            classic = list(ex.map(lambda j: _classic(j, ck_padded), classic_jobs))
         # the fused select itself must scan the CHECKPOINTED wide table
         padded["default"] = pad_concepts(transformed.tables["default"]) if (
             "default" in transformed.tables
@@ -183,7 +189,7 @@ def build_resources_union(
     else:
         with ThreadPoolExecutor(max_workers=8) as ex:
             elems = list(ex.map(_element, fused_jobs))
-            classic = list(ex.map(lambda j: _classic(j, transformed.tables), classic_jobs))
+            classic = list(ex.map(lambda j: _classic(j, padded), classic_jobs))
     fused = None
     if elems:
         fused = (
@@ -215,6 +221,14 @@ def build_resources_union(
 # Constructed-pipeline memo: {(applicationId, group, version, single_pass):
 # (result, [checkpointed DataFrames])}. See run_pipeline(memo_key=...).
 _PIPELINE_MEMO: dict[tuple[str, str, str, bool], tuple[object, list[DataFrame]]] = {}
+
+# Superseded entries' checkpoint handles await release here for ONE memo-
+# sweep generation (see run_pipeline): releasing blocks at the instant of
+# supersede could fail a reader that was served the old entry moments
+# earlier and is still mid-collect (r06 review finding) — a one-generation
+# grace window lets in-flight jobs drain while still bounding retained
+# storage to one superseded construction per group.
+_RETIRED_CHECKPOINTS: list[list[DataFrame]] = []
 
 
 def release_checkpoints(dfs: list[DataFrame]) -> None:
@@ -276,11 +290,15 @@ def run_pipeline(
     snapshot it constructed once. The CALLER owns key correctness: the key
     must capture every input that shapes the plan (source data identity —
     e.g. ``catalog.content_fingerprint`` — plus metadata identity). A new
-    ``version`` under the same ``group`` supersedes the old entry and
-    explicitly releases its checkpointed blocks (``release_checkpoints``);
-    entries from dead applications are dropped (their py4j plan references
-    are unusable). Memoization requires ``checkpoint_wide`` (a memo over
-    un-truncated lineage would re-execute the cascade anyway)."""
+    ``version`` under the same ``group`` supersedes the old entry; its
+    checkpointed blocks are explicitly released (``release_checkpoints``)
+    one sweep generation LATER — immediate release could fail a reader
+    that was served the old entry moments earlier and is still executing
+    it, so superseded handles sit in ``_RETIRED_CHECKPOINTS`` until the
+    next memoized call's sweep drains them. Entries from dead applications
+    are dropped (their py4j plan references are unusable). Memoization
+    requires ``checkpoint_wide`` (a memo over un-truncated lineage would
+    re-execute the cascade anyway)."""
     if memo_key is not None and not (checkpoint_wide and not cache_wide):
         raise ValueError("memo_key requires checkpoint_wide=True (and not cache_wide)")
     spark = next(iter(endpoint_tables.values())).sparkSession if endpoint_tables else None
@@ -327,17 +345,27 @@ def run_pipeline(
 
     if full_key is not None:
         app, group = full_key[0], full_key[1]
-        # evict: superseded versions of this (app, group, mode) — release
-        # their checkpoint blocks — and every entry of dead applications.
-        # pop(..., None): concurrent run_pipeline calls (the q115 two-study
-        # thread pool) may race this sweep; losing the race is benign.
+        # evict: superseded versions of this (app, group, mode) and every
+        # entry of dead applications. pop(..., None): concurrent
+        # run_pipeline calls (the q115 two-study thread pool) may race this
+        # sweep; losing the pop race is benign. Block release is DEFERRED
+        # one sweep generation (_RETIRED_CHECKPOINTS): a reader served the
+        # old entry just before this supersede may still be executing it,
+        # and unpersisting under its running job would fail a legitimately-
+        # served plan. Readers that span TWO regenerations of memoized
+        # groups must re-request (the entry is long gone from the memo by
+        # then); that residual contract is on the caller, same as the
+        # single-writer store sinks.
+        drained, _RETIRED_CHECKPOINTS[:] = _RETIRED_CHECKPOINTS[:], []
+        for handles in drained:
+            release_checkpoints(handles)
         for k in list(_PIPELINE_MEMO):
             if k[0] != app:
                 _PIPELINE_MEMO.pop(k, None)  # dead app: blocks died with its JVM
             elif (k[1], k[3]) == (group, full_key[3]) and k != full_key:
                 stale = _PIPELINE_MEMO.pop(k, None)
                 if stale is not None:
-                    release_checkpoints(stale[1])
+                    _RETIRED_CHECKPOINTS.append(stale[1])
         ck_handles = [df for df in transformed.tables.values()] if checkpoint_wide else []
         winner = _PIPELINE_MEMO.setdefault(full_key, (out, ck_handles))[0]
         if winner is not out:

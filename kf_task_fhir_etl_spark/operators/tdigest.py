@@ -10,8 +10,10 @@ where GK's uniform rank guarantee is loosest.
 Spark-first shape (the same two-level pattern as kmv_state/kmv_merge):
 
 - level 1: ``mapInPandas`` folds each PARTITION's values into per-group
-  partial digests — Arrow-batched, bounded state (~2·delta centroids per
-  group per partition), nothing on the driver;
+  partial digests — one Arrow batch digested at a time and merge-compressed
+  into running per-group state, so the partition-local footprint is one
+  batch of raw values + O(groups × delta) centroids, never the whole
+  partition; nothing on the driver;
 - level 2: one shuffle of the partial digests (rows = groups × partitions,
   each a few-KB centroid list — the raw values never shuffle), then
   ``applyInPandas`` per group merges sorted centroid lists with the same
@@ -21,7 +23,7 @@ Spark-first shape (the same two-level pattern as kmv_state/kmv_merge):
 
 Determinism: the compression sweep is a sequential left-to-right pass over
 centroids sorted by (mean, weight), so a digest is a pure function of its
-input multiset AND the partition layout. Estimates are therefore stable
+input multiset AND the partition/Arrow-batch layout. Estimates are therefore stable
 within a run but implementation-defined across engines — gates check them
 the sketch way (exact quantiles as hashable columns + within-rank-band
 booleans, the q57 pattern), never by raw value.
@@ -112,25 +114,39 @@ def tdigest_build(
     ).filter(F.col("value").isNotNull() & ~F.isnan("value"))
 
     def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # fold ALL of this partition's batches before digesting so the
-        # per-partition state is one digest per group, not one per batch
-        frames = [b for b in batches]
-        if not frames:
+        # fold batch-by-batch into per-group running digests: digest each
+        # Arrow batch's values, then merge-compress into the running state.
+        # NEVER pd.concat the whole partition — the bounded-state claim
+        # (O(groups × delta) per partition) only holds incrementally; a
+        # buffered partition of raw values is exactly the executor-OOM
+        # shape this sketch exists to avoid (r06 review finding). The
+        # emitted digest therefore depends on the batch layout as well as
+        # the partition layout — same contract either way (see module
+        # docstring: estimates gated by rank bands, never raw value).
+        state: dict[str, tuple[list[float], list[float], int, float, float]] = {}
+        for pdf in batches:
+            for g, vals in pdf.groupby("group")["value"]:
+                arr = vals.to_numpy()
+                bm, bw = _digest_of(arr, delta)
+                prev = state.get(g)
+                if prev is None:
+                    state[g] = (bm, bw, len(arr), float(arr.min()), float(arr.max()))
+                else:
+                    pm, pw, pn, pmin, pmax = prev
+                    pairs = sorted(zip(pm + bm, pw + bw))
+                    mm, mw = _compress(
+                        [p[0] for p in pairs], [p[1] for p in pairs], delta
+                    )
+                    state[g] = (
+                        mm, mw, pn + len(arr),
+                        min(pmin, float(arr.min())), max(pmax, float(arr.max())),
+                    )
+        if not state:
             return
-        pdf = pd.concat(frames, ignore_index=True)
-        out = []
-        for g, vals in pdf.groupby("group")["value"]:
-            m, w = _digest_of(vals.to_numpy(), delta)
-            out.append(
-                {
-                    "group": g,
-                    "means": m,
-                    "weights": w,
-                    "n": int(len(vals)),
-                    "vmin": float(vals.min()),
-                    "vmax": float(vals.max()),
-                }
-            )
+        out = [
+            {"group": g, "means": m, "weights": w, "n": n, "vmin": lo, "vmax": hi}
+            for g, (m, w, n, lo, hi) in state.items()
+        ]
         yield pd.DataFrame(out, columns=["group", "means", "weights", "n", "vmin", "vmax"])
 
     partial = src.mapInPandas(partials, DIGEST_SCHEMA)

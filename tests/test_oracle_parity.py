@@ -15,10 +15,36 @@ def all_query_names():
     return sorted(q.queries().keys())
 
 
+# q57's GK degeneracy guard (r06) RAISES at sf0.001 by design: the smallest
+# event_type group there holds ~200 rows, under the ≥400 the ±0.005 rank
+# band needs. The driver's gate runs at sf0.01 (groups ≥2k), so parity for
+# q57 is checked at SF_CORRECTNESS below; at SF_SMOKE we pin the raise —
+# a q57 that silently "passes" on a too-small corpus would be the bug.
+DEGENERATE_AT_SMOKE = {"q57_approx_sketches": "q57 GK band degenerate"}
+
+
+@pytest.fixture(scope="module")
+def duck_correctness():
+    from .conftest import SF_CORRECTNESS, make_duck
+
+    con = make_duck(SF_CORRECTNESS)
+    yield con
+    con.close()
+
+
 @pytest.mark.parametrize("name", all_query_names())
-def test_query_matches_oracle(name, spark, duck_smoke):
+def test_query_matches_oracle(name, spark, duck_smoke, duck_correctness):
     fn = q.queries()[name]
-    sdf = fn(spark, SF_SMOKE)
+    if name in DEGENERATE_AT_SMOKE:
+        from .conftest import SF_CORRECTNESS
+
+        with pytest.raises(Exception, match=DEGENERATE_AT_SMOKE[name]):
+            fn(spark, SF_SMOKE).collect()
+        sdf = fn(spark, SF_CORRECTNESS)
+        duck = duck_correctness
+    else:
+        sdf = fn(spark, SF_SMOKE)
+        duck = duck_smoke
     spark_rows = [tuple(r) for r in sdf.collect()]
     spark_cols = sdf.columns
 
@@ -28,7 +54,7 @@ def test_query_matches_oracle(name, spark, duck_smoke):
         assert len(spark_rows) >= 0
         return
 
-    res = duck_smoke.execute(oracle)
+    res = duck.execute(oracle)
     duck_cols = [d[0] for d in res.description]
     duck_rows = [tuple(r) for r in res.fetchall()]
 

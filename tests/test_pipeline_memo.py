@@ -15,8 +15,10 @@ from .fixtures import endpoint_tables
 @pytest.fixture(autouse=True)
 def _clean_memo():
     etl._PIPELINE_MEMO.clear()
+    etl._RETIRED_CHECKPOINTS.clear()
     yield
     etl._PIPELINE_MEMO.clear()
+    etl._RETIRED_CHECKPOINTS.clear()
 
 
 def _counts(out):
@@ -41,9 +43,17 @@ def test_memo_version_supersede_releases_and_rebuilds(spark):
     # v1 evicted; only v2 remains
     keys = list(etl._PIPELINE_MEMO)
     assert len(keys) == 1 and keys[0][2] == "v2"
-    # v1's checkpoint blocks were explicitly released: re-executing the
-    # superseded plan must now fail (its checkpoint data is gone), which is
+    # block release is DEFERRED one sweep generation (r06 review finding:
+    # immediate release could fail a reader served v1 moments before the
+    # supersede): the superseded plan must still EXECUTE during the grace
+    # window...
+    assert _counts(out1) == rows1
+    assert len(etl._RETIRED_CHECKPOINTS) == 1
+    # ...and the next memoized sweep drains the retirement list, after
+    # which re-executing v1 fails loudly (its checkpoint data is gone) —
     # the proof release_checkpoints did more than drop a Python reference
+    run_pipeline(endpoint_tables(spark), single_pass=True, memo_key=("g2", "v1"))
+    assert not etl._RETIRED_CHECKPOINTS
     with pytest.raises(Exception):
         out1.count()
 
