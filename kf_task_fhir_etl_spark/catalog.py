@@ -82,14 +82,12 @@ def load_catalog(
     return catalog
 
 
-# {(applicationId, sf_dir, table): (version, DataFrame)} — see cached_table
-_TABLE_MEMO: dict[tuple[str, str, str], tuple[str | None, DataFrame]] = {}
+# {(applicationId, sf_dir, table): (fingerprint, DataFrame)} — cached_table
+_TABLE_MEMO: dict[tuple[str, str, str], tuple[str, DataFrame]] = {}
 
 
-def cached_table(
-    spark: SparkSession, sf_dir: str, name: str, version: str | None = None
-) -> DataFrame:
-    """``load_table`` with a per-application DataFrame memo.
+def cached_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """``load_table`` with a per-application, fingerprint-checked memo.
 
     ``spark.read.parquet`` runs a small schema-inference job (file listing +
     footer read) on EVERY call; plan-construction-heavy pipelines (q85 builds
@@ -99,24 +97,25 @@ def cached_table(
     applicationId so a restarted JVM never serves dead py4j references;
     entries from dead applications are dropped on access.
 
-    ``version``: callers that key REBUILDS on a data-identity tag (q85/q115
-    pass ``content_fingerprint``) must thread the same tag here, or a
-    regeneration of ``sf_dir`` in-place would correctly invalidate their
-    pipeline memo yet rebuild it from THIS memo's pre-regeneration
-    DataFrames — whose captured file listing points at deleted part files
-    (FileNotFoundException on every execution until JVM restart). A changed
-    ``version`` forces a fresh probe and replaces the entry; ``None`` keeps
-    the last entry whatever its version (the immutable-testdata fast path).
+    Every call re-checks the table's ``content_fingerprint`` (a stat walk
+    of that one table's files — no data read, orders of magnitude cheaper
+    than the schema-inference job it replaces): an in-place regeneration of
+    the table therefore gets a fresh probe instead of a memoized DataFrame
+    whose captured file listing points at deleted part files
+    (FileNotFoundException until JVM restart — r06 review). The check is
+    INTERNAL so every caller inherits it; fingerprint-keyed rebuild callers
+    (q85/q115's ``run_pipeline(memo_key=...)``) need no extra threading.
     Callers that need an unconditional fresh probe use ``load_table``."""
     app = spark.sparkContext.applicationId
     for k in [k for k in _TABLE_MEMO if k[0] != app]:
         _TABLE_MEMO.pop(k, None)  # dead app; pop() — concurrent callers may race
     key = (app, sf_dir, name)
+    fp = content_fingerprint(sf_dir, [name])
     hit = _TABLE_MEMO.get(key)
-    if hit is not None and (version is None or hit[0] == version):
+    if hit is not None and hit[0] == fp:
         return hit[1]
     df = load_table(spark, sf_dir, name)
-    _TABLE_MEMO[key] = (version, df)
+    _TABLE_MEMO[key] = (fp, df)
     return df
 
 

@@ -1933,9 +1933,10 @@ def q126_tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kf_task_fhir_etl_spark.operators import tdigest
 
     ev = load_table(spark, sf_dir, "events")
+    delta = 200.0  # single source for the build AND the state bound below
     # two consumers (quantile estimation, centroid-count boolean) share the
     # digest build — checkpoint so the scan + merge runs once
-    digests = tdigest.tdigest_build(ev, "event_type", "value", delta=200.0).localCheckpoint(
+    digests = tdigest.tdigest_build(ev, "event_type", "value", delta=delta).localCheckpoint(
         eager=False
     )
     est = (
@@ -1966,7 +1967,7 @@ def q126_tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("e50").between(ex(3), ex(4)).alias("p50_in_band"),
             F.col("e90").between(ex(5), ex(6)).alias("p90_in_band"),
             F.col("e99").between(ex(7), ex(8)).alias("p99_in_band"),
-            (F.col("n_centroids") <= F.lit(200)).alias("state_bounded"),
+            (F.col("n_centroids") <= F.lit(int(delta))).alias("state_bounded"),
         )
         .orderBy("event_type")
     )
@@ -2151,4 +2152,14 @@ def q128_streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     live = cdc.read_table(spark, store)
+    if live is None:
+        # no commit marker: the store was removed out from under a surviving
+        # stream checkpoint (e.g. a /tmp cleaner took base/store but not
+        # base/ckpt, so every change file is already marked processed and no
+        # batch re-applies). Fail LOUDLY with the actual condition — the
+        # versioned store's contract — instead of an opaque NoneType deref.
+        raise RuntimeError(
+            f"q128: CDC store at {store} has no committed version; "
+            "remove the stream checkpoint to replay the changes"
+        )
     return live.select("order_key", "status", "price").orderBy("order_key")

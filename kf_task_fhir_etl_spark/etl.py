@@ -21,6 +21,8 @@ a real FHIR server.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -182,10 +184,13 @@ def build_resources_union(
         }
         with ThreadPoolExecutor(max_workers=8) as ex:
             classic = list(ex.map(lambda j: _classic(j, ck_padded), classic_jobs))
-        # the fused select itself must scan the CHECKPOINTED wide table
-        padded["default"] = pad_concepts(transformed.tables["default"]) if (
-            "default" in transformed.tables
-        ) else padded.get("default")
+        # the fused select itself must scan the CHECKPOINTED wide table —
+        # reuse ck_padded's 'default' pad (Family/DRS are keyed on it) when
+        # present rather than padding the same frame a second time
+        if "default" in transformed.tables:
+            padded["default"] = ck_padded.get("default") or pad_concepts(
+                transformed.tables["default"]
+            )
     else:
         with ThreadPoolExecutor(max_workers=8) as ex:
             elems = list(ex.map(_element, fused_jobs))
@@ -222,13 +227,18 @@ def build_resources_union(
 # (result, [checkpointed DataFrames])}. See run_pipeline(memo_key=...).
 _PIPELINE_MEMO: dict[tuple[str, str, str, bool], tuple[object, list[DataFrame]]] = {}
 
-# Superseded entries' checkpoint handles await release here for ONE memo-
-# sweep generation (see run_pipeline): releasing blocks at the instant of
-# supersede could fail a reader that was served the old entry moments
-# earlier and is still mid-collect (r06 review finding) — a one-generation
-# grace window lets in-flight jobs drain while still bounding retained
-# storage to one superseded construction per group.
-_RETIRED_CHECKPOINTS: list[list[DataFrame]] = []
+# Superseded entries' checkpoint handles await release here, keyed by the
+# same (app, group, version, mode) memo key (see run_pipeline): releasing
+# blocks at the instant of supersede could fail a reader that was served
+# the old entry moments earlier and is still mid-collect (r06 review
+# finding) — an entry is released only when ITS OWN group is superseded
+# AGAIN, so a reader must span two regenerations of one group to lose its
+# blocks (the documented caller contract), and concurrent sweeps of OTHER
+# groups (q115's two-study thread pool) can never drain a grace window
+# they don't own. _MEMO_LOCK orders the pop/retire pairs across threads;
+# retained storage stays bounded at one superseded construction per group.
+_MEMO_LOCK = threading.Lock()
+_RETIRED_CHECKPOINTS: dict[tuple[str, str, str, bool], list[DataFrame]] = {}
 
 
 def release_checkpoints(dfs: list[DataFrame]) -> None:
@@ -292,13 +302,14 @@ def run_pipeline(
     e.g. ``catalog.content_fingerprint`` — plus metadata identity). A new
     ``version`` under the same ``group`` supersedes the old entry; its
     checkpointed blocks are explicitly released (``release_checkpoints``)
-    one sweep generation LATER — immediate release could fail a reader
-    that was served the old entry moments earlier and is still executing
-    it, so superseded handles sit in ``_RETIRED_CHECKPOINTS`` until the
-    next memoized call's sweep drains them. Entries from dead applications
-    are dropped (their py4j plan references are unusable). Memoization
-    requires ``checkpoint_wide`` (a memo over un-truncated lineage would
-    re-execute the cascade anyway)."""
+    only when THAT group is superseded again — immediate release could
+    fail a reader that was served the old entry moments earlier and is
+    still executing it, so superseded handles park per-group in
+    ``_RETIRED_CHECKPOINTS`` for one same-group regeneration of grace
+    (readers spanning two regenerations of one group must re-request).
+    Entries from dead applications are dropped (their py4j plan references
+    are unusable). Memoization requires ``checkpoint_wide`` (a memo over
+    un-truncated lineage would re-execute the cascade anyway)."""
     if memo_key is not None and not (checkpoint_wide and not cache_wide):
         raise ValueError("memo_key requires checkpoint_wide=True (and not cache_wide)")
     spark = next(iter(endpoint_tables.values())).sparkSession if endpoint_tables else None
@@ -346,26 +357,38 @@ def run_pipeline(
     if full_key is not None:
         app, group = full_key[0], full_key[1]
         # evict: superseded versions of this (app, group, mode) and every
-        # entry of dead applications. pop(..., None): concurrent
-        # run_pipeline calls (the q115 two-study thread pool) may race this
-        # sweep; losing the pop race is benign. Block release is DEFERRED
-        # one sweep generation (_RETIRED_CHECKPOINTS): a reader served the
-        # old entry just before this supersede may still be executing it,
-        # and unpersisting under its running job would fail a legitimately-
-        # served plan. Readers that span TWO regenerations of memoized
-        # groups must re-request (the entry is long gone from the memo by
-        # then); that residual contract is on the caller, same as the
-        # single-writer store sinks.
-        drained, _RETIRED_CHECKPOINTS[:] = _RETIRED_CHECKPOINTS[:], []
-        for handles in drained:
+        # entry of dead applications. Block release is DEFERRED per group
+        # (_RETIRED_CHECKPOINTS, see its comment): a reader served the old
+        # entry just before this supersede may still be executing it, and
+        # unpersisting under its running job would fail a legitimately-
+        # served plan — so this supersede releases only the PREVIOUS
+        # retirement of this same group and parks the newly superseded
+        # handles in its place. Readers that span TWO regenerations of one
+        # memoized group must re-request; that residual contract is on the
+        # caller, same as the single-writer store sinks.
+        to_release: list[list[DataFrame]] = []
+        with _MEMO_LOCK:
+            parked_now: set[tuple[str, str, str, bool]] = set()
+            for k in list(_PIPELINE_MEMO):
+                if k[0] != app:
+                    _PIPELINE_MEMO.pop(k, None)  # dead app: blocks died with its JVM
+                elif (k[1], k[3]) == (group, full_key[3]) and k != full_key:
+                    stale = _PIPELINE_MEMO.pop(k, None)
+                    if stale is not None:
+                        _RETIRED_CHECKPOINTS[k] = stale[1]
+                        parked_now.add(k)
+            # drain this group's retirements from PREVIOUS supersedes (and
+            # drop dead apps' — their blocks died with the JVM); entries
+            # parked by THIS sweep keep their grace window
+            for rk in list(_RETIRED_CHECKPOINTS):
+                if rk[0] != app:
+                    _RETIRED_CHECKPOINTS.pop(rk, None)
+                elif (rk[1], rk[3]) == (group, full_key[3]) and rk not in parked_now:
+                    prev = _RETIRED_CHECKPOINTS.pop(rk, None)
+                    if prev is not None:
+                        to_release.append(prev)
+        for handles in to_release:
             release_checkpoints(handles)
-        for k in list(_PIPELINE_MEMO):
-            if k[0] != app:
-                _PIPELINE_MEMO.pop(k, None)  # dead app: blocks died with its JVM
-            elif (k[1], k[3]) == (group, full_key[3]) and k != full_key:
-                stale = _PIPELINE_MEMO.pop(k, None)
-                if stale is not None:
-                    _RETIRED_CHECKPOINTS.append(stale[1])
         ck_handles = [df for df in transformed.tables.values()] if checkpoint_wide else []
         winner = _PIPELINE_MEMO.setdefault(full_key, (out, ck_handles))[0]
         if winner is not out:

@@ -39,19 +39,16 @@ _GENDERS = ("Male", "Female", "Unknown")
 _ETHNICITIES = ("Hispanic or Latino", "Not Hispanic or Latino")
 
 
-def _endpoint_tables(
-    spark: SparkSession, sf_dir: str, version: str | None = None
-) -> dict[str, DataFrame]:
+def _endpoint_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     # cached_table (not load_table): the FHIR gates re-derive endpoint
     # tables from the same few base parquets over and over — the memo skips
     # the per-read schema-inference job (a measurable slice of q85's cold
-    # wall; the testdata dirs are immutable within a driver run).
-    # ``version``: memoized-rebuild callers (q85/q115) thread their data
-    # fingerprint through so an in-place regeneration re-probes instead of
-    # serving pre-regeneration file listings (see catalog.cached_table).
-    region = cached_table(spark, sf_dir, "region", version)
-    nation = cached_table(spark, sf_dir, "nation", version)
-    customer = cached_table(spark, sf_dir, "customer", version)
+    # wall). cached_table fingerprint-checks its files per call, so an
+    # in-place regeneration re-probes instead of serving pre-regeneration
+    # file listings (see catalog.cached_table).
+    region = cached_table(spark, sf_dir, "region")
+    nation = cached_table(spark, sf_dir, "nation")
+    customer = cached_table(spark, sf_dir, "customer")
 
     studies = region.select(
         F.concat(F.lit("SD_"), F.col("r_regionkey")).alias("kf_id"),
@@ -1060,11 +1057,11 @@ def q85_fhir_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     fingerprint = content_fingerprint(sf_dir, ["customer", "supplier", "nation", "region"])
 
-    customer = cached_table(spark, sf_dir, "customer", fingerprint)
-    supplier = cached_table(spark, sf_dir, "supplier", fingerprint)
+    customer = cached_table(spark, sf_dir, "customer")
+    supplier = cached_table(spark, sf_dir, "supplier")
     c = F.col("c_custkey")
     s = F.col("s_suppkey")
-    tables = _endpoint_tables(spark, sf_dir, version=fingerprint)
+    tables = _endpoint_tables(spark, sf_dir)
     tables["investigators"] = supplier.select(
         F.concat(F.lit("IV_"), s).alias("kf_id"),
         F.concat(F.lit("inv-"), s).alias("external_id"),
@@ -1072,7 +1069,7 @@ def q85_fhir_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("Inst").alias("institution"),
         F.lit("True").alias("visible"),
     )
-    tables["families"] = cached_table(spark, sf_dir, "nation", fingerprint).select(
+    tables["families"] = cached_table(spark, sf_dir, "nation").select(
         F.concat(F.lit("FM_"), F.col("n_nationkey")).alias("kf_id"),
         F.concat(F.lit("fam-"), F.col("n_nationkey")).alias("external_id"),
         F.lit("True").alias("visible"),
@@ -2382,8 +2379,8 @@ def q115_multi_study_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kf_task_fhir_etl_spark.etl import run_pipeline
 
     fingerprint = content_fingerprint(sf_dir, ["customer", "nation", "region"])
-    base = _endpoint_tables(spark, sf_dir, version=fingerprint)
-    customer = cached_table(spark, sf_dir, "customer", fingerprint)
+    base = _endpoint_tables(spark, sf_dir)
+    customer = cached_table(spark, sf_dir, "customer")
     c = F.col("c_custkey")
     key_of = F.split(F.col("kf_id"), "_").getItem(1).cast("long")
 

@@ -98,27 +98,25 @@ def test_staged_layout_builds_once_and_reuses(tmp_path, monkeypatch):
     assert p1 == p2 and len(calls) == 1 and os.path.isfile(os.path.join(p1, "layout"))
 
 
-def test_cached_table_version_invalidates_on_regeneration(spark, tmp_path):
-    """A changed ``version`` must force a fresh probe (r06 review finding:
-    fingerprint-keyed pipeline rebuilds would otherwise be reconstructed
-    from pre-regeneration DataFrames whose file listing points at deleted
-    part files), while ``None`` and an unchanged version re-serve the memo."""
+def test_cached_table_invalidates_on_regeneration(spark, tmp_path):
+    """cached_table fingerprint-checks its table's files on EVERY call (r06
+    review: a version-less fast path would serve EVERY caller — not just
+    fingerprint-threading ones — pre-regeneration DataFrames whose file
+    listing points at deleted part files), while unchanged files re-serve
+    the same memoized DataFrame object."""
     sf = str(tmp_path)
     spark.createDataFrame([(1, "a")], "id int, v string").write.parquet(
         os.path.join(sf, "documents.parquet")
     )
-    fp1 = catalog.content_fingerprint(sf, ["documents"])
-    df1 = catalog.cached_table(spark, sf, "documents", fp1)
-    assert catalog.cached_table(spark, sf, "documents", fp1) is df1
-    assert catalog.cached_table(spark, sf, "documents") is df1  # None keeps it
+    df1 = catalog.cached_table(spark, sf, "documents")
+    assert catalog.cached_table(spark, sf, "documents") is df1
 
-    # regenerate in place (new files, old part files gone)
+    # regenerate in place (new files, old part files gone): the next call
+    # must re-probe by itself — no version threading by the caller
     spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string").write.mode(
         "overwrite"
     ).parquet(os.path.join(sf, "documents.parquet"))
-    fp2 = catalog.content_fingerprint(sf, ["documents"])
-    assert fp2 != fp1
-    df2 = catalog.cached_table(spark, sf, "documents", fp2)
+    df2 = catalog.cached_table(spark, sf, "documents")
     assert df2 is not df1
     assert df2.count() == 2  # fresh listing reads the regenerated data
-    assert catalog.cached_table(spark, sf, "documents", fp2) is df2
+    assert catalog.cached_table(spark, sf, "documents") is df2

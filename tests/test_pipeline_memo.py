@@ -43,19 +43,27 @@ def test_memo_version_supersede_releases_and_rebuilds(spark):
     # v1 evicted; only v2 remains
     keys = list(etl._PIPELINE_MEMO)
     assert len(keys) == 1 and keys[0][2] == "v2"
-    # block release is DEFERRED one sweep generation (r06 review finding:
-    # immediate release could fail a reader served v1 moments before the
-    # supersede): the superseded plan must still EXECUTE during the grace
-    # window...
+    # block release is DEFERRED per group (r06 review findings: immediate
+    # release could fail a reader served v1 moments before the supersede,
+    # and a GLOBAL retirement list could be drained by a concurrent sweep
+    # of an unrelated group — q115's two-study pool): the superseded plan
+    # must still EXECUTE during the grace window...
     assert _counts(out1) == rows1
     assert len(etl._RETIRED_CHECKPOINTS) == 1
-    # ...and the next memoized sweep drains the retirement list, after
-    # which re-executing v1 fails loudly (its checkpoint data is gone) —
-    # the proof release_checkpoints did more than drop a Python reference
+    # ...an UNRELATED group's sweep must NOT drain it...
     run_pipeline(endpoint_tables(spark), single_pass=True, memo_key=("g2", "v1"))
-    assert not etl._RETIRED_CHECKPOINTS
+    assert len(etl._RETIRED_CHECKPOINTS) == 1
+    assert _counts(out1) == rows1
+    # ...and only the SAME group's next supersede (v2 → v3) releases v1's
+    # blocks, after which re-executing v1 fails loudly (its checkpoint
+    # data is gone) — the proof release_checkpoints did more than drop a
+    # Python reference. v2's handles take v1's parked place.
+    run_pipeline(endpoint_tables(spark), single_pass=True, memo_key=("g", "v3"))
+    retired_versions = {rk[2] for rk in etl._RETIRED_CHECKPOINTS if rk[1] == "g"}
+    assert retired_versions == {"v2"}
     with pytest.raises(Exception):
         out1.count()
+    assert _counts(out2) == rows1  # v2 still in its grace window
 
 
 def test_memo_mode_is_part_of_the_key(spark):
