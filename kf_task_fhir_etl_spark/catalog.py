@@ -8,6 +8,7 @@ temp views registered so both the DataFrame and SQL surfaces see them.
 from __future__ import annotations
 
 import os
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -82,7 +83,13 @@ def load_catalog(
     return catalog
 
 
-# {(applicationId, sf_dir, table): (fingerprint, DataFrame)} — cached_table
+# {(applicationId, sf_dir, table): (fingerprint, DataFrame)} — cached_table.
+# _TABLE_LOCK orders sweep/insert across threads (resident-driver callers
+# hit this concurrently — q115's two-study pool; an unsynchronized dict
+# iteration racing an insert raises RuntimeError, r06 review). load_table
+# itself runs OUTSIDE the lock: a double-load race wastes one probe and the
+# second entry wins — both DataFrames are valid plans over the same files.
+_TABLE_LOCK = threading.Lock()
 _TABLE_MEMO: dict[tuple[str, str, str], tuple[str, DataFrame]] = {}
 
 
@@ -107,15 +114,17 @@ def cached_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     (q85/q115's ``run_pipeline(memo_key=...)``) need no extra threading.
     Callers that need an unconditional fresh probe use ``load_table``."""
     app = spark.sparkContext.applicationId
-    for k in [k for k in _TABLE_MEMO if k[0] != app]:
-        _TABLE_MEMO.pop(k, None)  # dead app; pop() — concurrent callers may race
     key = (app, sf_dir, name)
     fp = content_fingerprint(sf_dir, [name])
-    hit = _TABLE_MEMO.get(key)
+    with _TABLE_LOCK:
+        for k in [k for k in list(_TABLE_MEMO) if k[0] != app]:
+            _TABLE_MEMO.pop(k, None)  # dead app
+        hit = _TABLE_MEMO.get(key)
     if hit is not None and hit[0] == fp:
         return hit[1]
     df = load_table(spark, sf_dir, name)
-    _TABLE_MEMO[key] = (fp, df)
+    with _TABLE_LOCK:
+        _TABLE_MEMO[key] = (fp, df)
     return df
 
 

@@ -1926,8 +1926,9 @@ def q126_tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantile_cont) plus within-band booleans — each estimate must lie
     between the exact quantiles at rank ±0.02, ~10× the k1 bound at δ=200
     (rank error ≤ ~1/δ at the median, tighter at the tails) — and a
-    ``state_bounded`` boolean pinning the centroid count ≤ δ (the k1 scale
-    function caps clusters at δ/2 + sweep slack). The driver corpora's
+    ``state_bounded`` boolean pinning the centroid count ≤ δ+1 (typical
+    counts are ~δ/2; δ+1 is the compress sweep's worst case, so a correct
+    digest can never flip the boolean). The driver corpora's
     groups are 2k-40k rows, far above the ~100 rows the ±0.02 band needs
     to straddle a data value."""
     from kf_task_fhir_etl_spark.operators import tdigest
@@ -1967,7 +1968,12 @@ def q126_tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("e50").between(ex(3), ex(4)).alias("p50_in_band"),
             F.col("e90").between(ex(5), ex(6)).alias("p90_in_band"),
             F.col("e99").between(ex(7), ex(8)).alias("p99_in_band"),
-            (F.col("n_centroids") <= F.lit(int(delta))).alias("state_bounded"),
+            # bound is δ+1, not δ: the one-pass compress sweep's worst case
+            # is δ+1 clusters (each emitted extent just under 1 k-unit over
+            # a δ/2 total k-range, plus the always-emitted trailing
+            # cluster) — a correct digest AT the bound must not flip the
+            # boolean (r06 review; observed counts sit near δ/2)
+            (F.col("n_centroids") <= F.lit(int(delta) + 1)).alias("state_bounded"),
         )
         .orderBy("event_type")
     )

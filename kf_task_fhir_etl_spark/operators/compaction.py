@@ -41,9 +41,13 @@ from pyspark.sql import functions as F
 
 def list_files(path: str) -> list[dict]:
     """Inventory of data files under a (possibly partitioned) parquet
-    layout: [{partition, file, bytes}], partition = the `k=v` subdir ('' for
-    a flat layout). Marker/temp entries (hidden, `_SUCCESS`, …) are skipped
-    the same way content_fingerprint skips them."""
+    layout: [{partition, file, bytes}], partition = the file's RELATIVE DIR
+    PATH ('' for a flat layout) — for a multi-level layout that is the full
+    chain ``k1=v1/k2=v2``, not a single value. Consumers extracting
+    partition VALUES must parse accordingly (``partition_values``; a naive
+    ``split('=')[1]`` reads 'v1/k2' from a two-level path — r06 review).
+    Marker/temp entries (hidden, `_SUCCESS`, …) are skipped the same way
+    content_fingerprint skips them."""
     out: list[dict] = []
     for root, dirs, names in os.walk(path):
         dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
@@ -55,6 +59,20 @@ def list_files(path: str) -> list[dict]:
             full = os.path.join(root, name)
             out.append({"partition": partition, "file": full, "bytes": os.stat(full).st_size})
     return sorted(out, key=lambda r: (r["partition"], r["file"]))
+
+
+def partition_values(partition: str) -> dict[str, str]:
+    """Parse a ``list_files`` partition label (``k1=v1/k2=v2``) into its
+    column→value dict ({} for a flat layout). The one correct way to read
+    VALUES out of the label — splitting the whole string on '=' silently
+    mis-parses multi-level layouts."""
+    if not partition:
+        return {}
+    out: dict[str, str] = {}
+    for seg in partition.split(os.sep):
+        k, _, v = seg.partition("=")
+        out[k] = v
+    return out
 
 
 def compaction_plan(spark: SparkSession, files: list[dict], target_bytes: int) -> DataFrame:

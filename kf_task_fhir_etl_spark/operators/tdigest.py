@@ -82,6 +82,15 @@ def _digest_of(values, delta: float) -> tuple[list[float], list[float]]:
     return _compress(vals, [1.0] * len(vals), delta)
 
 
+def _merge_group(key: tuple, rows: pd.DataFrame, delta: float) -> pd.DataFrame:
+    """applyInPandas body shared by tdigest_build's level-2 merge and
+    tdigest_merge (one definition — the row shape cannot drift between
+    them): merge ONE group's digest rows into a single digest row."""
+    merged = _merge_digest_rows(rows, delta)
+    merged["group"] = key[0]
+    return pd.DataFrame([merged], columns=["group", "means", "weights", "n", "vmin", "vmax"])
+
+
 def _merge_digest_rows(rows: pd.DataFrame, delta: float) -> pd.Series:
     """Merge any number of partial-digest rows of ONE group: concatenate
     centroid lists, sort by (mean, weight), re-compress."""
@@ -150,13 +159,9 @@ def tdigest_build(
         yield pd.DataFrame(out, columns=["group", "means", "weights", "n", "vmin", "vmax"])
 
     partial = src.mapInPandas(partials, DIGEST_SCHEMA)
-
-    def merge(key: tuple, rows: pd.DataFrame) -> pd.DataFrame:
-        merged = _merge_digest_rows(rows, delta)
-        merged["group"] = key[0]
-        return pd.DataFrame([merged], columns=["group", "means", "weights", "n", "vmin", "vmax"])
-
-    return partial.groupBy("group").applyInPandas(merge, DIGEST_SCHEMA)
+    return partial.groupBy("group").applyInPandas(
+        lambda key, rows: _merge_group(key, rows, delta), DIGEST_SCHEMA
+    )
 
 
 def tdigest_merge(digests: DataFrame, delta: float = 200.0) -> DataFrame:
@@ -165,13 +170,9 @@ def tdigest_merge(digests: DataFrame, delta: float = 200.0) -> DataFrame:
     ``tdigest_build``'s level-2 merge (property-tested: any sharding of the
     input yields digests whose quantile estimates satisfy the same rank
     bound)."""
-
-    def merge(key: tuple, rows: pd.DataFrame) -> pd.DataFrame:
-        merged = _merge_digest_rows(rows, delta)
-        merged["group"] = key[0]
-        return pd.DataFrame([merged], columns=["group", "means", "weights", "n", "vmin", "vmax"])
-
-    return digests.groupBy("group").applyInPandas(merge, DIGEST_SCHEMA)
+    return digests.groupBy("group").applyInPandas(
+        lambda key, rows: _merge_group(key, rows, delta), DIGEST_SCHEMA
+    )
 
 
 def _estimate(means: list[float], weights: list[float], vmin: float, vmax: float, q: float) -> float:

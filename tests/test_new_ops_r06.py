@@ -226,3 +226,21 @@ def test_tdigest_partials_fold_incrementally_across_arrow_batches(spark):
             spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
         else:
             spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+def test_compaction_partition_values_multi_level(tmp_path):
+    """list_files labels a file with its full relative dir chain;
+    partition_values is the parser that stays correct on multi-level
+    layouts (r06 review: split('=')[1] reads 'v1/k2' from k1=v1/k2=v2)."""
+    import os
+
+    d = tmp_path / "k1=v1" / "k2=v2"
+    d.mkdir(parents=True)
+    (d / "part-0.parquet").write_bytes(b"x")
+    (tmp_path / "_SUCCESS").write_bytes(b"")
+    files = compaction.list_files(str(tmp_path))
+    assert len(files) == 1
+    assert files[0]["partition"] == os.path.join("k1=v1", "k2=v2")
+    assert compaction.partition_values(files[0]["partition"]) == {"k1": "v1", "k2": "v2"}
+    assert compaction.partition_values("") == {}
+    assert compaction.partition_values("event_type=click") == {"event_type": "click"}
