@@ -67,16 +67,25 @@ def main() -> None:
     # resident-driver warm re-serve. Their per-run split is reported
     # explicitly and the headline total is published BOTH ways (r05 verdict
     # #5: the r04→r05 "improvement" was silently this accounting change;
-    # cold/warm must never blend into one number again).
-    memoized_names = {"q85_fhir_full_pipeline", "q115_multi_study_pipeline"}
+    # cold/warm must never blend into one number again). Memoization is
+    # DETECTED via etl.MEMO_HIT_COUNT around the repeat runs — a hardcoded
+    # name set would silently miss the next memo_key adopter and re-blend
+    # the accounting (r06 review).
+    from kf_task_fhir_etl_spark import etl
+
+    memoized_names: set[str] = set()
     all_runs: dict[str, list[float]] = {}
     total_start = time.perf_counter()
     for name in sorted(registry):
         rs = []
-        for _ in range(runs_per_query):
+        for i in range(runs_per_query):
+            if i == 1:
+                hits_before_reruns = etl.MEMO_HIT_COUNT
             start = time.perf_counter()
             registry[name](spark, sf_dir).count()
             rs.append(round(time.perf_counter() - start, 3))
+        if runs_per_query > 1 and etl.MEMO_HIT_COUNT > hits_before_reruns:
+            memoized_names.add(name)
         all_runs[name] = rs
         timings[name] = round(statistics.median(rs), 3)
     wall = round(time.perf_counter() - total_start, 3)

@@ -8,6 +8,7 @@ temp views registered so both the DataFrame and SQL surfaces see them.
 from __future__ import annotations
 
 import os
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -88,15 +89,7 @@ def load_catalog(
 # iteration racing an insert raises RuntimeError, r06 review). load_table
 # itself runs OUTSIDE the lock: a double-load race wastes one probe and the
 # second entry wins — both DataFrames are valid plans over the same files.
-def _make_lock():
-    # local import: a module-level `import threading` would change this
-    # hub module's residual and dirty EVERY gate in the staleness guard
-    import threading
-
-    return threading.Lock()
-
-
-_TABLE_LOCK = _make_lock()
+_TABLE_LOCK = threading.Lock()
 _TABLE_MEMO: dict[tuple[str, str, str], tuple[str, DataFrame]] = {}
 
 

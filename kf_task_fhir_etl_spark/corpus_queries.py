@@ -2034,16 +2034,21 @@ def q127_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     after = spark.createDataFrame(
         compaction.list_files(dst), "partition string, file string, bytes bigint"
     ).groupBy("partition").agg(F.count(F.lit(1)).alias("n_files_after"))
-    # partition dir name "event_type=<value>" → the partition value
-    part_val = F.split(F.col("partition"), "=").getItem(1)
+    # partition label → value via compaction.partition_values (the parser
+    # that stays correct on multi-level / '='-containing labels — r06
+    # review caught a naive split('=') here); the label set is
+    # metadata-sized, so the mapping is a tiny local-relation join
+    part_map = spark.createDataFrame(
+        [
+            (p, compaction.partition_values(p).get("event_type"))
+            for p in sorted({f["partition"] for f in files})
+        ],
+        "partition string, event_type string",
+    )
     stats = (
         plan_stats.join(after, "partition")
-        .select(
-            part_val.alias("event_type"),
-            "n_files_before",
-            "n_bins",
-            "n_files_after",
-        )
+        .join(part_map, "partition")
+        .select("event_type", "n_files_before", "n_bins", "n_files_after")
     )
     rows_before = (
         spark.read.parquet(src).groupBy("event_type").agg(F.count(F.lit(1)).alias("n_before"))

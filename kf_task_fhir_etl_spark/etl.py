@@ -240,21 +240,58 @@ _PIPELINE_MEMO: dict[tuple[str, str, str, bool], tuple[object, list[DataFrame]]]
 _MEMO_LOCK = threading.Lock()
 _RETIRED_CHECKPOINTS: dict[tuple[str, str, str, bool], list[DataFrame]] = {}
 
+# Monotone count of memo re-serves (run_pipeline hit path + the
+# memoized_pipeline probe). bench.py reads it around each query's repeat
+# runs to DETECT memoization instead of maintaining a hardcoded name set —
+# a set the next memo_key adopter would silently not be in, re-blending
+# the cold/warm accounting r05 verdict #5 banned (r06 review).
+MEMO_HIT_COUNT = 0
+
+
+def _count_memo_hit() -> None:
+    global MEMO_HIT_COUNT
+    with _MEMO_LOCK:
+        MEMO_HIT_COUNT += 1
+
 
 def release_checkpoints(dfs: list[DataFrame]) -> None:
     """Explicitly release the block-manager storage behind eagerly
     ``localCheckpoint``ed DataFrames. ``del`` alone only drops the Python
     reference — block release would wait on Python GC plus Spark's
     ContextCleaner (r05 ADVICE) — whereas unpersisting the LogicalRDD's
-    underlying RDD frees the blocks immediately (and makes the evicted
-    frames fail loudly if ever re-executed, which superseded memo entries
-    never should be). Reaches through py4j internals, so it degrades to the
-    GC path on any reflection failure rather than breaking eviction."""
+    underlying RDD frees the blocks (and makes the evicted frames fail
+    loudly if ever re-executed, which superseded memo entries never should
+    be). BLOCKING unpersist: the non-blocking form returns before the
+    BlockManager removal lands, so 'blocks are gone when this returns' —
+    the contract the release-then-assert callers and the pinned test rely
+    on — would only be eventually true (r06 review). This runs on the
+    rare supersede path, never per-query. Reaches through py4j internals,
+    so it degrades to the GC path on any reflection failure rather than
+    breaking eviction."""
     for df in dfs:
         try:
-            df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+            df._jdf.queryExecution().analyzed().rdd().unpersist(True)
         except Exception:
             pass  # deferred to GC + ContextCleaner
+
+
+def memoized_pipeline(
+    spark, memo_key: tuple[str, str], single_pass: bool = False
+):
+    """Stat-only memo probe: the result ``run_pipeline(memo_key=...)``
+    would re-serve for ``(group, version, mode)``, or None. Resident-driver
+    callers check this FIRST — a warm hit then skips endpoint-table plan
+    construction entirely (q85 builds ~15 table selects/joins just to
+    reach run_pipeline's own hit check, which never reads them; r06
+    review). The caller owns key correctness exactly as for run_pipeline."""
+    group, version = memo_key
+    key = (spark.sparkContext.applicationId, group, version, single_pass)
+    with _MEMO_LOCK:
+        hit = _PIPELINE_MEMO.get(key)
+    if hit is None:
+        return None
+    _count_memo_hit()
+    return hit[0]
 
 
 def run_pipeline(
@@ -320,6 +357,7 @@ def run_pipeline(
         full_key = (app, group, version, single_pass)
         hit = _PIPELINE_MEMO.get(full_key)
         if hit is not None:
+            _count_memo_hit()
             return hit[0]
 
     transformed = transform_study(endpoint_tables)
@@ -367,7 +405,15 @@ def run_pipeline(
         # memoized group must re-request; that residual contract is on the
         # caller, same as the single-writer store sinks.
         to_release: list[list[DataFrame]] = []
+        ck_handles = [df for df in transformed.tables.values()] if checkpoint_wide else []
         with _MEMO_LOCK:
+            # sweep + insert under ONE lock hold: sweeping before inserting
+            # in separate critical sections would let two concurrent builds
+            # of the same group (different versions, straddling a data
+            # regeneration) each sweep before the other inserted — both
+            # entries then stay resident for the application lifetime,
+            # breaking the one-superseded-construction-per-group bound
+            # (r06 review)
             parked_now: set[tuple[str, str, str, bool]] = set()
             for k in list(_PIPELINE_MEMO):
                 if k[0] != app:
@@ -387,13 +433,13 @@ def run_pipeline(
                     prev = _RETIRED_CHECKPOINTS.pop(rk, None)
                     if prev is not None:
                         to_release.append(prev)
+            winner = _PIPELINE_MEMO.setdefault(full_key, (out, ck_handles))[0]
         for handles in to_release:
             release_checkpoints(handles)
-        ck_handles = [df for df in transformed.tables.values()] if checkpoint_wide else []
-        winner = _PIPELINE_MEMO.setdefault(full_key, (out, ck_handles))[0]
         if winner is not out:
             # two threads raced the same key: serve the winner's plans and
-            # release the duplicate construction's checkpoint blocks
+            # release the duplicate construction's checkpoint blocks (safe
+            # immediately — this construction was never served to anyone)
             release_checkpoints(ck_handles)
             return winner
     return out

@@ -1053,9 +1053,15 @@ def q85_fhir_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     valid either way (same plan cold or warm); eviction + block release
     live in etl.py where all memo policy now resides."""
     from kf_task_fhir_etl_spark.catalog import cached_table, content_fingerprint
-    from kf_task_fhir_etl_spark.etl import run_pipeline
+    from kf_task_fhir_etl_spark.etl import memoized_pipeline, run_pipeline
 
     fingerprint = content_fingerprint(sf_dir, ["customer", "supplier", "nation", "region"])
+    # warm path: a stat-only probe BEFORE any endpoint-table construction —
+    # run_pipeline's own hit check sits after the caller has already built
+    # ~15 table plans it would never read (r06 review)
+    hit = memoized_pipeline(spark, (f"q85:{sf_dir}", fingerprint), single_pass=True)
+    if hit is not None:
+        return _q85_counts(hit)
 
     customer = cached_table(spark, sf_dir, "customer")
     supplier = cached_table(spark, sf_dir, "supplier")
@@ -2376,15 +2382,29 @@ def q115_multi_study_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from concurrent.futures import ThreadPoolExecutor
 
     from kf_task_fhir_etl_spark.catalog import content_fingerprint
-    from kf_task_fhir_etl_spark.etl import run_pipeline
+    from kf_task_fhir_etl_spark.etl import memoized_pipeline, run_pipeline
 
     fingerprint = content_fingerprint(sf_dir, ["customer", "nation", "region"])
-    base = _endpoint_tables(spark, sf_dir)
-    customer = cached_table(spark, sf_dir, "customer")
     c = F.col("c_custkey")
     key_of = F.split(F.col("kf_id"), "_").getItem(1).cast("long")
 
+    # base endpoint plans are built lazily, once, and ONLY on a memo miss —
+    # warm invocations must not pay table construction just to reach a hit
+    # (r06 review); the lock serializes the two cold study threads
+    import threading
+
+    _shared: dict[str, object] = {}
+    _shared_lock = threading.Lock()
+
+    def shared_tables():
+        with _shared_lock:
+            if "base" not in _shared:
+                _shared["base"] = _endpoint_tables(spark, sf_dir)
+                _shared["customer"] = cached_table(spark, sf_dir, "customer")
+        return _shared["base"], _shared["customer"]
+
     def study_tables(parity: int) -> dict[str, DataFrame]:
+        base, customer = shared_tables()
         t = {
             "studies": base["studies"],
             "participants": base["participants"].filter(key_of % 2 == parity),
@@ -2414,13 +2434,15 @@ def q115_multi_study_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         return t
 
+    def run_study(p: int):
+        key = (f"q115:{sf_dir}:study{p}", fingerprint)
+        hit = memoized_pipeline(spark, key)
+        if hit is not None:
+            return hit
+        return run_pipeline(study_tables(p), memo_key=key)
+
     with ThreadPoolExecutor(max_workers=2) as ex:
-        out_a, out_b = ex.map(
-            lambda p: run_pipeline(
-                study_tables(p), memo_key=(f"q115:{sf_dir}:study{p}", fingerprint)
-            ),
-            (0, 1),
-        )
+        out_a, out_b = ex.map(run_study, (0, 1))
 
     union = None
     for study, out in (("A", out_a), ("B", out_b)):

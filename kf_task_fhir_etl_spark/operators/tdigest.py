@@ -134,7 +134,14 @@ def tdigest_build(
         # docstring: estimates gated by rank bands, never raw value).
         state: dict[str, tuple[list[float], list[float], int, float, float]] = {}
         for pdf in batches:
-            for g, vals in pdf.groupby("group")["value"]:
+            # dropna=False: SQL GROUP BY keeps the null group, and so does
+            # the level-2 Spark groupBy — pandas' default dropna=True here
+            # would silently lose every null-group row before level 2 ever
+            # saw it (r06 review)
+            for g, vals in pdf.groupby("group", dropna=False)["value"]:
+                if g is None or (isinstance(g, float) and math.isnan(g)):
+                    g = None  # normalize pandas' NaN missing-key so the
+                    # running-state dict lookup matches across batches
                 arr = vals.to_numpy()
                 bm, bw = _digest_of(arr, delta)
                 prev = state.get(g)

@@ -244,3 +244,23 @@ def test_compaction_partition_values_multi_level(tmp_path):
     assert compaction.partition_values(files[0]["partition"]) == {"k1": "v1", "k2": "v2"}
     assert compaction.partition_values("") == {}
     assert compaction.partition_values("event_type=click") == {"event_type": "click"}
+
+
+def test_tdigest_keeps_null_group(spark):
+    """SQL GROUP BY keeps the null group; the level-1 pandas fold must not
+    silently drop it (r06 review: pandas groupby defaults to dropna=True)."""
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), (None, 5.0), (None, 7.0), (None, 9.0)],
+        "g string, v double",
+    )
+    rows = {r["group"]: r for r in tdigest.tdigest_build(df, "g", "v").collect()}
+    assert set(rows) == {"a", None}
+    assert rows[None]["n"] == 3
+    assert rows[None]["vmin"] == 5.0 and rows[None]["vmax"] == 9.0
+    est = {
+        (r["group"], r["prob"]): r["est"]
+        for r in tdigest.tdigest_quantiles(
+            tdigest.tdigest_build(df, "g", "v"), [0.5]
+        ).collect()
+    }
+    assert est[(None, 0.5)] == pytest.approx(7.0)

@@ -145,7 +145,14 @@ def _fingerprint(node: ast.AST) -> str:
 def _symbol_sources(src: str) -> tuple[dict[str, str], str]:
     """{symbol_name: behavioral fingerprint} for top-level defs/classes/
     simple assigns, plus the 'residual' — every other non-comment,
-    non-module-docstring module-level line (imports, loose statements)."""
+    non-module-docstring module-level line (loose statements). Top-level
+    ``import``/``from-import`` statements are EXCLUDED from the residual
+    (r06 review): adding an import to a hub module like catalog.py would
+    otherwise dirty every gate in the repo, and an import alone cannot
+    change behavior here — behavior changes show up in the symbols that
+    USE the imported name, which the per-symbol fingerprints catch. (The
+    dependency graph still reads imports separately for alias
+    resolution.)"""
     tree = ast.parse(src)
     lines = src.splitlines()
     symbols: dict[str, str] = {}
@@ -155,6 +162,9 @@ def _symbol_sources(src: str) -> tuple[dict[str, str], str]:
     ):
         covered.update(range(tree.body[0].lineno, tree.body[0].end_lineno + 1))
     for node in tree.body:
+        if isinstance(node, (ast.Import, ast.ImportFrom)):
+            covered.update(range(node.lineno, node.end_lineno + 1))
+            continue
         name = _top_level_name(node)
         start = node.lineno
         if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
