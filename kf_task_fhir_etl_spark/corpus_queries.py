@@ -1957,8 +1957,12 @@ def q126_tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ex = lambda i: F.col("__ex").getItem(i)  # noqa: E731
     return (
-        exact.join(est, exact["event_type"] == est["group"])
-        .join(state.withColumnRenamed("group", "g2"), F.col("event_type") == F.col("g2"))
+        # eqNullSafe: SQL GROUP BY (both engines) keeps the null group, and
+        # tdigest_build emits its digest row (dropna=False) — a null-unsafe
+        # equi-join would silently drop that row on the Spark side only,
+        # diverging from the oracle on null-bearing corpora (r06 review)
+        exact.join(est, exact["event_type"].eqNullSafe(est["group"]))
+        .join(state.withColumnRenamed("group", "g2"), F.col("event_type").eqNullSafe(F.col("g2")))
         .select(
             "event_type",
             "n",

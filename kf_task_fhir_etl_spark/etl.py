@@ -126,25 +126,32 @@ def build_resources_union(
     loop) so callers can manage the checkpoint lifecycle."""
     from kf_task_fhir_etl_spark.builders.base import fused_element
 
+    # applicability is decided on table PRESENCE alone; padding happens
+    # once per mode below (r06 review: the checkpoint path previously built
+    # pre-checkpoint pads here only to discard and rebuild every one of
+    # them post-checkpoint — pure wasted py4j expression construction on
+    # the exact path this function exists to optimize)
     padded: dict[str, DataFrame] = {}
-    fused_jobs: list[tuple[str, object, DataFrame]] = []
+    fused_jobs: list[tuple[str, object, str]] = []
     classic_jobs: list[tuple[str, object, str]] = []
     for target in transformed.targets:
         module, table_key = BUILDERS[target]
-        if table_key not in padded:
-            table = transformed.tables.get(table_key)
-            padded[table_key] = None if table is None else pad_concepts(table)
-        table = padded[table_key]
-        if table is None:
+        if transformed.tables.get(table_key) is None:
             continue
         if table_key == "default" and hasattr(module, "plan"):
-            fused_jobs.append((target, module, table))
+            fused_jobs.append((target, module, table_key))
         else:
             classic_jobs.append((target, module, table_key))
 
-    def _element(job: tuple[str, object, DataFrame]):
-        target, module, table = job
-        tid, resource, keep = module.plan(table)
+    def _element(job: tuple[str, object, str], padded_map: dict[str, DataFrame] | None):
+        target, module, table_key = job
+        # fused plan() expressions never consult their DataFrame argument
+        # (pinned via plan(None) in tests/test_builders.py), so the
+        # overlapped checkpoint path passes None instead of constructing a
+        # padded frame nobody reads
+        tid, resource, keep = module.plan(
+            None if padded_map is None else padded_map[table_key]
+        )
         return fused_element(target, module.API_PATH, tid, resource, keep)
 
     def _classic(job: tuple[str, object, str], padded_map: dict[str, DataFrame]) -> DataFrame:
@@ -171,29 +178,22 @@ def build_resources_union(
                 for key, df in transformed.tables.items()
             }
             # overlapped: pure-expression construction under the running jobs
-            elems = [_element(job) for job in fused_jobs]
+            elems = [_element(job, None) for job in fused_jobs]
             for key, fut in futures.items():
                 transformed.tables[key] = fut.result()
-        # post-checkpoint frames invalidate the pre-checkpoint pads: re-pad
-        # ONCE per table_key against the truncated lineage and share across
-        # the classic jobs (two jobs on one table_key must not pad twice —
-        # construction cost is the measured bottleneck here)
-        ck_padded = {
-            tk: pad_concepts(transformed.tables[tk])
-            for tk in {j[2] for j in classic_jobs}
-        }
+        # pad ONCE per table_key against the truncated lineage and share
+        # across the classic jobs AND the fused scan (two consumers of one
+        # table_key must not pad twice — construction cost is the measured
+        # bottleneck here)
+        pad_keys = {j[2] for j in classic_jobs} | {j[2] for j in fused_jobs}
+        padded = {tk: pad_concepts(transformed.tables[tk]) for tk in pad_keys}
         with ThreadPoolExecutor(max_workers=8) as ex:
-            classic = list(ex.map(lambda j: _classic(j, ck_padded), classic_jobs))
-        # the fused select itself must scan the CHECKPOINTED wide table —
-        # reuse ck_padded's 'default' pad (Family/DRS are keyed on it) when
-        # present rather than padding the same frame a second time
-        if "default" in transformed.tables:
-            padded["default"] = ck_padded.get("default") or pad_concepts(
-                transformed.tables["default"]
-            )
+            classic = list(ex.map(lambda j: _classic(j, padded), classic_jobs))
     else:
+        pad_keys = {j[2] for j in classic_jobs} | {j[2] for j in fused_jobs}
+        padded = {tk: pad_concepts(transformed.tables[tk]) for tk in pad_keys}
         with ThreadPoolExecutor(max_workers=8) as ex:
-            elems = list(ex.map(_element, fused_jobs))
+            elems = list(ex.map(lambda j: _element(j, padded), fused_jobs))
             classic = list(ex.map(lambda j: _classic(j, padded), classic_jobs))
     fused = None
     if elems:

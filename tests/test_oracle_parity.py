@@ -33,7 +33,7 @@ def duck_correctness():
 
 
 @pytest.mark.parametrize("name", all_query_names())
-def test_query_matches_oracle(name, spark, duck_smoke, duck_correctness):
+def test_query_matches_oracle(name, spark, duck_smoke, request):
     fn = q.queries()[name]
     if name in DEGENERATE_AT_SMOKE:
         from .conftest import SF_CORRECTNESS
@@ -41,7 +41,8 @@ def test_query_matches_oracle(name, spark, duck_smoke, duck_correctness):
         with pytest.raises(Exception, match=DEGENERATE_AT_SMOKE[name]):
             fn(spark, SF_SMOKE).collect()
         sdf = fn(spark, SF_CORRECTNESS)
-        duck = duck_correctness
+        # lazy lookup: only this one case pays the sf0.01 DuckDB setup
+        duck = request.getfixturevalue("duck_correctness")
     else:
         sdf = fn(spark, SF_SMOKE)
         duck = duck_smoke

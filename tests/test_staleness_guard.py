@@ -142,27 +142,39 @@ def _fingerprint(node: ast.AST) -> str:
     return ast.dump(node)
 
 
-def _symbol_sources(src: str) -> tuple[dict[str, str], str]:
+def _symbol_sources(src: str) -> tuple[dict[str, str], str, dict[str, str]]:
     """{symbol_name: behavioral fingerprint} for top-level defs/classes/
-    simple assigns, plus the 'residual' — every other non-comment,
-    non-module-docstring module-level line (loose statements). Top-level
-    ``import``/``from-import`` statements are EXCLUDED from the residual
-    (r06 review): adding an import to a hub module like catalog.py would
-    otherwise dirty every gate in the repo, and an import alone cannot
-    change behavior here — behavior changes show up in the symbols that
-    USE the imported name, which the per-symbol fingerprints catch. (The
-    dependency graph still reads imports separately for alias
-    resolution.)"""
+    simple assigns, the 'residual' — every other non-comment,
+    non-module-docstring module-level line (loose statements) — and the
+    import-binding map {alias: canonical import}. Top-level ``import``/
+    ``from-import`` statements are EXCLUDED from the residual (r06 review:
+    adding an import to a hub module like catalog.py would otherwise dirty
+    every gate in the repo) but their BINDINGS are compared separately in
+    _changed_symbols: retargeting or removing an EXISTING alias (e.g.
+    ``from catalog import cached_table as load_table``) rewires every user
+    of that name without touching any per-symbol fingerprint, so it dirties
+    the whole module; purely ADDING a binding cannot change existing
+    behavior and is ignored (second r06 review pass — the blanket
+    exclusion left exactly that retarget blind spot)."""
     tree = ast.parse(src)
     lines = src.splitlines()
     symbols: dict[str, str] = {}
+    imports: dict[str, str] = {}
     covered: set[int] = set()
     if tree.body and isinstance(tree.body[0], ast.Expr) and isinstance(
         tree.body[0].value, ast.Constant
     ):
         covered.update(range(tree.body[0].lineno, tree.body[0].end_lineno + 1))
     for node in tree.body:
-        if isinstance(node, (ast.Import, ast.ImportFrom)):
+        if isinstance(node, ast.Import):
+            for a in node.names:
+                imports[a.asname or a.name.split(".")[0]] = f"import {a.name}"
+            covered.update(range(node.lineno, node.end_lineno + 1))
+            continue
+        if isinstance(node, ast.ImportFrom):
+            src_mod = "." * node.level + (node.module or "")
+            for a in node.names:
+                imports[a.asname or a.name] = f"from {src_mod} import {a.name}"
             covered.update(range(node.lineno, node.end_lineno + 1))
             continue
         name = _top_level_name(node)
@@ -180,7 +192,7 @@ def _symbol_sources(src: str) -> tuple[dict[str, str], str]:
         for i, ln in enumerate(lines, 1)
         if i not in covered and ln.strip() and not ln.lstrip().startswith("#")
     )
-    return symbols, residual
+    return symbols, residual, imports
 
 
 def _collect_project_sources() -> dict[str, str]:
@@ -390,8 +402,8 @@ def _build_dependency_graph(sources: dict[str, str]):
 def _changed_symbols(base: str) -> set[tuple[str, str]]:
     """Symbols added/removed/modified between the base commit and the
     working tree, per-symbol where possible, whole-module when module-level
-    residual code (imports, loose statements) changed or a side is
-    unparseable."""
+    residual code (loose statements) changed, an existing import alias was
+    retargeted/removed, or a side is unparseable."""
     changed_files = [
         f
         for f in _git("diff", "--name-only", base, "--", PKG, *EXTRA_SCOPE).splitlines()
@@ -407,8 +419,12 @@ def _changed_symbols(base: str) -> set[tuple[str, str]]:
         except subprocess.CalledProcessError:
             old_src = ""
         try:
-            new_syms, new_res = _symbol_sources(new_src) if new_src else ({}, "")
-            old_syms, old_res = _symbol_sources(old_src) if old_src else ({}, "")
+            new_syms, new_res, new_imp = (
+                _symbol_sources(new_src) if new_src else ({}, "", {})
+            )
+            old_syms, old_res, old_imp = (
+                _symbol_sources(old_src) if old_src else ({}, "", {})
+            )
         except SyntaxError:
             # unparseable side: dirty everything we know about the module
             all_names = set()
@@ -419,7 +435,11 @@ def _changed_symbols(base: str) -> set[tuple[str, str]]:
                     pass
             changed.update((mod, n) for n in all_names)
             continue
-        if old_res != new_res:
+        # a retargeted or removed EXISTING import alias rewires users
+        # without changing any symbol fingerprint — whole-module dirty;
+        # newly-added aliases are ignored (see _symbol_sources)
+        retargeted = any(old_imp[a] != new_imp.get(a) for a in old_imp)
+        if old_res != new_res or retargeted:
             changed.update((mod, n) for n in set(old_syms) | set(new_syms))
             continue
         for n in set(old_syms) | set(new_syms):
@@ -552,3 +572,21 @@ def test_check_lists_are_exact_and_disjoint():
         "entries missing from rotation lists: "
         f"{sorted(set(Q.QUERIES) - first - last)}"
     )
+
+
+def test_import_binding_comparison_catches_retargets_not_additions():
+    """The residual excludes import lines (a new import in a hub module
+    must not dirty every gate) but retargeting/removing an EXISTING alias
+    must still dirty the module — that rewires callers with zero symbol-
+    fingerprint change (r06 review, second pass)."""
+    old = "from a import x\nimport b\n\ndef f():\n    return x\n"
+    added = "from a import x\nfrom a import y\nimport b\n\ndef f():\n    return x\n"
+    retargeted = "from a import z as x\nimport b\n\ndef f():\n    return x\n"
+    removed = "import b\n\ndef f():\n    return x\n"
+
+    _, old_res, old_imp = _symbol_sources(old)
+    for new_src, should_dirty in ((added, False), (retargeted, True), (removed, True)):
+        _, new_res, new_imp = _symbol_sources(new_src)
+        assert old_res == new_res  # imports never reach the residual
+        dirty = any(old_imp[a] != new_imp.get(a) for a in old_imp)
+        assert dirty == should_dirty, new_src
