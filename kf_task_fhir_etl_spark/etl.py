@@ -423,13 +423,22 @@ def run_pipeline(
                     if stale is not None:
                         _RETIRED_CHECKPOINTS[k] = stale[1]
                         parked_now.add(k)
-            # drain this group's retirements from PREVIOUS supersedes (and
-            # drop dead apps' — their blocks died with the JVM); entries
-            # parked by THIS sweep keep their grace window
+            # drop dead apps' retirements (their blocks died with the JVM),
+            # then drain this group's retirements from PREVIOUS supersedes —
+            # but ONLY if this sweep actually displaced an entry: a caller
+            # racing the same (group, version) as the winner parks nothing,
+            # and letting it drain would release the retirement the winner
+            # parked moments earlier, collapsing the grace window after ONE
+            # supersede instead of two (r06 review, sixth pass). Entries
+            # parked by THIS sweep keep their grace window either way.
             for rk in list(_RETIRED_CHECKPOINTS):
                 if rk[0] != app:
                     _RETIRED_CHECKPOINTS.pop(rk, None)
-                elif (rk[1], rk[3]) == (group, full_key[3]) and rk not in parked_now:
+                elif (
+                    parked_now
+                    and (rk[1], rk[3]) == (group, full_key[3])
+                    and rk not in parked_now
+                ):
                     prev = _RETIRED_CHECKPOINTS.pop(rk, None)
                     if prev is not None:
                         to_release.append(prev)

@@ -1025,7 +1025,8 @@ def q57_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     Degeneracy guard (VERDICT r04 optional #8): the band edges are literal
     percentile probabilities (Spark requires them foldable), so the band
     cannot scale with group size — instead the gate ASSERTS every group has
-    ≥ ``_GK_MIN_GROUP`` rows and raises on a smaller corpus, rather than
+    ≥ ``_GK_MIN_GROUP`` non-null values (the quantity the percentiles
+    actually see) and raises on a smaller corpus, rather than
     emitting a within-bound boolean that could be false for a CORRECT
     sketch (pytest pins the raise on a 100-row group)."""
     ev = load_table(spark, sf_dir, "events")
@@ -1040,7 +1041,10 @@ def q57_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id", rsd=0.01).alias("__hll"),
         qa.alias("__gk"),
         qe.alias("__ex"),
-        F.count(F.lit(1)).alias("__n"),
+        # count NON-NULL values, not rows: the percentile band this guards
+        # ignores nulls, so a 500-row group with 100 non-null values would
+        # pass a row count yet still be band-degenerate (r06 review)
+        F.count("value").alias("__n"),
     )
     in_band = lambda est, lo, hi: est.between(lo, hi)  # noqa: E731
     big_enough = F.assert_true(

@@ -863,7 +863,8 @@ def test_q57_gk_band_precondition_holds_in_driver_corpora(spark):
             r["n"]
             for r in load_table(spark, sf_dir, "events")
             .groupBy("event_type")
-            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.count("value").alias("n"))  # non-null values — what the
+            # percentile band actually sees (matches the gate's guard)
             .collect()
         ]
         assert counts and min(counts) >= 400, (
