@@ -1913,7 +1913,9 @@ def q125_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(quantile_cont(value, 0.99), 6)  AS p99,
            TRUE AS p50_in_band, TRUE AS p90_in_band, TRUE AS p99_in_band,
            TRUE AS state_bounded
-    FROM events GROUP BY event_type ORDER BY event_type
+    FROM events GROUP BY event_type
+    HAVING COUNT(value) > 0
+    ORDER BY event_type
     """,
 )
 def q126_tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1955,6 +1957,11 @@ def q126_tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("value").alias("n"),
         F.percentile("value", F.array(*[F.lit(p) for p in probs])).alias("__ex"),
     )
+    # groups with ZERO non-null values are excluded on BOTH sides (HAVING
+    # in the oracle): tdigest_build has no digest row for them, and the
+    # all-NULL estimates such a group produces make every within-band
+    # boolean NULL — not comparable to any literal (r06 review, 7th pass)
+    exact = exact.filter(F.col("n") > 0)
     ex = lambda i: F.col("__ex").getItem(i)  # noqa: E731
     return (
         # eqNullSafe: SQL GROUP BY (both engines) keeps the null group, and
@@ -1979,7 +1986,10 @@ def q126_tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             # boolean (r06 review; observed counts sit near δ/2)
             (F.col("n_centroids") <= F.lit(int(delta) + 1)).alias("state_bounded"),
         )
-        .orderBy("event_type")
+        # nulls last matches DuckDB's ORDER BY default (Spark defaults to
+        # NULLS FIRST ascending); the driver compare is order-insensitive,
+        # but the published ordering should not silently diverge
+        .orderBy(F.asc_nulls_last("event_type"))
     )
 
 

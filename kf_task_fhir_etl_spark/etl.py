@@ -346,7 +346,18 @@ def run_pipeline(
     (readers spanning two regenerations of one group must re-request).
     Entries from dead applications are dropped (their py4j plan references
     are unusable). Memoization requires ``checkpoint_wide`` (a memo over
-    un-truncated lineage would re-execute the cascade anyway)."""
+    un-truncated lineage would re-execute the cascade anyway).
+
+    Residual (documented, not defended): versions are OPAQUE tags with no
+    ordering, so two builds racing an in-place data regeneration can
+    finish in either order — if the stale-fingerprint build commits last
+    it transiently supersedes the fresh entry. The failure is loud, not
+    silent (the stale plans hit deleted part files), and the next
+    current-fingerprint call rebuilds and re-supersedes; a reader of the
+    displaced fresh entry loses one grace generation in that window.
+    Callers that regenerate data while serving traffic should quiesce
+    in-flight builds across the swap, the same single-writer discipline
+    the store sinks require."""
     if memo_key is not None and not (checkpoint_wide and not cache_wide):
         raise ValueError("memo_key requires checkpoint_wide=True (and not cache_wide)")
     spark = next(iter(endpoint_tables.values())).sparkSession if endpoint_tables else None
@@ -355,10 +366,12 @@ def run_pipeline(
         group, version = memo_key
         app = spark.sparkContext.applicationId
         full_key = (app, group, version, single_pass)
-        hit = _PIPELINE_MEMO.get(full_key)
-        if hit is not None:
-            _count_memo_hit()
-            return hit[0]
+        # one hit path: memoized_pipeline owns key assembly, locking, and
+        # hit accounting (r06 review: an inline duplicate had already
+        # drifted on lock discipline)
+        hit_result = memoized_pipeline(spark, memo_key, single_pass)
+        if hit_result is not None:
+            return hit_result
 
     transformed = transform_study(endpoint_tables)
     if cache_wide:

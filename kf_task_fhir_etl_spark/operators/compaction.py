@@ -61,17 +61,44 @@ def list_files(path: str) -> list[dict]:
     return sorted(out, key=lambda r: (r["partition"], r["file"]))
 
 
-def partition_values(partition: str) -> dict[str, str]:
+def _unescape_path_name(v: str) -> str | None:
+    """Invert Hive/Spark partition-path escaping: ``%XX`` byte escapes
+    (Spark's ``ExternalCatalogUtils.escapePathName`` writes ':' as
+    ``%3A`` etc.) and the ``__HIVE_DEFAULT_PARTITION__`` sentinel for a
+    NULL partition value."""
+    if v == "__HIVE_DEFAULT_PARTITION__":
+        return None
+    out: list[str] = []
+    i = 0
+    while i < len(v):
+        ch = v[i]
+        if ch == "%" and i + 3 <= len(v):
+            try:
+                out.append(chr(int(v[i + 1 : i + 3], 16)))
+                i += 3
+                continue
+            except ValueError:
+                pass
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
+def partition_values(partition: str) -> dict[str, str | None]:
     """Parse a ``list_files`` partition label (``k1=v1/k2=v2``) into its
     column→value dict ({} for a flat layout). The one correct way to read
     VALUES out of the label — splitting the whole string on '=' silently
-    mis-parses multi-level layouts."""
+    mis-parses multi-level layouts, and raw dir names carry Hive ``%XX``
+    escapes (a value 'a:b' is written as ``a%3Ab``) plus the
+    ``__HIVE_DEFAULT_PARTITION__`` NULL sentinel, both of which the
+    engines decode when READING the column — so a join between parsed
+    labels and read-back values must decode too (r06 review, 7th pass)."""
     if not partition:
         return {}
-    out: dict[str, str] = {}
+    out: dict[str, str | None] = {}
     for seg in partition.split(os.sep):
         k, _, v = seg.partition("=")
-        out[k] = v
+        out[k] = _unescape_path_name(v)
     return out
 
 

@@ -264,3 +264,17 @@ def test_tdigest_keeps_null_group(spark):
         ).collect()
     }
     assert est[(None, 0.5)] == pytest.approx(7.0)
+
+
+def test_partition_values_decodes_hive_escapes_and_null_sentinel():
+    """Raw partition dir names carry Hive %XX escapes and the
+    __HIVE_DEFAULT_PARTITION__ NULL sentinel; engines decode them when
+    reading the column back, so the parser must too or label↔column joins
+    silently drop escaped groups (r06 review, 7th pass)."""
+    assert compaction.partition_values("event_type=a%3Ab") == {"event_type": "a:b"}
+    assert compaction.partition_values("k=100%25") == {"k": "100%"}
+    assert compaction.partition_values("k=__HIVE_DEFAULT_PARTITION__") == {"k": None}
+    # malformed escape passes through untouched rather than raising
+    assert compaction.partition_values("k=50%ZZ") == {"k": "50%ZZ"}
+    # round-trip against Spark's own writer escaping is pinned implicitly
+    # by q127 (single-level, unescaped values) — this covers the decode law

@@ -399,6 +399,24 @@ def _build_dependency_graph(sources: dict[str, str]):
     return edges, symtab
 
 
+def _imports_rewire(
+    old_syms: dict, new_syms: dict, old_imp: dict[str, str], new_imp: dict[str, str]
+) -> bool:
+    """True when an import-binding change can rewire existing callers with
+    zero symbol-fingerprint change — whole-module dirty. Two shapes (r06
+    review, passes 5 and 7): (a) an EXISTING alias retargeted or removed;
+    (b) a NEW alias that collides with a module symbol (old or new) —
+    `from x import f as build_resources` added below `def build_resources`
+    shadows the def at import time while its fingerprint stays unchanged.
+    Purely-new, non-colliding aliases are ignored (that's the point of
+    excluding imports from the residual)."""
+    if any(old_imp[a] != new_imp.get(a) for a in old_imp):
+        return True
+    return any(
+        a not in old_imp and (a in old_syms or a in new_syms) for a in new_imp
+    )
+
+
 def _changed_symbols(base: str) -> set[tuple[str, str]]:
     """Symbols added/removed/modified between the base commit and the
     working tree, per-symbol where possible, whole-module when module-level
@@ -435,11 +453,7 @@ def _changed_symbols(base: str) -> set[tuple[str, str]]:
                     pass
             changed.update((mod, n) for n in all_names)
             continue
-        # a retargeted or removed EXISTING import alias rewires users
-        # without changing any symbol fingerprint — whole-module dirty;
-        # newly-added aliases are ignored (see _symbol_sources)
-        retargeted = any(old_imp[a] != new_imp.get(a) for a in old_imp)
-        if old_res != new_res or retargeted:
+        if old_res != new_res or _imports_rewire(old_syms, new_syms, old_imp, new_imp):
             changed.update((mod, n) for n in set(old_syms) | set(new_syms))
             continue
         for n in set(old_syms) | set(new_syms):
@@ -583,10 +597,17 @@ def test_import_binding_comparison_catches_retargets_not_additions():
     added = "from a import x\nfrom a import y\nimport b\n\ndef f():\n    return x\n"
     retargeted = "from a import z as x\nimport b\n\ndef f():\n    return x\n"
     removed = "import b\n\ndef f():\n    return x\n"
+    # (b) shape: the new alias shadows an existing def — callers of f are
+    # rewired at import time while f's own fingerprint never changes
+    shadowing = "from a import x\nfrom a import g as f\nimport b\n\ndef f():\n    return x\n"
 
-    _, old_res, old_imp = _symbol_sources(old)
-    for new_src, should_dirty in ((added, False), (retargeted, True), (removed, True)):
-        _, new_res, new_imp = _symbol_sources(new_src)
+    old_syms, old_res, old_imp = _symbol_sources(old)
+    for new_src, should_dirty in (
+        (added, False),
+        (retargeted, True),
+        (removed, True),
+        (shadowing, True),
+    ):
+        new_syms, new_res, new_imp = _symbol_sources(new_src)
         assert old_res == new_res  # imports never reach the residual
-        dirty = any(old_imp[a] != new_imp.get(a) for a in old_imp)
-        assert dirty == should_dirty, new_src
+        assert _imports_rewire(old_syms, new_syms, old_imp, new_imp) == should_dirty, new_src
