@@ -291,7 +291,11 @@ def memoized_pipeline(
     if hit is None:
         return None
     _count_memo_hit()
-    return hit[0]
+    # dict mode serves a SHALLOW COPY: the memo must not share a mutable
+    # dict with callers — out.pop('Patient') on a served result would
+    # silently poison every later hit for this key (r06 review). The
+    # DataFrames inside are immutable plans; sharing them is the point.
+    return dict(hit[0]) if isinstance(hit[0], dict) else hit[0]
 
 
 def run_pipeline(
@@ -455,13 +459,19 @@ def run_pipeline(
                     prev = _RETIRED_CHECKPOINTS.pop(rk, None)
                     if prev is not None:
                         to_release.append(prev)
-            winner = _PIPELINE_MEMO.setdefault(full_key, (out, ck_handles))[0]
+            # store a SHALLOW COPY of dict results: the memo must never
+            # share a mutable dict with any caller — including the builder
+            # itself (r06 review; see memoized_pipeline)
+            stored = dict(out) if isinstance(out, dict) else out
+            entry = _PIPELINE_MEMO.setdefault(full_key, (stored, ck_handles))
         for handles in to_release:
             release_checkpoints(handles)
-        if winner is not out:
-            # two threads raced the same key: serve the winner's plans and
-            # release the duplicate construction's checkpoint blocks (safe
-            # immediately — this construction was never served to anyone)
+        if entry[1] is not ck_handles:
+            # two threads raced the same key (handles lists are unique per
+            # construction): serve the winner's plans and release the
+            # duplicate construction's checkpoint blocks (safe immediately
+            # — this construction was never served to anyone)
             release_checkpoints(ck_handles)
-            return winner
+            won = entry[0]
+            return dict(won) if isinstance(won, dict) else won
     return out

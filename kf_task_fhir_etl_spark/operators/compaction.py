@@ -73,12 +73,14 @@ def _unescape_path_name(v: str) -> str | None:
     while i < len(v):
         ch = v[i]
         if ch == "%" and i + 3 <= len(v):
-            try:
-                out.append(chr(int(v[i + 1 : i + 3], 16)))
+            hex2 = v[i + 1 : i + 3]
+            # STRICTLY two hex digits, matching the engines' unescape —
+            # int(x, 16) alone also accepts '+2'/' 1', decoding sequences
+            # Spark would keep literal (r06 review)
+            if all(c in "0123456789abcdefABCDEF" for c in hex2):
+                out.append(chr(int(hex2, 16)))
                 i += 3
                 continue
-            except ValueError:
-                pass
         out.append(ch)
         i += 1
     return "".join(out)

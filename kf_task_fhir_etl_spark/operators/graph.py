@@ -28,6 +28,22 @@ def symmetrize(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFram
     return fwd.unionByName(rev).filter(F.col("src") != F.col("dst")).distinct()
 
 
+def _release_checkpoint(df: DataFrame) -> None:
+    """Free the BlockManager storage behind a SUPERSEDED per-round
+    localCheckpoint (the py4j reach-through etl.release_checkpoints uses;
+    non-blocking — nothing synchronizes on the removal). Without this,
+    every operator call pinned each round's vector plus the staged edge
+    tables for the application lifetime (r06 review) — in the resident-
+    driver steady state that is an unbounded leak. Only the RETURNED
+    frame's final checkpoint stays live; the caller owns it and GC +
+    ContextCleaner reclaim it with the result. Degrades to the GC path on
+    reflection failure."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def pagerank(
     edges: DataFrame,
     iters: int = 5,
@@ -79,6 +95,7 @@ def pagerank(
     )
     ranks = nodes.select("node", (F.lit(1.0) / F.lit(float(n))).alias("pr"))
     base = (1.0 - damping) / n
+    prev_ck: DataFrame | None = None
     for _ in range(iters):
         contribs = edges_deg.join(ranks, edges_deg["src"] == ranks["node"]).select(
             F.col("dst").alias("node"), (F.col("pr") / F.col("deg")).alias("w")
@@ -109,6 +126,16 @@ def pagerank(
             )
             .localCheckpoint()
         )
+        # the new round is eagerly materialized — the previous round's
+        # blocks are dead; the initial (non-checkpointed) vector is skipped
+        if prev_ck is not None:
+            _release_checkpoint(prev_ck)
+        prev_ck = ranks
+    if prev_ck is not None:
+        # ≥1 round ran, so the returned frame depends only on the final
+        # round's checkpoint — the staged inputs are releasable
+        for staged in (edges, nodes, edges_deg, dangling_nodes):
+            _release_checkpoint(staged)
     return ranks.select("node", F.round(F.col("pr"), 6).alias("pr"))
 
 
@@ -157,6 +184,7 @@ def label_propagation(
     )
     labels = nodes.select("node", F.col("node").alias("label"))
     pick = Window.partitionBy("node").orderBy(F.desc("w_sum"), F.asc("label"))
+    prev_ck: DataFrame | None = None
     for _ in range(iters):
         scores = (
             edges.join(labels, edges["src"] == labels["node"])
@@ -173,4 +201,12 @@ def label_propagation(
             .select("node", F.coalesce("new_label", "label").alias("label"))
             .localCheckpoint()
         )
+        if prev_ck is not None:
+            _release_checkpoint(prev_ck)
+        prev_ck = labels
+    if prev_ck is not None:
+        # ≥1 round ran: the returned vector depends only on its own final
+        # checkpoint — release the staged edge/node tables
+        _release_checkpoint(edges)
+        _release_checkpoint(nodes)
     return labels

@@ -90,7 +90,18 @@ def cdc_stream(
     delete rows may carry null attrs. Returns the started StreamingQuery.
     Store rows internally carry ``__op``/``__order`` (the winner's op and
     sequence) so later batches can LWW against them; ``read_table`` strips
-    both."""
+    both — which makes those two names RESERVED on the change stream: a
+    stream already carrying them (or naming its op/order columns that way)
+    would have its marker columns dropped/duplicated inside the foreachBatch
+    sink, killing the StreamingQuery at runtime. Rejected loudly here
+    instead (r06 review)."""
+    reserved = {"__op", "__order"}
+    clashes = (reserved & set(changes.columns)) | (reserved & {op_col, order_col})
+    if clashes:
+        raise ValueError(
+            f"cdc_stream: column names {sorted(clashes)} are reserved for the "
+            "store's internal LWW markers; rename them on the change stream"
+        )
     spark = changes.sparkSession
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:

@@ -71,9 +71,17 @@ def test_memo_mode_is_part_of_the_key(spark):
     out_dict = run_pipeline(endpoint_tables(spark), single_pass=False, memo_key=("g", "v"))
     assert isinstance(out_dict, dict)
     assert len(etl._PIPELINE_MEMO) == 2  # union and dict entries coexist
-    # and the dict mode re-serves too
+    # dict mode re-serves the same PLANS but as a fresh dict each time:
+    # sharing the mutable container would let one caller's pop/assign
+    # poison every later hit (r06 review)
     again = run_pipeline(endpoint_tables(spark), single_pass=False, memo_key=("g", "v"))
-    assert again is out_dict
+    assert again is not out_dict
+    assert set(again) == set(out_dict)
+    assert all(again[k] is out_dict[k] for k in again)  # shared immutable plans
+    # caller mutation must not reach the memo
+    again.pop(next(iter(again)))
+    third = run_pipeline(endpoint_tables(spark), single_pass=False, memo_key=("g", "v"))
+    assert set(third) == set(out_dict)
     assert out_union is not None
 
 

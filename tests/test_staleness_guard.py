@@ -174,7 +174,12 @@ def _symbol_sources(src: str) -> tuple[dict[str, str], str, dict[str, str]]:
         if isinstance(node, ast.ImportFrom):
             src_mod = "." * node.level + (node.module or "")
             for a in node.names:
-                imports[a.asname or a.name] = f"from {src_mod} import {a.name}"
+                # a star import binds an UNKNOWABLE alias set — key it by
+                # source module so adding/removing/retargeting one is
+                # always visible to _imports_rewire (which treats any NEW
+                # star key as a rewire, since it may shadow anything)
+                alias = f"*:{src_mod}" if a.name == "*" else (a.asname or a.name)
+                imports[alias] = f"from {src_mod} import {a.name}"
             covered.update(range(node.lineno, node.end_lineno + 1))
             continue
         name = _top_level_name(node)
@@ -413,7 +418,8 @@ def _imports_rewire(
     if any(old_imp[a] != new_imp.get(a) for a in old_imp):
         return True
     return any(
-        a not in old_imp and (a in old_syms or a in new_syms) for a in new_imp
+        a not in old_imp and (a.startswith("*:") or a in old_syms or a in new_syms)
+        for a in new_imp
     )
 
 

@@ -360,3 +360,23 @@ def test_cdc_delete_beats_upsert_on_equal_sequence(spark, tmp_path):
     )
     out = cdc.cdc_reduce(b, ["key"], "__order", "__op").collect()
     assert len(out) == 1 and out[0]["__op"] == "delete"
+
+
+def test_cdc_stream_rejects_reserved_column_names(spark, tmp_path):
+    """__op/__order are the store's internal LWW markers; a change stream
+    carrying (or naming its op/order columns) either would have its marker
+    columns dropped/duplicated INSIDE the sink — fail loudly at attach
+    time instead (r06 review)."""
+    from kf_task_fhir_etl_spark.streaming import cdc
+
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", "1").load()
+        .selectExpr("value AS k", "value AS seq", "'upsert' AS op")
+    )
+    with pytest.raises(ValueError, match="reserved"):
+        cdc.cdc_stream(stream, str(tmp_path / "s"), ["k"], order_col="__order", op_col="op")
+    with pytest.raises(ValueError, match="reserved"):
+        cdc.cdc_stream(
+            stream.withColumnRenamed("seq", "__op"),
+            str(tmp_path / "s"), ["k"], order_col="k", op_col="op",
+        )
