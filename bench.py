@@ -76,8 +76,10 @@ def main() -> None:
     memoized_names: set[str] = set()
     all_runs: dict[str, list[float]] = {}
     total_start = time.perf_counter()
+    warm_first_run: set[str] = set()
     for name in sorted(registry):
         rs = []
+        hits_before_run1 = etl.MEMO_HIT_COUNT
         for i in range(runs_per_query):
             if i == 1:
                 hits_before_reruns = etl.MEMO_HIT_COUNT
@@ -87,6 +89,11 @@ def main() -> None:
         all_runs[name] = rs
         if runs_per_query > 1 and etl.MEMO_HIT_COUNT > hits_before_reruns:
             memoized_names.add(name)
+            # a memoized gate whose run 1 ALSO hit (another gate populated
+            # its group first) has no cold run to report — publishing its
+            # warm run 1 as "cold" would understate value_cold (r06 review)
+            if hits_before_reruns > hits_before_run1:
+                warm_first_run.add(name)
             # warm runs ONLY: median(all runs) with an even run count
             # averages cold into the "warm" headline (r06 review); `value`
             # must be purely warm for memoized gates, `value_cold` carries
@@ -98,7 +105,9 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     memoized = {
         name: {
-            "cold": all_runs[name][0],
+            # None when run 1 itself served from a memo another gate
+            # populated — there is no honest cold number for this gate
+            "cold": None if name in warm_first_run else all_runs[name][0],
             "warm_median": (
                 round(statistics.median(all_runs[name][1:]), 3)
                 if len(all_runs[name]) > 1
@@ -108,9 +117,13 @@ def main() -> None:
         for name in sorted(memoized_names & set(timings))
     }
     # headline with every memoized query counted at its COLD run instead of
-    # the (warm-dominated) median
+    # the (warm-dominated) median; gates with no cold run stay at warm
     total_cold = round(
-        total + sum(m["cold"] - timings[n] for n, m in memoized.items()), 3
+        total
+        + sum(
+            m["cold"] - timings[n] for n, m in memoized.items() if m["cold"] is not None
+        ),
+        3,
     )
 
     spark.stop()

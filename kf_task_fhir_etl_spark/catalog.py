@@ -115,6 +115,12 @@ def cached_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     Callers that need an unconditional fresh probe use ``load_table``."""
     app = spark.sparkContext.applicationId
     key = (app, sf_dir, name)
+    if not os.path.exists(table_path(sf_dir, name)):
+        # keep load_table's failure mode: a missing table must surface as
+        # Spark's AnalysisException [PATH_NOT_FOUND] naming the table path,
+        # not a bare FileNotFoundError from the fingerprint stat (r06
+        # review — callers migrated from load_table match on the former)
+        return load_table(spark, sf_dir, name)
     fp = content_fingerprint(sf_dir, [name])
     with _TABLE_LOCK:
         for k in [k for k in list(_TABLE_MEMO) if k[0] != app]:

@@ -254,7 +254,7 @@ def _count_memo_hit() -> None:
         MEMO_HIT_COUNT += 1
 
 
-def release_checkpoints(dfs: list[DataFrame]) -> None:
+def release_checkpoints(dfs: list[DataFrame], blocking: bool = True) -> None:
     """Explicitly release the block-manager storage behind eagerly
     ``localCheckpoint``ed DataFrames. ``del`` alone only drops the Python
     reference — block release would wait on Python GC plus Spark's
@@ -265,12 +265,16 @@ def release_checkpoints(dfs: list[DataFrame]) -> None:
     BlockManager removal lands, so 'blocks are gone when this returns' —
     the contract the release-then-assert callers and the pinned test rely
     on — would only be eventually true (r06 review). This runs on the
-    rare supersede path, never per-query. Reaches through py4j internals,
-    so it degrades to the GC path on any reflection failure rather than
+    rare supersede path, never per-query. ``blocking=False`` is for
+    superseded ITERATION state (operators/graph.py's per-round vectors)
+    where nothing synchronizes on the removal. This is the ONE audited
+    home of the py4j LogicalRDD reach-through (r06 review: hand-rolled
+    copies would silently degrade independently on a Spark upgrade); it
+    degrades to the GC path on any reflection failure rather than
     breaking eviction."""
     for df in dfs:
         try:
-            df._jdf.queryExecution().analyzed().rdd().unpersist(True)
+            df._jdf.queryExecution().analyzed().rdd().unpersist(blocking)
         except Exception:
             pass  # deferred to GC + ContextCleaner
 

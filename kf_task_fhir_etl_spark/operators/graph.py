@@ -30,18 +30,17 @@ def symmetrize(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFram
 
 def _release_checkpoint(df: DataFrame) -> None:
     """Free the BlockManager storage behind a SUPERSEDED per-round
-    localCheckpoint (the py4j reach-through etl.release_checkpoints uses;
-    non-blocking — nothing synchronizes on the removal). Without this,
-    every operator call pinned each round's vector plus the staged edge
-    tables for the application lifetime (r06 review) — in the resident-
-    driver steady state that is an unbounded leak. Only the RETURNED
-    frame's final checkpoint stays live; the caller owns it and GC +
-    ContextCleaner reclaim it with the result. Degrades to the GC path on
-    reflection failure."""
-    try:
-        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
-    except Exception:
-        pass
+    localCheckpoint. Without this, every operator call pinned each round's
+    vector plus the staged edge tables for the application lifetime (r06
+    review) — in the resident-driver steady state that is an unbounded
+    leak. Only the RETURNED frame's final checkpoint stays live; the
+    caller owns it and GC + ContextCleaner reclaim it with the result.
+    Delegates to etl.release_checkpoints — the single audited home of the
+    py4j reach-through — non-blocking because nothing synchronizes on the
+    removal (local import: etl is a higher layer; no import-time cycle)."""
+    from kf_task_fhir_etl_spark.etl import release_checkpoints
+
+    release_checkpoints([df], blocking=False)
 
 
 def pagerank(

@@ -168,7 +168,11 @@ def _symbol_sources(src: str) -> tuple[dict[str, str], str, dict[str, str]]:
     for node in tree.body:
         if isinstance(node, ast.Import):
             for a in node.names:
-                imports[a.asname or a.name.split(".")[0]] = f"import {a.name}"
+                # key plain imports by FULL dotted name: `import xml.sax`
+                # and `import xml.dom` both bind root 'xml', so a root-only
+                # key collides last-wins and hides the removal of the
+                # non-last one (r06 review, 9th pass)
+                imports[a.asname or a.name] = f"import {a.name}"
             covered.update(range(node.lineno, node.end_lineno + 1))
             continue
         if isinstance(node, ast.ImportFrom):
@@ -617,3 +621,15 @@ def test_import_binding_comparison_catches_retargets_not_additions():
         new_syms, new_res, new_imp = _symbol_sources(new_src)
         assert old_res == new_res  # imports never reach the residual
         assert _imports_rewire(old_syms, new_syms, old_imp, new_imp) == should_dirty, new_src
+
+    # same-root plain imports must not collide: removing `import xml.sax`
+    # while `import xml.dom` stays is a rewire (9th pass)
+    both = "import xml.sax\nimport xml.dom\n\ndef f():\n    return xml.sax\n"
+    one = "import xml.dom\n\ndef f():\n    return xml.sax\n"
+    bs, br, bi = _symbol_sources(both)
+    osyms, onr, oi2 = _symbol_sources(one)
+    assert _imports_rewire(bs, osyms, bi, oi2) is True
+    # star imports: adding one is always a rewire (it may shadow anything)
+    star = "from a import x\nfrom helpers import *\nimport b\n\ndef f():\n    return x\n"
+    ss, sr, si = _symbol_sources(star)
+    assert _imports_rewire(old_syms, ss, old_imp, si) is True
