@@ -1913,8 +1913,9 @@ def q125_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(quantile_cont(value, 0.99), 6)  AS p99,
            TRUE AS p50_in_band, TRUE AS p90_in_band, TRUE AS p99_in_band,
            TRUE AS state_bounded
-    FROM events GROUP BY event_type
-    HAVING COUNT(value) > 0
+    FROM events
+    WHERE value IS NOT NULL AND NOT isnan(value)
+    GROUP BY event_type
     ORDER BY event_type
     """,
 )
@@ -1936,6 +1937,13 @@ def q126_tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kf_task_fhir_etl_spark.operators import tdigest
 
     ev = load_table(spark, sf_dir, "events")
+    # exact side sees EXACTLY the values the digest folds (non-null,
+    # non-NaN — tdigest_build's own filter): without this, a group whose
+    # values are all NaN appears on the exact side (COUNT counts NaN in
+    # both engines) but has no digest row, and the inner join drops it
+    # only in Spark (r06 review, 10th pass); mixed-NaN groups would also
+    # skew Spark's percentile (NaN sorts greatest) against the bands
+    ev = ev.filter(F.col("value").isNotNull() & ~F.isnan("value"))
     delta = 200.0  # single source for the build AND the state bound below
     # two consumers (quantile estimation, centroid-count boolean) share the
     # digest build — checkpoint so the scan + merge runs once
@@ -1957,11 +1965,9 @@ def q126_tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("value").alias("n"),
         F.percentile("value", F.array(*[F.lit(p) for p in probs])).alias("__ex"),
     )
-    # groups with ZERO non-null values are excluded on BOTH sides (HAVING
-    # in the oracle): tdigest_build has no digest row for them, and the
-    # all-NULL estimates such a group produces make every within-band
-    # boolean NULL — not comparable to any literal (r06 review, 7th pass)
-    exact = exact.filter(F.col("n") > 0)
+    # (value-less groups vanish in BOTH engines under the shared
+    # non-null/non-NaN row filter above — the WHERE in the oracle — so no
+    # separate n>0 gate is needed; r06 review passes 7 and 10)
     ex = lambda i: F.col("__ex").getItem(i)  # noqa: E731
     return (
         # eqNullSafe: SQL GROUP BY (both engines) keeps the null group, and

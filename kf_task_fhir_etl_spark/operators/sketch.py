@@ -123,16 +123,21 @@ def cms_build(df: DataFrame, key_col: str, depth: int = 4, width: int = 256) -> 
 
 
 def _is_checkpointed_relation(df: DataFrame) -> bool:
-    """True when ``df`` is already a (local)checkpoint — its analyzed plan
-    is the materialized LogicalRDD — so taking another checkpoint would only
-    copy blocks. Reaches through py4j internals; any reflection failure
-    reports False and the caller simply takes its own checkpoint (correct,
-    just not reusing)."""
+    """True when ``df`` is already a MATERIALIZED (local)checkpoint — its
+    analyzed plan is a LogicalRDD whose RDD is persisted or checkpointed —
+    so taking another checkpoint would only copy blocks. The persistence
+    check matters (r06 review): ``spark.createDataFrame(rdd, schema)`` is
+    also LogicalRDD-rooted but UNPERSISTED, and skipping the checkpoint for
+    it would re-execute the sketch plan once per consumer — the exact
+    double-execution the checkpoint prevents. Reaches through py4j
+    internals; any reflection failure reports False and the caller simply
+    takes its own checkpoint (correct, just not reusing)."""
     try:
-        return (
-            df._jdf.queryExecution().analyzed().getClass().getSimpleName()
-            == "LogicalRDD"
-        )
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() != "LogicalRDD":
+            return False
+        rdd = plan.rdd()
+        return bool(rdd.getStorageLevel().isValid() or rdd.isCheckpointed())
     except Exception:
         return False
 

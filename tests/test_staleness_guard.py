@@ -421,8 +421,18 @@ def _imports_rewire(
     excluding imports from the residual)."""
     if any(old_imp[a] != new_imp.get(a) for a in old_imp):
         return True
+    # collision is tested against the name the import actually BINDS:
+    # `import pkg.sub` (keyed by its full dotted name for removal
+    # detection) binds the root `pkg`, so it can shadow a symbol or alias
+    # named `pkg` (r06 review, 10th pass)
     return any(
-        a not in old_imp and (a.startswith("*:") or a in old_syms or a in new_syms)
+        a not in old_imp
+        and (
+            a.startswith("*:")
+            or a.split(".")[0] in old_syms
+            or a.split(".")[0] in new_syms
+            or (("." in a) and a.split(".")[0] in old_imp)
+        )
         for a in new_imp
     )
 
@@ -633,3 +643,18 @@ def test_import_binding_comparison_catches_retargets_not_additions():
     star = "from a import x\nfrom helpers import *\nimport b\n\ndef f():\n    return x\n"
     ss, sr, si = _symbol_sources(star)
     assert _imports_rewire(old_syms, ss, old_imp, si) is True
+
+
+def test_dotted_plain_import_shadow_detection():
+    """`import pkg.sub` binds the ROOT name pkg — adding one below a
+    symbol (or alias) named pkg rewires its users with zero fingerprint
+    change (r06 review, 10th pass)."""
+    old = "import b\n\npkg = 3\n\ndef f():\n    return pkg\n"
+    shadow = "import b\nimport pkg.sub\n\npkg = 3\n\ndef f():\n    return pkg\n"
+    os_, _, oi = _symbol_sources(old)
+    ns_, _, ni = _symbol_sources(shadow)
+    assert _imports_rewire(os_, ns_, oi, ni) is True
+    # and a benign dotted import (no collision) stays quiet
+    benign = "import b\nimport xml.sax\n\npkg = 3\n\ndef f():\n    return pkg\n"
+    bs_, _, bi = _symbol_sources(benign)
+    assert _imports_rewire(os_, bs_, oi, bi) is False
