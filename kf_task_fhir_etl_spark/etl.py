@@ -131,7 +131,6 @@ def build_resources_union(
     # pre-checkpoint pads here only to discard and rebuild every one of
     # them post-checkpoint — pure wasted py4j expression construction on
     # the exact path this function exists to optimize)
-    padded: dict[str, DataFrame] = {}
     fused_jobs: list[tuple[str, object, str]] = []
     classic_jobs: list[tuple[str, object, str]] = []
     for target in transformed.targets:
@@ -181,20 +180,18 @@ def build_resources_union(
             elems = [_element(job, None) for job in fused_jobs]
             for key, fut in futures.items():
                 transformed.tables[key] = fut.result()
-        # pad ONCE per table_key against the truncated lineage and share
-        # across the classic jobs AND the fused scan (two consumers of one
-        # table_key must not pad twice — construction cost is the measured
-        # bottleneck here)
-        pad_keys = {j[2] for j in classic_jobs} | {j[2] for j in fused_jobs}
-        padded = {tk: pad_concepts(transformed.tables[tk]) for tk in pad_keys}
-        with ThreadPoolExecutor(max_workers=8) as ex:
-            classic = list(ex.map(lambda j: _classic(j, padded), classic_jobs))
-    else:
-        pad_keys = {j[2] for j in classic_jobs} | {j[2] for j in fused_jobs}
-        padded = {tk: pad_concepts(transformed.tables[tk]) for tk in pad_keys}
-        with ThreadPoolExecutor(max_workers=8) as ex:
+    # pad ONCE per table_key — against the truncated lineage when the
+    # branch above checkpointed — and share across the classic jobs AND
+    # the fused scan (two consumers of one table_key must not pad twice —
+    # construction cost is the measured bottleneck here). One shared block
+    # for both modes so padding/dispatch cannot drift between them (r06
+    # review, 11th pass).
+    pad_keys = {j[2] for j in classic_jobs} | {j[2] for j in fused_jobs}
+    padded = {tk: pad_concepts(transformed.tables[tk]) for tk in pad_keys}
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        if not checkpoint:
             elems = list(ex.map(lambda j: _element(j, padded), fused_jobs))
-            classic = list(ex.map(lambda j: _classic(j, padded), classic_jobs))
+        classic = list(ex.map(lambda j: _classic(j, padded), classic_jobs))
     fused = None
     if elems:
         fused = (

@@ -161,7 +161,15 @@ def compact(
         for paths in bin_list:
             # one output file per bin: the bin's files are a handful of
             # input splits, so coalesce(1) is a local concat, not a shuffle
-            spark.read.parquet(*sorted(paths)).coalesce(1).write.mode("append").parquet(out_dir)
+            # mergeSchema: append layouts evolve (newer small files carry
+            # late-added columns — the exact streaming-sink pathology this
+            # op maintains); the default single-footer schema would
+            # silently drop those columns from rows in older-footer bins
+            # while row counts still matched (r06 review). Extra footer
+            # reads are metadata-sized — negligible next to the rewrite.
+            spark.read.option("mergeSchema", "true").parquet(*sorted(paths)).coalesce(
+                1
+            ).write.mode("append").parquet(out_dir)
 
     from concurrent.futures import ThreadPoolExecutor
 

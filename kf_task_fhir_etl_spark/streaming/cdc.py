@@ -95,7 +95,7 @@ def cdc_stream(
     would have its marker columns dropped/duplicated inside the foreachBatch
     sink, killing the StreamingQuery at runtime. Rejected loudly here
     instead (r06 review)."""
-    reserved = {"__op", "__order"}
+    reserved = {"__op", "__order", "__rn"}  # __rn: cdc_reduce's window rank
     clashes = (reserved & set(changes.columns)) | (reserved & {op_col, order_col})
     if clashes:
         raise ValueError(
