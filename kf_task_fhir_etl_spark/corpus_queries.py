@@ -2194,3 +2194,99 @@ def q128_streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             "remove the stream checkpoint to replay the changes"
         )
     return live.select("order_key", "status", "price").orderBy("order_key")
+
+
+# ---------------------------------------------------------------------------
+# q129 — Bloom-filter join pruning (sketch family: q57 HLL/GK, q106 KMV,
+# q121/q123 CMS, q126 t-digest — this is the JOIN-pruning member)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q129_bloom_join_pruning",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+             AS revenue,
+           TRUE AS fpr_ok
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def q129_bloom_join_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter join pruning (operators/bloom.py): build a one-row
+    relational Bloom filter over the urgent orders' keys, broadcast it, and
+    prune lineitem MAP-SIDE (codegen'd bit tests, zero big-side shuffle —
+    the gate RAISES if the pruned plan loses its BroadcastNestedLoopJoin-
+    over-one-row shape, the q95/q119 plan-assert discipline) before the
+    exact join. Blooms have no false negatives, so prune → exact join
+    returns EXACTLY the plain join's rows: the oracle is the plain SQL
+    join, value-hashed — a silently broken filter (wrong seed, dropped
+    word, bad bit test) loses rows and fails the hash. ``fpr_ok`` pins the
+    other failure direction: the number of false-positive rows surviving
+    the prune must stay under max(1% of lineitem, 100) — the filter is
+    SIZED FROM THE DATA at 16 bits/key (k=7 hashes → FPR ≈ 7e-4, ~15× under
+    the band; a fixed size flipped the boolean at sf0.1, where 30k urgent
+    keys drowned a 64 Kbit filter at FPR ≈ 0.75 — sizing is part of the
+    operator's contract, so the gate exercises it), while an all-pass
+    regression (a membership expr collapsing to TRUE) flips it instantly.
+    The one count() this costs runs on the DIM side — the standard price
+    of sizing any broadcast structure. At 1000 executors the word map
+    (16n bits ≈ 60 KiB at sf0.1) rides the broadcast; lineitem never
+    moves."""
+    from kf_task_fhir_etl_spark.operators import bloom
+
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    keys = orders.select("o_orderkey")
+    li = load_table(spark, sf_dir, "lineitem")
+    n_keys = keys.count()
+    num_bits = 64 * max(1, (16 * n_keys + 63) // 64)
+    bl = bloom.bloom_build(keys, "o_orderkey", num_bits=num_bits, num_hashes=7)
+    pruned = bloom.bloom_prune(li, "l_orderkey", bl)
+
+    # plan assert: the prune must be a broadcast of the ONE-ROW filter over
+    # the unshuffled lineitem scan
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    if "BroadcastNestedLoopJoin" not in plan:
+        raise AssertionError(
+            "q129: bloom_prune lost its broadcast-one-row plan shape:\n" + plan
+        )
+
+    # false-positive accounting: pruned rows that the exact join discards.
+    # Both counts are one-row aggregates; the band is generous (see
+    # docstring) so only a broken filter can flip it.
+    n_pruned = pruned.agg(F.count(F.lit(1)).alias("n_pruned"))
+    joined = pruned.join(F.broadcast(keys), pruned["l_orderkey"] == keys["o_orderkey"])
+    n_big = li.agg(F.count(F.lit(1)).alias("n_big"))
+    stats = (
+        joined.agg(F.count(F.lit(1)).alias("n_matched"))
+        .crossJoin(n_pruned)
+        .crossJoin(n_big)
+        .select(
+            (
+                (F.col("n_pruned") - F.col("n_matched"))
+                <= F.greatest((F.col("n_big") / 100).cast("bigint"), F.lit(100))
+            ).alias("fpr_ok")
+        )
+    )
+    return (
+        joined.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            # DECIMAL accumulation: a double SUM is partition-order
+            # dependent and flips the 2dp rounding vs the sequential
+            # oracle at sf0.1 row counts (measured); per-row products cast
+            # to DECIMAL(18,4) sum exactly and associatively in both
+            # engines
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .crossJoin(F.broadcast(stats))
+        .select("l_returnflag", "n_rows", "revenue", "fpr_ok")
+        .orderBy("l_returnflag")
+    )

@@ -1,0 +1,141 @@
+"""Bloom-filter join pruning — the canonical 100 TB shuffle-avoidance
+technique, completing the sketch family (CMS q121/q123, KMV q106, t-digest
+q126, GK/HLL q57): build a compact bit-set over the SMALL side's join keys,
+broadcast it, and filter the BIG side map-side before any shuffle or exact
+join. Blooms have no false negatives, so `prune → exact join` returns
+EXACTLY the plain join's rows — the pruning is a pure physical optimization
+the gate (q129) can hash against a plain SQL join oracle.
+
+Spark-first shape (zero UDFs, zero driver state, zero big-side shuffle):
+
+- **build**: each key explodes to ``num_hashes`` bit positions
+  (``pmod(xxhash64(seed_i, key), num_bits)``), positions aggregate to
+  64-bit words (``bit_or`` of ``1 << pos%64``), and the words fold into a
+  SINGLE ROW holding a ``map<int, bigint>`` of nonzero words — at most
+  ``num_bits/64`` entries (128 KiB of map for a 1M-bit filter), the whole
+  point of a Bloom filter. The build is one aggregation of the SMALL side.
+- **probe**: the one-row filter cross-joins (broadcast — one row) onto the
+  big side, and membership is a fused boolean expression: AND over the
+  ``num_hashes`` unrolled ``coalesce(map[pos/64], 0) & (1 << pos%64) ≠ 0``
+  checks — whole-stage-codegen'd JVM arithmetic per row, no explode, no
+  groupBy, no shuffle. At 1000 executors the filter rides the broadcast
+  and the big scan never moves.
+
+NULL keys: ``xxhash64(NULL, seed)`` returns the SEED (not NULL — probed
+empirically on Spark 4.1), so nulls are handled explicitly — excluded at
+build and failed at probe, matching SQL join/semi-join semantics where
+NULL never matches (pytest-pinned).
+
+Spark itself applies runtime bloom pruning inside some shuffle joins
+(``spark.sql.optimizer.runtime.bloomFilter.enabled``); this operator makes
+the technique available as an EXPLICIT, composable step — prune early
+behind other operators (e.g. before an expensive normalize), persist the
+one-row filter, or ship it across pipeline stages — none of which the
+optimizer's internal variant can do.
+
+Sizing: false-positive rate ≈ (1 − e^(−k·n/m))^k for n keys, m bits,
+k hashes; the classic optimum is k = (m/n)·ln2. ``bloom_fpr_bound`` gives
+the formula so callers (and the q129 gate) can assert observed FPR.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+BLOOM_SCHEMA = "words map<int,bigint>, num_bits int, num_hashes int"
+
+
+def _one_shl(bits: Column) -> Column:
+    """``CAST(1 AS BIGINT) << bits`` with a COLUMN shift amount — the
+    catalyst ShiftLeft expression accepts one, but PySpark's ``shiftleft``
+    wrapper artificially requires a Python int, so go through
+    call_function."""
+    return F.call_function("shiftleft", F.lit(1).cast("bigint"), bits.cast("int"))
+
+
+def bloom_build(df: DataFrame, key_col: str, num_bits: int, num_hashes: int) -> DataFrame:
+    """ONE-ROW Bloom filter over ``df[key_col]``'s non-null values:
+    (words: map<word_index, 64-bit word>, num_bits, num_hashes). The only
+    wide work is one groupBy over ≤ num_bits/64 word indexes — small-side
+    sized, independent of the big side entirely."""
+    if num_bits % 64 != 0:
+        raise ValueError(f"num_bits must be a multiple of 64, got {num_bits}")
+    if not (1 <= num_hashes <= 16):
+        raise ValueError(f"num_hashes must be in [1, 16], got {num_hashes}")
+    key = F.col(key_col)
+    pos = F.explode(
+        F.array(
+            *[
+                F.pmod(F.xxhash64(F.lit(i), key), F.lit(num_bits))
+                for i in range(num_hashes)
+            ]
+        )
+    ).alias("pos")
+    words = (
+        df.filter(key.isNotNull())  # NULL never matches a join — keep it out
+        .select(pos)
+        .groupBy((F.col("pos") / 64).cast("int").alias("w"))
+        .agg(
+            # bit_or of single-bit words: shift a BIGINT one so positions
+            # ≥ 31 do not overflow int arithmetic
+            F.bit_or(_one_shl(F.col("pos") % 64)).alias("bits")
+        )
+    )
+    return words.agg(
+        F.map_from_entries(F.collect_list(F.struct("w", "bits"))).alias("words")
+    ).select(
+        "words",
+        F.lit(num_bits).alias("num_bits"),
+        F.lit(num_hashes).alias("num_hashes"),
+    )
+
+
+def bloom_might_contain(key: Column, words: Column, num_bits: int, num_hashes: int) -> Column:
+    """Membership expression: AND over the unrolled per-hash bit tests.
+    Pure JVM arithmetic (codegen), no UDF; NULL keys are False (SQL join
+    semantics — xxhash64 would otherwise hash NULL to the seed)."""
+    test = None
+    for i in range(num_hashes):
+        pos = F.pmod(F.xxhash64(F.lit(i), key), F.lit(num_bits))
+        word = F.coalesce(
+            F.element_at(words, (pos / 64).cast("int")), F.lit(0).cast("bigint")
+        )
+        bit = word.bitwiseAND(_one_shl(pos % 64))
+        check = bit != 0
+        test = check if test is None else (test & check)
+    return key.isNotNull() & test
+
+
+def bloom_prune(big: DataFrame, key_col: str, bloom: DataFrame) -> DataFrame:
+    """Filter ``big`` to rows whose key might be in the filter: broadcast
+    the ONE-ROW bloom, cross join, test per row, drop the filter columns.
+    The plan is scan → broadcast nested loop (1 row) → codegen'd filter —
+    the big side never shuffles, which is the entire point."""
+    b = bloom.select(
+        F.col("words").alias("__bloom_words"),
+        F.col("num_bits").alias("__bloom_bits"),
+        F.col("num_hashes").alias("__bloom_hashes"),
+    )
+    row = b.first()  # 1-row metadata read: num_bits/num_hashes shape the expr
+    if row is None:
+        raise ValueError("bloom_prune: empty bloom relation (build produced no row)")
+    pruned = big.crossJoin(F.broadcast(b)).filter(
+        bloom_might_contain(
+            F.col(key_col),
+            F.col("__bloom_words"),
+            row["__bloom_bits"],
+            row["__bloom_hashes"],
+        )
+    )
+    return pruned.drop("__bloom_words", "__bloom_bits", "__bloom_hashes")
+
+
+def bloom_fpr_bound(n_keys: int, num_bits: int, num_hashes: int) -> float:
+    """Expected false-positive rate (1 − e^(−k·n/m))^k — the standard
+    Bloom bound, used by q129's observed-FPR boolean."""
+    if n_keys <= 0:
+        return 0.0
+    return (1.0 - math.exp(-num_hashes * n_keys / float(num_bits))) ** num_hashes

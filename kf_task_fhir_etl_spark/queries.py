@@ -418,11 +418,13 @@ _CHECK_FIRST = [
     "q121_count_min_sketch",
     "q123_cms_heavy_hitters",
     # NEW gates this round (label propagation / t-digest / compaction /
-    # streaming CDC apply — VERDICT r05 #6, each landing WITH its gate)
+    # streaming CDC apply — VERDICT r05 #6, each landing WITH its gate —
+    # plus Bloom join pruning, the sketch family's join-pruning member)
     "q125_label_propagation",
     "q126_tdigest_quantiles",
     "q127_compact_small_files",
     "q128_streaming_cdc_apply",
+    "q129_bloom_join_pruning",
     # changed-code re-prove: rollup_sink now delegates to the extracted
     # streaming/versioned_store.py (the commit layout q128 shares)
     "q70_incremental_rollup",
@@ -438,11 +440,16 @@ _CHECK_FIRST = [
     "q102_pagerank",
     "q106_kmv_distinct",
     "q108_grouping_sets",
-    "q110_importance_sample",
     "q111_budget_select",
 ]
 _CHECK_LAST = [
     # -- deferred r03-vintage re-proves (untouched code; window full) -------
+    # q110 displaced late in r06 by the NEW q129 gate (new/changed code
+    # always outranks an untouched-code re-prove): sampling.py is
+    # machine-checked untouched since its r04 hardening, the family's other
+    # five gates (q60/q61/q62/q69/q116) are green r05, and q111 — the same
+    # module — re-proves in THIS window. q110's direct re-prove leads r07.
+    "q110_importance_sample",
     # q03: normalize itself is exercised by every in-window FHIR gate (each
     # runs the transform cascade's normalize; q23 in-window covers the
     # identical stringify+dedupe surface); rotates in next round.

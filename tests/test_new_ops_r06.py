@@ -278,3 +278,78 @@ def test_partition_values_decodes_hive_escapes_and_null_sentinel():
     assert compaction.partition_values("k=50%ZZ") == {"k": "50%ZZ"}
     # round-trip against Spark's own writer escaping is pinned implicitly
     # by q127 (single-level, unescaped values) — this covers the decode law
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter join pruning (operators/bloom.py, q129)
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_no_false_negatives_and_bounded_fpr(spark):
+    """The Bloom contract: every member passes (prune → exact join ≡ plain
+    join), and false positives stay near the analytic bound."""
+    from kf_task_fhir_etl_spark.operators import bloom
+
+    small = spark.range(0, 400).select((F.col("id") * 13 + 5).alias("k"))
+    big = spark.range(0, 30000).select(F.col("id").alias("k"))
+    bl = bloom.bloom_build(small, "k", num_bits=64 * 256, num_hashes=7)
+    pruned = bloom.bloom_prune(big, "k", bl)
+    exact = big.join(small, "k", "leftsemi")
+    assert exact.join(pruned, "k", "left_anti").count() == 0  # no false negatives
+    n_members = exact.count()
+    fp = pruned.count() - n_members
+    bound = bloom.bloom_fpr_bound(400, 64 * 256, 7)
+    # generous ×5 over the analytic rate (double-hashing isn't perfectly
+    # independent); an all-pass regression produces ~30k-400 ≫ this
+    assert fp <= max(5 * bound * 30000, 25), (fp, bound)
+
+
+def test_bloom_null_keys_excluded_both_sides(spark):
+    """xxhash64(NULL, seed) returns the SEED, not NULL — so nulls must be
+    explicitly excluded at build and failed at probe (SQL join semantics:
+    NULL never matches)."""
+    from kf_task_fhir_etl_spark.operators import bloom
+
+    small = spark.createDataFrame([(None,), (7,)], "k bigint")
+    bl = bloom.bloom_build(small, "k", num_bits=64 * 4, num_hashes=3)
+    probe = spark.createDataFrame([(None,), (7,), (8,)], "k bigint")
+    got = sorted(r["k"] for r in bloom.bloom_prune(probe, "k", bl).collect() if True)
+    assert None not in got and 7 in got
+
+
+def test_bloom_prune_plan_is_broadcast_no_big_shuffle(spark):
+    """The scale property: the big side's plan is scan → broadcast(1-row
+    filter) → codegen'd filter — NO Exchange on the probe side."""
+    from kf_task_fhir_etl_spark.operators import bloom
+
+    small = spark.range(0, 100).select(F.col("id").alias("k"))
+    big = spark.range(0, 5000).select(F.col("id").alias("k"))
+    bl = bloom.bloom_build(small, "k", num_bits=64 * 16, num_hashes=4)
+    plan = bloom.bloom_prune(big, "k", bl)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+    # the probe side of the final plan must carry no shuffle: the only
+    # exchanges belong to the (small) build aggregation under the broadcast
+    probe_side = plan.split("BroadcastNestedLoopJoin")[0]
+    assert "Exchange" not in probe_side, probe_side
+
+
+def test_bloom_rejects_bad_parameters(spark):
+    from kf_task_fhir_etl_spark.operators import bloom
+
+    df = spark.range(3).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError, match="multiple of 64"):
+        bloom.bloom_build(df, "k", num_bits=100, num_hashes=3)
+    with pytest.raises(ValueError, match="num_hashes"):
+        bloom.bloom_build(df, "k", num_bits=64, num_hashes=0)
+
+
+def test_bloom_string_keys(spark):
+    """Key type is whatever xxhash64 accepts — strings included (the
+    documents/url dedup shape)."""
+    from kf_task_fhir_etl_spark.operators import bloom
+
+    small = spark.createDataFrame([("a",), ("b",)], "k string")
+    probe = spark.createDataFrame([("a",), ("b",), ("zz",), ("yy",)], "k string")
+    bl = bloom.bloom_build(small, "k", num_bits=64 * 8, num_hashes=5)
+    got = {r["k"] for r in bloom.bloom_prune(probe, "k", bl).collect()}
+    assert {"a", "b"} <= got  # no false negatives; zz/yy may or may not pass
