@@ -2290,3 +2290,97 @@ def q129_bloom_join_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_returnflag", "n_rows", "revenue", "fpr_ok")
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# q130 — Z-order clustering (multi-dimensional data skipping; layout family:
+# q95 bucketing, q119 partition pruning, q127 compaction)
+# ---------------------------------------------------------------------------
+
+# the 8-bit Morton interleave, written once for both engines: Spark builds
+# the same expression via zorder.z_value; the oracle inlines this literal
+# SQL arithmetic so z-values hash-check cross-engine
+_Z_TERMS_SQL = " | ".join(
+    f"(((qa >> {i}) & 1) << {2 * i}) | (((qb >> {i}) & 1) << {2 * i + 1})"
+    for i in range(8)
+)
+
+
+@register(
+    "q130_zorder_clustering",
+    oracle=f"""
+    SELECT event_id,
+           {_Z_TERMS_SQL} AS z,
+           TRUE AS zorder_skips, TRUE AS beats_random
+    FROM (SELECT event_id,
+                 user_id % 16 AS qa,
+                 CAST(LEAST(GREATEST(FLOOR(value / 500.0 * 256), 0), 255) AS BIGINT) AS qb
+          FROM events)
+    WHERE event_id % 97 = 0
+    ORDER BY event_id
+    """,
+)
+def q130_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering (operators/zorder.py): events quantized on
+    (user_id % 16, value→8-bit fixed range), Morton-interleaved, and
+    range-partitioned into 24 files so each file carries a tight per-dim
+    min/max envelope — the Delta OPTIMIZE ZORDER technique as plain Spark.
+    Two-part gate: (1) EXACT cross-engine z-values for a deterministic row
+    sample — the oracle recomputes the identical shift/mask interleave in
+    SQL, so any drift in quantization or bit placement fails the hash;
+    (2) the skipping property MEASURED each run: per-file envelopes (one
+    metadata-sized aggregation) drive min/max pruning for a box query
+    (half the user buckets × values 100-200, populated at every sf), and
+    the booleans pin that the z-layout reads ≤ half its files AND strictly
+    fewer than a same-file-count random layout (which a box query touches
+    ~completely — measured 2/16 vs 16/16 on synthetic 2-D data). Layouts
+    stage build-once behind catalog.staged_layout (q119/q127 discipline);
+    run 1 pays the two writes, repeats re-measure from listings. At scale
+    the write is one range exchange (RangePartitioner samples the
+    z-distribution) — the same cost as any global sort-write, bought once
+    per maintenance cycle."""
+    import os as _os
+
+    from kf_task_fhir_etl_spark.catalog import staged_layout
+    from kf_task_fhir_etl_spark.operators import zorder
+
+    ev = load_table(spark, sf_dir, "events")
+    qa = (F.col("user_id") % 16).cast("bigint")
+    qb = zorder.quantize_fixed(F.col("value"), 0.0, 500.0, 8)
+    zcol = zorder.z_value([qa, qb], bits=8)
+    n_files = 24
+
+    def build(tmp: str) -> None:
+        src = ev.select("event_id", qa.alias("qa"), qb.alias("qb"))
+        zorder.zorder_write(src, _os.path.join(tmp, "zo"), zorder.z_value(
+            [F.col("qa"), F.col("qb")], bits=8
+        ), n_files)
+        # comparison layout: same file count, insertion order (the shape an
+        # unclustered ingest produces)
+        src.repartition(n_files).write.parquet(_os.path.join(tmp, "rand"))
+
+    base = staged_layout("zorder_events", sf_dir, ["events"], build)
+    box = {"qa": (4, 11), "qb": (51, 102)}  # user buckets 4-11 × value 100-200
+    hits = {}
+    for name in ("zo", "rand"):
+        env = zorder.file_envelopes(spark, _os.path.join(base, name), ["qa", "qb"])
+        hits[name] = zorder.box_query_file_hits(env, box)
+    flags = (
+        hits["zo"]
+        .select(F.col("n_files").alias("nf_z"), F.col("n_hit").alias("hit_z"))
+        .crossJoin(
+            hits["rand"].select(F.col("n_hit").alias("hit_r"))
+        )
+        .select(
+            (F.col("hit_z") <= F.col("nf_z") / 2).alias("zorder_skips"),
+            (F.col("hit_z") < F.col("hit_r")).alias("beats_random"),
+        )
+    )
+    sample = ev.filter(F.col("event_id") % 97 == 0).select(
+        "event_id", zcol.alias("z")
+    )
+    return (
+        sample.crossJoin(F.broadcast(flags))
+        .select("event_id", "z", "zorder_skips", "beats_random")
+        .orderBy("event_id")
+    )

@@ -425,6 +425,7 @@ _CHECK_FIRST = [
     "q127_compact_small_files",
     "q128_streaming_cdc_apply",
     "q129_bloom_join_pruning",
+    "q130_zorder_clustering",
     # changed-code re-prove: rollup_sink now delegates to the extracted
     # streaming/versioned_store.py (the commit layout q128 shares)
     "q70_incremental_rollup",
@@ -440,16 +441,16 @@ _CHECK_FIRST = [
     "q102_pagerank",
     "q106_kmv_distinct",
     "q108_grouping_sets",
-    "q111_budget_select",
 ]
 _CHECK_LAST = [
     # -- deferred r03-vintage re-proves (untouched code; window full) -------
-    # q110 displaced late in r06 by the NEW q129 gate (new/changed code
-    # always outranks an untouched-code re-prove): sampling.py is
-    # machine-checked untouched since its r04 hardening, the family's other
-    # five gates (q60/q61/q62/q69/q116) are green r05, and q111 — the same
-    # module — re-proves in THIS window. q110's direct re-prove leads r07.
+    # q110/q111 displaced late in r06 by the NEW q129/q130 gates (new/
+    # changed code always outranks an untouched-code re-prove): sampling.py
+    # is machine-checked untouched since its r04 hardening and the family's
+    # other five gates (q60/q61/q62/q69/q116) are green r05. Their direct
+    # re-proves lead r07 with the other r03-vintage leftovers.
     "q110_importance_sample",
+    "q111_budget_select",
     # q03: normalize itself is exercised by every in-window FHIR gate (each
     # runs the transform cascade's normalize; q23 in-window covers the
     # identical stringify+dedupe surface); rotates in next round.

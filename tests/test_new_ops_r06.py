@@ -353,3 +353,79 @@ def test_bloom_string_keys(spark):
     bl = bloom.bloom_build(small, "k", num_bits=64 * 8, num_hashes=5)
     got = {r["k"] for r in bloom.bloom_prune(probe, "k", bl).collect()}
     assert {"a", "b"} <= got  # no false negatives; zz/yy may or may not pass
+
+
+# ---------------------------------------------------------------------------
+# Z-order clustering (operators/zorder.py, q130)
+# ---------------------------------------------------------------------------
+
+
+def test_zorder_interleave_is_morton(spark):
+    """Bit-exact Morton property on known values: z(1,0)=1, z(0,1)=2,
+    z(3,3)=15, z(2^k a', 0) places bits at even positions."""
+    from kf_task_fhir_etl_spark.operators import zorder
+
+    df = spark.createDataFrame(
+        [(0, 0), (1, 0), (0, 1), (3, 3), (255, 0), (0, 255)], "a bigint, b bigint"
+    )
+    z = {
+        (r["a"], r["b"]): r["z"]
+        for r in df.select(
+            "a", "b", zorder.z_value([F.col("a"), F.col("b")], bits=8).alias("z")
+        ).collect()
+    }
+    assert z[(0, 0)] == 0 and z[(1, 0)] == 1 and z[(0, 1)] == 2 and z[(3, 3)] == 15
+    assert z[(255, 0)] == 0b0101010101010101
+    assert z[(0, 255)] == 0b1010101010101010
+
+
+def test_zorder_rejects_overflow_and_empty(spark):
+    from kf_task_fhir_etl_spark.operators import zorder
+
+    with pytest.raises(ValueError, match="at least one"):
+        zorder.z_value([], bits=8)
+    with pytest.raises(ValueError, match="64-bit"):
+        zorder.z_value([F.col("a"), F.col("b")], bits=32)
+    with pytest.raises(ValueError, match="empty range"):
+        zorder.quantize_fixed(F.col("a"), 5.0, 5.0, 8)
+
+
+def test_quantize_fixed_clamps_and_keeps_null(spark):
+    from kf_task_fhir_etl_spark.operators import zorder
+
+    df = spark.createDataFrame(
+        [(-10.0,), (0.0,), (250.0,), (499.99,), (1000.0,), (None,)], "v double"
+    )
+    got = [
+        r["q"]
+        for r in df.select(zorder.quantize_fixed(F.col("v"), 0.0, 500.0, 8).alias("q")).collect()
+    ]
+    assert got == [0, 0, 128, 255, 255, None]
+
+
+def test_zorder_layout_skips_box_queries(spark, tmp_path):
+    """The measured property: a box query under min/max pruning touches
+    FEW files of a z-ordered layout and ~all files of a random layout of
+    the same file count."""
+    import os
+
+    from kf_task_fhir_etl_spark.operators import zorder
+
+    src = spark.range(0, 40000).select(
+        (F.col("id") % 251).alias("qa"), ((F.col("id") * 31) % 256).alias("qb")
+    )
+    zorder.zorder_write(
+        src, str(tmp_path / "zo"), zorder.z_value([F.col("qa"), F.col("qb")], 8), 16
+    )
+    src.repartition(16).write.parquet(str(tmp_path / "rand"))
+    box = {"qa": (100, 140), "qb": (60, 120)}
+    hz = zorder.box_query_file_hits(
+        zorder.file_envelopes(spark, str(tmp_path / "zo"), ["qa", "qb"]), box
+    ).collect()[0]
+    hr = zorder.box_query_file_hits(
+        zorder.file_envelopes(spark, str(tmp_path / "rand"), ["qa", "qb"]), box
+    ).collect()[0]
+    assert hz["n_files"] == 16 and hr["n_files"] == 16
+    assert hz["n_hit"] <= 8  # tight envelopes
+    assert hr["n_hit"] == 16  # every random file intersects the box
+    assert hz["n_hit"] < hr["n_hit"]
