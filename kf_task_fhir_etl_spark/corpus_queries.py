@@ -2314,7 +2314,13 @@ _Z_TERMS_SQL = " | ".join(
            TRUE AS zorder_skips, TRUE AS beats_random
     FROM (SELECT event_id,
                  user_id % 16 AS qa,
-                 CAST(LEAST(GREATEST(FLOOR(value / 500.0 * 256), 0), 255) AS BIGINT) AS qb
+                 -- explicit NULL passthrough mirrors quantize_fixed:
+                 -- GREATEST/LEAST ignore NULLs in DuckDB too, so without
+                 -- the CASE a NULL value would quantize to bucket 0 here
+                 -- while Spark keeps z NULL (r06 review)
+                 CASE WHEN value IS NULL THEN NULL
+                      ELSE CAST(LEAST(GREATEST(FLOOR(value / 500.0 * 256), 0), 255) AS BIGINT)
+                 END AS qb
           FROM events)
     WHERE event_id % 97 = 0
     ORDER BY event_id
@@ -2359,7 +2365,12 @@ def q130_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         # unclustered ingest produces)
         src.repartition(n_files).write.parquet(_os.path.join(tmp, "rand"))
 
-    base = staged_layout("zorder_events", sf_dir, ["events"], build)
+    # the writer's PARAMETERS are part of the staging key (r06 review: the
+    # fingerprint covers only the SOURCE, so a write-path change — file
+    # count, quantization bits, or a zorder_write strategy regression —
+    # would silently keep measuring the previously staged good layout);
+    # bump the suffix when the write path changes materially
+    base = staged_layout(f"zorder_events_{n_files}f_8b_v1", sf_dir, ["events"], build)
     box = {"qa": (4, 11), "qb": (51, 102)}  # user buckets 4-11 × value 100-200
     hits = {}
     for name in ("zo", "rand"):

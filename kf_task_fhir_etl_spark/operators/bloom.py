@@ -45,7 +45,30 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-BLOOM_SCHEMA = "words map<int,bigint>, num_bits int, num_hashes int"
+BLOOM_SCHEMA = "words map<int,bigint>, num_bits int, num_hashes int, key_kind string"
+
+
+def _key_kind(dtype: str) -> str:
+    """Hash-compatibility class of a key dtype. xxhash64 hashes the SAME
+    VALUE differently per physical type (int 7 ≠ bigint 7 — verified), so
+    build and probe must normalize to one physical type per class or a
+    type mismatch silently yields 100% false negatives (r06 review: a
+    plain join would have implicitly cast and matched)."""
+    if dtype in ("tinyint", "smallint", "int", "bigint"):
+        return "integral"
+    if dtype in ("float", "double"):
+        return "fractional"
+    return dtype  # strings, dates, binary … — must match exactly
+
+
+def _canonical_key(col: Column, kind: str) -> Column:
+    """One physical type per hash class: integral → bigint, fractional →
+    double, everything else as-is."""
+    if kind == "integral":
+        return col.cast("bigint")
+    if kind == "fractional":
+        return col.cast("double")
+    return col
 
 
 def _one_shl(bits: Column) -> Column:
@@ -65,7 +88,8 @@ def bloom_build(df: DataFrame, key_col: str, num_bits: int, num_hashes: int) -> 
         raise ValueError(f"num_bits must be a multiple of 64, got {num_bits}")
     if not (1 <= num_hashes <= 16):
         raise ValueError(f"num_hashes must be in [1, 16], got {num_hashes}")
-    key = F.col(key_col)
+    kind = _key_kind(dict(df.dtypes)[key_col])
+    key = _canonical_key(F.col(key_col), kind)
     pos = F.explode(
         F.array(
             *[
@@ -90,6 +114,7 @@ def bloom_build(df: DataFrame, key_col: str, num_bits: int, num_hashes: int) -> 
         "words",
         F.lit(num_bits).alias("num_bits"),
         F.lit(num_hashes).alias("num_hashes"),
+        F.lit(kind).alias("key_kind"),
     )
 
 
@@ -113,24 +138,41 @@ def bloom_prune(big: DataFrame, key_col: str, bloom: DataFrame) -> DataFrame:
     """Filter ``big`` to rows whose key might be in the filter: broadcast
     the ONE-ROW bloom, cross join, test per row, drop the filter columns.
     The plan is scan → broadcast nested loop (1 row) → codegen'd filter —
-    the big side never shuffles, which is the entire point."""
+    the big side never shuffles, which is the entire point.
+
+    The bloom relation is eagerly ``localCheckpoint``ed here: its shape
+    (num_bits/num_hashes/key_kind) must be read to build the membership
+    expression anyway, and without the checkpoint every downstream action
+    on the pruned frame would re-run the whole build aggregation (q129
+    consumes the pruned frame four ways — r06 review). One small-side
+    build execution total; release with ``etl.release_checkpoints`` when
+    the filter retires."""
     b = bloom.select(
         F.col("words").alias("__bloom_words"),
         F.col("num_bits").alias("__bloom_bits"),
         F.col("num_hashes").alias("__bloom_hashes"),
-    )
-    row = b.first()  # 1-row metadata read: num_bits/num_hashes shape the expr
+        F.col("key_kind").alias("__bloom_kind"),
+    ).localCheckpoint(eager=True)
+    row = b.first()  # reads the checkpoint, not a fresh build execution
     if row is None:
         raise ValueError("bloom_prune: empty bloom relation (build produced no row)")
+    probe_kind = _key_kind(dict(big.dtypes)[key_col])
+    if probe_kind != row["__bloom_kind"]:
+        raise ValueError(
+            f"bloom_prune: probe key {key_col!r} is {probe_kind}, filter was "
+            f"built over {row['__bloom_kind']} keys — xxhash64 is type-"
+            "sensitive, so this would silently drop every matching row; "
+            "cast one side"
+        )
     pruned = big.crossJoin(F.broadcast(b)).filter(
         bloom_might_contain(
-            F.col(key_col),
+            _canonical_key(F.col(key_col), probe_kind),
             F.col("__bloom_words"),
             row["__bloom_bits"],
             row["__bloom_hashes"],
         )
     )
-    return pruned.drop("__bloom_words", "__bloom_bits", "__bloom_hashes")
+    return pruned.drop("__bloom_words", "__bloom_bits", "__bloom_hashes", "__bloom_kind")
 
 
 def bloom_fpr_bound(n_keys: int, num_bits: int, num_hashes: int) -> float:

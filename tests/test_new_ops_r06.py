@@ -327,10 +327,36 @@ def test_bloom_prune_plan_is_broadcast_no_big_shuffle(spark):
     bl = bloom.bloom_build(small, "k", num_bits=64 * 16, num_hashes=4)
     plan = bloom.bloom_prune(big, "k", bl)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan
-    # the probe side of the final plan must carry no shuffle: the only
-    # exchanges belong to the (small) build aggregation under the broadcast
-    probe_side = plan.split("BroadcastNestedLoopJoin")[0]
+    # the probe side must carry no shuffle. Tree printing is root-first:
+    # the region BEFORE the join line is its ANCESTORS (asserting on it is
+    # vacuous — r06 review caught exactly that); the probe child prints
+    # BETWEEN the join line and the BroadcastExchange subtree (BuildRight).
+    after_join = plan.split("BroadcastNestedLoopJoin", 1)[1]
+    probe_side = after_join.split("BroadcastExchange", 1)[0]
     assert "Exchange" not in probe_side, probe_side
+    # and the assertion itself must have teeth: an injected probe-side
+    # shuffle lands in that region
+    shuffled = bloom.bloom_prune(big.repartition(7), "k", bl)
+    plan2 = shuffled._jdf.queryExecution().executedPlan().toString()
+    region = plan2.split("BroadcastNestedLoopJoin", 1)[1].split("BroadcastExchange", 1)[0]
+    assert "Exchange" in region, region
+
+
+def test_bloom_rejects_cross_type_probe_and_canonicalizes_widths(spark):
+    """xxhash64 hashes int 7 and bigint 7 DIFFERENTLY — an unnormalized
+    type mismatch silently prunes every matching row (r06 review). Same-
+    class widths normalize (int build, bigint probe works); cross-class
+    raises loudly."""
+    from kf_task_fhir_etl_spark.operators import bloom
+
+    small_int = spark.createDataFrame([(7,), (9,)], "k int")
+    bl = bloom.bloom_build(small_int, "k", num_bits=64 * 4, num_hashes=3)
+    probe_big = spark.createDataFrame([(7,), (9,), (100,)], "k bigint")
+    got = {r["k"] for r in bloom.bloom_prune(probe_big, "k", bl).collect()}
+    assert {7, 9} <= got  # widths canonicalized → no false negatives
+    probe_str = spark.createDataFrame([("7",)], "k string")
+    with pytest.raises(ValueError, match="type"):
+        bloom.bloom_prune(probe_str, "k", bl)
 
 
 def test_bloom_rejects_bad_parameters(spark):
