@@ -2259,11 +2259,27 @@ def q129_bloom_join_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     # false-positive accounting: pruned rows that the exact join discards.
     # Both counts are one-row aggregates; the band is generous (see
     # docstring) so only a broken filter can flip it.
-    n_pruned = pruned.agg(F.count(F.lit(1)).alias("n_pruned"))
     joined = pruned.join(F.broadcast(keys), pruned["l_orderkey"] == keys["o_orderkey"])
+    grouped = joined.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        # DECIMAL accumulation: a double SUM is partition-order dependent
+        # and flips the 2dp rounding vs the sequential oracle at sf0.1 row
+        # counts (measured); per-row products cast to DECIMAL(18,4) sum
+        # exactly and associatively in both engines
+        F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)"))
+        .cast("double")
+        .alias("revenue"),
+    ).localCheckpoint(eager=False)  # 3-row result shared by two consumers
+    # n_matched derives from the (checkpointed, 3-row) grouped result
+    # (Σ n_rows) instead of a second full scan+join of the pruned frame —
+    # Catalyst does not dedupe repeated DataFrame subplans, so the naive
+    # three-consumer form ran the bloom-filtered scan three times per
+    # action (r06 review); now it runs twice (grouped + n_pruned, which
+    # genuinely needs the pre-join frame)
+    n_pruned = pruned.agg(F.count(F.lit(1)).alias("n_pruned"))
     n_big = li.agg(F.count(F.lit(1)).alias("n_big"))
     stats = (
-        joined.agg(F.count(F.lit(1)).alias("n_matched"))
+        grouped.agg(F.sum("n_rows").alias("n_matched"))
         .crossJoin(n_pruned)
         .crossJoin(n_big)
         .select(
@@ -2274,19 +2290,7 @@ def q129_bloom_join_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        joined.groupBy("l_returnflag")
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            # DECIMAL accumulation: a double SUM is partition-order
-            # dependent and flips the 2dp rounding vs the sequential
-            # oracle at sf0.1 row counts (measured); per-row products cast
-            # to DECIMAL(18,4) sum exactly and associatively in both
-            # engines
-            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)"))
-            .cast("double")
-            .alias("revenue"),
-        )
-        .crossJoin(F.broadcast(stats))
+        grouped.crossJoin(F.broadcast(stats))
         .select("l_returnflag", "n_rows", "revenue", "fpr_ok")
         .orderBy("l_returnflag")
     )
@@ -2314,11 +2318,11 @@ _Z_TERMS_SQL = " | ".join(
            TRUE AS zorder_skips, TRUE AS beats_random
     FROM (SELECT event_id,
                  user_id % 16 AS qa,
-                 -- explicit NULL passthrough mirrors quantize_fixed:
-                 -- GREATEST/LEAST ignore NULLs in DuckDB too, so without
-                 -- the CASE a NULL value would quantize to bucket 0 here
-                 -- while Spark keeps z NULL (r06 review)
-                 CASE WHEN value IS NULL THEN NULL
+                 -- explicit NULL/NaN passthrough mirrors quantize_fixed:
+                 -- GREATEST/LEAST ignore NULLs in DuckDB too, and the
+                 -- engines DISAGREE on NaN (Spark floor->0, DuckDB sorts
+                 -- NaN greatest->255), so both map to NULL z (r06 review)
+                 CASE WHEN value IS NULL OR isnan(value) THEN NULL
                       ELSE CAST(LEAST(GREATEST(FLOOR(value / 500.0 * 256), 0), 255) AS BIGINT)
                  END AS qb
           FROM events)

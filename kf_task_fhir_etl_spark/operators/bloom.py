@@ -45,9 +45,6 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-BLOOM_SCHEMA = "words map<int,bigint>, num_bits int, num_hashes int, key_kind string"
-
-
 def _key_kind(dtype: str) -> str:
     """Hash-compatibility class of a key dtype. xxhash64 hashes the SAME
     VALUE differently per physical type (int 7 ≠ bigint 7 — verified), so
@@ -84,8 +81,8 @@ def bloom_build(df: DataFrame, key_col: str, num_bits: int, num_hashes: int) -> 
     (words: map<word_index, 64-bit word>, num_bits, num_hashes). The only
     wide work is one groupBy over ≤ num_bits/64 word indexes — small-side
     sized, independent of the big side entirely."""
-    if num_bits % 64 != 0:
-        raise ValueError(f"num_bits must be a multiple of 64, got {num_bits}")
+    if num_bits <= 0 or num_bits % 64 != 0:
+        raise ValueError(f"num_bits must be a positive multiple of 64, got {num_bits}")
     if not (1 <= num_hashes <= 16):
         raise ValueError(f"num_hashes must be in [1, 16], got {num_hashes}")
     kind = _key_kind(dict(df.dtypes)[key_col])

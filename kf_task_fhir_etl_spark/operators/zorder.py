@@ -53,10 +53,12 @@ def quantize_fixed(col: Column, lo: float, hi: float, bits: int) -> Column:
     n = (1 << bits) - 1
     scaled = F.floor((col - F.lit(lo)) / F.lit(float(hi - lo)) * F.lit(n + 1))
     clamped = F.least(F.greatest(scaled, F.lit(0)), F.lit(n)).cast("bigint")
-    # explicit NULL passthrough: Spark's greatest/least IGNORE nulls
-    # (greatest(NULL, 0) = 0), which would silently quantize an unknown
-    # dimension to bucket 0 instead of keeping it undefined (pytest-pinned)
-    return F.when(col.isNull(), F.lit(None).cast("bigint")).otherwise(clamped)
+    # explicit NULL **and NaN** passthrough: Spark's greatest/least IGNORE
+    # nulls (greatest(NULL, 0) = 0) and the engines disagree on NaN (Spark
+    # floor→0, DuckDB sorts NaN greatest→255 — measured), so both quantize
+    # to NULL z instead of silently landing in a real bucket (pytest-pinned)
+    undefined = col.isNull() | F.isnan(col.cast("double"))
+    return F.when(undefined, F.lit(None).cast("bigint")).otherwise(clamped)
 
 
 def z_value(cols: list[Column], bits: int = 16) -> Column:
@@ -73,7 +75,9 @@ def z_value(cols: list[Column], bits: int = 16) -> Column:
     for i in range(bits):
         for j, c in enumerate(cols):
             bit = F.shiftright(c.cast("bigint"), i).bitwiseAND(F.lit(1).cast("bigint"))
-            z = z.bitwiseOR(F.call_function("shiftleft", bit, F.lit(i * ncols + j)))
+            # plain shiftleft: the shift amount is a Python int here (the
+            # call_function detour is only for COLUMN shift amounts)
+            z = z.bitwiseOR(F.shiftleft(bit, i * ncols + j))
     return z
 
 
