@@ -2218,24 +2218,31 @@ def q128_streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q129_bloom_join_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter join pruning (operators/bloom.py): build a one-row
     relational Bloom filter over the urgent orders' keys, broadcast it, and
-    prune lineitem MAP-SIDE (codegen'd bit tests, zero big-side shuffle —
-    the gate RAISES if the pruned plan loses its BroadcastNestedLoopJoin-
-    over-one-row shape, the q95/q119 plan-assert discipline) before the
-    exact join. Blooms have no false negatives, so prune → exact join
-    returns EXACTLY the plain join's rows: the oracle is the plain SQL
-    join, value-hashed — a silently broken filter (wrong seed, dropped
-    word, bad bit test) loses rows and fails the hash. ``fpr_ok`` pins the
-    other failure direction: the number of false-positive rows surviving
-    the prune must stay under max(1% of lineitem, 100) — the filter is
-    SIZED FROM THE DATA at 16 bits/key (k=7 hashes → FPR ≈ 7e-4, ~15× under
-    the band; a fixed size flipped the boolean at sf0.1, where 30k urgent
-    keys drowned a 64 Kbit filter at FPR ≈ 0.75 — sizing is part of the
-    operator's contract, so the gate exercises it), while an all-pass
-    regression (a membership expr collapsing to TRUE) flips it instantly.
-    The one count() this costs runs on the DIM side — the standard price
-    of sizing any broadcast structure. At 1000 executors the word map
-    (16n bits ≈ 60 KiB at sf0.1) rides the broadcast; lineitem never
-    moves."""
+    prune lineitem MAP-SIDE (codegen'd O(1) dense-array bit tests, zero
+    big-side shuffle — the gate RAISES if the pruned plan loses its
+    BroadcastNestedLoopJoin-over-one-row shape, the q95/q119 plan-assert
+    discipline) before the exact join. Blooms have no false negatives, so
+    prune → exact join returns EXACTLY the plain join's rows: the oracle is
+    the plain SQL join, value-hashed — a silently broken filter (wrong
+    seed, dropped word, bad bit test) loses rows and fails the hash.
+    ``fpr_ok`` pins the other failure direction: the number of
+    false-positive rows surviving the prune must stay under max(1% of
+    lineitem, 100) — the filter is SIZED FROM THE DATA at 16 bits/key (k=7
+    hashes → FPR ≈ 7e-4, ~15× under the band; a fixed size flipped the
+    boolean at sf0.1, where 30k urgent keys drowned a 64 Kbit filter at
+    FPR ≈ 0.75 — sizing is part of the operator's contract, so the gate
+    exercises it), while an all-pass regression (a membership expr
+    collapsing to TRUE) flips it instantly. The two counts this costs are
+    dim-side sizing plus a zero-column lineitem count (n_big) — the pruned
+    frame itself is scanned ONCE: the exact join is a LEFT join whose
+    single groupBy carries both the matched aggregates and the
+    false-positive total (r06's form scanned the bloom-filtered lineitem
+    twice — grouped + n_pruned; VERDICT r07 #6). The filter is
+    ``bloom_prepare``d and RELEASED after the one scan materializes
+    (ADVICE r06: the gate previously pinned the filter's checkpoint
+    forever). At 1000 executors the dense word array (16n bits ≈ 60 KiB at
+    sf0.1) rides the broadcast; lineitem never moves."""
+    from kf_task_fhir_etl_spark import etl
     from kf_task_fhir_etl_spark.operators import bloom
 
     orders = load_table(spark, sf_dir, "orders").filter(
@@ -2244,8 +2251,13 @@ def q129_bloom_join_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys = orders.select("o_orderkey")
     li = load_table(spark, sf_dir, "lineitem")
     n_keys = keys.count()
+    # zero-column count for the FPR band's denominator — reads parquet
+    # row-group metadata, not data pages; never part of the big-side plan
+    n_big = li.count()
     num_bits = 64 * max(1, (16 * n_keys + 63) // 64)
-    bl = bloom.bloom_build(keys, "o_orderkey", num_bits=num_bits, num_hashes=7)
+    bl = bloom.bloom_prepare(
+        bloom.bloom_build(keys, "o_orderkey", num_bits=num_bits, num_hashes=7)
+    )
     pruned = bloom.bloom_prune(li, "l_orderkey", bl)
 
     # plan assert: the prune must be a broadcast of the ONE-ROW filter over
@@ -2256,41 +2268,56 @@ def q129_bloom_join_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q129: bloom_prune lost its broadcast-one-row plan shape:\n" + plan
         )
 
-    # false-positive accounting: pruned rows that the exact join discards.
-    # Both counts are one-row aggregates; the band is generous (see
-    # docstring) so only a broken filter can flip it.
-    joined = pruned.join(F.broadcast(keys), pruned["l_orderkey"] == keys["o_orderkey"])
-    grouped = joined.groupBy("l_returnflag").agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        # DECIMAL accumulation: a double SUM is partition-order dependent
-        # and flips the 2dp rounding vs the sequential oracle at sf0.1 row
-        # counts (measured); per-row products cast to DECIMAL(18,4) sum
-        # exactly and associatively in both engines
-        F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)"))
-        .cast("double")
-        .alias("revenue"),
-    ).localCheckpoint(eager=False)  # 3-row result shared by two consumers
-    # n_matched derives from the (checkpointed, 3-row) grouped result
-    # (Σ n_rows) instead of a second full scan+join of the pruned frame —
-    # Catalyst does not dedupe repeated DataFrame subplans, so the naive
-    # three-consumer form ran the bloom-filtered scan three times per
-    # action (r06 review); now it runs twice (grouped + n_pruned, which
-    # genuinely needs the pre-join frame)
-    n_pruned = pruned.agg(F.count(F.lit(1)).alias("n_pruned"))
-    n_big = li.agg(F.count(F.lit(1)).alias("n_big"))
+    # ONE scan of the pruned frame: LEFT join against the dim keys, then a
+    # single groupBy that carries BOTH the matched aggregates (n_rows,
+    # revenue — count/sum over non-null o_orderkey only, ≡ the inner join)
+    # AND the total surviving rows (n_seen, matched + false positives).
+    joined = pruned.join(
+        F.broadcast(keys), pruned["l_orderkey"] == keys["o_orderkey"], "left"
+    )
+    matched = keys["o_orderkey"].isNotNull()
+    grouped = (
+        joined.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_seen"),
+            F.count(keys["o_orderkey"]).alias("n_rows"),
+            # DECIMAL accumulation: a double SUM is partition-order
+            # dependent and flips the 2dp rounding vs the sequential oracle
+            # at sf0.1 row counts (measured); per-row products cast to
+            # DECIMAL(18,4) sum exactly and associatively in both engines
+            F.sum(
+                F.when(
+                    matched,
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,4)"
+                    ),
+                )
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
+        # EAGER: materializes the one big-side scan NOW so the filter's
+        # broadcast-sized checkpoint can be released before returning —
+        # the ≤|distinct flags| rows pinned here are the whole residue
+        .localCheckpoint(eager=True)
+    )
+    etl.release_checkpoints([bl])
     stats = (
-        grouped.agg(F.sum("n_rows").alias("n_matched"))
-        .crossJoin(n_pruned)
-        .crossJoin(n_big)
-        .select(
+        grouped.agg(
+            F.sum("n_seen").alias("n_pruned"), F.sum("n_rows").alias("n_matched")
+        ).select(
             (
                 (F.col("n_pruned") - F.col("n_matched"))
-                <= F.greatest((F.col("n_big") / 100).cast("bigint"), F.lit(100))
+                <= F.greatest(F.lit(int(n_big / 100)), F.lit(100))
             ).alias("fpr_ok")
         )
     )
     return (
-        grouped.crossJoin(F.broadcast(stats))
+        # drop flag groups that survived ONLY as false positives (n_rows=0
+        # — possible in principle, absent at our FPR): the oracle's inner
+        # join never emits them
+        grouped.filter(F.col("n_rows") > 0)
+        .crossJoin(F.broadcast(stats))
         .select("l_returnflag", "n_rows", "revenue", "fpr_ok")
         .orderBy("l_returnflag")
     )

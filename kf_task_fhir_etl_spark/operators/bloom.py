@@ -11,15 +11,20 @@ Spark-first shape (zero UDFs, zero driver state, zero big-side shuffle):
 - **build**: each key explodes to ``num_hashes`` bit positions
   (``pmod(xxhash64(seed_i, key), num_bits)``), positions aggregate to
   64-bit words (``bit_or`` of ``1 << pos%64``), and the words fold into a
-  SINGLE ROW holding a ``map<int, bigint>`` of nonzero words — at most
-  ``num_bits/64`` entries (128 KiB of map for a 1M-bit filter), the whole
-  point of a Bloom filter. The build is one aggregation of the SMALL side.
+  SINGLE ROW holding a DENSE ``array<bigint>`` of length ``num_bits/64``
+  (zero-filled gaps) — 128 KiB for a 1M-bit filter. The build is one
+  aggregation of the SMALL side plus a word-sized densify join.
 - **probe**: the one-row filter cross-joins (broadcast — one row) onto the
   big side, and membership is a fused boolean expression: AND over the
-  ``num_hashes`` unrolled ``coalesce(map[pos/64], 0) & (1 << pos%64) ≠ 0``
-  checks — whole-stage-codegen'd JVM arithmetic per row, no explode, no
-  groupBy, no shuffle. At 1000 executors the filter rides the broadcast
-  and the big scan never moves.
+  ``num_hashes`` unrolled ``element_at(words, pos/64 + 1) & (1 << pos%64)
+  ≠ 0`` checks — whole-stage-codegen'd JVM arithmetic per row, no explode,
+  no groupBy, no shuffle. ``element_at`` on an ARRAY is a direct O(1)
+  offset read; the r06 ``map<int,bigint>`` container was a LINEAR scan of
+  the key array per lookup (Spark's ``GetMapValue`` has no hash index —
+  VERDICT r06 measured 3× at 30k keys, ~10× at 300k, unbounded growth),
+  which inverted the operator's purpose at dim-side scale. At 1000
+  executors the dense array rides the broadcast and the big scan never
+  moves.
 
 NULL keys: ``xxhash64(NULL, seed)`` returns the SEED (not NULL — probed
 empirically on Spark 4.1), so nulls are handled explicitly — excluded at
@@ -30,8 +35,8 @@ Spark itself applies runtime bloom pruning inside some shuffle joins
 (``spark.sql.optimizer.runtime.bloomFilter.enabled``); this operator makes
 the technique available as an EXPLICIT, composable step — prune early
 behind other operators (e.g. before an expensive normalize), persist the
-one-row filter, or ship it across pipeline stages — none of which the
-optimizer's internal variant can do.
+one-row filter via ``bloom_prepare``, or ship it across pipeline stages —
+none of which the optimizer's internal variant can do.
 
 Sizing: false-positive rate ≈ (1 − e^(−k·n/m))^k for n keys, m bits,
 k hashes; the classic optimum is k = (m/n)·ln2. ``bloom_fpr_bound`` gives
@@ -44,6 +49,9 @@ import math
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from kf_task_fhir_etl_spark.operators.sketch import _is_checkpointed_relation
+
 
 def _key_kind(dtype: str) -> str:
     """Hash-compatibility class of a key dtype. xxhash64 hashes the SAME
@@ -78,13 +86,22 @@ def _one_shl(bits: Column) -> Column:
 
 def bloom_build(df: DataFrame, key_col: str, num_bits: int, num_hashes: int) -> DataFrame:
     """ONE-ROW Bloom filter over ``df[key_col]``'s non-null values:
-    (words: map<word_index, 64-bit word>, num_bits, num_hashes). The only
-    wide work is one groupBy over ≤ num_bits/64 word indexes — small-side
-    sized, independent of the big side entirely."""
+    (words: dense array<bigint> of length num_bits/64, num_bits,
+    num_hashes, key_kind). The only wide work is one groupBy over
+    ≤ num_bits/64 word indexes plus a word-sized densify join against
+    ``range(num_words)`` — all small-side sized, independent of the big
+    side entirely.
+
+    The densify step is a LEFT join + array_sort fold, both
+    O(W log W) in the word count, never O(W²): the obvious alternative —
+    ``transform(sequence(0, W−1), i → map[i])`` over the r06 map — pays
+    GetMapValue's linear key scan PER ELEMENT, which is quadratic in W
+    and already hurts at the ~2.5M words a 10M-key dim side needs."""
     if num_bits <= 0 or num_bits % 64 != 0:
         raise ValueError(f"num_bits must be a positive multiple of 64, got {num_bits}")
     if not (1 <= num_hashes <= 16):
         raise ValueError(f"num_hashes must be in [1, 16], got {num_hashes}")
+    num_words = num_bits // 64
     kind = _key_kind(dict(df.dtypes)[key_col])
     key = _canonical_key(F.col(key_col), kind)
     pos = F.explode(
@@ -105,8 +122,20 @@ def bloom_build(df: DataFrame, key_col: str, num_bits: int, num_hashes: int) -> 
             F.bit_or(_one_shl(F.col("pos") % 64)).alias("bits")
         )
     )
-    return words.agg(
-        F.map_from_entries(F.collect_list(F.struct("w", "bits"))).alias("words")
+    dense = (
+        df.sparkSession.range(num_words)
+        .select(F.col("id").cast("int").alias("w"))
+        .join(words, "w", "left")
+        .select("w", F.coalesce("bits", F.lit(0).cast("bigint")).alias("bits"))
+    )
+    return dense.agg(
+        # array_sort on (w, bits) structs orders by w (struct ordering is
+        # lexicographic by field position), so the extracted bits land at
+        # their word index — collect_list alone has NO ordering guarantee
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("w", "bits"))),
+            lambda s: s["bits"],
+        ).alias("words")
     ).select(
         "words",
         F.lit(num_bits).alias("num_bits"),
@@ -118,17 +147,31 @@ def bloom_build(df: DataFrame, key_col: str, num_bits: int, num_hashes: int) -> 
 def bloom_might_contain(key: Column, words: Column, num_bits: int, num_hashes: int) -> Column:
     """Membership expression: AND over the unrolled per-hash bit tests.
     Pure JVM arithmetic (codegen), no UDF; NULL keys are False (SQL join
-    semantics — xxhash64 would otherwise hash NULL to the seed)."""
+    semantics — xxhash64 would otherwise hash NULL to the seed). The word
+    lookup is ``element_at`` on a dense ARRAY — an O(1) offset read per
+    hash, regardless of filter size (the index is provably in
+    [1, num_bits/64] because pmod bounds pos, so ANSI mode cannot
+    raise)."""
     test = None
     for i in range(num_hashes):
         pos = F.pmod(F.xxhash64(F.lit(i), key), F.lit(num_bits))
-        word = F.coalesce(
-            F.element_at(words, (pos / 64).cast("int")), F.lit(0).cast("bigint")
-        )
+        word = F.element_at(words, (pos / 64).cast("int") + F.lit(1))
         bit = word.bitwiseAND(_one_shl(pos % 64))
         check = bit != 0
         test = check if test is None else (test & check)
     return key.isNotNull() & test
+
+
+def bloom_prepare(bloom: DataFrame) -> DataFrame:
+    """Materialize a filter once for repeat-prune use: returns the eagerly
+    checkpointed one-row relation, which ``bloom_prune`` recognizes and
+    reuses without re-checkpointing — N prunes against one filter run the
+    build aggregation once and pin ONE set of blocks, not N (ADVICE r06:
+    the per-call eager checkpoint accumulated pinned BlockManager entries
+    in resident drivers). Release with ``etl.release_checkpoints([bloom])``
+    when the filter retires — the ``prepare_sketch`` lifecycle
+    (operators/sketch.py:145)."""
+    return bloom.localCheckpoint(eager=True)
 
 
 def bloom_prune(big: DataFrame, key_col: str, bloom: DataFrame) -> DataFrame:
@@ -137,36 +180,41 @@ def bloom_prune(big: DataFrame, key_col: str, bloom: DataFrame) -> DataFrame:
     The plan is scan → broadcast nested loop (1 row) → codegen'd filter —
     the big side never shuffles, which is the entire point.
 
-    The bloom relation is eagerly ``localCheckpoint``ed here: its shape
-    (num_bits/num_hashes/key_kind) must be read to build the membership
-    expression anyway, and without the checkpoint every downstream action
-    on the pruned frame would re-run the whole build aggregation (q129
-    consumes the pruned frame four ways — r06 review). One small-side
-    build execution total; release with ``etl.release_checkpoints`` when
-    the filter retires."""
+    The bloom relation must be materialized before probing (its shape —
+    num_bits/num_hashes/key_kind — is read to build the membership
+    expression, and without a checkpoint every downstream action on the
+    pruned frame would re-run the whole build aggregation; q129 consumes
+    the pruned frame multiple ways — r06 review). An ALREADY checkpointed
+    filter (``bloom_prepare``, or a prior prune's checkpoint passed back
+    in) is reused as-is, so repeat-prune callers materialize and pin the
+    build exactly once; otherwise this takes its own eager checkpoint.
+    Either way, release with ``etl.release_checkpoints`` when the filter
+    retires."""
+    if not _is_checkpointed_relation(bloom):
+        bloom = bloom.localCheckpoint(eager=True)
+    row = bloom.first()  # reads the checkpoint, not a fresh build execution
+    if row is None:
+        raise ValueError("bloom_prune: empty bloom relation (build produced no row)")
+    probe_kind = _key_kind(dict(big.dtypes)[key_col])
+    if probe_kind != row["key_kind"]:
+        raise ValueError(
+            f"bloom_prune: probe key {key_col!r} is {probe_kind}, filter was "
+            f"built over {row['key_kind']} keys — xxhash64 is type-"
+            "sensitive, so this would silently drop every matching row; "
+            "cast one side"
+        )
     b = bloom.select(
         F.col("words").alias("__bloom_words"),
         F.col("num_bits").alias("__bloom_bits"),
         F.col("num_hashes").alias("__bloom_hashes"),
         F.col("key_kind").alias("__bloom_kind"),
-    ).localCheckpoint(eager=True)
-    row = b.first()  # reads the checkpoint, not a fresh build execution
-    if row is None:
-        raise ValueError("bloom_prune: empty bloom relation (build produced no row)")
-    probe_kind = _key_kind(dict(big.dtypes)[key_col])
-    if probe_kind != row["__bloom_kind"]:
-        raise ValueError(
-            f"bloom_prune: probe key {key_col!r} is {probe_kind}, filter was "
-            f"built over {row['__bloom_kind']} keys — xxhash64 is type-"
-            "sensitive, so this would silently drop every matching row; "
-            "cast one side"
-        )
+    )
     pruned = big.crossJoin(F.broadcast(b)).filter(
         bloom_might_contain(
             _canonical_key(F.col(key_col), probe_kind),
             F.col("__bloom_words"),
-            row["__bloom_bits"],
-            row["__bloom_hashes"],
+            row["num_bits"],
+            row["num_hashes"],
         )
     )
     return pruned.drop("__bloom_words", "__bloom_bits", "__bloom_hashes", "__bloom_kind")
