@@ -86,7 +86,17 @@ def zorder_write(
 ) -> None:
     """Cluster-by-z write: one range exchange on the z-value (each output
     file covers one contiguous z-range), sort within partitions so row
-    groups inside a file are tight too, drop the helper column, write."""
+    groups inside a file are tight too, drop the helper column, write.
+
+    ``__z`` is reserved: an input frame that already carries it would have
+    its column silently REPLACED by the clustering key and then dropped
+    from the written layout — reject loudly instead (ADVICE r06; the same
+    reserved-name hazard cdc_stream guards against)."""
+    if "__z" in df.columns:
+        raise ValueError(
+            "zorder_write: input already has a '__z' column, which this "
+            "writer reserves for the clustering key; rename it first"
+        )
     (
         df.withColumn("__z", zcol)
         .repartitionByRange(num_files, "__z")
