@@ -21,6 +21,7 @@ a real FHIR server.
 
 from __future__ import annotations
 
+import itertools
 import threading
 
 from pyspark.sql import DataFrame
@@ -221,8 +222,19 @@ def build_resources_union(
 
 
 # Constructed-pipeline memo: {(applicationId, group, version, single_pass):
-# (result, [checkpointed DataFrames])}. See run_pipeline(memo_key=...).
-_PIPELINE_MEMO: dict[tuple[str, str, str, bool], tuple[object, list[DataFrame]]] = {}
+# (result, [checkpointed DataFrames], build_seq)}. build_seq is the
+# monotonic ticket ordering constructions (ADVICE r06: versions are opaque
+# tags, so without an order a stale-fingerprint build committing last could
+# transiently displace the fresh entry). See run_pipeline(memo_key=...).
+_PIPELINE_MEMO: dict[
+    tuple[str, str, str, bool], tuple[object, list[DataFrame], int]
+] = {}
+
+# Monotonic construction tickets for the memo's ordering guard. Default
+# tickets order construction STARTS (allocated right after the miss check);
+# callers that observe their version/fingerprint earlier than they build
+# pass memo_seq explicitly to order by OBSERVATION instead.
+_BUILD_SEQ = itertools.count(1)
 
 # Superseded entries' checkpoint handles await release here, keyed by the
 # same (app, group, version, mode) memo key (see run_pipeline): releasing
@@ -306,6 +318,7 @@ def run_pipeline(
     checkpoint_wide: bool = True,
     single_pass: bool = False,
     memo_key: tuple[str, str] | None = None,
+    memo_seq: int | None = None,
 ):
     """extract(already-loaded tables) → transform → build.
 
@@ -353,16 +366,20 @@ def run_pipeline(
     are unusable). Memoization requires ``checkpoint_wide`` (a memo over
     un-truncated lineage would re-execute the cascade anyway).
 
-    Residual (documented, not defended): versions are OPAQUE tags with no
-    ordering, so two builds racing an in-place data regeneration can
-    finish in either order — if the stale-fingerprint build commits last
-    it transiently supersedes the fresh entry. The failure is loud, not
-    silent (the stale plans hit deleted part files), and the next
-    current-fingerprint call rebuilds and re-supersedes; a reader of the
-    displaced fresh entry loses one grace generation in that window.
-    Callers that regenerate data while serving traffic should quiesce
-    in-flight builds across the swap, the same single-writer discipline
-    the store sinks require."""
+    Ordering guard (ADVICE r06 — closes the prior residual): versions are
+    opaque tags, so constructions carry a monotonic ``build_seq`` ticket
+    and an OLDER construction can never displace a NEWER resident entry.
+    A build that loses this comparison (e.g. a stale-fingerprint build
+    committing after the fresh one during an in-place data regeneration)
+    still returns its own constructed result to its own caller — it asked
+    for that version — but does NOT enter the memo; its checkpoint blocks
+    park in the group's retirement list and release on the group's next
+    supersede, exactly like a displaced entry. By default tickets are
+    allocated when construction starts (after the miss check), which
+    covers the started-first/committed-last inversion; a caller whose
+    version observation happens well before its build (read fingerprint,
+    queue work, build later) passes ``memo_seq`` — any monotonic
+    observation counter — to order by observation instead."""
     if memo_key is not None and not (checkpoint_wide and not cache_wide):
         raise ValueError("memo_key requires checkpoint_wide=True (and not cache_wide)")
     spark = next(iter(endpoint_tables.values())).sparkSession if endpoint_tables else None
@@ -377,6 +394,13 @@ def run_pipeline(
         hit_result = memoized_pipeline(spark, memo_key, single_pass)
         if hit_result is not None:
             return hit_result
+    # construction ticket: allocated AFTER the miss check so a hit never
+    # burns one, BEFORE construction so commit order cannot reorder starts
+    my_seq = (
+        (memo_seq if memo_seq is not None else next(_BUILD_SEQ))
+        if full_key is not None
+        else 0
+    )
 
     transformed = transform_study(endpoint_tables)
     if cache_wide:
@@ -433,6 +457,25 @@ def run_pipeline(
             # breaking the one-superseded-construction-per-group bound
             # (r06 review)
             parked_now: set[tuple[str, str, str, bool]] = set()
+            # ordering guard (ADVICE r06): if a SAME-(group, mode) entry
+            # with a newer (or equal — caller-supplied observation ticket
+            # ties break toward the resident) build_seq is already
+            # resident, THIS construction is the stale one. It must not
+            # displace anything or enter the memo: serve its own caller,
+            # park its blocks in the group's retirement list (released on
+            # the group's next supersede, the displaced-entry lifecycle).
+            i_am_stale = any(
+                k[0] == app
+                and (k[1], k[3]) == (group, full_key[3])
+                and k != full_key
+                and v[2] >= my_seq
+                for k, v in _PIPELINE_MEMO.items()
+            )
+            if i_am_stale:
+                # out is this construction's own fresh object, shared with
+                # no memo entry — safe to hand to the caller un-copied
+                _RETIRED_CHECKPOINTS.setdefault(full_key, []).extend(ck_handles)
+                return out
             for k in list(_PIPELINE_MEMO):
                 if k[0] != app:
                     _PIPELINE_MEMO.pop(k, None)  # dead app: blocks died with its JVM
@@ -464,7 +507,7 @@ def run_pipeline(
             # share a mutable dict with any caller — including the builder
             # itself (r06 review; see memoized_pipeline)
             stored = dict(out) if isinstance(out, dict) else out
-            entry = _PIPELINE_MEMO.setdefault(full_key, (stored, ck_handles))
+            entry = _PIPELINE_MEMO.setdefault(full_key, (stored, ck_handles, my_seq))
         for handles in to_release:
             release_checkpoints(handles)
         if entry[1] is not ck_handles:

@@ -113,3 +113,53 @@ def test_memo_concurrent_same_key_single_winner(spark):
 def test_unmemoized_calls_do_not_populate_the_memo(spark):
     run_pipeline(endpoint_tables(spark), single_pass=True)
     assert etl._PIPELINE_MEMO == {}
+
+
+def test_memo_older_build_seq_cannot_displace_newer_entry(spark):
+    """ADVICE r06 ordering guard: a construction with an older memo_seq
+    committing AFTER the fresh entry must not displace it — the stale
+    build still serves its own caller a working result, parks its blocks
+    in the group's retirement list, and the memo keeps serving the fresh
+    version; the group's next supersede releases the parked blocks."""
+    fresh = run_pipeline(
+        endpoint_tables(spark), single_pass=True, memo_key=("g", "v_new"), memo_seq=20
+    )
+    rows = _counts(fresh)
+    stale = run_pipeline(
+        endpoint_tables(spark), single_pass=True, memo_key=("g", "v_old"), memo_seq=10
+    )
+    # the stale caller got ITS OWN working construction...
+    assert stale is not fresh
+    assert _counts(stale) == rows
+    # ...but the memo still holds ONLY the fresh entry
+    keys = list(etl._PIPELINE_MEMO)
+    assert len(keys) == 1 and keys[0][2] == "v_new"
+    # a v_new request re-serves the resident fresh plans
+    again = run_pipeline(
+        endpoint_tables(spark), single_pass=True, memo_key=("g", "v_new"), memo_seq=20
+    )
+    assert again is fresh
+    # the stale build's blocks are parked for grace release, keyed by its
+    # own (stale) version
+    parked = [k for k in etl._RETIRED_CHECKPOINTS if k[1] == "g"]
+    assert len(parked) == 1 and parked[0][2] == "v_old"
+    # the stale construction still executes during its grace window...
+    assert _counts(stale) == rows
+    # ...and the group's next genuine supersede (newer seq) releases it
+    run_pipeline(
+        endpoint_tables(spark), single_pass=True, memo_key=("g", "v_next"), memo_seq=30
+    )
+    parked_after = {k[2] for k in etl._RETIRED_CHECKPOINTS if k[1] == "g"}
+    assert "v_old" not in parked_after  # stale build's blocks released
+    with pytest.raises(Exception):
+        stale.count()  # blocks gone — release had teeth
+
+
+def test_memo_default_seq_orders_construction_starts(spark):
+    """Without explicit memo_seq, sequential builds get increasing tickets
+    — the second (newer) build displaces the first as before; no behavior
+    change on the ordinary path."""
+    run_pipeline(endpoint_tables(spark), single_pass=True, memo_key=("g", "v1"))
+    run_pipeline(endpoint_tables(spark), single_pass=True, memo_key=("g", "v2"))
+    keys = list(etl._PIPELINE_MEMO)
+    assert len(keys) == 1 and keys[0][2] == "v2"
