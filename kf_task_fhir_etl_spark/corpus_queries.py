@@ -1808,11 +1808,13 @@ def q123_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the token stream: checkpoint it once so the scan + explode runs once,
     # not three times (the shared-subplan rule every multi-consumer gate
     # follows)
+    from kf_task_fhir_etl_spark import etl
+
     words = words.localCheckpoint(eager=False)
     cms = sketch.cms_build(words, "word", depth=4, width=512)
     top = sketch.cms_topk(cms, words, "word", k=20)
     exact = words.groupBy("word").agg(F.count(F.lit(1)).alias("exact_n"))
-    return (
+    result = (
         top.join(exact, "word")
         .select(
             "word",
@@ -1820,8 +1822,15 @@ def q123_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_n",
             (F.col("cms_est") - F.col("exact_n")).alias("overcount"),
         )
-        .orderBy(F.desc("cms_est"), "word")
+        # eager: materializes the token stream's one execution NOW so the
+        # corpus-sized words checkpoint can be released before returning —
+        # a resident driver re-running this gate otherwise accumulates one
+        # pinned token-stream copy per call (ADVICE r06); the 20 rows
+        # pinned here are the whole residue
+        .localCheckpoint(eager=True)
     )
+    etl.release_checkpoints([words])
+    return result.orderBy(F.desc("cms_est"), "word")
 
 
 # ---------------------------------------------------------------------------
@@ -1944,9 +1953,12 @@ def q126_tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # only in Spark (r06 review, 10th pass); mixed-NaN groups would also
     # skew Spark's percentile (NaN sorts greatest) against the bands
     ev = ev.filter(F.col("value").isNotNull() & ~F.isnan("value"))
+    from kf_task_fhir_etl_spark import etl
+
     delta = 200.0  # single source for the build AND the state bound below
     # two consumers (quantile estimation, centroid-count boolean) share the
-    # digest build — checkpoint so the scan + merge runs once
+    # digest build — checkpoint so the scan + merge runs once; released
+    # after the result materializes (below)
     digests = tdigest.tdigest_build(ev, "event_type", "value", delta=delta).localCheckpoint(
         eager=False
     )
@@ -1969,7 +1981,7 @@ def q126_tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # non-null/non-NaN row filter above — the WHERE in the oracle — so no
     # separate n>0 gate is needed; r06 review passes 7 and 10)
     ex = lambda i: F.col("__ex").getItem(i)  # noqa: E731
-    return (
+    result = (
         # eqNullSafe: SQL GROUP BY (both engines) keeps the null group, and
         # tdigest_build emits its digest row (dropna=False) — a null-unsafe
         # equi-join would silently drop that row on the Spark side only,
@@ -1992,11 +2004,17 @@ def q126_tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             # boolean (r06 review; observed counts sit near δ/2)
             (F.col("n_centroids") <= F.lit(int(delta) + 1)).alias("state_bounded"),
         )
-        # nulls last matches DuckDB's ORDER BY default (Spark defaults to
-        # NULLS FIRST ascending); the driver compare is order-insensitive,
-        # but the published ordering should not silently diverge
-        .orderBy(F.asc_nulls_last("event_type"))
+        # eager: materializes the digest build's one execution NOW so its
+        # checkpoint can be released before returning (ADVICE r06 — the
+        # per-call lazy checkpoint otherwise pins blocks per gate call in
+        # a resident driver); the per-group result rows are the residue
+        .localCheckpoint(eager=True)
     )
+    etl.release_checkpoints([digests])
+    # nulls last matches DuckDB's ORDER BY default (Spark defaults to
+    # NULLS FIRST ascending); the driver compare is order-insensitive,
+    # but the published ordering should not silently diverge
+    return result.orderBy(F.asc_nulls_last("event_type"))
 
 
 # ---------------------------------------------------------------------------
