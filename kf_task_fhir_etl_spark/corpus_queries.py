@@ -2444,3 +2444,283 @@ def q130_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "z", "zorder_skips", "beats_random")
         .orderBy("event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q131 — triangle counting (graph family: q102 pagerank, q125 label
+# propagation, q63/q72 connected components — this is the motif-counting
+# member)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q131_triangle_count",
+    oracle="""
+    WITH li AS (
+      SELECT l_orderkey, l_partkey FROM lineitem WHERE l_partkey % 10 = 0
+    ), e AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), tri AS (
+      SELECT p1.u AS x, p1.v AS y, p2.v AS z
+      FROM e p1
+      JOIN e p2 ON p1.u = p2.u AND p1.v < p2.v
+      JOIN e p3 ON p3.u = p1.v AND p3.v = p2.v
+    ), corners AS (
+      SELECT x AS node FROM tri
+      UNION ALL SELECT y FROM tri
+      UNION ALL SELECT z FROM tri
+    )
+    SELECT node, COUNT(*) AS n_tri FROM corners GROUP BY node ORDER BY node
+    """,
+)
+def q131_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts (operators/graph.py::triangle_count) over
+    the part co-purchase graph — parts co-occurring in an order are
+    linked. The Spark side runs the DEGREE-ORDERED orientation algorithm
+    (each triangle produced exactly once from its lowest-(degree,id)
+    corner; wedge fan-out bounded by oriented out-degree — O(sqrt E), the
+    arboricity bound, so no hub explosion at 100 TB); the oracle counts
+    the same triangles by the id-ordered textbook 3-join — an INDEPENDENT
+    method whose agreement pins both the orientation logic and the corner
+    explode. No global rank/row_number anywhere: the orientation order is
+    a per-edge (degree, id) struct comparison. The graph is the 10%-part
+    subgraph (l_partkey % 10 = 0 — pushed below the self-join, so the
+    pair generation works on a tenth of the scan): the FULL co-purchase
+    graph at sf0.1 is near-complete per order neighborhood (1.2M edges,
+    1.9M triangles, ~30M wedges — measured 25-34 s, all spent counting
+    an analytically uninteresting quasi-clique), while the subgraph
+    keeps a healthy 464→1,916 triangle growth across sf0.01→0.1 at
+    interactive cost; the operator itself is unrestricted."""
+    from kf_task_fhir_etl_spark.operators import graph
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .filter(F.col("l_partkey") % 10 == 0)
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+    )
+    return graph.triangle_count(pairs).orderBy("node")
+
+
+# ---------------------------------------------------------------------------
+# q132 — data-quality expectations suite (validation family: A4's
+# count-match asserts generalized; operators/expectations.py)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q132_expectations_suite",
+    oracle="""
+    SELECT * FROM (
+      SELECT 'orders_pk_unique' AS constraint_name,
+             CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS DOUBLE) AS metric,
+             COUNT(*) - COUNT(DISTINCT o_orderkey) = 0 AS passed
+      FROM orders
+      UNION ALL
+      SELECT 'orders_custkey_not_null',
+             CAST(COUNT(*) - COUNT(o_custkey) AS DOUBLE),
+             COUNT(*) - COUNT(o_custkey) <= 0
+      FROM orders
+      UNION ALL
+      SELECT 'orders_totalprice_nonnegative',
+             CAST(COALESCE(SUM(CASE WHEN o_totalprice IS NOT NULL AND o_totalprice < 0
+                                    THEN 1 ELSE 0 END), 0) AS DOUBLE),
+             COALESCE(SUM(CASE WHEN o_totalprice IS NOT NULL AND o_totalprice < 0
+                               THEN 1 ELSE 0 END), 0) = 0
+      FROM orders
+      UNION ALL
+      SELECT 'orders_totalprice_le_100k',
+             CAST(COALESCE(SUM(CASE WHEN o_totalprice IS NOT NULL AND o_totalprice > 100000
+                                    THEN 1 ELSE 0 END), 0) AS DOUBLE),
+             COALESCE(SUM(CASE WHEN o_totalprice IS NOT NULL AND o_totalprice > 100000
+                               THEN 1 ELSE 0 END), 0) = 0
+      FROM orders
+      UNION ALL
+      SELECT 'orders_status_accepted',
+             CAST(COALESCE(SUM(CASE WHEN o_orderstatus IS NOT NULL
+                                     AND o_orderstatus NOT IN ('O', 'F', 'P')
+                                    THEN 1 ELSE 0 END), 0) AS DOUBLE),
+             COALESCE(SUM(CASE WHEN o_orderstatus IS NOT NULL
+                                AND o_orderstatus NOT IN ('O', 'F', 'P')
+                               THEN 1 ELSE 0 END), 0) = 0
+      FROM orders
+      UNION ALL
+      SELECT 'lineitem_orderkey_fk',
+             CAST(COALESCE(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END), 0) AS DOUBLE),
+             COALESCE(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END), 0) = 0
+      FROM (SELECT l_orderkey FROM lineitem WHERE l_orderkey IS NOT NULL) l
+      LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+        ON l.l_orderkey = o.o_orderkey
+      UNION ALL
+      SELECT 'orders_custkey_fk',
+             CAST(COALESCE(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END), 0) AS DOUBLE),
+             COALESCE(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END), 0) = 0
+      FROM (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL) ord
+      LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+        ON ord.o_custkey = c.c_custkey
+    ) ORDER BY constraint_name
+    """,
+)
+def q132_expectations_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectations (operators/expectations.py): five
+    aggregate checks against orders compiled into ONE scan (uniqueness,
+    null ratio, two range bounds, accepted values — N constraints, one
+    aggregate pass, unpivoted relationally) plus two FK-containment
+    checks as left-anti joins against distinct parent keys (NULL FKs
+    excluded, SQL semantics). The le_100k bound FAILS by construction
+    (TPC-H totalprice tops ~500k) so the gate hash-pins BOTH branches of
+    ``passed`` and the violation metric's exact magnitude, not just a
+    vacuous all-green report. Generalizes the reference's count-match
+    asserts (SURVEY §2 A4) into the publish-gate a 100 TB ingest runs."""
+    from kf_task_fhir_etl_spark.operators import expectations as ex
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cust = load_table(spark, sf_dir, "customer")
+    suite = ex.expect_suite(
+        orders,
+        [
+            {"name": "orders_pk_unique", "kind": "unique", "cols": ["o_orderkey"]},
+            {"name": "orders_custkey_not_null", "kind": "not_null", "col": "o_custkey"},
+            {"name": "orders_totalprice_nonnegative", "kind": "range", "col": "o_totalprice", "lo": 0.0},
+            {"name": "orders_totalprice_le_100k", "kind": "range", "col": "o_totalprice", "hi": 100000.0},
+            {"name": "orders_status_accepted", "kind": "values", "col": "o_orderstatus", "allowed": ["O", "F", "P"]},
+        ],
+    )
+    fks = [
+        ex.expect_referential(li, "l_orderkey", orders, "o_orderkey", "lineitem_orderkey_fk"),
+        ex.expect_referential(orders, "o_custkey", cust, "c_custkey", "orders_custkey_fk"),
+    ]
+    return ex.union_results([suite, *fks]).orderBy("constraint_name")
+
+
+# ---------------------------------------------------------------------------
+# q133 — incremental aggregate view maintenance (operators/ivm.py; the
+# changelog→aggregate path of every streaming-SQL engine, batch form)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q133_incremental_view_maintenance",
+    oracle="""
+    SELECT o_custkey,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+    FROM orders
+    WHERE (o_orderdate < TIMESTAMP '1997-01-01 00:00:00' AND o_orderkey % 7 <> 0)
+       OR o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY o_custkey
+    ORDER BY o_custkey
+    """,
+)
+def q133_incremental_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance (operators/ivm.py::apply_agg_delta):
+    a per-customer (COUNT, SUM) view over pre-1997 orders is maintained
+    through a signed changelog — DELETE every 7th pre-1997 order, INSERT
+    everything from 1997 on — by delta aggregation + one full-outer merge,
+    never rescanning the fact table. The oracle RECOMPUTES the view from
+    scratch over the post-changelog row set: incremental ≡ recompute is
+    the IVM correctness contract itself, so any drift in the signed
+    arithmetic, the key coalescing, or the zero-count group removal
+    (customers whose every order was deleted must VANISH, not linger at
+    0) breaks the hash. DECIMAL accumulation keeps the sums exact and
+    associative in both engines (the q129 lesson); the published total
+    casts back to DOUBLE."""
+    from kf_task_fhir_etl_spark.operators import ivm
+
+    orders = load_table(spark, sf_dir, "orders")
+    cutoff = F.lit("1997-01-01 00:00:00").cast("timestamp")
+    price = F.col("o_totalprice").cast("decimal(18,4)")
+    base = orders.filter(F.col("o_orderdate") < cutoff)
+    view = base.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(price).alias("total"),
+    )
+    deletes = base.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_custkey", price.alias("price"), F.lit(-1).alias("op")
+    )
+    inserts = orders.filter(F.col("o_orderdate") >= cutoff).select(
+        "o_custkey", price.alias("price"), F.lit(1).alias("op")
+    )
+    out = ivm.apply_agg_delta(
+        view,
+        deletes.unionByName(inserts),
+        keys=["o_custkey"],
+        sum_cols={"total": "price"},
+        count_col="n_orders",
+    )
+    return out.select(
+        "o_custkey", "n_orders", F.col("total").cast("double").alias("total")
+    ).orderBy("o_custkey")
+
+
+# ---------------------------------------------------------------------------
+# q134 — ordered funnel / sequence match (operators/funnel.py; the
+# MATCH_RECOGNIZE special case every event warehouse ships)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q134_event_funnel",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id AS u, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ), s2 AS (
+      SELECT e.user_id AS u, MIN(e.ts) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.u
+      WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1
+    ), s2j AS (
+      SELECT s1.u, s1.t1, s2.t2 FROM s1 JOIN s2 ON s1.u = s2.u
+    ), s3 AS (
+      SELECT e.user_id AS u, MIN(e.ts) AS t3
+      FROM events e JOIN s2j ON e.user_id = s2j.u
+      WHERE e.event_type = 'purchase' AND e.ts > s2j.t2 GROUP BY 1
+    ), s3j AS (
+      SELECT s2j.u, s2j.t1, s3.t3 FROM s2j JOIN s3 ON s2j.u = s3.u
+    )
+    SELECT * FROM (
+      SELECT 1 AS step_idx, 'view' AS step,
+             (SELECT COUNT(*) FROM s1) AS n_users,
+             0.0 AS avg_s_from_first
+      UNION ALL
+      SELECT 2, 'click', (SELECT COUNT(*) FROM s2j),
+             (SELECT ROUND(COALESCE(AVG(EPOCH(t2) - EPOCH(t1)), 0), 4) FROM s2j)
+      UNION ALL
+      SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3j),
+             (SELECT ROUND(COALESCE(AVG(EPOCH(t3) - EPOCH(t1)), 0), 4) FROM s3j)
+    ) ORDER BY step_idx
+    """,
+)
+def q134_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch ordered funnel (operators/funnel.py::funnel_counts):
+    view → click → purchase, step k counted only when its event lands
+    STRICTLY AFTER the user's step-(k−1) completion. Per step: one
+    type-filtered scan (predicate pushed), one join + min-aggregate on
+    the user key — the same partitioning end to end; the report is ONE
+    aggregate over the trajectory frame. Per-step completion frames are
+    lazily checkpointed (shared subplans — each feeds the trajectory AND
+    the next step) and RELEASED after the result materializes (the
+    q123/q126 lifecycle). The oracle chains the identical first-touch
+    CTEs; epoch arithmetic is exact at µs precision in both engines, so
+    only the mean's division is rounded."""
+    from kf_task_fhir_etl_spark import etl
+    from kf_task_fhir_etl_spark.operators import funnel
+
+    ev = load_table(spark, sf_dir, "events")
+    handles: list[DataFrame] = []
+    counts = funnel.funnel_counts(
+        ev, ["view", "click", "purchase"], handles_out=handles
+    )
+    result = counts.localCheckpoint(eager=True)  # 3 rows — the residue
+    etl.release_checkpoints(handles)
+    return result.orderBy("step_idx")

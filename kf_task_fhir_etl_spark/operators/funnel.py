@@ -1,0 +1,116 @@
+"""Ordered funnel analysis over an event stream — the product-analytics
+sequence-match operator (SQL MATCH_RECOGNIZE's most common special case,
+every event warehouse's conversion query) as chained keyed aggregates.
+
+A user completes step k when an event of the step-k type occurs STRICTLY
+AFTER their step-(k−1) completion time; completion time is the EARLIEST
+such event (the standard "first touch" funnel, which makes the result
+deterministic and maximizes downstream conversions — if any event order
+completes the funnel, first-touch does).
+
+Shape per step: filter the stream to the step's type (predicate pushed to
+the scan), join against the previous step's per-user completion times on
+the user key, one min-aggregate — every shuffle is on the SAME user key,
+so one partitioning serves the whole chain. Per-step state is per-user
+completion times: |users|-sized, never event-sized. The report is ONE
+aggregate over the accumulated trajectory frame (step-k columns NULL for
+users who dropped out), unpivoted via an array-of-structs explode.
+
+Because step k's completions feed BOTH the trajectory chain and step
+k+1's derivation, each per-step frame is a shared subplan; pass
+``handles_out`` to lazily checkpoint them so the whole funnel costs one
+type-filtered scan per step instead of re-deriving every prefix
+(Catalyst does not dedupe repeated subplans — the q123/q126 lesson).
+The caller owns releasing those handles (``etl.release_checkpoints``)
+after its terminal action.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel_trajectories(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    handles_out: list[DataFrame] | None = None,
+) -> DataFrame:
+    """Per-user completion times (user, t1, …, tk): t1 is always set
+    (users who never start are absent); t_i is NULL once the user drops
+    out. With ``handles_out`` a list, each per-step completion frame is
+    lazily checkpointed and appended for the caller to release."""
+    if not steps:
+        raise ValueError("funnel_trajectories: empty step list")
+
+    def ck(df: DataFrame) -> DataFrame:
+        if handles_out is None:
+            return df
+        out = df.localCheckpoint(eager=False)
+        handles_out.append(out)
+        return out
+
+    completed = ck(
+        events.filter(F.col(type_col) == steps[0])
+        .groupBy(F.col(user_col).alias("user"))
+        .agg(F.min(ts_col).alias("t1"))
+    )
+    traj = completed
+    for i, step in enumerate(steps[1:], start=2):
+        ev = events.filter(F.col(type_col) == step).select(
+            F.col(user_col).alias("user"), F.col(ts_col).alias("__ts")
+        )
+        completed = ck(
+            ev.join(
+                completed.select("user", F.col(f"t{i-1}").alias("__prev")), "user"
+            )
+            .filter(F.col("__ts") > F.col("__prev"))
+            .groupBy("user")
+            .agg(F.min("__ts").alias(f"t{i}"))
+        )
+        traj = traj.join(completed, "user", "left")
+    return traj
+
+
+def funnel_counts(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    handles_out: list[DataFrame] | None = None,
+) -> DataFrame:
+    """Per-step funnel report: (step_idx, step, n_users,
+    avg_s_from_first) — users completing the k-prefix in order, and the
+    mean seconds from step-1 to step-k completion among them (0.0 for
+    step 1; rounded 4dp — timestamp→double epoch arithmetic is exact at
+    µs precision in both Spark and DuckDB, the rounding only pins the
+    mean's division). ONE aggregate over the trajectory frame."""
+    traj = funnel_trajectories(
+        events, steps, user_col, ts_col, type_col, handles_out
+    )
+    aggs = []
+    for i, _ in enumerate(steps, start=1):
+        aggs.append(F.count(F.col(f"t{i}")).alias(f"__n{i}"))
+        gap = (
+            F.col(f"t{i}").cast("double") - F.col("t1").cast("double")
+            if i > 1
+            else F.when(F.col("t1").isNotNull(), F.lit(0.0))
+        )
+        aggs.append(F.round(F.coalesce(F.avg(gap), F.lit(0.0)), 4).alias(f"__g{i}"))
+    agg = traj.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("step_idx"),
+                F.lit(step).alias("step"),
+                F.col(f"__n{i}").alias("n_users"),
+                F.col(f"__g{i}").alias("avg_s_from_first"),
+            )
+            for i, step in enumerate(steps, start=1)
+        ]
+    )
+    return agg.select(F.explode(rows).alias("r")).select("r.*")

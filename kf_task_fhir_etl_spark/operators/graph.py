@@ -209,3 +209,72 @@ def label_propagation(
         _release_checkpoint(edges)
         _release_checkpoint(nodes)
     return labels
+
+
+def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Per-node triangle counts over an UNDIRECTED edge list — the standard
+    degree-ordered orientation algorithm (Schank/Wagner; the MapReduce
+    formulation in Suri & Vassilvitskii, WWW'11) as pure DataFrame ops:
+
+    1. canonicalize: (least, greatest), drop self-loops, distinct;
+    2. orient every edge from its lower-(degree, id) endpoint to the
+       higher one — a total order, so each triangle is produced EXACTLY
+       once, and the wedge fan-out below is bounded by the oriented
+       out-degree, which is O(sqrt(E)) for ANY graph (the classic
+       arboricity bound) instead of the raw max degree;
+    3. wedges: self-join oriented edges on the source with an ordered
+       endpoint pair, then close each wedge against the oriented edge set;
+    4. explode each triangle's three corners and count per node.
+
+    Scale shape: two shuffle joins on node keys plus one on the (t1, t2)
+    pair — no global rank/row_number (the ordering is the (degree, id)
+    STRUCT comparison, computed per edge endpoint via a degree join, so
+    nothing single-partitions); the degree table is |V|-sized and the
+    oriented edge list is |E|-sized, both partitioned by their join keys.
+    Returns (node, n_tri) for nodes in ≥1 triangle.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") < F.col("v"))  # drops self-loops and NULL endpoints
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    # orientation keys: (degree, id) struct per endpoint — struct comparison
+    # is lexicographic, giving the total order without any global window
+    keyed = (
+        und.join(deg.withColumnRenamed("node", "u"), "u")
+        .withColumnRenamed("d", "du")
+        .join(
+            deg.select(F.col("node").alias("v"), F.col("d").alias("dv")), "v"
+        )
+        .select(
+            "u",
+            "v",
+            F.struct(F.col("du").alias("d"), F.col("u").alias("n")).alias("ku"),
+            F.struct(F.col("dv").alias("d"), F.col("v").alias("n")).alias("kv"),
+        )
+    )
+    oriented = keyed.select(
+        F.when(F.col("ku") < F.col("kv"), F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(F.col("ku") < F.col("kv"), F.col("v")).otherwise(F.col("u")).alias("t"),
+        F.when(F.col("ku") < F.col("kv"), F.col("kv")).otherwise(F.col("ku")).alias("kt"),
+    )
+    e1 = oriented.select(F.col("s"), F.col("t").alias("t1"), F.col("kt").alias("k1"))
+    e2 = oriented.select(F.col("s"), F.col("t").alias("t2"), F.col("kt").alias("k2"))
+    wedges = e1.join(e2, "s").filter(F.col("k1") < F.col("k2")).select("s", "t1", "t2")
+    closing = oriented.select(F.col("s").alias("t1"), F.col("t").alias("t2"))
+    tri = wedges.join(closing, ["t1", "t2"])
+    corners = (
+        tri.select(F.col("s").alias("node"))
+        .unionAll(tri.select(F.col("t1").alias("node")))
+        .unionAll(tri.select(F.col("t2").alias("node")))
+    )
+    return corners.groupBy("node").agg(F.count(F.lit(1)).alias("n_tri"))

@@ -1,0 +1,82 @@
+"""Incremental view maintenance for SUM/COUNT aggregate views — the
+classic delta-propagation rule (Blakeley/Larson/Tompa '86; the same
+algebra every streaming-SQL engine's `changelog → agg` path implements)
+as one DataFrame merge.
+
+A materialized view ``SELECT keys, COUNT(*), SUM(x)… GROUP BY keys`` is
+maintained from a changelog batch of SIGNED rows (op = +1 insert, −1
+delete of a previously-inserted row) WITHOUT rescanning the fact table:
+
+1. the delta aggregates by the same keys with ``op``-signed measures —
+   a changelog-sized groupBy (the only shuffle whose size depends on the
+   batch);
+2. one full-outer merge with the current view coalesces per-key partial
+   aggregates; groups whose count reaches exactly 0 vanish (the SQL
+   GROUP BY contract: a group with no surviving rows has no row).
+
+At 100 TB this is the whole point: the view is aggregate-sized, the
+delta is batch-sized, and the fact table is never touched. SUM and
+COUNT are self-maintainable under insert+delete; AVG derives
+(sum/count); MIN/MAX are NOT (a delete can expose an unknown second
+minimum) and are deliberately not offered here — callers needing them
+must recompute affected groups.
+
+Changelog well-formedness (deletes match previously-inserted rows) is
+the CALLER's contract, as in every IVM system. A malformed log that
+drives a group's count negative is emitted as-is (loud downstream)
+rather than silently dropped — only exact zeros vanish.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def apply_agg_delta(
+    view: DataFrame,
+    delta: DataFrame,
+    keys: list[str],
+    sum_cols: dict[str, str],
+    count_col: str = "n",
+    sign_col: str = "op",
+) -> DataFrame:
+    """Merge a signed changelog into an aggregate view.
+
+    ``view``: keys + ``count_col`` + one column per ``sum_cols`` alias.
+    ``delta``: keys + the RAW measure columns named by ``sum_cols``
+    values + ``sign_col`` (+1/−1).
+    ``sum_cols``: {view_alias: delta_measure_col}. Returns the updated
+    view with the same schema, zero-count groups removed.
+    """
+    for alias in sum_cols:
+        if alias not in view.columns:
+            raise ValueError(f"apply_agg_delta: view lacks sum column {alias!r}")
+    if count_col not in view.columns:
+        raise ValueError(f"apply_agg_delta: view lacks count column {count_col!r}")
+    sign = F.col(sign_col)
+    d = delta.groupBy(*keys).agg(
+        F.sum(sign).cast("bigint").alias("__dn"),
+        *[
+            F.sum(sign * F.col(src)).alias(f"__d_{alias}")
+            for alias, src in sum_cols.items()
+        ],
+    )
+    # list-form `on` coalesces the key columns, so keys survive from
+    # whichever side has the group (new group: delta only; untouched
+    # group: view only — its delta columns are NULL and coalesce to 0)
+    merged = view.join(d, on=keys, how="full")
+    zero = F.lit(0)
+    out = merged.select(
+        *keys,
+        (F.coalesce(F.col(count_col), zero) + F.coalesce(F.col("__dn"), zero))
+        .cast("bigint")
+        .alias(count_col),
+        *[
+            (
+                F.coalesce(F.col(alias), zero) + F.coalesce(F.col(f"__d_{alias}"), zero)
+            ).alias(alias)
+            for alias in sum_cols
+        ],
+    )
+    return out.filter(F.col(count_col) != 0)

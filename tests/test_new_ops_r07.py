@@ -187,3 +187,223 @@ def test_zorder_write_rejects_reserved_z_column(spark, tmp_path):
     df = spark.range(10).select(F.col("id"), F.lit(1).alias("__z"))
     with pytest.raises(ValueError, match="__z"):
         zorder.zorder_write(df, str(tmp_path / "out"), F.col("id"), 2)
+
+
+# ---------------------------------------------------------------------------
+# triangle_count (operators/graph.py, q131)
+# ---------------------------------------------------------------------------
+
+
+def test_triangle_count_known_graphs(spark):
+    """K4 (every node in 3 of the 4 triangles), a path (no triangles), and
+    input noise — duplicate edges, reversed duplicates, self-loops — which
+    canonicalization must absorb."""
+    from kf_task_fhir_etl_spark.operators import graph
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    noise = [(b, a) for a, b in k4] + [(2, 2), (0, 1), (3, 1)]  # reversed + loops + dups
+    edges = spark.createDataFrame(k4 + noise, "src int, dst int")
+    got = {r["node"]: r["n_tri"] for r in graph.triangle_count(edges).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+    path = spark.createDataFrame([(i, i + 1) for i in range(5)], "src int, dst int")
+    assert graph.triangle_count(path).count() == 0
+
+
+def test_triangle_count_matches_bruteforce_on_random_graph(spark):
+    """Degree-ordered orientation vs a driver-side brute force over a
+    deterministic pseudo-random graph — pins exactly-once production."""
+    import itertools
+
+    from kf_task_fhir_etl_spark.operators import graph
+
+    edges = [
+        (a, b)
+        for a, b in itertools.combinations(range(30), 2)
+        if (a * 7 + b * 13) % 5 == 0
+    ]
+    adj = {n: set() for n in range(30)}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    expected = {}
+    for a, b, c in itertools.combinations(range(30), 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            for n in (a, b, c):
+                expected[n] = expected.get(n, 0) + 1
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = {r["node"]: r["n_tri"] for r in graph.triangle_count(df).collect()}
+    assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# expectations suite (operators/expectations.py, q132)
+# ---------------------------------------------------------------------------
+
+
+def test_expectations_aggregate_checks(spark):
+    from kf_task_fhir_etl_spark.operators import expectations as ex
+
+    df = spark.createDataFrame(
+        [(1, "a", 5.0), (2, "b", 50.0), (2, None, -1.0), (3, "z", None)],
+        "id int, cat string, x double",
+    )
+    out = {
+        r["constraint_name"]: (r["metric"], r["passed"])
+        for r in ex.expect_suite(
+            df,
+            [
+                {"name": "id_unique", "kind": "unique", "cols": ["id"]},
+                {"name": "cat_not_null", "kind": "not_null", "col": "cat"},
+                {"name": "cat_one_null_ok", "kind": "not_null", "col": "cat", "max_ratio": 0.25},
+                {"name": "x_nonneg", "kind": "range", "col": "x", "lo": 0.0},
+                {"name": "x_le_10", "kind": "range", "col": "x", "hi": 10.0},
+                {"name": "cat_allowed", "kind": "values", "col": "cat", "allowed": ["a", "b"]},
+            ],
+        ).collect()
+    }
+    assert out["id_unique"] == (1.0, False)  # one duplicate id
+    assert out["cat_not_null"] == (1.0, False)
+    assert out["cat_one_null_ok"] == (1.0, True)  # 1/4 ≤ 0.25
+    assert out["x_nonneg"] == (1.0, False)  # -1.0; NULL x not counted
+    assert out["x_le_10"] == (1.0, False)  # 50.0
+    assert out["cat_allowed"] == (1.0, False)  # 'z'; NULL not counted
+
+
+def test_expectations_referential_and_union(spark):
+    from kf_task_fhir_etl_spark.operators import expectations as ex
+
+    child = spark.createDataFrame([(1,), (2,), (9,), (None,)], "fk int")
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk int")
+    row = ex.expect_referential(child, "fk", parent, "pk", "fk_check").first()
+    assert (row["metric"], row["passed"]) == (1.0, False)  # 9 orphaned; NULL excluded
+    both = ex.union_results(
+        [
+            ex.expect_referential(child, "fk", parent, "pk", "a"),
+            ex.expect_referential(parent, "pk", child, "fk", "b"),
+        ]
+    )
+    assert both.count() == 2
+    with pytest.raises(ValueError):
+        ex.expect_suite(child, [])
+
+
+# ---------------------------------------------------------------------------
+# incremental view maintenance (operators/ivm.py, q133)
+# ---------------------------------------------------------------------------
+
+
+def test_ivm_insert_delete_merge_and_zero_removal(spark):
+    from kf_task_fhir_etl_spark.operators import ivm
+
+    view = spark.createDataFrame(
+        [("a", 2, 10.0), ("b", 1, 5.0), ("c", 3, 30.0)],
+        "k string, n bigint, s double",
+    )
+    delta = spark.createDataFrame(
+        [
+            ("a", 7.0, 1),   # insert into existing group
+            ("b", 5.0, -1),  # delete b's only row → group must VANISH
+            ("d", 2.0, 1),   # brand-new group
+            ("c", 10.0, -1),
+            ("c", 1.0, 1),   # net c: n 3→3, s 30→21
+        ],
+        "k string, x double, op int",
+    )
+    out = {
+        r["k"]: (r["n"], r["s"])
+        for r in ivm.apply_agg_delta(view, delta, ["k"], {"s": "x"}).collect()
+    }
+    assert out == {"a": (3, 17.0), "c": (3, 21.0), "d": (1, 2.0)}
+    assert "b" not in out
+
+
+def test_ivm_untouched_groups_survive_and_bad_schema_rejected(spark):
+    from kf_task_fhir_etl_spark.operators import ivm
+
+    view = spark.createDataFrame([("a", 1, 1.0)], "k string, n bigint, s double")
+    delta = spark.createDataFrame([("z", 4.0, 1)], "k string, x double, op int")
+    out = {r["k"]: (r["n"], r["s"]) for r in ivm.apply_agg_delta(view, delta, ["k"], {"s": "x"}).collect()}
+    assert out == {"a": (1, 1.0), "z": (1, 4.0)}
+    with pytest.raises(ValueError, match="lacks sum column"):
+        ivm.apply_agg_delta(view, delta, ["k"], {"missing": "x"})
+    with pytest.raises(ValueError, match="lacks count column"):
+        ivm.apply_agg_delta(view.drop("n"), delta, ["k"], {"s": "x"})
+
+
+def test_ivm_matches_full_recompute_on_random_changelog(spark):
+    """incremental ≡ recompute on a generated base + changelog — the IVM
+    contract, checked independently of the q133 oracle."""
+    from kf_task_fhir_etl_spark.operators import ivm
+
+    base = spark.range(200).select(
+        (F.col("id") % 17).alias("k"), (F.col("id") * 1.5).alias("x")
+    )
+    view = base.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x").alias("s")
+    )
+    dels = base.filter(F.col("id") % 3 == 0).select("k", "x", F.lit(-1).alias("op"))
+    ins = spark.range(200, 260).select(
+        (F.col("id") % 23).alias("k"), (F.col("id") * 1.5).alias("x"), F.lit(1).alias("op")
+    )
+    got = {
+        r["k"]: (r["n"], round(r["s"], 6))
+        for r in ivm.apply_agg_delta(view, dels.unionByName(ins), ["k"], {"s": "x"}).collect()
+    }
+    surviving = base.filter(F.col("id") % 3 != 0).select("k", "x").unionByName(
+        spark.range(200, 260).select((F.col("id") % 23).alias("k"), (F.col("id") * 1.5).alias("x"))
+    )
+    want = {
+        r["k"]: (r["n"], round(r["s"], 6))
+        for r in surviving.groupBy("k").agg(F.count(F.lit(1)).alias("n"), F.sum("x").alias("s")).collect()
+    }
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# funnel (operators/funnel.py, q134)
+# ---------------------------------------------------------------------------
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(rows, "user_id int, ts timestamp, event_type string")
+
+
+def test_funnel_strict_order_and_first_touch(spark):
+    import datetime as dt
+
+    from kf_task_fhir_etl_spark.operators import funnel
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    rows = [
+        # u1 completes in order
+        (1, t(0), "view"), (1, t(10), "click"), (1, t(20), "purchase"),
+        # u2: click BEFORE view only — must stop at view
+        (2, t(5), "click"), (2, t(6), "view"),
+        # u3: click at the SAME ts as view — strictly-after excludes it
+        (3, t(0), "view"), (3, t(0), "click"),
+        # u4: first click pre-view is ignored, second click counts;
+        # purchase before that click does not
+        (4, t(0), "click"), (4, t(1), "view"), (4, t(2), "purchase"), (4, t(3), "click"),
+    ]
+    out = {r["step_idx"]: (r["step"], r["n_users"], r["avg_s_from_first"]) for r in funnel.funnel_counts(_ev(spark, rows), ["view", "click", "purchase"]).collect()}
+    assert out[1] == ("view", 4, 0.0)
+    assert out[2] == ("click", 2, 6.0)  # u1 gap 10s, u4 gap 2s → avg 6.0
+    assert out[3] == ("purchase", 1, 20.0)  # only u1
+
+
+def test_funnel_trajectories_and_handle_release(spark):
+    import datetime as dt
+
+    from kf_task_fhir_etl_spark.operators import funnel
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    rows = [(1, t(0), "a"), (1, t(1), "b"), (2, t(0), "a")]
+    handles = []
+    traj = funnel.funnel_trajectories(_ev(spark, rows), ["a", "b"], handles_out=handles)
+    got = {r["user"]: (r["t1"] is not None, r["t2"] is not None) for r in traj.collect()}
+    assert got == {1: (True, True), 2: (True, False)}
+    assert len(handles) == 2  # one per step
+    etl.release_checkpoints(handles)
+    with pytest.raises(ValueError):
+        funnel.funnel_counts(_ev(spark, rows), [])
