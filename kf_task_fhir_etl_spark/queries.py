@@ -355,37 +355,102 @@ def q08_resource_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Every entry keeps BOTH a queries() and an oracle_sql() registration either
 # way; nothing is retired.
 #
-# r06 composition (exactly 50).
-# Changed code this round: (1) the q85 steady-state memo moved from the gate
-# into etl.run_pipeline (opt-in memo_key, overlapped checkpoint, explicit
-# block release on eviction — VERDICT r05 #1/#2); (2) _endpoint_tables now
-# derives from catalog.cached_table (skips per-read schema-inference jobs),
-# which dirties EVERY gate that builds endpoint tables through it — all of
-# those re-prove in-window; (3) cms_estimate gained a prepare/no-re-
-# checkpoint path (q121/q123); (4) q57's GK band gained the degeneracy
-# guard (r04 optional #8). q119/q120's r05 waivers expired — both rotate
-# back in. q25/q27 LEAD the window: their last direct proof was r03 over
-# builders refactored in r04 (the one remaining direct-proof vintage debt,
-# carried openly since the r05 comment) — this round they are also dirty
-# via _endpoint_tables, so the debt closes with real re-proves.
-# Remaining slots go to r03-vintage re-proves on untouched code. NOT all
-# fit: the deferred r03-vintage entries are listed at the head of
-# _CHECK_LAST with per-entry sibling-coverage notes; they rotate in next
-# round. Everything else in _CHECK_LAST is r04/r05-green on code untouched
-# this round. Window composition is MACHINE-CHECKED: tests/
-# test_staleness_guard.py diffs the tree against the previous round tag,
-# maps changed symbols to registry entries, and fails if an affected entry
-# is rotated to the tail without a waiver.
+# r07 composition (exactly 50).
+# The 14 r03-vintage entries LEAD (VERDICT r06 #2 — the registry's oldest
+# freshness debt: q110/q111 first, the displacement named at r06 close).
+# Changed code this round: (1) the Bloom filter's word store rewritten
+# map→dense array with a prepare/release lifecycle and the q129 gate cut
+# to one big-side scan (VERDICT r06 #1/#5/#6) — q129 re-proves; (2)
+# connected_components gained per-round checkpoint release (VERDICT r06
+# missing #1) — q63/q72 re-prove; (3) zorder_write's reserved-__z guard
+# (ADVICE) — q130 re-proves; (4) q123/q126 release their gate-owned
+# checkpoints after materialization (ADVICE) — both re-prove; (5)
+# etl.run_pipeline gained build-seq memo ordering (ADVICE) — q85/q115
+# re-prove. Four NEW gates (triangle counting q131, expectations suite
+# q132, incremental view maintenance q133, event funnel q134) land WITH
+# their proofs. Remaining slots take 22 of the 25 r04-vintage re-proves;
+# the three deferred (q46/q47/q48) sit at the head of _CHECK_LAST with
+# per-entry sibling-coverage notes naming IN-WINDOW gates that call the
+# same machinery. Everything else in _CHECK_LAST is r05/r06-green on
+# code untouched this round. Window composition is MACHINE-CHECKED:
+# tests/test_staleness_guard.py diffs the tree against the previous
+# round tag, maps changed symbols to registry entries, and fails if an
+# affected entry is rotated to the tail without a waiver.
 # ---------------------------------------------------------------------------
 _CHECK_FIRST = [
-    # vintage-debt leads (last direct proof r03; builders refactored r04) —
-    # also dirty this round via _endpoint_tables
-    "q25_fhir_disease_narrow",
-    "q27_fhir_specimen_narrow",
-    # changed-code re-proves: etl memo lift + overlapped checkpoint (q85/
-    # q115 directly; q124 et al. via _endpoint_tables/cached_table)
+    # -- r03-vintage re-proves lead (oldest freshness debt; untouched code)
+    "q110_importance_sample",
+    "q111_budget_select",
+    "q03_normalize_dedup",
+    "q16_ann_lsh_topk",
+    "q71_sequence_packing",
+    "q86_cube_order_matrix",
+    "q87_range_frame_running",
+    "q91_tfidf_keywords",
+    "q92_pii_redaction",
+    "q94_mixture_resample",
+    "q104_unpivot_yearly_revenue",
+    "q107_rank_functions",
+    "q109_streaming_quality_filter",
+    "q112_stream_static_join",
+    # -- changed-code re-proves (see composition note above)
+    "q129_bloom_join_pruning",
+    "q63_dup_clusters",
+    "q72_canonical_docs",
+    "q130_zorder_clustering",
+    "q123_cms_heavy_hitters",
+    "q126_tdigest_quantiles",
     "q85_fhir_full_pipeline",
     "q115_multi_study_pipeline",
+    # -- NEW gates this round (each lands WITH its proof)
+    "q131_triangle_count",
+    "q132_expectations_suite",
+    "q133_incremental_view_maintenance",
+    "q134_event_funnel",
+    # -- r04-vintage re-proves (untouched code; next-oldest debt)
+    "q113_ivf_lloyd_refinement",
+    "q114_semantic_dedup_unsupervised",
+    "q117_bigram_lm_score",
+    "q118_tfidf_doc_pairs",
+    "q15_embedding_neardup",
+    "q36_ann_ivf_topk",
+    "q66_embedding_neardup_lsh",
+    "q88_embedding_lsh_recall",
+    "q93_semantic_dedup",
+    "q103_data_profile",
+    "q105_fuzzy_match",
+    "q02_outer_join_cascade",
+    "q05_sentinel_filter",
+    "q08_resource_json",
+    "q10_dedup_exact",
+    "q13_simhash",
+    "q20_fingerprint",
+    "q29_range_join",
+    "q40_multimodal_frame_sample",
+    "q41_multimodal_metadata_stats",
+    "q42_topn_shipping_priority",
+    "q43_rollup_order_stats",
+    "q44_customer_set_ops",
+    "q45_exists_semi_join",
+]
+_CHECK_LAST = [
+    # -- deferred r04-vintage re-proves (window full at 50) ----------------
+    # q46: NOT-EXISTS anti join — the left-anti machinery is exercised
+    # IN-WINDOW by q132's two FK-containment checks (expect_referential is
+    # a left-anti against distinct parent keys); untouched since r04;
+    # rotates in next round.
+    "q46_not_exists_anti_join",
+    # q47: grouped exact percentiles — the exact percentile() path is
+    # exercised IN-WINDOW by q126's exact-quantile anchor columns (same
+    # function, same grouped shape); untouched since r04; next round.
+    "q47_grouped_percentiles",
+    # q48: multi-distinct aggregate — the expand-based count_distinct path
+    # is exercised IN-WINDOW by q132's uniqueness check (count_distinct
+    # inside a shared aggregate); untouched since r04; next round.
+    "q48_multi_distinct_agg",
+    # -- r06-green, code untouched this round ------------------------------
+    "q25_fhir_disease_narrow",
+    "q27_fhir_specimen_narrow",
     "q124_narrow_multi_target",
     "q23_fhir_transform_cascade",
     "q24_fhir_patient_resources",
@@ -409,27 +474,14 @@ _CHECK_FIRST = [
     "q82_fhir_reference_entities_json",
     "q83_fhir_specimen_json",
     "q84_fhir_drs_json",
-    # waiver expiry (r05): rotate back in with their staging helpers now
-    # driver-gated end-to-end again
     "q119_dynamic_partition_pruning",
     "q120_streaming_session_windows",
-    # changed-code re-proves: GK degeneracy guard / cms prepare path
     "q57_approx_sketches",
     "q121_count_min_sketch",
-    "q123_cms_heavy_hitters",
-    # NEW gates this round (label propagation / t-digest / compaction /
-    # streaming CDC apply — VERDICT r05 #6, each landing WITH its gate —
-    # plus Bloom join pruning, the sketch family's join-pruning member)
     "q125_label_propagation",
-    "q126_tdigest_quantiles",
     "q127_compact_small_files",
     "q128_streaming_cdc_apply",
-    "q129_bloom_join_pruning",
-    "q130_zorder_clustering",
-    # changed-code re-prove: rollup_sink now delegates to the extracted
-    # streaming/versioned_store.py (the commit layout q128 shares)
     "q70_incremental_rollup",
-    # r03-vintage re-proves on untouched code
     "q89_quality_filter_funnel",
     "q90_contamination_screen",
     "q96_streaming_dedup",
@@ -441,54 +493,6 @@ _CHECK_FIRST = [
     "q102_pagerank",
     "q106_kmv_distinct",
     "q108_grouping_sets",
-]
-_CHECK_LAST = [
-    # -- deferred r03-vintage re-proves (untouched code; window full) -------
-    # q110/q111 displaced late in r06 by the NEW q129/q130 gates (new/
-    # changed code always outranks an untouched-code re-prove): sampling.py
-    # is machine-checked untouched since its r04 hardening and the family's
-    # other five gates (q60/q61/q62/q69/q116) are green r05. Their direct
-    # re-proves lead r07 with the other r03-vintage leftovers.
-    "q110_importance_sample",
-    "q111_budget_select",
-    # q03: normalize itself is exercised by every in-window FHIR gate (each
-    # runs the transform cascade's normalize; q23 in-window covers the
-    # identical stringify+dedupe surface); rotates in next round.
-    "q03_normalize_dedup",
-    # q86: CUBE shares the Expand-based grouping-sets machinery q108 proves
-    # in-window this round (q43 ROLLUP stayed r04-green); rotates in next.
-    "q86_cube_order_matrix",
-    # q91/q92: TF-IDF keywords / PII redaction — corpus-family siblings
-    # q89/q90/q99/q100 (q100 replays the full chain in SQL) are in-window;
-    # both untouched since r03; rotate in next round.
-    "q91_tfidf_keywords",
-    "q92_pii_redaction",
-    # q94: mixture resample — sampling family siblings q110/q111 in-window
-    # (q116 weighted-sample r05-green); untouched since r03; next round.
-    "q94_mixture_resample",
-    # q104: unpivot (stack) — single untouched operator, no dependency on
-    # any changed symbol; next round.
-    "q104_unpivot_yearly_revenue",
-    # q107: ranking-function window surface — q108 in-window exercises the
-    # same window/Expand machinery; next round.
-    "q107_rank_functions",
-    # q16: ANN family siblings q36 (IVF) / q88 (LSH recall) r04-green and
-    # q14 (brute cosine) r05-green cover the LSH-bucketed serving path;
-    # displaced by the three new gates; next round.
-    "q16_ann_lsh_topk",
-    # q71: packing/chunking family — q62 (chunking) r05-green, q110/q111
-    # (sampling windows) in-window; displaced by the new gates; next round.
-    "q71_sequence_packing",
-    # q87: RANGE-frame windows — q108's Expand/window machinery in-window,
-    # q50 (ROWS frames) r05-green; displaced by the new gates; next round.
-    "q87_range_frame_running",
-    # q109/q112: streaming quality filter / stream-static join — displaced
-    # by q128 + the q70 re-prove; the in-window streaming set (q96, q119,
-    # q120, q128, q70) exercises the shared microbatch/foreachBatch/store
-    # infra, and q109's batch twin q89 is in-window; both untouched since
-    # r03; next round.
-    "q109_streaming_quality_filter",
-    "q112_stream_static_join",
     # -- r05-green, code untouched this round ------------------------------
     "q06_group_collect",
     "q09_topk_per_group",
@@ -520,43 +524,13 @@ _CHECK_LAST = [
     "q60_train_test_split",
     "q61_source_quota_sample",
     "q62_doc_chunking",
-    "q63_dup_clusters",
     "q67_bpe_token_budget",
     "q68_rolling_fingerprints",
     "q69_stratified_sample",
-    "q72_canonical_docs",
     "q73_salted_skew_join",
     "q95_bucketed_colocated_join",
     "q116_weighted_sample",
     "q122_profile_approx",
-    # -- r04-green, code untouched this round ------------------------------
-    "q113_ivf_lloyd_refinement",
-    "q114_semantic_dedup_unsupervised",
-    "q117_bigram_lm_score",
-    "q118_tfidf_doc_pairs",
-    "q15_embedding_neardup",
-    "q36_ann_ivf_topk",
-    "q66_embedding_neardup_lsh",
-    "q88_embedding_lsh_recall",
-    "q93_semantic_dedup",
-    "q103_data_profile",
-    "q105_fuzzy_match",
-    "q02_outer_join_cascade",
-    "q05_sentinel_filter",
-    "q08_resource_json",
-    "q10_dedup_exact",
-    "q13_simhash",
-    "q20_fingerprint",
-    "q29_range_join",
-    "q40_multimodal_frame_sample",
-    "q41_multimodal_metadata_stats",
-    "q42_topn_shipping_priority",
-    "q43_rollup_order_stats",
-    "q44_customer_set_ops",
-    "q45_exists_semi_join",
-    "q46_not_exists_anti_join",
-    "q47_grouped_percentiles",
-    "q48_multi_distinct_agg",
 ]
 
 
