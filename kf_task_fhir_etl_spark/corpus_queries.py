@@ -2724,3 +2724,131 @@ def q134_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = counts.localCheckpoint(eager=True)  # 3 rows — the residue
     etl.release_checkpoints(handles)
     return result.orderBy("step_idx")
+
+
+# ---------------------------------------------------------------------------
+# q135 — exact set-similarity join via prefix filtering (dedup family:
+# q10 exact, q11/q12 MinHash-LSH, q13 SimHash — this is the EXACT-recall
+# member; operators/setsim.py)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q135_set_similarity_join",
+    oracle=r"""
+    WITH d AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+    ), t AS (
+      SELECT DISTINCT doc_id, w FROM (
+        SELECT doc_id,
+               UNNEST(string_split_regex(LOWER(TRIM(text)), '\s+')) AS w
+        FROM d
+      ) WHERE w <> ''
+    ), size_ AS (
+      SELECT doc_id, COUNT(*) AS n FROM t GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+      FROM t a JOIN t b ON a.w = b.w AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT i.id_a, i.id_b, i.c AS n_inter,
+           ROUND(i.c / (sa.n + sb.n - i.c), 6) AS jaccard
+    FROM inter i
+    JOIN size_ sa ON i.id_a = sa.doc_id
+    JOIN size_ sb ON i.id_b = sb.doc_id
+    WHERE i.c * 10 >= 9 * (sa.n + sb.n - i.c)
+    ORDER BY id_a, id_b
+    """,
+)
+def q135_set_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact set-similarity self-join at Jaccard ≥ 0.9
+    (operators/setsim.py): the AllPairs/prefix-filtering algorithm — every
+    set ordered by the rarest-first global token order, candidates only
+    from prefix-token collisions, NO false negatives by the prefix lemma —
+    against a brute-force oracle that intersects EVERY id-ordered pair: an
+    independent method, so agreement pins the prefix-length arithmetic
+    (the classic off-by-one silently DROPS boundary pairs), the global
+    order, and the verify. The threshold is the rational 9/10 and both
+    engines decide membership in INTEGER arithmetic (|∩|·10 ≥ 9·|∪|) —
+    no float boundary anywhere (0.9·n ceils wrong in doubles for n=10k).
+    The corpus is the doc_id % 10 subset: the synthetic documents are
+    template-generated near-duplicates (57% of ALL pairs exceed J=0.6 —
+    measured), so the full corpus is a quasi-clique whose quadratic
+    output, not the algorithm, dominates; the operator itself is
+    unrestricted and its pruning is the rare-token prefix join."""
+    from kf_task_fhir_etl_spark.operators import setsim
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 10 == 0)
+        .select(
+            "doc_id",
+            F.array_remove(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+"), ""
+            ).alias("toks"),
+        )
+    )
+    out = setsim.set_similarity_join(docs, "doc_id", "toks", t_num=9, t_den=10)
+    return out.select(
+        F.col("id_a"), F.col("id_b"), "n_inter", "jaccard"
+    ).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# q136 — snapshot diff → changelog (table-versioning family: q101 SCD2,
+# q128 CDC apply — this is the INVERSE of apply: derive the change feed
+# two full snapshots imply; operators/scd.py::snapshot_diff)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q136_snapshot_diff",
+    oracle="""
+    WITH old_ AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 11 <> 0
+    ), new_ AS (
+      SELECT o_orderkey, o_orderstatus,
+             o_totalprice + CASE WHEN o_orderkey % 5 = 0 THEN 100.0 ELSE 0.0 END
+               AS o_totalprice
+      FROM orders WHERE o_orderkey % 7 <> 0
+    ), j AS (
+      SELECT COALESCE(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+             CASE WHEN o.o_orderkey IS NULL THEN 'I'
+                  WHEN n.o_orderkey IS NULL THEN 'D'
+                  WHEN n.o_orderstatus IS DISTINCT FROM o.o_orderstatus
+                    OR n.o_totalprice IS DISTINCT FROM o.o_totalprice THEN 'U'
+             END AS op,
+             n.o_orderstatus, n.o_totalprice
+      FROM old_ o FULL JOIN new_ n ON o.o_orderkey = n.o_orderkey
+    )
+    SELECT * FROM j WHERE op IS NOT NULL ORDER BY o_orderkey
+    """,
+)
+def q136_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-to-changelog diff (operators/scd.py::snapshot_diff): two
+    synthetic snapshots of the orders table — the new one drops every 7th
+    key (deletes), gains every 11th (inserts, absent from old), and bumps
+    totalprice by 100 on every 5th (updates) — and the operator emits
+    exactly the I/U/D feed that turns old into new: one null-safe
+    full-outer join on the key, null-safe column comparison (NULL→NULL is
+    unchanged, NULL→value is a change), identical rows dropped. The
+    oracle recomputes the same feed with FULL JOIN + IS DISTINCT FROM —
+    the lakehouse change-data-feed contract, value-hashed. Update
+    arithmetic (+100.0) is exact in both engines; no aggregation, so no
+    rounding is needed anywhere."""
+    from kf_task_fhir_etl_spark.operators import scd
+
+    orders = load_table(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderkey") % 11 != 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    new = orders.filter(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        (
+            F.col("o_totalprice")
+            + F.when(F.col("o_orderkey") % 5 == 0, F.lit(100.0)).otherwise(F.lit(0.0))
+        ).alias("o_totalprice"),
+    )
+    return scd.snapshot_diff(old, new, ["o_orderkey"]).orderBy("o_orderkey")

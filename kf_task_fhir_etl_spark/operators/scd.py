@@ -105,3 +105,73 @@ def scd2_as_of(history: DataFrame, t: int) -> DataFrame:
     return history.filter((F.col("valid_from") <= t) & (F.lit(t) < F.col("valid_to"))).drop(
         "valid_from", "valid_to"
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Changelog between two snapshots of a keyed table — the INVERSE of
+    streaming/cdc.py's apply (which folds a changelog INTO a table): emit
+    (keys…, op, new-side values) with op ∈ I/U/D, the feed a downstream
+    CDC consumer or an ivm.apply_agg_delta caller needs when upstream only
+    publishes full snapshots (the "snapshot-to-CDC" bridge every lakehouse
+    table format ships as its change-data-feed).
+
+    One null-safe full-outer equi-join on the key, decided per row:
+    old-side absent → I, new-side absent → D (value columns NULL — the row
+    no longer exists), both present → U only when some compared column
+    differs NULL-SAFELY (a NULL→NULL column is unchanged; NULL→value is a
+    change); identical rows are dropped. ``compare_cols`` defaults to all
+    shared non-key columns. Keys join with eqNullSafe so a malformed
+    NULL-keyed row pairs with its counterpart instead of fabricating an
+    I+D pair. At scale this is one co-partitioned join; snapshots stored
+    bucketed on the key (operators/bucketing.py) diff with no exchange at
+    all."""
+    if compare_cols is None:
+        compare_cols = [
+            c for c in new.columns if c in set(old.columns) and c not in set(keys)
+        ]
+    o = old.select(
+        F.lit(True).alias("__o_present"),
+        *[F.col(k).alias(f"__ok_{k}") for k in keys],
+        *[F.col(c).alias(f"__ov_{c}") for c in compare_cols],
+    )
+    n = new.select(
+        F.lit(True).alias("__n_present"),
+        *[F.col(k).alias(f"__nk_{k}") for k in keys],
+        *[F.col(c).alias(f"__nv_{c}") for c in compare_cols],
+    )
+    cond = None
+    for k in keys:
+        eq = F.col(f"__ok_{k}").eqNullSafe(F.col(f"__nk_{k}"))
+        cond = eq if cond is None else (cond & eq)
+    j = o.join(n, cond, "full")
+    # presence bits, not key-null tests: a full-outer-missing side leaves
+    # ALL its columns NULL — including the literal — so isNotNull on the
+    # literal is the presence test that stays correct even for rows whose
+    # every key column is legitimately NULL
+    old_present = F.col("__o_present").isNotNull()
+    new_present = F.col("__n_present").isNotNull()
+    changed = F.lit(False)
+    for c in compare_cols:
+        changed = changed | ~F.col(f"__ov_{c}").eqNullSafe(F.col(f"__nv_{c}"))
+    op = (
+        F.when(~old_present, F.lit("I"))
+        .when(~new_present, F.lit("D"))
+        .when(changed, F.lit("U"))
+    )
+    return (
+        j.withColumn("op", op)
+        .filter(F.col("op").isNotNull())
+        .select(
+            *[
+                F.coalesce(F.col(f"__nk_{k}"), F.col(f"__ok_{k}")).alias(k)
+                for k in keys
+            ],
+            "op",
+            *[F.col(f"__nv_{c}").alias(c) for c in compare_cols],
+        )
+    )

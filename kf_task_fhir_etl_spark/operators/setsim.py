@@ -1,0 +1,108 @@
+"""EXACT set-similarity join via prefix filtering — the AllPairs/SSJoin
+family (Bayardo et al. WWW'07; Chaudhuri et al. ICDE'06), the
+deterministic counterpart to the MinHash-LSH candidates in
+operators/dedup.py: LSH trades recall for speed, prefix filtering keeps
+EVERY qualifying pair (no false negatives, provable) while still pruning
+the candidate space to token-overlap pairs of rare-token prefixes.
+
+The prefix lemma: order every set by one GLOBAL token order (rarest
+first — document frequency, then token, so the order is total and
+deterministic); if J(a,b) ≥ t then |a∩b| ≥ ceil(t·|a|), and any two
+sorted sets intersecting in ≥ c elements must already intersect within
+their first |s| − c + 1 elements — so candidates sharing NO prefix token
+can be skipped without looking. Rare-first ordering makes prefixes
+low-frequency, so the prefix-token self-join (the only quadratic-risk
+step) fans out on the tokens least likely to collide.
+
+Exactness discipline: the threshold is a RATIONAL (t_num/t_den), and
+both the prefix length (ceil(t·n) = −((−t_num·n) div t_den)) and the
+similarity test (|∩|·t_den ≥ t_num·|∪|) are pure integer arithmetic —
+no float boundary anywhere, so a DuckDB oracle computing the same
+integers agrees on every boundary pair (0.6·5 = 3.0000000000000004
+would otherwise shift a ceil and silently drop pairs).
+
+Scale shape: one explode + df-join + re-collect to build ordered sets
+(doc-sized shuffles), one self-join on prefix tokens (bounded by
+rare-token df), one exact verify per candidate on the collected arrays
+(array_intersect — no further shuffle). No driver state, no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _ceil_div(num: Column, den: int) -> Column:
+    """ceil(num/den) for a NONNEGATIVE integer column — (num+den−1) div
+    den; the cast truncates toward zero, which equals floor on the
+    nonnegative operand, so the arithmetic stays integer-exact."""
+    return ((num + F.lit(den - 1)) / F.lit(den)).cast("bigint")
+
+
+def set_similarity_join(
+    docs: DataFrame,
+    id_col: str,
+    token_col: str,
+    t_num: int,
+    t_den: int,
+) -> DataFrame:
+    """All pairs with Jaccard(token sets) ≥ t_num/t_den — exact, no false
+    negatives. ``token_col`` is an array column; duplicates inside it are
+    collapsed (set semantics). Returns (id_a, id_b, n_inter, jaccard) with
+    id_a < id_b and jaccard rounded 6dp (the decision itself is integer)."""
+    if not (0 < t_num <= t_den):
+        raise ValueError(f"threshold must be in (0, 1]: {t_num}/{t_den}")
+    base = docs.select(F.col(id_col).alias("id"), F.col(token_col).alias("toks"))
+    tok = base.select("id", F.explode_outer(F.array_distinct("toks")).alias("w")).filter(
+        F.col("w").isNotNull()
+    )
+    df_tab = tok.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    # per-doc ordered token array: rarest-first global order (df, token) —
+    # array_sort on the struct, no global window anywhere
+    ordered = (
+        tok.join(df_tab, "w")
+        .groupBy("id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("df", "w"))), lambda s: s["w"]
+            ).alias("toks"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    # prefix length |s| − ceil(t·|s|) + 1 (the Jaccard prefix bound);
+    # kept ≥ 0 for the degenerate single-token/t=1 case
+    prefixed = ordered.select(
+        "id",
+        "toks",
+        "n",
+        F.slice(
+            F.col("toks"), 1, F.greatest(F.col("n") - _ceil_div(F.col("n") * t_num, t_den) + 1, F.lit(0))
+        ).alias("prefix"),
+    )
+    pre = prefixed.select("id", "toks", "n", F.explode("prefix").alias("w"))
+    a = pre.select(
+        F.col("id").alias("id_a"), F.col("toks").alias("toks_a"), F.col("n").alias("na"), "w"
+    )
+    b = pre.select(
+        F.col("id").alias("id_b"), F.col("toks").alias("toks_b"), F.col("n").alias("nb"), "w"
+    )
+    cand = (
+        a.join(b, "w")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "toks_a", "toks_b", "na", "nb")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    union = F.col("na") + F.col("nb") - F.col("n_inter")
+    return (
+        cand.withColumn("n_inter", inter)
+        # integer decision: |∩|·den ≥ num·|∪| — float-free at the boundary
+        .filter(F.col("n_inter") * t_den >= F.lit(t_num) * union)
+        .select(
+            "id_a",
+            "id_b",
+            F.col("n_inter").cast("bigint").alias("n_inter"),
+            F.round(F.col("n_inter") / union, 6).alias("jaccard"),
+        )
+    )

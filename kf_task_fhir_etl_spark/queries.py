@@ -407,6 +407,8 @@ _CHECK_FIRST = [
     "q132_expectations_suite",
     "q133_incremental_view_maintenance",
     "q134_event_funnel",
+    "q135_set_similarity_join",
+    "q136_snapshot_diff",
     # -- r04-vintage re-proves (untouched code; next-oldest debt)
     "q113_ivf_lloyd_refinement",
     "q114_semantic_dedup_unsupervised",
@@ -430,11 +432,16 @@ _CHECK_FIRST = [
     "q41_multimodal_metadata_stats",
     "q42_topn_shipping_priority",
     "q43_rollup_order_stats",
-    "q44_customer_set_ops",
-    "q45_exists_semi_join",
 ]
 _CHECK_LAST = [
     # -- deferred r04-vintage re-proves (window full at 50) ----------------
+    # q44/q45: set-ops / EXISTS-semi-join — displaced late by the two extra
+    # NEW gates (q135/q136; new code always outranks an untouched-code
+    # re-prove, the q110/q111 precedent from r06). Both single-operator
+    # surfaces, machine-checked untouched since their r04 hardening
+    # (staleness guard green); they LEAD the r08 window with q46-q48.
+    "q44_customer_set_ops",
+    "q45_exists_semi_join",
     # q46: NOT-EXISTS anti join — the left-anti machinery is exercised
     # IN-WINDOW by q132's two FK-containment checks (expect_referential is
     # a left-anti against distinct parent keys); untouched since r04;

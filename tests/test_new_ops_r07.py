@@ -407,3 +407,111 @@ def test_funnel_trajectories_and_handle_release(spark):
     etl.release_checkpoints(handles)
     with pytest.raises(ValueError):
         funnel.funnel_counts(_ev(spark, rows), [])
+
+
+# ---------------------------------------------------------------------------
+# exact set-similarity join (operators/setsim.py, q135)
+# ---------------------------------------------------------------------------
+
+
+def test_setsim_exact_no_false_negatives_vs_bruteforce(spark):
+    """Prefix filtering must return EXACTLY the brute-force pair set —
+    including boundary pairs where |∩|·den == num·|∪| (the off-by-one a
+    float ceil would drop)."""
+    import itertools
+
+    from kf_task_fhir_etl_spark.operators import setsim
+
+    sets = {
+        0: ["a", "b", "c", "d", "e"],
+        1: ["a", "b", "c", "d", "f"],       # J=4/6 with 0
+        2: ["a", "b", "c", "d", "e", "f"],  # J=5/6 with 0 — boundary at 5/6
+        3: ["x", "y", "z"],
+        4: ["x", "y", "z"],                 # J=1 with 3
+        5: ["a", "x"],
+        6: [],                              # empty set: excluded
+    }
+    df = spark.createDataFrame(
+        [(k, v) for k, v in sets.items()], "id int, toks array<string>"
+    )
+    for t_num, t_den in [(5, 6), (2, 3), (1, 1)]:
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in setsim.set_similarity_join(df, "id", "toks", t_num, t_den).collect()
+        }
+        want = set()
+        for a, b in itertools.combinations(sorted(sets), 2):
+            sa, sb = set(sets[a]), set(sets[b])
+            if not sa or not sb:
+                continue
+            if len(sa & sb) * t_den >= t_num * len(sa | sb):
+                want.add((a, b))
+        assert got == want, f"t={t_num}/{t_den}: {got} != {want}"
+
+
+def test_setsim_dedups_tokens_and_rejects_bad_threshold(spark):
+    from kf_task_fhir_etl_spark.operators import setsim
+
+    df = spark.createDataFrame(
+        [(1, ["a", "a", "b"]), (2, ["b", "a", "b"])], "id int, toks array<string>"
+    )
+    rows = setsim.set_similarity_join(df, "id", "toks", 1, 1).collect()
+    assert len(rows) == 1 and rows[0]["jaccard"] == 1.0 and rows[0]["n_inter"] == 2
+    with pytest.raises(ValueError):
+        setsim.set_similarity_join(df, "id", "toks", 0, 1)
+    with pytest.raises(ValueError):
+        setsim.set_similarity_join(df, "id", "toks", 3, 2)
+
+
+# ---------------------------------------------------------------------------
+# snapshot diff (operators/scd.py::snapshot_diff, q136)
+# ---------------------------------------------------------------------------
+
+
+def test_snapshot_diff_iud_and_nullsafe_compare(spark):
+    from kf_task_fhir_etl_spark.operators import scd
+
+    old = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", None), (3, "c", 3.0), (4, "d", 4.0)],
+        "k int, s string, x double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 1.0),      # unchanged → dropped
+         (2, "b", 2.0),      # NULL → value: U
+         (3, None, 3.0),     # value → NULL: U
+         (5, "e", 5.0)],     # absent in old: I   (4 deleted: D)
+        "k int, s string, x double",
+    )
+    got = {r["k"]: (r["op"], r["s"], r["x"]) for r in scd.snapshot_diff(old, new, ["k"]).collect()}
+    assert got == {
+        2: ("U", "b", 2.0),
+        3: ("U", None, 3.0),
+        4: ("D", None, None),  # delete carries no new-side values
+        5: ("I", "e", 5.0),
+    }
+
+
+def test_snapshot_diff_roundtrip_through_cdc_semantics(spark):
+    """Applying the emitted changelog to `old` must reconstruct `new`
+    exactly — diff and apply are inverses (checked with plain DataFrame
+    ops: delete Ds, upsert I/Us)."""
+    from kf_task_fhir_etl_spark.operators import scd
+
+    old = spark.range(30).select(
+        F.col("id").alias("k"), (F.col("id") * 2.0).alias("x")
+    )
+    new = (
+        spark.range(40)
+        .filter(F.col("id") % 4 != 0)
+        .select(F.col("id").alias("k"), (F.col("id") * 2.0 + (F.col("id") % 3)).alias("x"))
+    )
+    feed = scd.snapshot_diff(old, new, ["k"])
+    upserts = feed.filter(F.col("op") != "D").select("k", "x")
+    deletes = feed.filter(F.col("op") == "D").select("k")
+    rebuilt = (
+        old.join(feed.select("k"), "k", "left_anti")  # untouched rows
+        .unionByName(upserts)
+    )
+    assert rebuilt.join(deletes, "k", "inner").count() == 0
+    diff = rebuilt.exceptAll(new).unionByName(new.exceptAll(rebuilt))
+    assert diff.count() == 0
