@@ -1811,7 +1811,11 @@ def q123_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kf_task_fhir_etl_spark import etl
 
     words = words.localCheckpoint(eager=False)
-    cms = sketch.cms_build(words, "word", depth=4, width=512)
+    # prepare_sketch: cms_estimate would otherwise take its own INTERNAL
+    # lazy checkpoint of the raw build (sketch.py) — a pinned 4×512 sketch
+    # per gate call with no reachable release handle (r07 review); the
+    # prepared handle is released below with words
+    cms = sketch.prepare_sketch(sketch.cms_build(words, "word", depth=4, width=512))
     top = sketch.cms_topk(cms, words, "word", k=20)
     exact = words.groupBy("word").agg(F.count(F.lit(1)).alias("exact_n"))
     result = (
@@ -1823,13 +1827,14 @@ def q123_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cms_est") - F.col("exact_n")).alias("overcount"),
         )
         # eager: materializes the token stream's one execution NOW so the
-        # corpus-sized words checkpoint can be released before returning —
-        # a resident driver re-running this gate otherwise accumulates one
-        # pinned token-stream copy per call (ADVICE r06); the 20 rows
-        # pinned here are the whole residue
+        # corpus-sized words checkpoint AND the sketch checkpoint can be
+        # released before returning — a resident driver re-running this
+        # gate otherwise accumulates one pinned token-stream copy plus one
+        # sketch per call (ADVICE r06 + r07 review); the 20 rows pinned
+        # here are the whole residue
         .localCheckpoint(eager=True)
     )
-    etl.release_checkpoints([words])
+    etl.release_checkpoints([words, cms])
     return result.orderBy(F.desc("cms_est"), "word")
 
 

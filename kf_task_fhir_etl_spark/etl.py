@@ -222,12 +222,14 @@ def build_resources_union(
 
 
 # Constructed-pipeline memo: {(applicationId, group, version, single_pass):
-# (result, [checkpointed DataFrames], build_seq)}. build_seq is the
+# (result, [checkpointed DataFrames], (seq_domain, seq))}. The seq is the
 # monotonic ticket ordering constructions (ADVICE r06: versions are opaque
 # tags, so without an order a stale-fingerprint build committing last could
-# transiently displace the fresh entry). See run_pipeline(memo_key=...).
+# transiently displace the fresh entry); its domain ("auto" | "user") keeps
+# default tickets and caller observation counters from being compared
+# (r07 review). See run_pipeline(memo_key=...).
 _PIPELINE_MEMO: dict[
-    tuple[str, str, str, bool], tuple[object, list[DataFrame], int]
+    tuple[str, str, str, bool], tuple[object, list[DataFrame], tuple[str, int]]
 ] = {}
 
 # Monotonic construction tickets for the memo's ordering guard. Default
@@ -379,7 +381,11 @@ def run_pipeline(
     covers the started-first/committed-last inversion; a caller whose
     version observation happens well before its build (read fingerprint,
     queue work, build later) passes ``memo_seq`` — any monotonic
-    observation counter — to order by observation instead."""
+    observation counter — to order by observation instead. Tickets carry
+    their domain: default tickets and caller-supplied ones are
+    INCOMPARABLE counters, so a group must use one domain consistently —
+    mixing raises rather than silently marking every default-ticket
+    build of the group stale forever (r07 review)."""
     if memo_key is not None and not (checkpoint_wide and not cache_wide):
         raise ValueError("memo_key requires checkpoint_wide=True (and not cache_wide)")
     spark = next(iter(endpoint_tables.values())).sparkSession if endpoint_tables else None
@@ -395,12 +401,19 @@ def run_pipeline(
         if hit_result is not None:
             return hit_result
     # construction ticket: allocated AFTER the miss check so a hit never
-    # burns one, BEFORE construction so commit order cannot reorder starts
-    my_seq = (
-        (memo_seq if memo_seq is not None else next(_BUILD_SEQ))
-        if full_key is not None
-        else 0
-    )
+    # burns one, BEFORE construction so commit order cannot reorder starts.
+    # The ticket carries its DOMAIN ("user" = caller's observation counter,
+    # "auto" = _BUILD_SEQ): the two counters are incomparable — one
+    # time.monotonic_ns()-scale user ticket would otherwise mark every
+    # later default-ticket build of the group permanently stale, silently
+    # rebuilding forever (r07 review) — so mixing domains within one group
+    # raises instead of comparing garbage.
+    if full_key is not None:
+        my_seq = (
+            ("user", memo_seq) if memo_seq is not None else ("auto", next(_BUILD_SEQ))
+        )
+    else:
+        my_seq = ("auto", 0)
 
     transformed = transform_study(endpoint_tables)
     if cache_wide:
@@ -464,52 +477,74 @@ def run_pipeline(
             # displace anything or enter the memo: serve its own caller,
             # park its blocks in the group's retirement list (released on
             # the group's next supersede, the displaced-entry lifecycle).
-            i_am_stale = any(
-                k[0] == app
-                and (k[1], k[3]) == (group, full_key[3])
-                and k != full_key
-                and v[2] >= my_seq
-                for k, v in _PIPELINE_MEMO.items()
-            )
-            if i_am_stale:
-                # out is this construction's own fresh object, shared with
-                # no memo entry — safe to hand to the caller un-copied
-                _RETIRED_CHECKPOINTS.setdefault(full_key, []).extend(ck_handles)
-                return out
-            for k in list(_PIPELINE_MEMO):
-                if k[0] != app:
-                    _PIPELINE_MEMO.pop(k, None)  # dead app: blocks died with its JVM
-                elif (k[1], k[3]) == (group, full_key[3]) and k != full_key:
-                    stale = _PIPELINE_MEMO.pop(k, None)
-                    if stale is not None:
-                        _RETIRED_CHECKPOINTS[k] = stale[1]
-                        parked_now.add(k)
-            # drop dead apps' retirements (their blocks died with the JVM),
-            # then drain this group's retirements from PREVIOUS supersedes —
-            # but ONLY if this sweep actually displaced an entry: a caller
-            # racing the same (group, version) as the winner parks nothing,
-            # and letting it drain would release the retirement the winner
-            # parked moments earlier, collapsing the grace window after ONE
-            # supersede instead of two (r06 review, sixth pass). Entries
-            # parked by THIS sweep keep their grace window either way.
-            for rk in list(_RETIRED_CHECKPOINTS):
-                if rk[0] != app:
-                    _RETIRED_CHECKPOINTS.pop(rk, None)
-                elif (
-                    parked_now
-                    and (rk[1], rk[3]) == (group, full_key[3])
-                    and rk not in parked_now
+            i_am_stale = False
+            for k, v in _PIPELINE_MEMO.items():
+                if (
+                    k[0] != app
+                    or (k[1], k[3]) != (group, full_key[3])
+                    or k == full_key
                 ):
-                    prev = _RETIRED_CHECKPOINTS.pop(rk, None)
-                    if prev is not None:
-                        to_release.append(prev)
-            # store a SHALLOW COPY of dict results: the memo must never
-            # share a mutable dict with any caller — including the builder
-            # itself (r06 review; see memoized_pipeline)
-            stored = dict(out) if isinstance(out, dict) else out
-            entry = _PIPELINE_MEMO.setdefault(full_key, (stored, ck_handles, my_seq))
+                    continue
+                if v[2][0] != my_seq[0]:
+                    raise ValueError(
+                        f"run_pipeline: memo group {group!r} mixes "
+                        f"{v[2][0]!r}-domain and {my_seq[0]!r}-domain build "
+                        "tickets — pass memo_seq for ALL builds of a group "
+                        "or for none (the counters are incomparable)"
+                    )
+                if v[2][1] >= my_seq[1]:
+                    i_am_stale = True
+            if i_am_stale:
+                # Park REPLACES any previous same-key park (one grace
+                # generation per distinct stale version, mirroring the
+                # per-group displaced-entry bound): without the pop, a
+                # retried stale version extends its own handle list
+                # without bound (r07 review)
+                prev_park = _RETIRED_CHECKPOINTS.pop(full_key, None)
+                _RETIRED_CHECKPOINTS[full_key] = ck_handles
+                if prev_park is not None:
+                    to_release.append(prev_park)
+                entry = None
+            else:
+                for k in list(_PIPELINE_MEMO):
+                    if k[0] != app:
+                        _PIPELINE_MEMO.pop(k, None)  # dead app: blocks died with its JVM
+                    elif (k[1], k[3]) == (group, full_key[3]) and k != full_key:
+                        stale = _PIPELINE_MEMO.pop(k, None)
+                        if stale is not None:
+                            _RETIRED_CHECKPOINTS[k] = stale[1]
+                            parked_now.add(k)
+                # drop dead apps' retirements (their blocks died with the
+                # JVM), then drain this group's retirements from PREVIOUS
+                # supersedes — but ONLY if this sweep actually displaced an
+                # entry: a caller racing the same (group, version) as the
+                # winner parks nothing, and letting it drain would release
+                # the retirement the winner parked moments earlier,
+                # collapsing the grace window after ONE supersede instead
+                # of two (r06 review, sixth pass). Entries parked by THIS
+                # sweep keep their grace window either way.
+                for rk in list(_RETIRED_CHECKPOINTS):
+                    if rk[0] != app:
+                        _RETIRED_CHECKPOINTS.pop(rk, None)
+                    elif (
+                        parked_now
+                        and (rk[1], rk[3]) == (group, full_key[3])
+                        and rk not in parked_now
+                    ):
+                        prev = _RETIRED_CHECKPOINTS.pop(rk, None)
+                        if prev is not None:
+                            to_release.append(prev)
+                # store a SHALLOW COPY of dict results: the memo must never
+                # share a mutable dict with any caller — including the
+                # builder itself (r06 review; see memoized_pipeline)
+                stored = dict(out) if isinstance(out, dict) else out
+                entry = _PIPELINE_MEMO.setdefault(full_key, (stored, ck_handles, my_seq))
         for handles in to_release:
             release_checkpoints(handles)
+        if entry is None:
+            # stale build: out is this construction's own fresh object,
+            # shared with no memo entry — hand it to the caller un-copied
+            return out
         if entry[1] is not ck_handles:
             # two threads raced the same key (handles lists are unique per
             # construction): serve the winner's plans and release the

@@ -185,11 +185,16 @@ def bloom_prune(big: DataFrame, key_col: str, bloom: DataFrame) -> DataFrame:
     expression, and without a checkpoint every downstream action on the
     pruned frame would re-run the whole build aggregation; q129 consumes
     the pruned frame multiple ways — r06 review). An ALREADY checkpointed
-    filter (``bloom_prepare``, or a prior prune's checkpoint passed back
-    in) is reused as-is, so repeat-prune callers materialize and pin the
-    build exactly once; otherwise this takes its own eager checkpoint.
-    Either way, release with ``etl.release_checkpoints`` when the filter
-    retires."""
+    filter (``bloom_prepare``) is reused as-is, so repeat-prune callers
+    materialize and pin the build exactly once AND hold the handle that
+    ``etl.release_checkpoints`` can free deterministically. A raw build
+    is checkpointed INTERNALLY instead — correct for one-shot use, but
+    that internal handle is unreachable from the caller (releasing the
+    raw build frame is a reflection no-op on its Aggregate plan), so its
+    blocks are reclaimed only by GC + ContextCleaner; resident drivers
+    must use the ``bloom_prepare`` path for a deterministic lifecycle
+    (r07 review — the docstring previously promised a release path the
+    unprepared caller does not actually have)."""
     if not _is_checkpointed_relation(bloom):
         bloom = bloom.localCheckpoint(eager=True)
     row = bloom.first()  # reads the checkpoint, not a fresh build execution

@@ -36,8 +36,14 @@ _RESULT_FIELDS = ("constraint_name", "metric", "passed")
 
 
 def _violations(cond: Column) -> Column:
-    """Count of rows where ``cond`` holds (NULL-safe: NULL ≠ violation)."""
-    return F.sum(F.when(cond, F.lit(1)).otherwise(F.lit(0))).cast("double")
+    """Count of rows where ``cond`` holds (NULL-safe: NULL ≠ violation).
+    COALESCE pins the empty-table case: SUM over zero rows is NULL, which
+    would make both metric and passed NULL — an alerting consumer and a
+    proceed-on-pass consumer would BOTH skip the row silently (r07 review;
+    the module contract is metric 0.0 = clean, empty table passes)."""
+    return F.coalesce(
+        F.sum(F.when(cond, F.lit(1)).otherwise(F.lit(0))), F.lit(0)
+    ).cast("double")
 
 
 def expect_suite(df: DataFrame, checks: list[dict]) -> DataFrame:

@@ -515,3 +515,22 @@ def test_snapshot_diff_roundtrip_through_cdc_semantics(spark):
     assert rebuilt.join(deletes, "k", "inner").count() == 0
     diff = rebuilt.exceptAll(new).unionByName(new.exceptAll(rebuilt))
     assert diff.count() == 0
+
+
+def test_expectations_empty_table_passes_with_zero_metrics(spark):
+    """SUM over zero rows is NULL — the suite must still report metric 0.0
+    / passed TRUE on an empty table (r07 review: a NULL passed is skipped
+    by both an alerting and a proceed-on-pass consumer)."""
+    from kf_task_fhir_etl_spark.operators import expectations as ex
+
+    empty = spark.createDataFrame([], "id int, cat string, x double")
+    rows = ex.expect_suite(
+        empty,
+        [
+            {"name": "u", "kind": "unique", "cols": ["id"]},
+            {"name": "nn", "kind": "not_null", "col": "cat"},
+            {"name": "rg", "kind": "range", "col": "x", "lo": 0.0, "hi": 1.0},
+            {"name": "vals", "kind": "values", "col": "cat", "allowed": ["a"]},
+        ],
+    ).collect()
+    assert all(r["metric"] == 0.0 and r["passed"] is True for r in rows), rows

@@ -163,3 +163,29 @@ def test_memo_default_seq_orders_construction_starts(spark):
     run_pipeline(endpoint_tables(spark), single_pass=True, memo_key=("g", "v2"))
     keys = list(etl._PIPELINE_MEMO)
     assert len(keys) == 1 and keys[0][2] == "v2"
+
+
+def test_memo_seq_domain_mixing_raises(spark):
+    """Default tickets and caller observation counters are incomparable —
+    mixing them within one group must raise, not silently mark every
+    default-ticket build stale forever (r07 review)."""
+    run_pipeline(endpoint_tables(spark), single_pass=True, memo_key=("g", "v1"), memo_seq=10)
+    with pytest.raises(ValueError, match="mixes"):
+        run_pipeline(endpoint_tables(spark), single_pass=True, memo_key=("g", "v2"))
+
+
+def test_memo_stale_retry_park_is_bounded(spark):
+    """A retried stale version REPLACES its previous park (one grace
+    generation per distinct stale key) instead of growing its handle list
+    without bound — and the replaced park's blocks are actually freed."""
+    run_pipeline(endpoint_tables(spark), single_pass=True, memo_key=("g", "v_new"), memo_seq=20)
+    s1 = run_pipeline(endpoint_tables(spark), single_pass=True, memo_key=("g", "v_old"), memo_seq=10)
+    rows = _counts(s1)
+    s2 = run_pipeline(endpoint_tables(spark), single_pass=True, memo_key=("g", "v_old"), memo_seq=10)
+    parked = [k for k in etl._RETIRED_CHECKPOINTS if k[1] == "g" and k[2] == "v_old"]
+    assert len(parked) == 1
+    # s1's park was replaced and released: its checkpoint blocks are gone
+    with pytest.raises(Exception):
+        s1.count()
+    # the retry's own construction still executes during its grace window
+    assert _counts(s2) == rows
