@@ -2331,7 +2331,7 @@ def q129_bloom_join_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(
             (
                 (F.col("n_pruned") - F.col("n_matched"))
-                <= F.greatest(F.lit(int(n_big / 100)), F.lit(100))
+                <= F.greatest(F.lit(n_big // 100), F.lit(100))
             ).alias("fpr_ok")
         )
     )
@@ -2497,7 +2497,12 @@ def q131_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     1.9M triangles, ~30M wedges — measured 25-34 s, all spent counting
     an analytically uninteresting quasi-clique), while the subgraph
     keeps a healthy 464→1,916 triangle growth across sf0.01→0.1 at
-    interactive cost; the operator itself is unrestricted."""
+    interactive cost; the operator itself is unrestricted. The staged
+    edge/orientation frames are checkpointed via handles_out and
+    RELEASED after the per-node counts materialize (the q123/q126/q134
+    lifecycle — without it the pair-generation self-join re-derives once
+    per plan appearance, r07 review)."""
+    from kf_task_fhir_etl_spark import etl
     from kf_task_fhir_etl_spark.operators import graph
 
     li = (
@@ -2513,7 +2518,11 @@ def q131_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
         )
     )
-    return graph.triangle_count(pairs).orderBy("node")
+    handles: list[DataFrame] = []
+    counts = graph.triangle_count(pairs, handles_out=handles)
+    result = counts.localCheckpoint(eager=True)  # per-node rows — the residue
+    etl.release_checkpoints(handles)
+    return result.orderBy("node")
 
 
 # ---------------------------------------------------------------------------
@@ -2699,10 +2708,17 @@ def q133_incremental_view_maintenance(spark: SparkSession, sf_dir: str) -> DataF
              0.0 AS avg_s_from_first
       UNION ALL
       SELECT 2, 'click', (SELECT COUNT(*) FROM s2j),
-             (SELECT ROUND(COALESCE(AVG(EPOCH(t2) - EPOCH(t1)), 0), 4) FROM s2j)
+             -- INTEGER µs sum, one double division: matches the Spark
+             -- side's exact accumulation (a double AVG's inner sum is
+             -- summation-order dependent at rounding midpoints)
+             (SELECT CASE WHEN COUNT(*) = 0 THEN 0.0 ELSE
+                ROUND(SUM(epoch_us(t2) - epoch_us(t1)) / (COUNT(*) * 1000000.0), 4)
+              END FROM s2j)
       UNION ALL
       SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3j),
-             (SELECT ROUND(COALESCE(AVG(EPOCH(t3) - EPOCH(t1)), 0), 4) FROM s3j)
+             (SELECT CASE WHEN COUNT(*) = 0 THEN 0.0 ELSE
+                ROUND(SUM(epoch_us(t3) - epoch_us(t1)) / (COUNT(*) * 1000000.0), 4)
+              END FROM s3j)
     ) ORDER BY step_idx
     """,
 )
@@ -2716,8 +2732,10 @@ def q134_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     lazily checkpointed (shared subplans — each feeds the trajectory AND
     the next step) and RELEASED after the result materializes (the
     q123/q126 lifecycle). The oracle chains the identical first-touch
-    CTEs; epoch arithmetic is exact at µs precision in both engines, so
-    only the mean's division is rounded."""
+    CTEs; gaps accumulate as INTEGER microseconds in both engines (exact
+    and associative — a double AVG's inner sum is partition-order
+    dependent at rounding midpoints, the q129 lesson), so only the one
+    final division is floating."""
     from kf_task_fhir_etl_spark import etl
     from kf_task_fhir_etl_spark.operators import funnel
 
@@ -2780,7 +2798,11 @@ def q135_set_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     template-generated near-duplicates (57% of ALL pairs exceed J=0.6 —
     measured), so the full corpus is a quasi-clique whose quadratic
     output, not the algorithm, dominates; the operator itself is
-    unrestricted and its pruning is the rare-token prefix join."""
+    unrestricted and its pruning is the rare-token prefix join. The
+    staged token/prefix frames are checkpointed via handles_out and
+    RELEASED after the pair rows materialize (the q123/q126/q134
+    lifecycle; r07 review)."""
+    from kf_task_fhir_etl_spark import etl
     from kf_task_fhir_etl_spark.operators import setsim
 
     docs = (
@@ -2793,10 +2815,15 @@ def q135_set_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("toks"),
         )
     )
-    out = setsim.set_similarity_join(docs, "doc_id", "toks", t_num=9, t_den=10)
-    return out.select(
+    handles: list[DataFrame] = []
+    out = setsim.set_similarity_join(
+        docs, "doc_id", "toks", t_num=9, t_den=10, handles_out=handles
+    )
+    result = out.select(
         F.col("id_a"), F.col("id_b"), "n_inter", "jaccard"
-    ).orderBy("id_a", "id_b")
+    ).localCheckpoint(eager=True)  # pair rows — the residue
+    etl.release_checkpoints(handles)
+    return result.orderBy("id_a", "id_b")
 
 
 # ---------------------------------------------------------------------------

@@ -251,6 +251,18 @@ _BUILD_SEQ = itertools.count(1)
 _MEMO_LOCK = threading.Lock()
 _RETIRED_CHECKPOINTS: dict[tuple[str, str, str, bool], list[DataFrame]] = {}
 
+# Stale-build parks live in their OWN dict (r07 review, second pass): a
+# stale build parking under its (app, group, version, mode) key must never
+# pop a _RETIRED_CHECKPOINTS entry — that key space holds DISPLACED
+# resident entries whose grace window protects readers served moments
+# before a supersede, and version strings collide exactly in the
+# straggler-commits-last scenario the ordering guard exists for. Bound:
+# one parked construction per stale key (a retry releases its
+# predecessor's park — that predecessor was served only to its own caller
+# one full generation ago), and a group's next GENUINE supersede drains
+# the group's stale parks along with its retirements.
+_STALE_PARKS: dict[tuple[str, str, str, bool], list[DataFrame]] = {}
+
 # Monotone count of memo re-serves (run_pipeline hit path + the
 # memoized_pipeline probe). bench.py reads it around each query's repeat
 # runs to DETECT memoization instead of maintaining a hardcoded name set —
@@ -375,8 +387,10 @@ def run_pipeline(
     committing after the fresh one during an in-place data regeneration)
     still returns its own constructed result to its own caller — it asked
     for that version — but does NOT enter the memo; its checkpoint blocks
-    park in the group's retirement list and release on the group's next
-    supersede, exactly like a displaced entry. By default tickets are
+    park in the stale-park dict (separate from displaced-entry
+    retirements, whose keys a straggler's version string can collide
+    with) and release on the same-key stale retry or the group's next
+    genuine supersede. By default tickets are
     allocated when construction starts (after the miss check), which
     covers the started-first/committed-last inversion; a caller whose
     version observation happens well before its build (read fingerprint,
@@ -478,6 +492,7 @@ def run_pipeline(
             # park its blocks in the group's retirement list (released on
             # the group's next supersede, the displaced-entry lifecycle).
             i_am_stale = False
+            domain_clash: str | None = None
             for k, v in _PIPELINE_MEMO.items():
                 if (
                     k[0] != app
@@ -486,22 +501,28 @@ def run_pipeline(
                 ):
                     continue
                 if v[2][0] != my_seq[0]:
-                    raise ValueError(
-                        f"run_pipeline: memo group {group!r} mixes "
-                        f"{v[2][0]!r}-domain and {my_seq[0]!r}-domain build "
-                        "tickets — pass memo_seq for ALL builds of a group "
-                        "or for none (the counters are incomparable)"
-                    )
+                    domain_clash = v[2][0]
+                    break
                 if v[2][1] >= my_seq[1]:
                     i_am_stale = True
-            if i_am_stale:
-                # Park REPLACES any previous same-key park (one grace
-                # generation per distinct stale version, mirroring the
-                # per-group displaced-entry bound): without the pop, a
-                # retried stale version extends its own handle list
-                # without bound (r07 review)
-                prev_park = _RETIRED_CHECKPOINTS.pop(full_key, None)
-                _RETIRED_CHECKPOINTS[full_key] = ck_handles
+            if domain_clash is not None:
+                # raise OUTSIDE the lock, after releasing this build's own
+                # checkpoints — the construction was never served to
+                # anyone, and raising with the wide frames still pinned
+                # would leak one construction per retry (r07 review,
+                # second pass)
+                entry = None
+            elif i_am_stale:
+                # Park in _STALE_PARKS, never _RETIRED_CHECKPOINTS: the
+                # retirement dict's same-shaped key may hold the just-
+                # DISPLACED resident entry's grace-window handles (a
+                # straggler build shares its version string with the entry
+                # it lost to), and popping those would fail a reader
+                # served moments before the supersede (r07 review, second
+                # pass). The replace-release bound applies to the stale
+                # build's OWN previous park only.
+                prev_park = _STALE_PARKS.pop(full_key, None)
+                _STALE_PARKS[full_key] = ck_handles
                 if prev_park is not None:
                     to_release.append(prev_park)
                 entry = None
@@ -534,6 +555,16 @@ def run_pipeline(
                         prev = _RETIRED_CHECKPOINTS.pop(rk, None)
                         if prev is not None:
                             to_release.append(prev)
+                # a genuine supersede also drains the group's STALE parks
+                # (each has had at least one full generation of grace) and
+                # dead apps' stale parks go with their JVM
+                for sk in list(_STALE_PARKS):
+                    if sk[0] != app:
+                        _STALE_PARKS.pop(sk, None)
+                    elif parked_now and (sk[1], sk[3]) == (group, full_key[3]):
+                        prev = _STALE_PARKS.pop(sk, None)
+                        if prev is not None:
+                            to_release.append(prev)
                 # store a SHALLOW COPY of dict results: the memo must never
                 # share a mutable dict with any caller — including the
                 # builder itself (r06 review; see memoized_pipeline)
@@ -541,6 +572,14 @@ def run_pipeline(
                 entry = _PIPELINE_MEMO.setdefault(full_key, (stored, ck_handles, my_seq))
         for handles in to_release:
             release_checkpoints(handles)
+        if domain_clash is not None:
+            release_checkpoints(ck_handles)  # never served; free before raising
+            raise ValueError(
+                f"run_pipeline: memo group {group!r} mixes "
+                f"{domain_clash!r}-domain and {my_seq[0]!r}-domain build "
+                "tickets — pass memo_seq for ALL builds of a group or for "
+                "none (the counters are incomparable)"
+            )
         if entry is None:
             # stale build: out is this construction's own fresh object,
             # shared with no memo entry — hand it to the caller un-copied

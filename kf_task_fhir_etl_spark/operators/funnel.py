@@ -86,21 +86,34 @@ def funnel_counts(
     """Per-step funnel report: (step_idx, step, n_users,
     avg_s_from_first) — users completing the k-prefix in order, and the
     mean seconds from step-1 to step-k completion among them (0.0 for
-    step 1; rounded 4dp — timestamp→double epoch arithmetic is exact at
-    µs precision in both Spark and DuckDB, the rounding only pins the
-    mean's division). ONE aggregate over the trajectory frame."""
+    step 1; rounded 4dp). The gap accumulation is INTEGER microseconds
+    (unix_micros — timestamps are µs-precision, so each gap and the SUM
+    are exact and associative in any partition order); only the final
+    single division is double, so a sequential SQL engine computing the
+    same integers lands on the same 4dp value (a double AVG's inner sum
+    is partition-order dependent and can flip a rounding midpoint — the
+    q129 decimal-accumulation lesson; r07 review). ONE aggregate over
+    the trajectory frame."""
     traj = funnel_trajectories(
         events, steps, user_col, ts_col, type_col, handles_out
     )
     aggs = []
     for i, _ in enumerate(steps, start=1):
         aggs.append(F.count(F.col(f"t{i}")).alias(f"__n{i}"))
-        gap = (
-            F.col(f"t{i}").cast("double") - F.col("t1").cast("double")
-            if i > 1
-            else F.when(F.col("t1").isNotNull(), F.lit(0.0))
-        )
-        aggs.append(F.round(F.coalesce(F.avg(gap), F.lit(0.0)), 4).alias(f"__g{i}"))
+        if i > 1:
+            gap_us = F.sum(
+                F.unix_micros(F.col(f"t{i}")) - F.unix_micros(F.col("t1"))
+            )
+            mean_s = F.when(
+                F.count(F.col(f"t{i}")) == 0, F.lit(0.0)
+            ).otherwise(
+                F.round(
+                    gap_us / (F.count(F.col(f"t{i}")) * F.lit(1000000.0)), 4
+                )
+            )
+        else:
+            mean_s = F.lit(0.0)
+        aggs.append(mean_s.alias(f"__g{i}"))
     agg = traj.agg(*aggs)
     rows = F.array(
         *[

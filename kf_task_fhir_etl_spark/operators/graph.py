@@ -211,7 +211,12 @@ def label_propagation(
     return labels
 
 
-def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+def triangle_count(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    handles_out: list[DataFrame] | None = None,
+) -> DataFrame:
     """Per-node triangle counts over an UNDIRECTED edge list — the standard
     degree-ordered orientation algorithm (Schank/Wagner; the MapReduce
     formulation in Suri & Vassilvitskii, WWW'11) as pure DataFrame ops:
@@ -232,8 +237,25 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     nothing single-partitions); the degree table is |V|-sized and the
     oriented edge list is |E|-sized, both partitioned by their join keys.
     Returns (node, n_tri) for nodes in ≥1 triangle.
+
+    ``und`` feeds the degree build and the orientation join, and the
+    oriented list feeds THREE consumers (both wedge sides + the closure)
+    — shared subplans Catalyst re-derives per appearance (the repo's
+    measured r06 lesson), which would re-execute the caller's whole
+    upstream edge plan many times per action. Pass ``handles_out`` to
+    lazily checkpoint both (the funnel_counts contract): each
+    materializes once at the first action, and the CALLER releases the
+    handles (``etl.release_checkpoints``) after its terminal action.
     """
-    und = (
+
+    def ck(df: DataFrame) -> DataFrame:
+        if handles_out is None:
+            return df
+        out = df.localCheckpoint(eager=False)
+        handles_out.append(out)
+        return out
+
+    und = ck(
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("u"),
             F.greatest(F.col(src), F.col(dst)).alias("v"),
@@ -262,10 +284,12 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
             F.struct(F.col("dv").alias("d"), F.col("v").alias("n")).alias("kv"),
         )
     )
-    oriented = keyed.select(
-        F.when(F.col("ku") < F.col("kv"), F.col("u")).otherwise(F.col("v")).alias("s"),
-        F.when(F.col("ku") < F.col("kv"), F.col("v")).otherwise(F.col("u")).alias("t"),
-        F.when(F.col("ku") < F.col("kv"), F.col("kv")).otherwise(F.col("ku")).alias("kt"),
+    oriented = ck(
+        keyed.select(
+            F.when(F.col("ku") < F.col("kv"), F.col("u")).otherwise(F.col("v")).alias("s"),
+            F.when(F.col("ku") < F.col("kv"), F.col("v")).otherwise(F.col("u")).alias("t"),
+            F.when(F.col("ku") < F.col("kv"), F.col("kv")).otherwise(F.col("ku")).alias("kt"),
+        )
     )
     e1 = oriented.select(F.col("s"), F.col("t").alias("t1"), F.col("kt").alias("k1"))
     e2 = oriented.select(F.col("s"), F.col("t").alias("t2"), F.col("kt").alias("k2"))

@@ -61,14 +61,25 @@ def apply_agg_delta(
             F.sum(sign * F.col(src)).alias(f"__d_{alias}")
             for alias, src in sum_cols.items()
         ],
+    ).select(
+        *[F.col(k).alias(f"__dk_{k}") for k in keys], "__dn",
+        *[f"__d_{alias}" for alias in sum_cols],
     )
-    # list-form `on` coalesces the key columns, so keys survive from
-    # whichever side has the group (new group: delta only; untouched
-    # group: view only — its delta columns are NULL and coalesce to 0)
-    merged = view.join(d, on=keys, how="full")
+    # NULL-SAFE key equality: SQL GROUP BY emits a NULL-key group (both in
+    # the view's original aggregation and in the delta groupBy above), and
+    # a plain equi-join would SPLIT that group into two output rows — one
+    # carrying the view state, one the delta — where a from-scratch
+    # recompute has a single merged row, so deletes could never zero it
+    # out (r07 review, second pass; snapshot_diff uses the same
+    # discipline). Keys coalesce from whichever side has the group.
+    cond = None
+    for k in keys:
+        eq = F.col(k).eqNullSafe(F.col(f"__dk_{k}"))
+        cond = eq if cond is None else (cond & eq)
+    merged = view.join(d, cond, "full")
     zero = F.lit(0)
     out = merged.select(
-        *keys,
+        *[F.coalesce(F.col(k), F.col(f"__dk_{k}")).alias(k) for k in keys],
         (F.coalesce(F.col(count_col), zero) + F.coalesce(F.col("__dn"), zero))
         .cast("bigint")
         .alias(count_col),

@@ -46,16 +46,34 @@ def set_similarity_join(
     token_col: str,
     t_num: int,
     t_den: int,
+    handles_out: list[DataFrame] | None = None,
 ) -> DataFrame:
     """All pairs with Jaccard(token sets) ≥ t_num/t_den — exact, no false
     negatives. ``token_col`` is an array column; duplicates inside it are
     collapsed (set semantics). Returns (id_a, id_b, n_inter, jaccard) with
-    id_a < id_b and jaccard rounded 6dp (the decision itself is integer)."""
+    id_a < id_b and jaccard rounded 6dp (the decision itself is integer).
+
+    The exploded token table feeds both the df build and the ordering
+    join, and the prefixed frame self-joins as candidate sides a and b —
+    shared subplans Catalyst re-derives per appearance, doubling the
+    dominant tokenize/order cost per action (r07 review). Pass
+    ``handles_out`` to lazily checkpoint both (the funnel_counts
+    contract); the caller releases after its terminal action."""
     if not (0 < t_num <= t_den):
         raise ValueError(f"threshold must be in (0, 1]: {t_num}/{t_den}")
+
+    def ck(df: DataFrame) -> DataFrame:
+        if handles_out is None:
+            return df
+        out = df.localCheckpoint(eager=False)
+        handles_out.append(out)
+        return out
+
     base = docs.select(F.col(id_col).alias("id"), F.col(token_col).alias("toks"))
-    tok = base.select("id", F.explode_outer(F.array_distinct("toks")).alias("w")).filter(
-        F.col("w").isNotNull()
+    tok = ck(
+        base.select("id", F.explode_outer(F.array_distinct("toks")).alias("w")).filter(
+            F.col("w").isNotNull()
+        )
     )
     df_tab = tok.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
     # per-doc ordered token array: rarest-first global order (df, token) —
@@ -72,13 +90,15 @@ def set_similarity_join(
     )
     # prefix length |s| − ceil(t·|s|) + 1 (the Jaccard prefix bound);
     # kept ≥ 0 for the degenerate single-token/t=1 case
-    prefixed = ordered.select(
-        "id",
-        "toks",
-        "n",
-        F.slice(
-            F.col("toks"), 1, F.greatest(F.col("n") - _ceil_div(F.col("n") * t_num, t_den) + 1, F.lit(0))
-        ).alias("prefix"),
+    prefixed = ck(
+        ordered.select(
+            "id",
+            "toks",
+            "n",
+            F.slice(
+                F.col("toks"), 1, F.greatest(F.col("n") - _ceil_div(F.col("n") * t_num, t_den) + 1, F.lit(0))
+            ).alias("prefix"),
+        )
     )
     pre = prefixed.select("id", "toks", "n", F.explode("prefix").alias("w"))
     a = pre.select(

@@ -366,12 +366,15 @@ def q08_resource_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (ADVICE) — q130 re-proves; (4) q123/q126 release their gate-owned
 # checkpoints after materialization (ADVICE) — both re-prove; (5)
 # etl.run_pipeline gained build-seq memo ordering (ADVICE) — q85/q115
-# re-prove. Four NEW gates (triangle counting q131, expectations suite
-# q132, incremental view maintenance q133, event funnel q134) land WITH
-# their proofs. Remaining slots take 22 of the 25 r04-vintage re-proves;
-# the three deferred (q46/q47/q48) sit at the head of _CHECK_LAST with
-# per-entry sibling-coverage notes naming IN-WINDOW gates that call the
-# same machinery. Everything else in _CHECK_LAST is r05/r06-green on
+# re-prove. Six NEW gates (triangle counting q131, expectations suite
+# q132, incremental view maintenance q133, event funnel q134, exact
+# set-similarity join q135, snapshot diff q136) land WITH their proofs.
+# Remaining slots take 22 of the 27 r04-vintage re-proves; the five
+# deferred (q44/q45 displaced late by q135/q136, plus q46/q47/q48) sit
+# at the head of _CHECK_LAST with per-entry sibling-coverage notes
+# naming IN-WINDOW gates that call the same machinery (q44/q45 are
+# untouched-code-path deferrals that LEAD r08).
+# Everything else in _CHECK_LAST is r05/r06-green on
 # code untouched this round. Window composition is MACHINE-CHECKED:
 # tests/test_staleness_guard.py diffs the tree against the previous
 # round tag, maps changed symbols to registry entries, and fails if an

@@ -534,3 +534,21 @@ def test_expectations_empty_table_passes_with_zero_metrics(spark):
         ],
     ).collect()
     assert all(r["metric"] == 0.0 and r["passed"] is True for r in rows), rows
+
+
+def test_ivm_null_key_group_merges_nullsafe(spark):
+    """SQL GROUP BY emits a NULL-key group; the merge must treat it as ONE
+    group (eqNullSafe join), so deltas reach it and deletes can zero it
+    out — a plain equi-join splits it into two rows (r07 review)."""
+    from kf_task_fhir_etl_spark.operators import ivm
+
+    view = spark.createDataFrame([(None, 2, 10.0), ("a", 1, 5.0)], "k string, n bigint, s double")
+    delta = spark.createDataFrame(
+        [(None, 4.0, 1), ("b", 1.0, 1)], "k string, x double, op int"
+    )
+    out = {r["k"]: (r["n"], r["s"]) for r in ivm.apply_agg_delta(view, delta, ["k"], {"s": "x"}).collect()}
+    assert out == {None: (3, 14.0), "a": (1, 5.0), "b": (1, 1.0)}
+    # deleting the NULL group's remaining rows must vanish it
+    kill = spark.createDataFrame([(None, 10.0, -1)], "k string, x double, op int")
+    view2 = spark.createDataFrame([(None, 1, 10.0)], "k string, n bigint, s double")
+    assert ivm.apply_agg_delta(view2, kill, ["k"], {"s": "x"}).count() == 0

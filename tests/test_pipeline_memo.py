@@ -16,9 +16,11 @@ from .fixtures import endpoint_tables
 def _clean_memo():
     etl._PIPELINE_MEMO.clear()
     etl._RETIRED_CHECKPOINTS.clear()
+    etl._STALE_PARKS.clear()
     yield
     etl._PIPELINE_MEMO.clear()
     etl._RETIRED_CHECKPOINTS.clear()
+    etl._STALE_PARKS.clear()
 
 
 def _counts(out):
@@ -139,17 +141,20 @@ def test_memo_older_build_seq_cannot_displace_newer_entry(spark):
         endpoint_tables(spark), single_pass=True, memo_key=("g", "v_new"), memo_seq=20
     )
     assert again is fresh
-    # the stale build's blocks are parked for grace release, keyed by its
-    # own (stale) version
-    parked = [k for k in etl._RETIRED_CHECKPOINTS if k[1] == "g"]
+    # the stale build's blocks are parked for grace release in the
+    # STALE-park dict, keyed by its own (stale) version — NEVER in the
+    # retirement dict, whose same-shaped key may hold a displaced resident
+    # entry's grace handles (r07 review, second pass)
+    parked = [k for k in etl._STALE_PARKS if k[1] == "g"]
     assert len(parked) == 1 and parked[0][2] == "v_old"
+    assert not any(k[1] == "g" and k[2] == "v_old" for k in etl._RETIRED_CHECKPOINTS)
     # the stale construction still executes during its grace window...
     assert _counts(stale) == rows
     # ...and the group's next genuine supersede (newer seq) releases it
     run_pipeline(
         endpoint_tables(spark), single_pass=True, memo_key=("g", "v_next"), memo_seq=30
     )
-    parked_after = {k[2] for k in etl._RETIRED_CHECKPOINTS if k[1] == "g"}
+    parked_after = {k[2] for k in etl._STALE_PARKS if k[1] == "g"}
     assert "v_old" not in parked_after  # stale build's blocks released
     with pytest.raises(Exception):
         stale.count()  # blocks gone — release had teeth
@@ -182,10 +187,47 @@ def test_memo_stale_retry_park_is_bounded(spark):
     s1 = run_pipeline(endpoint_tables(spark), single_pass=True, memo_key=("g", "v_old"), memo_seq=10)
     rows = _counts(s1)
     s2 = run_pipeline(endpoint_tables(spark), single_pass=True, memo_key=("g", "v_old"), memo_seq=10)
-    parked = [k for k in etl._RETIRED_CHECKPOINTS if k[1] == "g" and k[2] == "v_old"]
+    parked = [k for k in etl._STALE_PARKS if k[1] == "g" and k[2] == "v_old"]
     assert len(parked) == 1
     # s1's park was replaced and released: its checkpoint blocks are gone
     with pytest.raises(Exception):
         s1.count()
     # the retry's own construction still executes during its grace window
     assert _counts(s2) == rows
+
+
+def test_memo_stale_commit_preserves_displaced_entry_grace(spark):
+    """The straggler-commits-last scenario (r07 review, second pass): the
+    resident v_old entry is displaced by v_new and its handles parked for
+    grace; a straggler build of the SAME version v_old then commits as
+    stale. Its park must not touch the displaced entry's retirement —
+    the displaced plans (served to a reader moments before the
+    supersede) must still execute."""
+    served = run_pipeline(
+        endpoint_tables(spark), single_pass=True, memo_key=("g", "v_old"), memo_seq=10
+    )
+    rows = _counts(served)
+    run_pipeline(
+        endpoint_tables(spark), single_pass=True, memo_key=("g", "v_new"), memo_seq=20
+    )
+    # displaced v_old handles now sit in the retirement dict
+    assert any(k[1] == "g" and k[2] == "v_old" for k in etl._RETIRED_CHECKPOINTS)
+    # straggler re-commits v_old (older seq) → stale path, own park
+    straggler = run_pipeline(
+        endpoint_tables(spark), single_pass=True, memo_key=("g", "v_old"), memo_seq=10
+    )
+    # the DISPLACED entry's grace window survived the stale park...
+    assert any(k[1] == "g" and k[2] == "v_old" for k in etl._RETIRED_CHECKPOINTS)
+    assert _counts(served) == rows  # reader's plans still execute
+    # ...and the straggler's own construction works too
+    assert _counts(straggler) == rows
+
+
+def test_memo_domain_clash_raises_and_releases_own_construction(spark):
+    run_pipeline(endpoint_tables(spark), single_pass=True, memo_key=("g", "v1"), memo_seq=5)
+    before = dict(etl._PIPELINE_MEMO)
+    with pytest.raises(ValueError, match="mixes"):
+        run_pipeline(endpoint_tables(spark), single_pass=True, memo_key=("g", "v2"))
+    # memo and parks unchanged — the clashing build neither entered nor parked
+    assert dict(etl._PIPELINE_MEMO) == before
+    assert not etl._STALE_PARKS
