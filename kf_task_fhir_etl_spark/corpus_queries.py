@@ -2535,9 +2535,11 @@ def q131_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q132_expectations_suite",
     oracle="""
     SELECT * FROM (
+      -- COUNT(col), not COUNT(*): duplicates among NON-NULL keys only
+      -- (SQL UNIQUE semantics — NULLs are the not_null check's business)
       SELECT 'orders_pk_unique' AS constraint_name,
-             CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS DOUBLE) AS metric,
-             COUNT(*) - COUNT(DISTINCT o_orderkey) = 0 AS passed
+             CAST(COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS DOUBLE) AS metric,
+             COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) = 0 AS passed
       FROM orders
       UNION ALL
       SELECT 'orders_custkey_not_null',

@@ -65,8 +65,20 @@ def expect_suite(df: DataFrame, checks: list[dict]) -> DataFrame:
     for i, c in enumerate(checks):
         kind = c["kind"]
         if kind == "unique":
+            # duplicates among rows whose key tuple is FULLY non-null:
+            # COUNT(DISTINCT) drops NULL tuples, so count(*) − distinct
+            # would report every NULL-keyed row as a duplicate (r07
+            # review, confirmed); SQL UNIQUE semantics — multiple NULLs
+            # are not duplicates of each other — means they are the
+            # not_null check's business, not this one's
+            full_key = None
+            for x in c["cols"]:
+                nn = F.col(x).isNotNull()
+                full_key = nn if full_key is None else (full_key & nn)
+            keyed_rows = F.sum(F.when(full_key, F.lit(1)).otherwise(F.lit(0)))
             expr = (
-                F.count(F.lit(1)) - F.count_distinct(*[F.col(x) for x in c["cols"]])
+                F.coalesce(keyed_rows, F.lit(0))
+                - F.count_distinct(*[F.col(x) for x in c["cols"]])
             ).cast("double")
         elif kind == "not_null":
             expr = _violations(F.col(c["col"]).isNull())

@@ -46,13 +46,17 @@ def funnel_trajectories(
     if not steps:
         raise ValueError("funnel_trajectories: empty step list")
 
-    def ck(df: DataFrame) -> DataFrame:
-        if handles_out is None:
-            return df
-        out = df.localCheckpoint(eager=False)
-        handles_out.append(out)
-        return out
+    from kf_task_fhir_etl_spark.operators.lifecycle import staged
 
+    def ck(df: DataFrame) -> DataFrame:
+        return staged(df, handles_out)
+
+    # NULL-timestamped events cannot be ordered in a funnel and would
+    # make t1 NULL for a user whose only step-1 events carry NULL ts —
+    # present in the trajectory but invisible to count(t1), silently
+    # diverging from a COUNT(*)-over-users oracle (r07 review, third
+    # pass). Excluded at intake, the q126 discipline.
+    events = events.filter(F.col(ts_col).isNotNull())
     completed = ck(
         events.filter(F.col(type_col) == steps[0])
         .groupBy(F.col(user_col).alias("user"))

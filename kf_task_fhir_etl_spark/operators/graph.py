@@ -248,12 +248,10 @@ def triangle_count(
     handles (``etl.release_checkpoints``) after its terminal action.
     """
 
+    from kf_task_fhir_etl_spark.operators.lifecycle import staged
+
     def ck(df: DataFrame) -> DataFrame:
-        if handles_out is None:
-            return df
-        out = df.localCheckpoint(eager=False)
-        handles_out.append(out)
-        return out
+        return staged(df, handles_out)
 
     und = ck(
         edges.select(
@@ -263,7 +261,10 @@ def triangle_count(
         .filter(F.col("u") < F.col("v"))  # drops self-loops and NULL endpoints
         .distinct()
     )
-    deg = (
+    # deg is consumed by TWO joins (u-side, v-side) — staged like und/
+    # oriented or the |E|-sized union + shuffle re-executes per
+    # appearance (r07 review, third pass)
+    deg = ck(
         und.select(F.col("u").alias("node"))
         .unionAll(und.select(F.col("v").alias("node")))
         .groupBy("node")

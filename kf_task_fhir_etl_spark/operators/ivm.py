@@ -48,6 +48,18 @@ def apply_agg_delta(
     values + ``sign_col`` (+1/−1).
     ``sum_cols``: {view_alias: delta_measure_col}. Returns the updated
     view with the same schema, zero-count groups removed.
+
+    NULL measures (r07 review, third pass): an UNTOUCHED group's stored
+    values pass through byte-exactly (including a NULL sum state — the
+    merge never rewrites what the delta does not reach). For groups the
+    delta DOES touch, measures fold under the SUM(COALESCE(x, 0))
+    convention — NULL measure rows contribute 0 — and a stored NULL sum
+    is treated as 0 when deltas land on it. Exact NULL-sum restoration
+    (a group whose last non-null measure is deleted returning to SUM =
+    NULL) would need a per-sum non-null counter in the view, the same
+    reason MIN/MAX are excluded; callers needing ANSI NULL-sum semantics
+    on delta-touched groups should build the view as SUM(COALESCE(x,0))
+    so the conventions coincide.
     """
     for alias in sum_cols:
         if alias not in view.columns:
@@ -58,10 +70,13 @@ def apply_agg_delta(
     d = delta.groupBy(*keys).agg(
         F.sum(sign).cast("bigint").alias("__dn"),
         *[
-            F.sum(sign * F.col(src)).alias(f"__d_{alias}")
+            # COALESCE inside the signed fold: a NULL measure contributes
+            # 0 instead of nulling the whole group delta
+            F.sum(sign * F.coalesce(F.col(src), F.lit(0))).alias(f"__d_{alias}")
             for alias, src in sum_cols.items()
         ],
     ).select(
+        F.lit(True).alias("__d_present"),
         *[F.col(k).alias(f"__dk_{k}") for k in keys], "__dn",
         *[f"__d_{alias}" for alias in sum_cols],
     )
@@ -78,15 +93,22 @@ def apply_agg_delta(
         cond = eq if cond is None else (cond & eq)
     merged = view.join(d, cond, "full")
     zero = F.lit(0)
+    delta_touched = F.col("__d_present").isNotNull()
     out = merged.select(
         *[F.coalesce(F.col(k), F.col(f"__dk_{k}")).alias(k) for k in keys],
         (F.coalesce(F.col(count_col), zero) + F.coalesce(F.col("__dn"), zero))
         .cast("bigint")
         .alias(count_col),
         *[
-            (
+            # untouched groups pass their stored value through UNCHANGED
+            # (a NULL sum state must not be rewritten to 0.0 — r07 review
+            # confirmed the hash divergence vs a recompute oracle);
+            # touched groups fold under the coalesced convention above
+            F.when(~delta_touched, F.col(alias))
+            .otherwise(
                 F.coalesce(F.col(alias), zero) + F.coalesce(F.col(f"__d_{alias}"), zero)
-            ).alias(alias)
+            )
+            .alias(alias)
             for alias in sum_cols
         ],
     )

@@ -1,0 +1,30 @@
+"""Shared checkpoint-staging helper for multi-consumer operator subplans.
+
+Catalyst re-derives a repeated DataFrame subplan once PER APPEARANCE in a
+plan (the repo's measured r06 lesson — q129's three-consumer form scanned
+the bloom-pruned frame three times per action), so operators whose
+intermediate frames feed several consumers stage them behind a LAZY
+localCheckpoint: the first action materializes each frame exactly once,
+and the CALLER owns releasing the blocks (``etl.release_checkpoints``)
+after its terminal action — the q123/q126/q134 gate lifecycle.
+
+One shared implementation (r07 review, third pass): the identical
+closure had been copy-pasted into three operators, the hand-rolled-copy
+drift hazard the r06 review flagged for the LogicalRDD reach-through.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def staged(df: DataFrame, handles_out: list[DataFrame] | None) -> DataFrame:
+    """Lazily checkpoint ``df`` and append the handle for the caller to
+    release — or return ``df`` untouched when ``handles_out`` is None
+    (one-shot callers who accept per-appearance re-derivation rather
+    than holding blocks they cannot release)."""
+    if handles_out is None:
+        return df
+    out = df.localCheckpoint(eager=False)
+    handles_out.append(out)
+    return out

@@ -35,9 +35,13 @@ from pyspark.sql import functions as F
 
 def _ceil_div(num: Column, den: int) -> Column:
     """ceil(num/den) for a NONNEGATIVE integer column — (num+den−1) div
-    den; the cast truncates toward zero, which equals floor on the
-    nonnegative operand, so the arithmetic stays integer-exact."""
-    return ((num + F.lit(den - 1)) / F.lit(den)).cast("bigint")
+    den via Spark's INTEGRAL ``div``, never the ``/`` operator (that is
+    IEEE double division + truncating cast: exact below 2^52 but a float
+    on the very boundary this module's contract promises has none — the
+    prefix length silently controls recall; r07 review, third pass)."""
+    return F.call_function(
+        "div", (num + F.lit(den - 1)).cast("bigint"), F.lit(den).cast("bigint")
+    )
 
 
 def set_similarity_join(
@@ -62,12 +66,10 @@ def set_similarity_join(
     if not (0 < t_num <= t_den):
         raise ValueError(f"threshold must be in (0, 1]: {t_num}/{t_den}")
 
+    from kf_task_fhir_etl_spark.operators.lifecycle import staged
+
     def ck(df: DataFrame) -> DataFrame:
-        if handles_out is None:
-            return df
-        out = df.localCheckpoint(eager=False)
-        handles_out.append(out)
-        return out
+        return staged(df, handles_out)
 
     base = docs.select(F.col(id_col).alias("id"), F.col(token_col).alias("toks"))
     tok = ck(
