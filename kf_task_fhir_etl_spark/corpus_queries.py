@@ -2689,18 +2689,21 @@ def q133_incremental_view_maintenance(spark: SparkSession, sf_dir: str) -> DataF
     "q134_event_funnel",
     oracle="""
     WITH s1 AS (
+      -- ts IS NOT NULL mirrors the operator's intake filter: a user whose
+      -- only step-1 events carry NULL ts must be absent on BOTH sides
+      -- (r07 review, fourth pass)
       SELECT user_id AS u, MIN(ts) AS t1 FROM events
-      WHERE event_type = 'view' GROUP BY 1
+      WHERE event_type = 'view' AND ts IS NOT NULL GROUP BY 1
     ), s2 AS (
       SELECT e.user_id AS u, MIN(e.ts) AS t2
       FROM events e JOIN s1 ON e.user_id = s1.u
-      WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1
+      WHERE e.event_type = 'click' AND e.ts IS NOT NULL AND e.ts > s1.t1 GROUP BY 1
     ), s2j AS (
       SELECT s1.u, s1.t1, s2.t2 FROM s1 JOIN s2 ON s1.u = s2.u
     ), s3 AS (
       SELECT e.user_id AS u, MIN(e.ts) AS t3
       FROM events e JOIN s2j ON e.user_id = s2j.u
-      WHERE e.event_type = 'purchase' AND e.ts > s2j.t2 GROUP BY 1
+      WHERE e.event_type = 'purchase' AND e.ts IS NOT NULL AND e.ts > s2j.t2 GROUP BY 1
     ), s3j AS (
       SELECT s2j.u, s2j.t1, s3.t3 FROM s2j JOIN s3 ON s2j.u = s3.u
     )

@@ -402,6 +402,11 @@ def run_pipeline(
     build of the group stale forever (r07 review)."""
     if memo_key is not None and not (checkpoint_wide and not cache_wide):
         raise ValueError("memo_key requires checkpoint_wide=True (and not cache_wide)")
+    if memo_seq is not None and memo_key is None:
+        # always a caller bug: the observation ticket would be silently
+        # discarded — no memoization, no ordering guard (r07 review,
+        # fourth pass; same contract as the memo_key/checkpoint_wide check)
+        raise ValueError("memo_seq requires memo_key")
     spark = next(iter(endpoint_tables.values())).sparkSession if endpoint_tables else None
     full_key = None
     if memo_key is not None and spark is not None:

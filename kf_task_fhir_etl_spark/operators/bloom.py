@@ -195,14 +195,30 @@ def bloom_prune(big: DataFrame, key_col: str, bloom: DataFrame) -> DataFrame:
     must use the ``bloom_prepare`` path for a deterministic lifecycle
     (r07 review — the docstring previously promised a release path the
     unprepared caller does not actually have)."""
-    if not _is_checkpointed_relation(bloom):
+    took_internal_ckpt = not _is_checkpointed_relation(bloom)
+    if took_internal_ckpt:
         bloom = bloom.localCheckpoint(eager=True)
     row = bloom.first()  # reads the checkpoint, not a fresh build execution
+
+    def _reject(msg: str) -> None:
+        # the filter's kind/shape are DATA (literal columns), so
+        # validation necessarily runs after materialization — release the
+        # just-taken internal checkpoint before raising, or each rejected
+        # retry pins one build's blocks until GC (r07 review, fourth
+        # pass — the run_pipeline domain-clash discipline). A PREPARED
+        # filter stays alive: its caller holds the handle and may fix the
+        # probe side and retry.
+        if took_internal_ckpt:
+            from kf_task_fhir_etl_spark.etl import release_checkpoints
+
+            release_checkpoints([bloom])
+        raise ValueError(msg)
+
     if row is None:
-        raise ValueError("bloom_prune: empty bloom relation (build produced no row)")
+        _reject("bloom_prune: empty bloom relation (build produced no row)")
     probe_kind = _key_kind(dict(big.dtypes)[key_col])
     if probe_kind != row["key_kind"]:
-        raise ValueError(
+        _reject(
             f"bloom_prune: probe key {key_col!r} is {probe_kind}, filter was "
             f"built over {row['key_kind']} keys — xxhash64 is type-"
             "sensitive, so this would silently drop every matching row; "

@@ -57,17 +57,19 @@ def funnel_trajectories(
     # diverging from a COUNT(*)-over-users oracle (r07 review, third
     # pass). Excluded at intake, the q126 discipline.
     events = events.filter(F.col(ts_col).isNotNull())
-    completed = ck(
+    completed = (
         events.filter(F.col(type_col) == steps[0])
         .groupBy(F.col(user_col).alias("user"))
         .agg(F.min(ts_col).alias("t1"))
     )
+    if len(steps) > 1:  # single consumer in a one-step funnel — see below
+        completed = ck(completed)
     traj = completed
     for i, step in enumerate(steps[1:], start=2):
         ev = events.filter(F.col(type_col) == step).select(
             F.col(user_col).alias("user"), F.col(ts_col).alias("__ts")
         )
-        completed = ck(
+        completed = (
             ev.join(
                 completed.select("user", F.col(f"t{i-1}").alias("__prev")), "user"
             )
@@ -75,6 +77,12 @@ def funnel_trajectories(
             .groupBy("user")
             .agg(F.min("__ts").alias(f"t{i}"))
         )
+        # the FINAL step's completions feed only the trajectory join (no
+        # step k+1 derives from them) — not a shared subplan, so
+        # checkpointing it would pin one needless |users|-sized frame per
+        # call (r07 review, fourth pass)
+        if i < len(steps):
+            completed = ck(completed)
         traj = traj.join(completed, "user", "left")
     return traj
 

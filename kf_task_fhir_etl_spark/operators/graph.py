@@ -132,9 +132,12 @@ def pagerank(
         prev_ck = ranks
     if prev_ck is not None:
         # ≥1 round ran, so the returned frame depends only on the final
-        # round's checkpoint — the staged inputs are releasable
-        for staged in (edges, nodes, edges_deg, dangling_nodes):
-            _release_checkpoint(staged)
+        # round's checkpoint — the staged inputs are releasable. (Named
+        # `frame`, not `staged`: the staleness guard conservatively links
+        # any use of an imported sibling's name, and lifecycle.staged now
+        # exists — a shadowing local would dirty this gate every round.)
+        for frame in (edges, nodes, edges_deg, dangling_nodes):
+            _release_checkpoint(frame)
     return ranks.select("node", F.round(F.col("pr"), 6).alias("pr"))
 
 

@@ -434,7 +434,11 @@ _CHECK_FIRST = [
     "q40_multimodal_frame_sample",
     "q41_multimodal_metadata_stats",
     "q42_topn_shipping_priority",
-    "q43_rollup_order_stats",
+    # changed-code re-prove: pagerank's release-loop variable renamed away
+    # from the new lifecycle.staged name (the guard links shadowing locals
+    # conservatively — the rename prevents recurring false dirt, at the
+    # price of one genuine AST change this round)
+    "q102_pagerank",
 ]
 _CHECK_LAST = [
     # -- deferred r04-vintage re-proves (window full at 50) ----------------
@@ -445,6 +449,10 @@ _CHECK_LAST = [
     # (staleness guard green); they LEAD the r08 window with q46-q48.
     "q44_customer_set_ops",
     "q45_exists_semi_join",
+    # q43: ROLLUP — displaced by the q102 changed-code re-prove; the
+    # Expand-based grouping-sets machinery is exercised IN-WINDOW by q86
+    # (CUBE); untouched since r04; LEADS r08 with q44-q48.
+    "q43_rollup_order_stats",
     # q46: NOT-EXISTS anti join — the left-anti machinery is exercised
     # IN-WINDOW by q132's two FK-containment checks (expect_referential is
     # a left-anti against distinct parent keys); untouched since r04;
@@ -500,7 +508,6 @@ _CHECK_LAST = [
     "q99_percentile_quality_filter",
     "q100_corpus_build_pipeline",
     "q101_scd2_history",
-    "q102_pagerank",
     "q106_kmv_distinct",
     "q108_grouping_sets",
     # -- r05-green, code untouched this round ------------------------------

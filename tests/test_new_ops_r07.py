@@ -403,7 +403,9 @@ def test_funnel_trajectories_and_handle_release(spark):
     traj = funnel.funnel_trajectories(_ev(spark, rows), ["a", "b"], handles_out=handles)
     got = {r["user"]: (r["t1"] is not None, r["t2"] is not None) for r in traj.collect()}
     assert got == {1: (True, True), 2: (True, False)}
-    assert len(handles) == 2  # one per step
+    # only SHARED frames checkpoint: step 1 (feeds traj + step 2), not the
+    # final step (single consumer — r07 review, fourth pass)
+    assert len(handles) == 1
     etl.release_checkpoints(handles)
     with pytest.raises(ValueError):
         funnel.funnel_counts(_ev(spark, rows), [])
@@ -552,3 +554,26 @@ def test_ivm_null_key_group_merges_nullsafe(spark):
     kill = spark.createDataFrame([(None, 10.0, -1)], "k string, x double, op int")
     view2 = spark.createDataFrame([(None, 1, 10.0)], "k string, n bigint, s double")
     assert ivm.apply_agg_delta(view2, kill, ["k"], {"s": "x"}).count() == 0
+
+
+def test_bloom_prune_mismatch_releases_internal_checkpoint(spark):
+    """A rejected unprepared prune must not leave its internal filter
+    checkpoint pinned (r07 review, fourth pass): after the raise, no new
+    persisted RDDs remain beyond what existed before the call."""
+    small = spark.range(50).select(F.col("id").alias("k"))
+    probe_str = spark.range(50).select(F.col("id").cast("string").alias("k"))
+    bl = bloom.bloom_build(small, "k", num_bits=64 * 4, num_hashes=3)
+    jsc = spark.sparkContext._jsc.sc()
+    ids_before = {info.id() for info in jsc.getRDDStorageInfo()}
+    with pytest.raises(ValueError, match="type-"):
+        bloom.bloom_prune(probe_str, "k", bl)
+    ids_after = {info.id() for info in jsc.getRDDStorageInfo()}
+    assert ids_after <= ids_before
+    # a PREPARED filter survives its rejection — the caller holds the
+    # handle and may retry with a corrected probe side
+    prepped = bloom.bloom_prepare(bloom.bloom_build(small, "k", num_bits=64 * 4, num_hashes=3))
+    with pytest.raises(ValueError, match="type-"):
+        bloom.bloom_prune(probe_str, "k", prepped)
+    ok = bloom.bloom_prune(spark.range(50).select(F.col("k") if False else F.col("id").alias("k")), "k", prepped)
+    assert ok.count() >= 50
+    etl.release_checkpoints([prepped])

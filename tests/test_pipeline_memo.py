@@ -231,3 +231,8 @@ def test_memo_domain_clash_raises_and_releases_own_construction(spark):
     # memo and parks unchanged — the clashing build neither entered nor parked
     assert dict(etl._PIPELINE_MEMO) == before
     assert not etl._STALE_PARKS
+
+
+def test_memo_seq_without_memo_key_rejected(spark):
+    with pytest.raises(ValueError, match="memo_seq requires memo_key"):
+        run_pipeline(endpoint_tables(spark), single_pass=True, memo_seq=5)
