@@ -256,12 +256,19 @@ _RETIRED_CHECKPOINTS: dict[tuple[str, str, str, bool], list[DataFrame]] = {}
 # pop a _RETIRED_CHECKPOINTS entry — that key space holds DISPLACED
 # resident entries whose grace window protects readers served moments
 # before a supersede, and version strings collide exactly in the
-# straggler-commits-last scenario the ordering guard exists for. Bound:
-# one parked construction per stale key (a retry releases its
-# predecessor's park — that predecessor was served only to its own caller
-# one full generation ago), and a group's next GENUINE supersede drains
-# the group's stale parks along with its retirements.
-_STALE_PARKS: dict[tuple[str, str, str, bool], list[DataFrame]] = {}
+# straggler-commits-last scenario the ordering guard exists for.
+# Each key maps to a list of (handles, survived_one_event) generations so
+# stale callers get the SAME ≥-one-full-generation grace displaced entries
+# get (r07 review, fifth pass — the first cut released a predecessor park
+# at the very next same-key park or supersede, which a concurrent racer
+# could trigger before the first caller ran any action): a same-key
+# re-park appends and releases only beyond TWO resident generations, and
+# a genuine group supersede releases parks that already survived one
+# supersede while merely marking the rest. Bound: ≤2 constructions per
+# distinct stale key, all dropped with the app.
+_STALE_PARKS: dict[
+    tuple[str, str, str, bool], list[tuple[list[DataFrame], bool]]
+] = {}
 
 # Monotone count of memo re-serves (run_pipeline hit path + the
 # memoized_pipeline probe). bench.py reads it around each query's repeat
@@ -524,12 +531,15 @@ def run_pipeline(
                 # straggler build shares its version string with the entry
                 # it lost to), and popping those would fail a reader
                 # served moments before the supersede (r07 review, second
-                # pass). The replace-release bound applies to the stale
-                # build's OWN previous park only.
-                prev_park = _STALE_PARKS.pop(full_key, None)
-                _STALE_PARKS[full_key] = ck_handles
-                if prev_park is not None:
-                    to_release.append(prev_park)
+                # pass). Generational bound: release only beyond two
+                # resident same-key parks, so a park always survives at
+                # least one subsequent event (fifth pass — a concurrent
+                # same-key racer must not free the construction another
+                # thread is about to hand its caller).
+                gens = _STALE_PARKS.setdefault(full_key, [])
+                gens.append((ck_handles, False))
+                while len(gens) > 2:
+                    to_release.append(gens.pop(0)[0])
                 entry = None
             else:
                 for k in list(_PIPELINE_MEMO):
@@ -560,16 +570,27 @@ def run_pipeline(
                         prev = _RETIRED_CHECKPOINTS.pop(rk, None)
                         if prev is not None:
                             to_release.append(prev)
-                # a genuine supersede also drains the group's STALE parks
-                # (each has had at least one full generation of grace) and
-                # dead apps' stale parks go with their JVM
+                # a genuine supersede two-phases the group's STALE parks:
+                # parks that already survived one supersede release now,
+                # the rest are merely marked — so a stale caller served
+                # milliseconds before this supersede keeps its blocks for
+                # one full generation, the displaced-entry grace standard
+                # (r07 review, fifth pass). Dead apps' parks go with
+                # their JVM.
                 for sk in list(_STALE_PARKS):
                     if sk[0] != app:
                         _STALE_PARKS.pop(sk, None)
                     elif parked_now and (sk[1], sk[3]) == (group, full_key[3]):
-                        prev = _STALE_PARKS.pop(sk, None)
-                        if prev is not None:
-                            to_release.append(prev)
+                        kept: list[tuple[list[DataFrame], bool]] = []
+                        for handles_gen, survived in _STALE_PARKS[sk]:
+                            if survived:
+                                to_release.append(handles_gen)
+                            else:
+                                kept.append((handles_gen, True))
+                        if kept:
+                            _STALE_PARKS[sk] = kept
+                        else:
+                            _STALE_PARKS.pop(sk, None)
                 # store a SHALLOW COPY of dict results: the memo must never
                 # share a mutable dict with any caller — including the
                 # builder itself (r06 review; see memoized_pipeline)

@@ -113,8 +113,15 @@ def funnel_counts(
     for i, _ in enumerate(steps, start=1):
         aggs.append(F.count(F.col(f"t{i}")).alias(f"__n{i}"))
         if i > 1:
+            # DECIMAL(38,0) accumulation: a plain bigint SUM of µs gaps
+            # wraps past 2^63 at warehouse scale (~100M converting users
+            # × day-scale gaps) while DuckDB's SUM(BIGINT) promotes to
+            # HUGEINT — decimal keeps both engines exact and associative
+            # (r07 review, fifth pass; the q129 revenue lesson)
             gap_us = F.sum(
-                F.unix_micros(F.col(f"t{i}")) - F.unix_micros(F.col("t1"))
+                (
+                    F.unix_micros(F.col(f"t{i}")) - F.unix_micros(F.col("t1"))
+                ).cast("decimal(38,0)")
             )
             mean_s = F.when(
                 F.count(F.col(f"t{i}")) == 0, F.lit(0.0)

@@ -28,3 +28,15 @@ def staged(df: DataFrame, handles_out: list[DataFrame] | None) -> DataFrame:
     out = df.localCheckpoint(eager=False)
     handles_out.append(out)
     return out
+
+
+def prepared(df: DataFrame) -> DataFrame:
+    """Materialize a relation once for repeat use: the eagerly
+    checkpointed frame, which prepare-aware operators (``bloom_prune``,
+    ``cms_estimate``) recognize via the LogicalRDD probe and reuse
+    without re-checkpointing. Release with ``etl.release_checkpoints``
+    on retirement. (``sketch.prepare_sketch`` predates this helper and
+    keeps its own identical body until its gates rotate back into the
+    check window — migrating it now would dirty q121 without a slot;
+    r07 review, fifth pass.)"""
+    return df.localCheckpoint(eager=True)

@@ -150,12 +150,18 @@ def test_memo_older_build_seq_cannot_displace_newer_entry(spark):
     assert not any(k[1] == "g" and k[2] == "v_old" for k in etl._RETIRED_CHECKPOINTS)
     # the stale construction still executes during its grace window...
     assert _counts(stale) == rows
-    # ...and the group's next genuine supersede (newer seq) releases it
+    # ...survives the group's NEXT genuine supersede (two-phase: merely
+    # marked — the displaced-entry grace standard, r07 review 5th pass)...
     run_pipeline(
         endpoint_tables(spark), single_pass=True, memo_key=("g", "v_next"), memo_seq=30
     )
-    parked_after = {k[2] for k in etl._STALE_PARKS if k[1] == "g"}
-    assert "v_old" not in parked_after  # stale build's blocks released
+    assert any(k[2] == "v_old" for k in etl._STALE_PARKS if k[1] == "g")
+    assert _counts(stale) == rows  # still executable after one supersede
+    # ...and releases at the SECOND supersede
+    run_pipeline(
+        endpoint_tables(spark), single_pass=True, memo_key=("g", "v_next2"), memo_seq=40
+    )
+    assert not any(k[2] == "v_old" for k in etl._STALE_PARKS if k[1] == "g")
     with pytest.raises(Exception):
         stale.count()  # blocks gone — release had teeth
 
@@ -180,20 +186,26 @@ def test_memo_seq_domain_mixing_raises(spark):
 
 
 def test_memo_stale_retry_park_is_bounded(spark):
-    """A retried stale version REPLACES its previous park (one grace
-    generation per distinct stale key) instead of growing its handle list
-    without bound — and the replaced park's blocks are actually freed."""
+    """Stale parks are bounded at TWO resident generations per key: the
+    first park survives one same-key retry (a concurrent racer must not
+    free a construction another thread is handing its caller — r07
+    review, fifth pass) and releases at the second retry."""
     run_pipeline(endpoint_tables(spark), single_pass=True, memo_key=("g", "v_new"), memo_seq=20)
     s1 = run_pipeline(endpoint_tables(spark), single_pass=True, memo_key=("g", "v_old"), memo_seq=10)
     rows = _counts(s1)
     s2 = run_pipeline(endpoint_tables(spark), single_pass=True, memo_key=("g", "v_old"), memo_seq=10)
     parked = [k for k in etl._STALE_PARKS if k[1] == "g" and k[2] == "v_old"]
-    assert len(parked) == 1
-    # s1's park was replaced and released: its checkpoint blocks are gone
+    assert len(parked) == 1 and len(etl._STALE_PARKS[parked[0]]) == 2
+    # one-generation grace: s1 still executes after ONE same-key retry
+    assert _counts(s1) == rows
+    s3 = run_pipeline(endpoint_tables(spark), single_pass=True, memo_key=("g", "v_old"), memo_seq=10)
+    assert len(etl._STALE_PARKS[parked[0]]) == 2  # bounded, not growing
+    # the SECOND retry released the first park
     with pytest.raises(Exception):
         s1.count()
-    # the retry's own construction still executes during its grace window
+    # the newer constructions still execute during their grace windows
     assert _counts(s2) == rows
+    assert _counts(s3) == rows
 
 
 def test_memo_stale_commit_preserves_displaced_entry_grace(spark):
