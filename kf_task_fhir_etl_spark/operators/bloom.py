@@ -170,8 +170,11 @@ def bloom_prepare(bloom: DataFrame) -> DataFrame:
     the per-call eager checkpoint accumulated pinned BlockManager entries
     in resident drivers). Release with ``etl.release_checkpoints([bloom])``
     when the filter retires — the ``prepare_sketch`` lifecycle
-    (operators/sketch.py:145)."""
-    return bloom.localCheckpoint(eager=True)
+    (operators/sketch.py:145), via the shared ``lifecycle.prepared``
+    implementation."""
+    from kf_task_fhir_etl_spark.operators.lifecycle import prepared
+
+    return prepared(bloom)
 
 
 def bloom_prune(big: DataFrame, key_col: str, bloom: DataFrame) -> DataFrame:

@@ -66,6 +66,19 @@ def apply_agg_delta(
             raise ValueError(f"apply_agg_delta: view lacks sum column {alias!r}")
     if count_col not in view.columns:
         raise ValueError(f"apply_agg_delta: view lacks count column {count_col!r}")
+    # reserved staging names (the zorder __z / cdc discipline, r07 review):
+    # a view that already carries one would hit an opaque ambiguous-
+    # reference failure deep inside the merge select — reject loudly here
+    reserved = {"__d_present", "__dn"}
+    reserved.update(f"__dk_{k}" for k in keys)
+    reserved.update(f"__d_{alias}" for alias in sum_cols)
+    clash = reserved.intersection(view.columns)
+    if clash:
+        raise ValueError(
+            f"apply_agg_delta: view columns {sorted(clash)} collide with "
+            "reserved staging names (__d_present/__dn/__dk_*/__d_*); "
+            "rename them first"
+        )
     sign = F.col(sign_col)
     d = delta.groupBy(*keys).agg(
         F.sum(sign).cast("bigint").alias("__dn"),

@@ -577,3 +577,12 @@ def test_bloom_prune_mismatch_releases_internal_checkpoint(spark):
     ok = bloom.bloom_prune(spark.range(50).select(F.col("id").alias("k")), "k", prepped)
     assert ok.count() >= 50
     etl.release_checkpoints([prepped])
+
+
+def test_ivm_rejects_reserved_staging_columns(spark):
+    from kf_task_fhir_etl_spark.operators import ivm
+
+    view = spark.createDataFrame([("a", 1, 1.0, 9)], "k string, n bigint, s double, __dn int")
+    delta = spark.createDataFrame([("a", 1.0, 1)], "k string, x double, op int")
+    with pytest.raises(ValueError, match="reserved staging names"):
+        ivm.apply_agg_delta(view, delta, ["k"], {"s": "x"})
