@@ -2284,9 +2284,13 @@ def q129_bloom_join_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruned = bloom.bloom_prune(li, "l_orderkey", bl)
 
     # plan assert: the prune must be a broadcast of the ONE-ROW filter over
-    # the unshuffled lineitem scan
+    # the unshuffled lineitem scan. Release the prepared filter BEFORE
+    # raising — a resident driver retrying a shape-failed gate would
+    # otherwise pin one filter checkpoint per call (r07 review, seventh
+    # pass; the bloom_prune._reject / run_pipeline domain-clash class)
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     if "BroadcastNestedLoopJoin" not in plan:
+        etl.release_checkpoints([bl])
         raise AssertionError(
             "q129: bloom_prune lost its broadcast-one-row plan shape:\n" + plan
         )

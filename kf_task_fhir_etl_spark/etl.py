@@ -396,8 +396,11 @@ def run_pipeline(
     for that version — but does NOT enter the memo; its checkpoint blocks
     park in the stale-park dict (separate from displaced-entry
     retirements, whose keys a straggler's version string can collide
-    with) and release on the same-key stale retry or the group's next
-    genuine supersede. By default tickets are
+    with) with ONE full generation of grace: release happens on the
+    SECOND same-key stale retry, or at the first genuine group supersede
+    AFTER the park has survived one (up to two parked constructions per
+    stale key in the interim — size BlockManager headroom accordingly).
+    By default tickets are
     allocated when construction starts (after the miss check), which
     covers the started-first/committed-last inversion; a caller whose
     version observation happens well before its build (read fingerprint,

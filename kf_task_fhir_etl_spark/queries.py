@@ -369,11 +369,11 @@ def q08_resource_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 # re-prove. Six NEW gates (triangle counting q131, expectations suite
 # q132, incremental view maintenance q133, event funnel q134, exact
 # set-similarity join q135, snapshot diff q136) land WITH their proofs.
-# Remaining slots take 22 of the 27 r04-vintage re-proves; the five
-# deferred (q44/q45 displaced late by q135/q136, plus q46/q47/q48) sit
-# at the head of _CHECK_LAST with per-entry sibling-coverage notes
-# naming IN-WINDOW gates that call the same machinery (q44/q45 are
-# untouched-code-path deferrals that LEAD r08).
+# Remaining slots take 21 of the 27 r04-vintage re-proves; the SIX
+# deferred (q44/q45 displaced late by q135/q136, q43 displaced by the
+# q102 rename re-prove, plus q46/q47/q48) sit at the head of _CHECK_LAST
+# with per-entry sibling-coverage notes naming IN-WINDOW gates that call
+# the same machinery; ALL SIX lead the r08 window.
 # Everything else in _CHECK_LAST is r05/r06-green on
 # code untouched this round. Window composition is MACHINE-CHECKED:
 # tests/test_staleness_guard.py diffs the tree against the previous
