@@ -441,6 +441,24 @@ def run_pipeline(
         my_seq = (
             ("user", memo_seq) if memo_seq is not None else ("auto", next(_BUILD_SEQ))
         )
+        # fail-FAST domain pre-check (r07 review, eighth pass): the clash
+        # is knowable now, before seconds of construction are spent and
+        # thrown away at the commit-time check — which stays as the
+        # race-safe backstop (another thread can insert the first entry
+        # of the other domain between here and commit)
+        with _MEMO_LOCK:
+            for k, v in _PIPELINE_MEMO.items():
+                if (
+                    k[0] == full_key[0]
+                    and (k[1], k[3]) == (full_key[1], full_key[3])
+                    and v[2][0] != my_seq[0]
+                ):
+                    raise ValueError(
+                        f"run_pipeline: memo group {full_key[1]!r} mixes "
+                        f"{v[2][0]!r}-domain and {my_seq[0]!r}-domain build "
+                        "tickets — pass memo_seq for ALL builds of a group "
+                        "or for none (the counters are incomparable)"
+                    )
     else:
         my_seq = ("auto", 0)
 

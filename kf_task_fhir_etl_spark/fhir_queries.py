@@ -19,6 +19,8 @@ values can never contain those substrings).
 
 from __future__ import annotations
 
+import itertools
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -26,6 +28,16 @@ from kf_task_fhir_etl_spark.builders import patient as patient_builder
 from kf_task_fhir_etl_spark.catalog import cached_table, load_table
 from kf_task_fhir_etl_spark.plans.transform import transform_study
 from kf_task_fhir_etl_spark.queries import register
+
+# Observation tickets for the memo ordering guard (run_pipeline's
+# memo_seq): drawn AT THE MOMENT a gate reads its content fingerprint, so
+# versions are ordered by OBSERVATION, not by when construction reaches
+# run_pipeline — the observe-then-build gap here is ~0.9 s of endpoint-
+# table plan construction (SCALE.md), wide enough for an in-place data
+# regeneration to invert commit order (r07 review, eighth pass; the exact
+# inversion run_pipeline's docstring routes to memo_seq). One shared
+# counter is monotonic for every group it serves.
+_MEMO_OBS_SEQ = itertools.count(1)
 
 # deterministic attribute derivations (mirrored in the SQL oracles)
 _RACE_BY_SEGMENT = {
@@ -1056,6 +1068,7 @@ def q85_fhir_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kf_task_fhir_etl_spark.etl import memoized_pipeline, run_pipeline
 
     fingerprint = content_fingerprint(sf_dir, ["customer", "supplier", "nation", "region"])
+    obs_seq = next(_MEMO_OBS_SEQ)  # observation ticket, taken WITH the fingerprint
     # warm path: a stat-only probe BEFORE any endpoint-table construction —
     # run_pipeline's own hit check sits after the caller has already built
     # ~15 table plans it would never read (r06 review)
@@ -1146,7 +1159,10 @@ def q85_fhir_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bytes stay gated by q74-q84, fused ≡ classic pinned in
     # tests/test_builders.py::test_single_pass_union_equals_classic_dict
     out = run_pipeline(
-        tables, single_pass=True, memo_key=(f"q85:{sf_dir}", fingerprint)
+        tables,
+        single_pass=True,
+        memo_key=(f"q85:{sf_dir}", fingerprint),
+        memo_seq=obs_seq,
     )
     return _q85_counts(out)
 
@@ -2385,6 +2401,7 @@ def q115_multi_study_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kf_task_fhir_etl_spark.etl import memoized_pipeline, run_pipeline
 
     fingerprint = content_fingerprint(sf_dir, ["customer", "nation", "region"])
+    obs_seq = next(_MEMO_OBS_SEQ)  # observation ticket, taken WITH the fingerprint
     c = F.col("c_custkey")
     key_of = F.split(F.col("kf_id"), "_").getItem(1).cast("long")
 
@@ -2439,7 +2456,7 @@ def q115_multi_study_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         hit = memoized_pipeline(spark, key)
         if hit is not None:
             return hit
-        return run_pipeline(study_tables(p), memo_key=key)
+        return run_pipeline(study_tables(p), memo_key=key, memo_seq=obs_seq)
 
     with ThreadPoolExecutor(max_workers=2) as ex:
         out_a, out_b = ex.map(run_study, (0, 1))

@@ -201,7 +201,16 @@ def bloom_prune(big: DataFrame, key_col: str, bloom: DataFrame) -> DataFrame:
     took_internal_ckpt = not _is_checkpointed_relation(bloom)
     if took_internal_ckpt:
         bloom = bloom.localCheckpoint(eager=True)
-    row = bloom.first()  # reads the checkpoint, not a fresh build execution
+    # repeat prunes against one PREPARED filter re-read an immutable shape
+    # row — cache it on the frame object so only the first prune pays the
+    # one-row job (r07 review, eighth pass: N prunes otherwise cost N
+    # driver job submissions for metadata that cannot change after the
+    # checkpoint). The attribute lives and dies with the caller's handle.
+    row = getattr(bloom, "_bloom_shape_row", None)
+    if row is None:
+        row = bloom.first()  # reads the checkpoint, not a fresh build execution
+        if row is not None:
+            bloom._bloom_shape_row = row
 
     def _reject(msg: str) -> None:
         # the filter's kind/shape are DATA (literal columns), so

@@ -35,8 +35,10 @@ def prepared(df: DataFrame) -> DataFrame:
     checkpointed frame, which prepare-aware operators (``bloom_prune``,
     ``cms_estimate``) recognize via the LogicalRDD probe and reuse
     without re-checkpointing. Release with ``etl.release_checkpoints``
-    on retirement. (``sketch.prepare_sketch`` predates this helper and
-    keeps its own identical body until its gates rotate back into the
-    check window — migrating it now would dirty q121 without a slot;
-    r07 review, fifth pass.)"""
+    on retirement. (``sketch.prepare_sketch`` AND its private
+    ``_is_checkpointed_relation`` probe — which bloom.py currently
+    imports across modules — predate this helper and keep their homes
+    until the sketch gates rotate back into the check window; migrating
+    them now would dirty q121 without a slot. Both move here in r08;
+    r07 review, fifth + eighth passes.)"""
     return df.localCheckpoint(eager=True)

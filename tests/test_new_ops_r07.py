@@ -586,3 +586,27 @@ def test_ivm_rejects_reserved_staging_columns(spark):
     delta = spark.createDataFrame([("a", 1.0, 1)], "k string, x double, op int")
     with pytest.raises(ValueError, match="reserved staging names"):
         ivm.apply_agg_delta(view, delta, ["k"], {"s": "x"})
+
+
+def test_bloom_prepared_shape_row_cached_across_prunes(spark):
+    """Repeat prunes against one prepared filter read the immutable shape
+    row ONCE — the second prune must not run another one-row job (r07
+    review, eighth pass). Pinned by poisoning .first() after the first
+    prune: a second call that still works proves the cache path."""
+    small = spark.range(100).select(F.col("id").alias("k"))
+    big = spark.range(300).select(F.col("id").alias("k"))
+    prepped = bloom.bloom_prepare(bloom.bloom_build(small, "k", num_bits=64 * 8, num_hashes=4))
+    p1 = bloom.bloom_prune(big, "k", prepped).count()
+    assert getattr(prepped, "_bloom_shape_row", None) is not None
+
+    def boom():
+        raise AssertionError("first() must not run on a cached prepared filter")
+
+    orig = prepped.first
+    prepped.first = boom
+    try:
+        p2 = bloom.bloom_prune(big, "k", prepped).count()
+    finally:
+        prepped.first = orig
+    assert p1 == p2
+    etl.release_checkpoints([prepped])

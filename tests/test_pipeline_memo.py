@@ -248,3 +248,19 @@ def test_memo_domain_clash_raises_and_releases_own_construction(spark):
 def test_memo_seq_without_memo_key_rejected(spark):
     with pytest.raises(ValueError, match="memo_seq requires memo_key"):
         run_pipeline(endpoint_tables(spark), single_pass=True, memo_seq=5)
+
+
+def test_memo_domain_clash_fails_fast_before_construction(spark):
+    """The domain pre-check raises at ticket allocation — BEFORE the
+    pipeline is constructed — so a misconfigured retry loop does not pay
+    a full build per raise (r07 review, eighth pass). Pinned by passing
+    endpoint tables that would EXPLODE if transform_study ever ran."""
+    from types import SimpleNamespace
+
+    run_pipeline(endpoint_tables(spark), single_pass=True, memo_key=("g", "v1"), memo_seq=5)
+    # a stand-in exposing ONLY .sparkSession: any attempt to construct the
+    # pipeline from it would crash with AttributeError, so reaching the
+    # ValueError proves the raise happened before construction
+    poisoned = {"studies": SimpleNamespace(sparkSession=spark)}
+    with pytest.raises(ValueError, match="mixes"):
+        run_pipeline(poisoned, single_pass=True, memo_key=("g", "v2"))
