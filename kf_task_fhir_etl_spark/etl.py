@@ -264,11 +264,22 @@ _RETIRED_CHECKPOINTS: dict[tuple[str, str, str, bool], list[DataFrame]] = {}
 # could trigger before the first caller ran any action): a same-key
 # re-park appends and releases only beyond TWO resident generations, and
 # a genuine group supersede releases parks that already survived one
-# supersede while merely marking the rest. Bound: ≤2 constructions per
-# distinct stale key, all dropped with the app.
+# supersede while merely marking the rest. Bounds: ≤2 constructions per
+# distinct stale key AND ≤4 generations per (app, group, mode) across
+# keys — without the group-wide cap, a backlog of K distinct stale
+# versions (data regenerated K times while a build queue backed up)
+# would pin K full constructions simultaneously (r07 review, ninth
+# pass); when the cap binds, the OLDEST generation group-wide is
+# released even if its per-key grace has not elapsed — bounded memory
+# wins over grace in a stale-build storm, and the failure stays loud
+# (a released construction's re-execution raises). Entries carry a
+# monotonic park stamp for that group-wide age order; all parks drop
+# with their app.
 _STALE_PARKS: dict[
-    tuple[str, str, str, bool], list[tuple[list[DataFrame], bool]]
+    tuple[str, str, str, bool], list[tuple[list[DataFrame], bool, int]]
 ] = {}
+_STALE_PARK_STAMP = itertools.count(1)
+_STALE_PARKS_GROUP_CAP = 4
 
 # Monotone count of memo re-serves (run_pipeline hit path + the
 # memoized_pipeline probe). bench.py reads it around each query's repeat
@@ -558,9 +569,28 @@ def run_pipeline(
                 # same-key racer must not free the construction another
                 # thread is about to hand its caller).
                 gens = _STALE_PARKS.setdefault(full_key, [])
-                gens.append((ck_handles, False))
+                gens.append((ck_handles, False, next(_STALE_PARK_STAMP)))
                 while len(gens) > 2:
                     to_release.append(gens.pop(0)[0])
+                # group-wide cap across distinct stale keys (ninth pass):
+                # release the oldest-stamped generation until ≤ cap
+                group_keys = [
+                    sk
+                    for sk in _STALE_PARKS
+                    if sk[0] == app and (sk[1], sk[3]) == (group, full_key[3])
+                ]
+                while (
+                    sum(len(_STALE_PARKS[sk]) for sk in group_keys)
+                    > _STALE_PARKS_GROUP_CAP
+                ):
+                    oldest_key = min(
+                        (sk for sk in group_keys if _STALE_PARKS[sk]),
+                        key=lambda sk: _STALE_PARKS[sk][0][2],
+                    )
+                    to_release.append(_STALE_PARKS[oldest_key].pop(0)[0])
+                    if not _STALE_PARKS[oldest_key]:
+                        _STALE_PARKS.pop(oldest_key)
+                        group_keys.remove(oldest_key)
                 entry = None
             else:
                 for k in list(_PIPELINE_MEMO):
@@ -602,12 +632,12 @@ def run_pipeline(
                     if sk[0] != app:
                         _STALE_PARKS.pop(sk, None)
                     elif parked_now and (sk[1], sk[3]) == (group, full_key[3]):
-                        kept: list[tuple[list[DataFrame], bool]] = []
-                        for handles_gen, survived in _STALE_PARKS[sk]:
+                        kept: list[tuple[list[DataFrame], bool, int]] = []
+                        for handles_gen, survived, stamp in _STALE_PARKS[sk]:
                             if survived:
                                 to_release.append(handles_gen)
                             else:
-                                kept.append((handles_gen, True))
+                                kept.append((handles_gen, True, stamp))
                         if kept:
                             _STALE_PARKS[sk] = kept
                         else:

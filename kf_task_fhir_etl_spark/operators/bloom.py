@@ -198,6 +198,20 @@ def bloom_prune(big: DataFrame, key_col: str, bloom: DataFrame) -> DataFrame:
     must use the ``bloom_prepare`` path for a deterministic lifecycle
     (r07 review — the docstring previously promised a release path the
     unprepared caller does not actually have)."""
+    # reserved-name guard BEFORE any checkpoint (r07 review, ninth pass):
+    # a probe side already carrying __bloom_* columns would sail past the
+    # shape validations and die in the cross join with an opaque
+    # ambiguous-reference AnalysisException — raised after the internal
+    # checkpoint materialized, leaking its blocks on every retry (the
+    # ivm/zorder reserved-staging-name discipline)
+    clash = {"__bloom_words", "__bloom_bits", "__bloom_hashes", "__bloom_kind"}.intersection(
+        big.columns
+    )
+    if clash:
+        raise ValueError(
+            f"bloom_prune: probe columns {sorted(clash)} collide with the "
+            "reserved __bloom_* staging names; rename them first"
+        )
     took_internal_ckpt = not _is_checkpointed_relation(bloom)
     if took_internal_ckpt:
         bloom = bloom.localCheckpoint(eager=True)

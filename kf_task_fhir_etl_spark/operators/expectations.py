@@ -83,6 +83,15 @@ def expect_suite(df: DataFrame, checks: list[dict]) -> DataFrame:
         elif kind == "not_null":
             expr = _violations(F.col(c["col"]).isNull())
         elif kind == "range":
+            if "lo" not in c and "hi" not in c:
+                # a bound-less range is vacuously green forever — the
+                # silent-dead-gate failure mode this module exists to
+                # prevent (r07 review, ninth pass: a typoed bound key
+                # like 'min' would otherwise pass every publish)
+                raise ValueError(
+                    f"expect_suite: range check {c['name']!r} has neither "
+                    "'lo' nor 'hi' — it could never fail"
+                )
             col = F.col(c["col"])
             bad = F.lit(False)
             if "lo" in c:

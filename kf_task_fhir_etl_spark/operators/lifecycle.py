@@ -40,5 +40,11 @@ def prepared(df: DataFrame) -> DataFrame:
     imports across modules — predate this helper and keep their homes
     until the sketch gates rotate back into the check window; migrating
     them now would dirty q121 without a slot. Both move here in r08;
-    r07 review, fifth + eighth passes.)"""
+    r07 review, fifth + eighth passes.) Already-checkpointed inputs are
+    returned as-is — re-preparing would duplicate the blocks (ninth
+    pass), the same probe the consumers use."""
+    from kf_task_fhir_etl_spark.operators.sketch import _is_checkpointed_relation
+
+    if _is_checkpointed_relation(df):
+        return df
     return df.localCheckpoint(eager=True)

@@ -610,3 +610,34 @@ def test_bloom_prepared_shape_row_cached_across_prunes(spark):
         prepped.first = orig
     assert p1 == p2
     etl.release_checkpoints([prepped])
+
+
+def test_bloom_prune_rejects_reserved_probe_columns_without_leak(spark):
+    from kf_task_fhir_etl_spark.operators import bloom as bl_mod
+
+    small = spark.range(10).select(F.col("id").alias("k"))
+    big = spark.range(10).select(F.col("id").alias("k"), F.lit(1).alias("__bloom_words"))
+    filt = bl_mod.bloom_build(small, "k", num_bits=64 * 2, num_hashes=2)
+    jsc = spark.sparkContext._jsc.sc()
+    ids_before = {info.id() for info in jsc.getRDDStorageInfo()}
+    with pytest.raises(ValueError, match="__bloom"):
+        bl_mod.bloom_prune(big, "k", filt)
+    # raised BEFORE any internal checkpoint — zero new pinned storage
+    assert {info.id() for info in jsc.getRDDStorageInfo()} <= ids_before
+
+
+def test_expectations_boundless_range_rejected(spark):
+    from kf_task_fhir_etl_spark.operators import expectations as ex
+
+    df = spark.createDataFrame([(1.0,)], "x double")
+    with pytest.raises(ValueError, match="never fail"):
+        ex.expect_suite(df, [{"name": "r", "kind": "range", "col": "x"}])
+
+
+def test_lifecycle_prepared_noops_on_checkpointed_input(spark):
+    from kf_task_fhir_etl_spark.operators import lifecycle
+
+    df = spark.range(5)
+    once = lifecycle.prepared(df)
+    twice = lifecycle.prepared(once)
+    assert twice is once  # no duplicate block copy

@@ -264,3 +264,26 @@ def test_memo_domain_clash_fails_fast_before_construction(spark):
     poisoned = {"studies": SimpleNamespace(sparkSession=spark)}
     with pytest.raises(ValueError, match="mixes"):
         run_pipeline(poisoned, single_pass=True, memo_key=("g", "v2"))
+
+
+def test_memo_stale_parks_capped_group_wide(spark):
+    """K distinct stale versions of one group must not pin K
+    constructions: beyond the group-wide cap the oldest generation is
+    released even before its per-key grace elapses (bounded memory wins
+    over grace in a stale-build storm — r07 review, ninth pass)."""
+    run_pipeline(endpoint_tables(spark), single_pass=True, memo_key=("g", "v_new"), memo_seq=100)
+    stales = [
+        run_pipeline(
+            endpoint_tables(spark), single_pass=True, memo_key=("g", f"v{i}"), memo_seq=i
+        )
+        for i in range(1, 7)  # six distinct stale versions
+    ]
+    total = sum(
+        len(v) for k, v in etl._STALE_PARKS.items() if k[1] == "g"
+    )
+    assert total <= etl._STALE_PARKS_GROUP_CAP
+    # the OLDEST stale constructions were released...
+    with pytest.raises(Exception):
+        stales[0].count()
+    # ...while the newest still executes in its grace window
+    assert stales[-1].count() is not None
