@@ -2893,3 +2893,208 @@ def q136_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("o_totalprice"),
     )
     return scd.snapshot_diff(old, new, ["o_orderkey"]).orderBy("o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# q137 — event-pattern spans with negation (operators/patterns.py; the
+# MATCH_RECOGNIZE-shaped generalization of the q134 funnel — VERDICT r07 #6)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q137_pattern_spans",
+    oracle="""
+    WITH b AS (
+      SELECT user_id AS u, epoch_us(ts) AS us FROM events
+      WHERE event_type = 'purchase' AND ts IS NOT NULL
+    ), a AS (
+      SELECT user_id AS u, epoch_us(ts) AS us FROM events
+      WHERE event_type = 'view' AND ts IS NOT NULL
+    ), n AS (
+      SELECT user_id AS u, epoch_us(ts) AS us FROM events
+      WHERE event_type = 'error' AND ts IS NOT NULL
+    ), spans AS (
+      SELECT b.u,
+             (SELECT MAX(a.us) FROM a WHERE a.u = b.u AND a.us < b.us) AS start_us,
+             b.us AS end_us
+      FROM b
+    )
+    SELECT u AS user_id, start_us, end_us FROM spans
+    WHERE start_us IS NOT NULL
+      AND NOT EXISTS (
+        SELECT 1 FROM n
+        WHERE n.u = spans.u AND n.us > spans.start_us AND n.us < spans.end_us
+      )
+    ORDER BY user_id, start_us, end_us
+    """,
+)
+def q137_pattern_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All view→purchase spans with NO error strictly between
+    (operators/patterns.py::pattern_spans) — existential all-matches
+    semantics: every purchase pairs with its latest strictly-earlier view
+    and survives only if no error event sits in the open µs interval.
+    The Spark side is ONE window pass per user over the type-pruned scan
+    (running max of anchor/deny µs with a RANGE frame ending 1 µs before
+    the row — a SET rule, so same-µs ties cannot split the engines); the
+    oracle derives the same spans by the INDEPENDENT correlated-subquery
+    + NOT EXISTS method. Microsecond integers end to end — no float
+    anywhere near the match decision."""
+    from kf_task_fhir_etl_spark.operators import patterns
+
+    ev = load_table(spark, sf_dir, "events")
+    return patterns.pattern_spans(ev, "view", "purchase", ["error"]).orderBy(
+        "user_id", "start_us", "end_us"
+    )
+
+
+# ---------------------------------------------------------------------------
+# q138 — strict funnel with per-transition negation (operators/patterns.py)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q138_negated_funnel",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id AS u, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' AND ts IS NOT NULL GROUP BY 1
+    ), s2 AS (
+      SELECT e.user_id AS u, MIN(e.ts) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.u
+      WHERE e.event_type = 'click' AND e.ts IS NOT NULL AND e.ts > s1.t1 GROUP BY 1
+    ), s2j AS (
+      SELECT s1.u, s1.t1, s2.t2 FROM s1 JOIN s2 ON s1.u = s2.u
+    ), s3 AS (
+      SELECT e.user_id AS u, MIN(e.ts) AS t3
+      FROM events e JOIN s2j ON e.user_id = s2j.u
+      WHERE e.event_type = 'purchase' AND e.ts IS NOT NULL AND e.ts > s2j.t2 GROUP BY 1
+    ), s3j AS (
+      SELECT s2j.u, s2j.t1, s2j.t2, s3.t3 FROM s2j JOIN s3 ON s2j.u = s3.u
+    ), v1 AS (
+      -- transition view→click voided by an 'error' strictly inside (t1, t2)
+      SELECT u FROM s2j
+      WHERE NOT EXISTS (
+        SELECT 1 FROM events n
+        WHERE n.user_id = s2j.u AND n.event_type = 'error' AND n.ts IS NOT NULL
+          AND epoch_us(n.ts) > epoch_us(s2j.t1) AND epoch_us(n.ts) < epoch_us(s2j.t2)
+      )
+    ), v2 AS (
+      -- the void CASCADES: step 3 requires BOTH transitions clean
+      SELECT s3j.u FROM s3j JOIN v1 ON s3j.u = v1.u
+      WHERE NOT EXISTS (
+        SELECT 1 FROM events n
+        WHERE n.user_id = s3j.u AND n.event_type = 'signup' AND n.ts IS NOT NULL
+          AND epoch_us(n.ts) > epoch_us(s3j.t2) AND epoch_us(n.ts) < epoch_us(s3j.t3)
+      )
+    )
+    SELECT * FROM (
+      SELECT 1 AS step_idx, 'view' AS step, (SELECT COUNT(*) FROM s1) AS n_users
+      UNION ALL SELECT 2, 'click', (SELECT COUNT(*) FROM v1)
+      UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM v2)
+    ) ORDER BY step_idx
+    """,
+)
+def q138_negated_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict three-step funnel view→click→purchase where an 'error'
+    strictly inside the user's first-touch (t1, t2) window voids the
+    view→click transition and a 'signup' inside (t2, t3) voids
+    click→purchase — and a void CASCADES to every later step
+    (operators/patterns.py::funnel_with_negation; first-touch-with-veto
+    semantics, deliberately NOT backtracking — documented in the module).
+    The veto pass is ONE scan of the union of denied types + one user-key
+    join + one groupBy regardless of how many transitions are guarded;
+    trajectory frames are staged and RELEASED after the 3-row report
+    materializes (the q134 lifecycle). The oracle chains the q134
+    first-touch CTEs with per-transition NOT EXISTS windows — the same
+    semantics by an independent relational method, integer-µs boundaries
+    on both sides."""
+    from kf_task_fhir_etl_spark import etl
+    from kf_task_fhir_etl_spark.operators import patterns
+
+    ev = load_table(spark, sf_dir, "events")
+    handles: list[DataFrame] = []
+    counts = patterns.funnel_with_negation(
+        ev,
+        ["view", "click", "purchase"],
+        denies=[["error"], ["signup"]],
+        handles_out=handles,
+    )
+    result = counts.localCheckpoint(eager=True)  # 3 rows — the residue
+    etl.release_checkpoints(handles)
+    return result.orderBy("step_idx")
+
+
+# ---------------------------------------------------------------------------
+# q139 — k-core decomposition by iterative peeling (operators/graph.py;
+# rounds out the graph family: pagerank q102, label prop q125, CC q63,
+# triangles q131)
+# ---------------------------------------------------------------------------
+
+
+def _q139_oracle(k: int = 3, rounds: int = 8) -> str:
+    """Unrolled peeling oracle (the q102/q125 chained-CTE discipline): each
+    round drops nodes below degree k and the edges touching them. The
+    k-core is a unique fixpoint and peeling is monotone, so any round
+    count >= the actual peel depth (3 at sf0.01 AND sf0.1, measured) gives
+    byte-identical results — rounds past the fixpoint are no-ops.
+    Each e{i} is MATERIALIZED: default CTE inlining re-expands e{i-1}
+    three times per round — exponential, and it exhausts file handles
+    re-opening the parquet 3^rounds times."""
+    parts = [
+        """
+    WITH li AS (
+      SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 20 = 0
+    ), e0 AS MATERIALIZED (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    )"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""", s{i} AS (
+      SELECT node FROM (
+        SELECT u AS node FROM e{i-1} UNION ALL SELECT v FROM e{i-1}
+      ) GROUP BY node HAVING COUNT(*) >= {k}
+    ), e{i} AS MATERIALIZED (
+      SELECT e{i-1}.u, e{i-1}.v FROM e{i-1}
+      JOIN s{i} a ON e{i-1}.u = a.node
+      JOIN s{i} b ON e{i-1}.v = b.node
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT node, COUNT(*) AS deg FROM (
+      SELECT u AS node FROM e{rounds} UNION ALL SELECT v FROM e{rounds}
+    ) GROUP BY node ORDER BY node"""
+    )
+    return "".join(parts)
+
+
+@register("q139_kcore_peeling", oracle=_q139_oracle())
+def q139_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the order-sampled part co-purchase graph (l_orderkey %
+    20 = 0 — sampling ORDERS, not parts, keeps a low-degree tail so the
+    peel actually iterates: 3 rounds at sf0.01 and sf0.1, measured;
+    the q131 part-sampled graph is a quasi-clique that never peels).
+    The Spark side (operators/graph.py::k_core) peels to the FIXPOINT —
+    per round one degree aggregate + two node-key semi-joins, per-round
+    checkpoints released, fixpoint detected by monotone edge-count
+    equality; the oracle unrolls 8 peel rounds as chained CTEs (rounds
+    past the fixpoint are provably no-ops), the q102/q125 discipline.
+    Returns (node, deg-within-core); every deg >= 3 by the core
+    property, which the oracle hash pins."""
+    from kf_task_fhir_etl_spark.operators import graph
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 20 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+    )
+    return graph.k_core(pairs, k=3).orderBy("node")

@@ -316,3 +316,81 @@ def triangle_count(
         .unionAll(tri.select(F.col("t2").alias("node")))
     )
     return corners.groupBy("node").agg(F.count(F.lit(1)).alias("n_tri"))
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 100,
+) -> DataFrame:
+    """The k-core of an UNDIRECTED simple graph — iterative peeling
+    (Matula/Beck '83; the Batagelj-Zaveršnik formulation): repeatedly
+    delete every node whose degree in the SURVIVING graph is < k, until a
+    fixpoint; return (node, deg) — each surviving node with its degree
+    inside the core (≥ k by construction). The k-core is unique and
+    order-independent, so synchronous whole-round peeling reaches the
+    same fixpoint as any sequential peel — which is what lets a SQL
+    oracle unroll the rounds as chained CTEs (extra rounds past the
+    fixpoint are provably no-ops: nothing left is below k).
+
+    Plan shape per round: one degree aggregate (explode both endpoints,
+    groupBy node — map-side combine applies) and two semi-joins of the
+    edge list against the surviving node set, every shuffle on the node
+    key. State is the |E|-row edge frame and a |V|-row survivor set;
+    nothing edge-sized ever reaches the driver — the per-round fixpoint
+    test is a count() comparison (peeling is monotone decreasing, so
+    count equality IS set equality). Per-round localCheckpoints keep the
+    plan flat and superseded rounds are released (the pagerank/
+    label_propagation/connected_components discipline). Rounds are
+    data-bounded (≤ |V| pathologically, a handful in practice);
+    ``max_rounds`` is a loud guard, not a silent truncation.
+    """
+    if k < 1:
+        raise ValueError(f"k_core: k must be >= 1, got {k}")
+    cur = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") < F.col("v"))  # drops self-loops and NULL endpoints
+        .distinct()
+        .localCheckpoint()
+    )
+    n_cur = cur.count()
+    for _ in range(max_rounds):
+        if n_cur == 0:
+            break
+        deg = (
+            cur.select(F.col("u").alias("node"))
+            .unionAll(cur.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= k).select("node")
+        nxt = (
+            cur.join(keep.withColumnRenamed("node", "u"), "u", "leftsemi")
+            .join(keep.withColumnRenamed("node", "v"), "v", "leftsemi")
+            .select("u", "v")
+            .localCheckpoint()
+        )
+        n_nxt = nxt.count()
+        if n_nxt == n_cur:
+            # fixpoint: nxt duplicates cur — release the duplicate blocks
+            _release_checkpoint(nxt)
+            break
+        _release_checkpoint(cur)
+        cur, n_cur = nxt, n_nxt
+    else:
+        raise RuntimeError(
+            f"k_core: no fixpoint within max_rounds={max_rounds} — raise the "
+            "guard (peeling removes >=1 node per non-fixpoint round, so this "
+            "means the graph has more peel depth than the guard allows)"
+        )
+    return (
+        cur.select(F.col("u").alias("node"))
+        .unionAll(cur.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )

@@ -107,3 +107,209 @@ def test_ivm_preserves_int_count_and_double_sum(spark):
     assert _dtypes(out) == {"k": "string", "n": "int", "s": "double"}
     got = {r["k"]: (r["n"], r["s"]) for r in out.collect()}
     assert got == {"x": (2, 3.0), "y": (1, 1.0)}
+
+
+# ---------------------------------------------------------------------------
+# pattern_spans / funnel_with_negation (operators/patterns.py — r08)
+# ---------------------------------------------------------------------------
+
+from datetime import datetime, timedelta
+
+from kf_task_fhir_etl_spark.operators import graph, patterns
+
+
+def _ev(spark, rows):
+    """rows: (user, type, seconds-offset) → events frame with µs-precision ts."""
+    base = datetime(2024, 1, 1)
+    return spark.createDataFrame(
+        [(u, t, base + timedelta(seconds=s)) for u, t, s in rows],
+        "user_id bigint, event_type string, ts timestamp",
+    )
+
+
+def test_pattern_spans_boundary_semantics(spark):
+    """Open-interval negation: a deny tied to the anchor's or target's
+    microsecond does NOT void; one strictly inside does. Latest anchor
+    wins; a target with no prior anchor emits nothing."""
+    ev = _ev(
+        spark,
+        [
+            (1, "A", 0), (1, "N", 0), (1, "B", 10),      # deny tied at anchor → survives
+            (2, "A", 0), (2, "N", 5), (2, "B", 10),      # strictly inside → killed
+            (3, "A", 0), (3, "B", 10), (3, "N", 10),     # deny tied at target → survives
+            (4, "A", 0), (4, "A", 6), (4, "N", 3), (4, "B", 10),  # later anchor clears the deny
+            (5, "B", 10),                                  # no prior anchor → absent
+            (6, "A", 10), (6, "B", 10),                    # anchor NOT strictly earlier → absent
+        ],
+    )
+    got = {
+        (r["user_id"], r["start_us"], r["end_us"])
+        for r in patterns.pattern_spans(ev, "A", "B", ["N"]).collect()
+    }
+    us = lambda s: int(datetime(2024, 1, 1).timestamp() + s) * 1_000_000
+    assert got == {
+        (1, us(0), us(10)),
+        (3, us(0), us(10)),
+        (4, us(6), us(10)),
+    }
+
+
+def test_pattern_spans_matches_bruteforce(spark):
+    """Randomized parity against a driver-side brute force (every
+    (anchor, target) rule re-evaluated in Python sets)."""
+    import random
+
+    rng = random.Random(8)
+    rows = [
+        (rng.randrange(12), rng.choice("ABN"), rng.randrange(500))
+        for _ in range(400)
+    ]
+    ev = _ev(spark, rows)
+    got = {
+        (r["user_id"], r["start_us"], r["end_us"])
+        for r in patterns.pattern_spans(ev, "A", "B", ["N"]).collect()
+    }
+    base_us = int(datetime(2024, 1, 1).timestamp()) * 1_000_000
+    per_user = {}
+    for u, t, s in rows:
+        per_user.setdefault(u, []).append((t, base_us + s * 1_000_000))
+    want = set()
+    for u, evs in per_user.items():
+        a_ts = [ts for t, ts in evs if t == "A"]
+        n_ts = [ts for t, ts in evs if t == "N"]
+        for t, ts in evs:
+            if t != "B":
+                continue
+            prior = [x for x in a_ts if x < ts]
+            if not prior:
+                continue
+            start = max(prior)
+            if any(start < x < ts for x in n_ts):
+                continue
+            want.add((u, start, ts))
+    assert got == want
+
+
+def test_funnel_with_negation_cascade(spark):
+    """The void cascades: a dirty first transition removes the user from
+    EVERY later step even when the raw trajectory completes."""
+    ev = _ev(
+        spark,
+        [
+            # u1: clean A→B→C
+            (1, "A", 0), (1, "B", 10), (1, "C", 20),
+            # u2: N inside (A, B) → counted at step 1 only (even though C exists)
+            (2, "A", 0), (2, "N", 5), (2, "B", 10), (2, "C", 20),
+            # u3: M inside (B, C) → steps 1 and 2
+            (3, "A", 0), (3, "B", 10), (3, "M", 15), (3, "C", 20),
+            # u4: never reaches B
+            (4, "A", 0), (4, "C", 5),
+            # u5: N strictly AT t1 (tie) → not inside the open interval → clean
+            (5, "A", 0), (5, "N", 0), (5, "B", 10), (5, "C", 20),
+        ],
+    )
+    got = {
+        r["step_idx"]: r["n_users"]
+        for r in patterns.funnel_with_negation(
+            ev, ["A", "B", "C"], denies=[["N"], ["M"]]
+        ).collect()
+    }
+    assert got == {1: 5, 2: 3, 3: 2}  # step2: u1,u3,u5; step3: u1,u5
+
+
+def test_funnel_with_negation_empty_denies_equals_funnel_counts(spark):
+    """With every deny set empty the report must equal funnel_counts'
+    n_users column (same first-touch trajectory, no veto)."""
+    import random
+
+    rng = random.Random(17)
+    rows = [
+        (rng.randrange(20), rng.choice(["A", "B", "C"]), rng.randrange(300))
+        for _ in range(600)
+    ]
+    ev = _ev(spark, rows)
+    neg = {
+        r["step_idx"]: r["n_users"]
+        for r in patterns.funnel_with_negation(
+            ev, ["A", "B", "C"], denies=[[], []]
+        ).collect()
+    }
+    from kf_task_fhir_etl_spark.operators import funnel
+
+    plain = {
+        r["step_idx"]: r["n_users"]
+        for r in funnel.funnel_counts(ev, ["A", "B", "C"]).collect()
+    }
+    assert neg == plain
+
+
+def test_funnel_with_negation_validates_deny_arity(spark):
+    ev = _ev(spark, [(1, "A", 0)])
+    with pytest.raises(ValueError, match="deny sets"):
+        patterns.funnel_with_negation(ev, ["A", "B"], denies=[["N"], ["M"]])
+
+
+# ---------------------------------------------------------------------------
+# k_core (operators/graph.py — r08)
+# ---------------------------------------------------------------------------
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src bigint, dst bigint")
+
+
+def _brute_kcore(pairs, k):
+    import collections
+
+    es = {(min(u, v), max(u, v)) for u, v in pairs if u != v}
+    while True:
+        deg = collections.Counter()
+        for u, v in es:
+            deg[u] += 1
+            deg[v] += 1
+        keep = {n for n, d in deg.items() if d >= k}
+        nxt = {(u, v) for u, v in es if u in keep and v in keep}
+        if nxt == es:
+            break
+        es = nxt
+    deg = collections.Counter()
+    for u, v in es:
+        deg[u] += 1
+        deg[v] += 1
+    return dict(deg)
+
+
+def test_k_core_peels_chain_into_clique(spark):
+    """4-clique + a pendant chain: the 2-core keeps only the clique —
+    the chain peels one node per round (multi-round fixpoint), which
+    also exercises the per-round checkpoint/release loop."""
+    clique = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    chain = [(4, 10), (10, 11), (11, 12)]
+    got = {
+        (r["node"], r["deg"])
+        for r in graph.k_core(_edges(spark, clique + chain), k=2).collect()
+    }
+    assert got == {(1, 3), (2, 3), (3, 3), (4, 3)}
+
+
+def test_k_core_empty_when_k_exceeds_connectivity(spark):
+    got = graph.k_core(_edges(spark, [(1, 2), (2, 3), (3, 1)]), k=3).collect()
+    assert got == []  # a triangle has max coreness 2
+
+
+def test_k_core_matches_bruteforce_random(spark):
+    import random
+
+    rng = random.Random(29)
+    pairs = [(rng.randrange(40), rng.randrange(40)) for _ in range(120)]
+    for k in (2, 3):
+        got = {
+            (r["node"], r["deg"])
+            for r in graph.k_core(_edges(spark, pairs), k=k).collect()
+        }
+        assert got == set(_brute_kcore(pairs, k).items()), f"k={k}"
+
+
+def test_k_core_rejects_bad_k(spark):
+    with pytest.raises(ValueError, match="k must be"):
+        graph.k_core(_edges(spark, [(1, 2)]), k=0)
