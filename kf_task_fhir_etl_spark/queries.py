@@ -355,33 +355,107 @@ def q08_resource_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Every entry keeps BOTH a queries() and an oracle_sql() registration either
 # way; nothing is retired.
 #
-# r07 composition (exactly 50).
-# The 14 r03-vintage entries LEAD (VERDICT r06 #2 — the registry's oldest
-# freshness debt: q110/q111 first, the displacement named at r06 close).
-# Changed code this round: (1) the Bloom filter's word store rewritten
-# map→dense array with a prepare/release lifecycle and the q129 gate cut
-# to one big-side scan (VERDICT r06 #1/#5/#6) — q129 re-proves; (2)
-# connected_components gained per-round checkpoint release (VERDICT r06
-# missing #1) — q63/q72 re-prove; (3) zorder_write's reserved-__z guard
-# (ADVICE) — q130 re-proves; (4) q123/q126 release their gate-owned
-# checkpoints after materialization (ADVICE) — both re-prove; (5)
-# etl.run_pipeline gained build-seq memo ordering (ADVICE) — q85/q115
-# re-prove. Six NEW gates (triangle counting q131, expectations suite
-# q132, incremental view maintenance q133, event funnel q134, exact
-# set-similarity join q135, snapshot diff q136) land WITH their proofs.
-# Remaining slots take 21 of the 27 r04-vintage re-proves; the SIX
-# deferred (q44/q45 displaced late by q135/q136, q43 displaced by the
-# q102 rename re-prove, plus q46/q47/q48) sit at the head of _CHECK_LAST
-# with per-entry sibling-coverage notes naming IN-WINDOW gates that call
-# the same machinery; ALL SIX lead the r08 window.
-# Everything else in _CHECK_LAST is r05/r06-green on
-# code untouched this round. Window composition is MACHINE-CHECKED:
-# tests/test_staleness_guard.py diffs the tree against the previous
-# round tag, maps changed symbols to registry entries, and fails if an
-# affected entry is rotated to the tail without a waiver.
+# r08 composition (exactly 50).
+# The six r04-vintage entries LEAD (VERDICT r07 #1 — the registry's oldest
+# freshness debt: q44/q45 first, the displacement named at r07 close, then
+# q43/q46/q47/q48). Changed code this round: (1) the checkpoint-lifecycle
+# consolidation (VERDICT r07 missing #3 / ADVICE) moved the probe +
+# prepared() into operators/lifecycle.py and re-pointed sketch/bloom —
+# q121/q123/q129 re-prove; (2) ivm.apply_agg_delta now casts maintained
+# columns back to the view dtypes (ADVICE) — q133 re-proves; (3)
+# etl.run_pipeline's domain pre-check skips the same-key entry + stale-park
+# cap documented (ADVICE) — q85/q115 re-prove; (4) the one-shot cost notes
+# on triangle_count/funnel_trajectories/set_similarity_join (VERDICT r07
+# #4) — q131/q134/q135 re-prove. Three NEW gates (pattern spans q137,
+# negated funnel q138, k-core q139) land WITH their proofs. The remaining
+# 32 slots take 32 of the 37 r05-vintage re-proves (q01/q04/q06/q07/q09
+# first — the verdict's named order); the FIVE deferred (q49-q53, window
+# full at 50) sit at the head of _CHECK_LAST with per-entry sibling notes
+# and LEAD the r09 window.
+# Everything else in _CHECK_LAST is r06/r07-green on code untouched this
+# round. Window composition is MACHINE-CHECKED: tests/test_staleness_guard.py
+# diffs the tree against the previous round tag, maps changed symbols to
+# registry entries, and fails if an affected entry is rotated to the tail
+# without a waiver.
 # ---------------------------------------------------------------------------
 _CHECK_FIRST = [
-    # -- r03-vintage re-proves lead (oldest freshness debt; untouched code)
+    # -- r04-vintage re-proves lead (oldest freshness debt; the r07 close's
+    #    disclosed displacement — q44/q45 first)
+    "q44_customer_set_ops",
+    "q45_exists_semi_join",
+    "q43_rollup_order_stats",
+    "q46_not_exists_anti_join",
+    "q47_grouped_percentiles",
+    "q48_multi_distinct_agg",
+    # -- changed-code re-proves (see composition note above)
+    "q121_count_min_sketch",
+    "q123_cms_heavy_hitters",
+    "q129_bloom_join_pruning",
+    "q133_incremental_view_maintenance",
+    "q85_fhir_full_pipeline",
+    "q115_multi_study_pipeline",
+    "q131_triangle_count",
+    "q134_event_funnel",
+    "q135_set_similarity_join",
+    # -- NEW gates this round (each lands WITH its proof)
+    "q137_pattern_spans",
+    "q138_negated_funnel",
+    "q139_kcore_peeling",
+    # -- r05-vintage re-proves (untouched code; next-oldest debt)
+    "q01_pricing_summary",
+    "q04_recode_split",
+    "q06_group_collect",
+    "q07_try_cast_json",
+    "q09_topk_per_group",
+    "q11_minhash_lsh_candidates",
+    "q12_minhash_verified_pairs",
+    "q14_ann_cosine_topk",
+    "q17_language_id",
+    "q18_quality_score",
+    "q19_token_stats",
+    "q21_window_agg",
+    "q22_sessionization",
+    "q28_asof_join",
+    "q37_stateful_user_totals_stream",
+    "q38_corpus_prep_pipeline",
+    "q39_multimodal_features",
+    "q54_star_broadcast_join",
+    "q55_decorrelated_avg_qty",
+    "q56_regional_revenue_chain",
+    "q58_embedding_centroids",
+    "q59_stream_stream_join",
+    "q60_train_test_split",
+    "q61_source_quota_sample",
+    "q62_doc_chunking",
+    "q67_bpe_token_budget",
+    "q68_rolling_fingerprints",
+    "q69_stratified_sample",
+    "q73_salted_skew_join",
+    "q95_bucketed_colocated_join",
+    "q116_weighted_sample",
+    "q122_profile_approx",
+]
+_CHECK_LAST = [
+    # -- deferred r05-vintage re-proves (window full at 50) ----------------
+    # q49: pivot — the Expand-based grouping machinery is exercised
+    # IN-WINDOW by q43 (ROLLUP) and q48 (multi-distinct); untouched since
+    # its r05 proof (staleness guard green); LEADS the r09 window.
+    "q49_pivot_status_matrix",
+    # q50: window frames — the rows/range frame machinery is exercised
+    # IN-WINDOW by q137 (RANGE-framed running max) and q21 (window aggs);
+    # untouched since r05; LEADS r09.
+    "q50_window_frames",
+    # q51: JSON extraction — the from_json/get_json_object path is
+    # exercised IN-WINDOW by q07 (try-cast JSON); untouched since r05;
+    # LEADS r09.
+    "q51_json_extract",
+    # q52: explode + top-k — exercised IN-WINDOW by q09 (top-k per group)
+    # and q19 (token explode stats); untouched since r05; LEADS r09.
+    "q52_word_explode_topk",
+    # q53: time-bucket rollup — the window/date-trunc machinery is
+    # exercised IN-WINDOW by q21/q22; untouched since r05; LEADS r09.
+    "q53_time_bucket_rollup",
+    # -- r06/r07-green, code untouched this round ---------------------------
     "q110_importance_sample",
     "q111_budget_select",
     "q03_normalize_dedup",
@@ -396,23 +470,12 @@ _CHECK_FIRST = [
     "q107_rank_functions",
     "q109_streaming_quality_filter",
     "q112_stream_static_join",
-    # -- changed-code re-proves (see composition note above)
-    "q129_bloom_join_pruning",
     "q63_dup_clusters",
     "q72_canonical_docs",
     "q130_zorder_clustering",
-    "q123_cms_heavy_hitters",
     "q126_tdigest_quantiles",
-    "q85_fhir_full_pipeline",
-    "q115_multi_study_pipeline",
-    # -- NEW gates this round (each lands WITH its proof)
-    "q131_triangle_count",
     "q132_expectations_suite",
-    "q133_incremental_view_maintenance",
-    "q134_event_funnel",
-    "q135_set_similarity_join",
     "q136_snapshot_diff",
-    # -- r04-vintage re-proves (untouched code; next-oldest debt)
     "q113_ivf_lloyd_refinement",
     "q114_semantic_dedup_unsupervised",
     "q117_bigram_lm_score",
@@ -434,39 +497,7 @@ _CHECK_FIRST = [
     "q40_multimodal_frame_sample",
     "q41_multimodal_metadata_stats",
     "q42_topn_shipping_priority",
-    # changed-code re-prove: pagerank's release-loop variable renamed away
-    # from the new lifecycle.staged name (the guard links shadowing locals
-    # conservatively — the rename prevents recurring false dirt, at the
-    # price of one genuine AST change this round)
     "q102_pagerank",
-]
-_CHECK_LAST = [
-    # -- deferred r04-vintage re-proves (window full at 50) ----------------
-    # q44/q45: set-ops / EXISTS-semi-join — displaced late by the two extra
-    # NEW gates (q135/q136; new code always outranks an untouched-code
-    # re-prove, the q110/q111 precedent from r06). Both single-operator
-    # surfaces, machine-checked untouched since their r04 hardening
-    # (staleness guard green); they LEAD the r08 window with q46-q48.
-    "q44_customer_set_ops",
-    "q45_exists_semi_join",
-    # q43: ROLLUP — displaced by the q102 changed-code re-prove; the
-    # Expand-based grouping-sets machinery is exercised IN-WINDOW by q86
-    # (CUBE); untouched since r04; LEADS r08 with q44-q48.
-    "q43_rollup_order_stats",
-    # q46: NOT-EXISTS anti join — the left-anti machinery is exercised
-    # IN-WINDOW by q132's two FK-containment checks (expect_referential is
-    # a left-anti against distinct parent keys); untouched since r04;
-    # rotates in next round.
-    "q46_not_exists_anti_join",
-    # q47: grouped exact percentiles — the exact percentile() path is
-    # exercised IN-WINDOW by q126's exact-quantile anchor columns (same
-    # function, same grouped shape); untouched since r04; next round.
-    "q47_grouped_percentiles",
-    # q48: multi-distinct aggregate — the expand-based count_distinct path
-    # is exercised IN-WINDOW by q132's uniqueness check (count_distinct
-    # inside a shared aggregate); untouched since r04; next round.
-    "q48_multi_distinct_agg",
-    # -- r06-green, code untouched this round ------------------------------
     "q25_fhir_disease_narrow",
     "q27_fhir_specimen_narrow",
     "q124_narrow_multi_target",
@@ -495,7 +526,6 @@ _CHECK_LAST = [
     "q119_dynamic_partition_pruning",
     "q120_streaming_session_windows",
     "q57_approx_sketches",
-    "q121_count_min_sketch",
     "q125_label_propagation",
     "q127_compact_small_files",
     "q128_streaming_cdc_apply",
@@ -510,44 +540,6 @@ _CHECK_LAST = [
     "q101_scd2_history",
     "q106_kmv_distinct",
     "q108_grouping_sets",
-    # -- r05-green, code untouched this round ------------------------------
-    "q06_group_collect",
-    "q09_topk_per_group",
-    "q14_ann_cosine_topk",
-    "q17_language_id",
-    "q18_quality_score",
-    "q21_window_agg",
-    "q49_pivot_status_matrix",
-    "q50_window_frames",
-    "q01_pricing_summary",
-    "q04_recode_split",
-    "q07_try_cast_json",
-    "q11_minhash_lsh_candidates",
-    "q12_minhash_verified_pairs",
-    "q19_token_stats",
-    "q22_sessionization",
-    "q28_asof_join",
-    "q37_stateful_user_totals_stream",
-    "q38_corpus_prep_pipeline",
-    "q39_multimodal_features",
-    "q51_json_extract",
-    "q52_word_explode_topk",
-    "q53_time_bucket_rollup",
-    "q54_star_broadcast_join",
-    "q55_decorrelated_avg_qty",
-    "q56_regional_revenue_chain",
-    "q58_embedding_centroids",
-    "q59_stream_stream_join",
-    "q60_train_test_split",
-    "q61_source_quota_sample",
-    "q62_doc_chunking",
-    "q67_bpe_token_budget",
-    "q68_rolling_fingerprints",
-    "q69_stratified_sample",
-    "q73_salted_skew_join",
-    "q95_bucketed_colocated_join",
-    "q116_weighted_sample",
-    "q122_profile_approx",
 ]
 
 
