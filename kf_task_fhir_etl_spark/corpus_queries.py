@@ -3098,3 +3098,215 @@ def q139_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
     )
     return graph.k_core(pairs, k=3).orderBy("node")
+
+
+# ---------------------------------------------------------------------------
+# q140 — multi-source BFS distances (operators/graph.py; graph family:
+# pagerank q102, label prop q125, CC q63, triangles q131, k-core q139)
+# ---------------------------------------------------------------------------
+
+
+def _q140_oracle(rounds: int = 12) -> str:
+    """Unrolled level-synchronous BFS (the q139 discipline): per round,
+    every node keeps the MIN of its current distance and (a neighbor's
+    distance + 1). BFS levels are a unique fixpoint and min-relaxation is
+    monotone, so any round count >= the true eccentricity (5 at sf0.01,
+    7 at sf0.1, measured) is byte-identical — extra rounds are no-ops.
+    MATERIALIZED CTEs for the same reason as q139 (default inlining
+    re-expands the previous round per reference)."""
+    parts = [
+        """
+    WITH li AS (
+      SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 20 = 0
+    ), e AS MATERIALIZED (
+      SELECT u, v FROM (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      ) UNION ALL
+      SELECT v, u FROM (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      )
+    ), v0 AS MATERIALIZED (
+      SELECT DISTINCT node, 0 AS dist FROM (
+        SELECT u AS node FROM e UNION ALL SELECT v FROM e
+      ) WHERE node % 97 = 0
+    )"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""", v{i} AS MATERIALIZED (
+      SELECT node, MIN(dist) AS dist FROM (
+        SELECT node, dist FROM v{i-1}
+        UNION ALL
+        SELECT e.v AS node, v{i-1}.dist + 1 AS dist
+        FROM v{i-1} JOIN e ON v{i-1}.node = e.u
+      ) GROUP BY node
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT node, CAST(dist AS INT) AS dist FROM v{rounds} ORDER BY node"""
+    )
+    return "".join(parts)
+
+
+@register("q140_bfs_distances", oracle=_q140_oracle())
+def q140_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS hop distances over the order-sampled co-purchase
+    graph (operators/graph.py::bfs_distances), sources = graph nodes with
+    l_partkey % 97 = 0. The Spark side runs level-synchronous frontier
+    expansion to the EMPTY-frontier fixpoint (per round: one node-key
+    join + one left-anti vs the visited set; per-round checkpoints
+    released — the k_core/pagerank discipline); the oracle unrolls 12
+    min-relaxation rounds as MATERIALIZED CTEs (true eccentricity is 5
+    at sf0.01 / 7 at sf0.1, measured; extra rounds are provably no-ops).
+    Unreachable nodes are absent on BOTH sides."""
+    from kf_task_fhir_etl_spark.operators import graph
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 20 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+    )
+    nodes = (
+        pairs.select(F.col("src").alias("node"))
+        .unionByName(pairs.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    sources = nodes.filter(F.col("node") % 97 == 0)
+    dists = graph.bfs_distances(pairs, sources)
+    return dists.select("node", F.col("dist").cast("int").alias("dist")).orderBy("node")
+
+
+# ---------------------------------------------------------------------------
+# q141 — gaps-and-islands value runs (operators/patterns.py)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q141_value_runs",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey, o_orderdate, o_orderkey,
+             o_totalprice > 150000 AS f
+      FROM orders
+    ), rn AS (
+      -- row_number DIFFERENCE formulation (independent of the Spark
+      -- side's lag-change-flag + running-sum method): r_all - r_f is
+      -- constant exactly within a maximal same-flag run
+      SELECT o_custkey, o_orderdate, f,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS r_all,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_custkey, f ORDER BY o_orderdate, o_orderkey) AS r_f
+      FROM o
+    )
+    SELECT o_custkey, MIN(o_orderdate) AS run_start, MAX(o_orderdate) AS run_end,
+           COUNT(*) AS run_len
+    FROM rn WHERE f
+    GROUP BY o_custkey, r_all - r_f
+    HAVING COUNT(*) >= 2
+    ORDER BY o_custkey, run_start
+    """,
+)
+def q141_value_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal runs of >=2 consecutive expensive orders (>150k) per
+    customer, ordered by (o_orderdate, o_orderkey) — the gaps-and-islands
+    primitive (operators/patterns.py::value_runs). The Spark side uses
+    the lag-change-flag + running-sum run-id method (one shuffle on the
+    customer key; the lag and the running sum share one window spec, the
+    groupBy reuses the same key — no second exchange); the oracle uses
+    the INDEPENDENT row_number-difference formulation. The o_orderkey
+    tiebreaker makes the order total, so run boundaries are deterministic
+    in both engines."""
+    from kf_task_fhir_etl_spark.operators import patterns
+
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "f", F.col("o_totalprice") > 150000
+    )
+    return patterns.value_runs(
+        o, "o_custkey", "o_orderdate", "f", tiebreak_cols=["o_orderkey"], min_len=2
+    ).orderBy("o_custkey", "run_start")
+
+
+# ---------------------------------------------------------------------------
+# q142 — incremental batch-vs-corpus dedup (operators/dedup.py; the
+# training-pipeline ingest shape: screen a new batch against an existing
+# LSH index without recomputing anything corpus-sized)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q142_incremental_dedup",
+    oracle=r"""
+    WITH sh AS (
+      SELECT doc_id, s FROM (
+        SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(substr(text,1,200))-4, 1)),
+               i -> substr(substr(text,1,200), i, 5))) AS shingles
+        FROM documents), LATERAL (SELECT unnest(shingles) AS s)
+    ), seeds AS (SELECT unnest(generate_series(0, 7)) AS seed
+    ), minh AS (
+      SELECT doc_id, seed, MIN(substr(md5(s), 1 + 3 * seed, 8)) AS mh
+      FROM sh, seeds GROUP BY doc_id, seed
+    ), bands AS (
+      SELECT doc_id, seed // 2 AS band, md5(string_agg(mh, ',' ORDER BY seed)) AS digest
+      FROM minh GROUP BY doc_id, seed // 2
+    ), cands AS (
+      -- new-batch probe (doc_id % 3 = 0) vs corpus index (doc_id % 3 != 0)
+      SELECT DISTINCT a.doc_id AS id_new, b.doc_id AS id_old
+      FROM bands a JOIN bands b ON a.band = b.band AND a.digest = b.digest
+      WHERE a.doc_id % 3 = 0 AND b.doc_id % 3 != 0
+    ), toks AS (
+      SELECT doc_id, list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS t
+      FROM documents
+    ), matched AS (
+      SELECT DISTINCT c.id_new
+      FROM cands c JOIN toks ta ON c.id_new = ta.doc_id JOIN toks tb ON c.id_old = tb.doc_id
+      WHERE len(list_intersect(ta.t, tb.t))::DOUBLE /
+            (len(ta.t) + len(tb.t) - len(list_intersect(ta.t, tb.t))) >= 0.8
+    )
+    SELECT doc_id, source FROM documents
+    WHERE doc_id % 3 = 0 AND doc_id NOT IN (SELECT id_new FROM matched)
+    ORDER BY doc_id
+    """,
+)
+def q142_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup (operators/dedup.py::minhash_index +
+    incremental_dedup): documents with doc_id % 3 = 0 arrive as the new
+    batch and are screened against the LSH index of the rest of the
+    corpus at word-Jaccard >= 0.8 (the synthetic corpus is near-dup
+    heavy; 0.8 keeps a 59/520-row survivor set at sf0.01/0.1 where 0.5
+    degenerates to 9 — a richer value hash) — surviving batch rows
+    returned. The
+    batch is hashed batch-sized, the index is touched only by the
+    (band, digest) probe join, and the exact verify tokenizes ONLY
+    candidate docs on each side (semi-join pruned). LSH recall semantics
+    (a pair missed by every band survives) exactly as q11/q12; the
+    oracle recomputes the identical md5-slice banding + candidate
+    restriction + list_intersect Jaccard in DuckDB."""
+    from kf_task_fhir_etl_spark.operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+    index = dedup.minhash_index(corpus, num_hashes=8, bands=4, shingle_size=5, max_chars=200)
+    survivors = dedup.incremental_dedup(
+        batch,
+        index,
+        corpus,
+        threshold=0.8,
+        num_hashes=8,
+        bands=4,
+        shingle_size=5,
+        max_chars=200,
+    )
+    return survivors.select("doc_id", "source").orderBy("doc_id")

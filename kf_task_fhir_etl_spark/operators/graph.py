@@ -394,3 +394,84 @@ def k_core(
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
+
+
+def bfs_distances(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    source_col: str = "node",
+    max_depth: int = 50,
+    directed: bool = False,
+) -> DataFrame:
+    """Multi-source BFS hop distances: (node, dist) — the minimum number
+    of edges from ANY source node, for every reachable node (unreachable
+    nodes are absent, the standard convention). Level-synchronous frontier
+    expansion — the textbook distributed BFS:
+
+    per round: frontier ⋈ edges on the node key → neighbor set, one
+    left-anti against the visited set (new nodes only), distance = round
+    index. The frontier is checkpointed per round and superseded rounds
+    released (the pagerank/k_core discipline); the visited set grows to
+    |reachable| rows and is rebuilt per round by union — at 100 TB both
+    sides of every join are node-key partitioned and the edge list is
+    shuffled to its join partitioning ONCE. Terminates when a frontier
+    comes back empty (the count doubles as the checkpoint's materializing
+    action); ``max_depth`` is a loud guard against pathological chains,
+    not a silent truncation. BFS levels are unique fixpoints, so an
+    unrolled SQL oracle with rounds ≥ the true eccentricity reproduces
+    the distances exactly (extra rounds are no-ops).
+
+    ``directed=False`` (default) symmetrizes the edge list first;
+    ``sources`` is a one-column (``source_col``) frame — dedup'd and
+    intersected with nothing: a source absent from the graph still
+    reports dist 0 (it IS reachable from itself)."""
+    e = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
+        if directed
+        else symmetrize(edges, src, dst).select(
+            F.col("src").alias("s"), F.col("dst").alias("t")
+        )
+    )
+    e = e.repartition("s").localCheckpoint()
+    visited = (
+        sources.select(F.col(source_col).alias("node"))
+        .distinct()
+        .select("node", F.lit(0).alias("dist"))
+        .localCheckpoint()
+    )
+    frontier = visited
+    frontier_n = frontier.count()
+    prev_rounds: list[DataFrame] = []
+    depth = 0
+    while frontier_n > 0:
+        depth += 1
+        if depth > max_depth:
+            raise RuntimeError(
+                f"bfs_distances: frontier still non-empty past max_depth="
+                f"{max_depth} — raise the guard for deep graphs"
+            )
+        neighbors = (
+            e.join(frontier.select(F.col("node").alias("s")), "s")
+            .select(F.col("t").alias("node"))
+            .distinct()
+        )
+        new_frontier = (
+            neighbors.join(visited.select("node"), "node", "left_anti")
+            .select("node", F.lit(depth).alias("dist"))
+            .localCheckpoint()
+        )
+        new_visited = visited.unionByName(new_frontier).localCheckpoint()
+        frontier_n = new_frontier.count()
+        # superseded: the previous round's frontier AND visited checkpoints
+        # (the new visited frame subsumes them). Release is deferred one
+        # round via prev_rounds so the union above never reads released
+        # blocks while materializing.
+        for stale_df in prev_rounds:
+            _release_checkpoint(stale_df)
+        prev_rounds = [frontier, visited]
+        frontier, visited = new_frontier, new_visited
+    _release_checkpoint(e)
+    _release_checkpoint(frontier)  # empty final frontier
+    return visited

@@ -197,3 +197,58 @@ def funnel_with_negation(
     return counts.select(F.explode(F.array(*rows)).alias("r")).select(
         "r.step_idx", "r.step", "r.n_users"
     )
+
+
+def value_runs(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    flag_col: str,
+    tiebreak_cols: list[str] | None = None,
+    min_len: int = 1,
+) -> DataFrame:
+    """Maximal consecutive runs of a TRUE boolean per group — the
+    gaps-and-islands primitive ("3 consecutive months over quota", "N
+    declining readings in a row"): (group, run_start, run_end, run_len)
+    where start/end are the ``order_col`` values at the run's endpoints.
+
+    Runs are defined over the TOTAL order (order_col, *tiebreak_cols) —
+    callers MUST pass tiebreakers whenever order_col can tie within a
+    group, or run boundaries are nondeterministic (and no oracle can pin
+    them). NULL flags break runs exactly like False ones (a run is
+    consecutive TRUE rows; NULL is not TRUE) but are kept as rows — they
+    separate the runs around them.
+
+    Plan shape: ONE shuffle on the group key; the change-flag lag and the
+    running run-id sum share one window spec (one Window node), then one
+    groupBy on (group, run_id) — same key, no second exchange. The
+    change-flag method (flag != lag(flag) → cumulative sum) is
+    deliberately different from the classic row_number-difference
+    formulation so a SQL oracle using the latter is an independent
+    method."""
+    ties = [F.col(c) for c in (tiebreak_cols or [])]
+    w = Window.partitionBy(group_col).orderBy(F.col(order_col), *ties)
+    is_true = F.col(flag_col).eqNullSafe(F.lit(True))
+    change = (
+        F.when(~is_true.eqNullSafe(F.lag(is_true).over(w)), 1).otherwise(0)
+    )
+    run_id = F.sum(change).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.select(
+            F.col(group_col),
+            F.col(order_col),
+            is_true.alias("__f"),
+            run_id.alias("__run"),
+        )
+        .filter(F.col("__f"))
+        .groupBy(group_col, "__run")
+        .agg(
+            F.min(order_col).alias("run_start"),
+            F.max(order_col).alias("run_end"),
+            F.count(F.lit(1)).alias("run_len"),
+        )
+        .filter(F.col("run_len") >= min_len)
+        .select(group_col, "run_start", "run_end", "run_len")
+    )

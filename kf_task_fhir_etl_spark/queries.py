@@ -366,12 +366,13 @@ def q08_resource_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 # etl.run_pipeline's domain pre-check skips the same-key entry + stale-park
 # cap documented (ADVICE) — q85/q115 re-prove; (4) the one-shot cost notes
 # on triangle_count/funnel_trajectories/set_similarity_join (VERDICT r07
-# #4) — q131/q134/q135 re-prove. Three NEW gates (pattern spans q137,
-# negated funnel q138, k-core q139) land WITH their proofs. The remaining
-# 32 slots take 32 of the 37 r05-vintage re-proves (q01/q04/q06/q07/q09
-# first — the verdict's named order); the FIVE deferred (q49-q53, window
-# full at 50) sit at the head of _CHECK_LAST with per-entry sibling notes
-# and LEAD the r09 window.
+# #4) — q131/q134/q135 re-prove. SIX new gates (pattern spans q137,
+# negated funnel q138, k-core q139, BFS distances q140, value runs q141,
+# incremental dedup q142) land WITH their proofs. The remaining 29 slots
+# take 29 of the 37 r05-vintage re-proves (q01/q04/q06/q07/q09 first —
+# the verdict's named order; >=20 required); the EIGHT deferred
+# (q49-q53 plus q19/q21/q22, window full at 50) sit at the head of
+# _CHECK_LAST with per-entry sibling notes and LEAD the r09 window.
 # Everything else in _CHECK_LAST is r06/r07-green on code untouched this
 # round. Window composition is MACHINE-CHECKED: tests/test_staleness_guard.py
 # diffs the tree against the previous round tag, maps changed symbols to
@@ -401,6 +402,9 @@ _CHECK_FIRST = [
     "q137_pattern_spans",
     "q138_negated_funnel",
     "q139_kcore_peeling",
+    "q140_bfs_distances",
+    "q141_value_runs",
+    "q142_incremental_dedup",
     # -- r05-vintage re-proves (untouched code; next-oldest debt)
     "q01_pricing_summary",
     "q04_recode_split",
@@ -412,9 +416,6 @@ _CHECK_FIRST = [
     "q14_ann_cosine_topk",
     "q17_language_id",
     "q18_quality_score",
-    "q19_token_stats",
-    "q21_window_agg",
-    "q22_sessionization",
     "q28_asof_join",
     "q37_stateful_user_totals_stream",
     "q38_corpus_prep_pipeline",
@@ -452,9 +453,26 @@ _CHECK_LAST = [
     # q52: explode + top-k — exercised IN-WINDOW by q09 (top-k per group)
     # and q19 (token explode stats); untouched since r05; LEADS r09.
     "q52_word_explode_topk",
-    # q53: time-bucket rollup — the window/date-trunc machinery is
-    # exercised IN-WINDOW by q21/q22; untouched since r05; LEADS r09.
+    # q53: time-bucket rollup — the date-trunc groupBy machinery is
+    # exercised IN-WINDOW by q01 (date-filtered grouped aggregates);
+    # untouched since r05; LEADS r09.
     "q53_time_bucket_rollup",
+    # q19: token explode stats — the tokenize/explode path is exercised
+    # IN-WINDOW by q135 (setsim tokenization) and q142 (incremental-dedup
+    # verify tokenization); displaced late by the three extra NEW gates
+    # (q140-q142 — new code outranks an untouched re-prove, the r06/r07
+    # precedent); untouched since r05; LEADS r09.
+    "q19_token_stats",
+    # q21: window aggregates — the window-function machinery is exercised
+    # IN-WINDOW by q137 (RANGE-framed running max) and q141 (lag +
+    # running-sum run ids); displaced by q140-q142; untouched since r05;
+    # LEADS r09.
+    "q21_window_agg",
+    # q22: sessionization — batch gaps-and-islands; the islands machinery
+    # is exercised IN-WINDOW by q141 (value runs — change-flag + running
+    # sum, the same shape over a boolean instead of a time gap);
+    # displaced by q140-q142; untouched since r05; LEADS r09.
+    "q22_sessionization",
     # -- r06/r07-green, code untouched this round ---------------------------
     "q110_importance_sample",
     "q111_budget_select",

@@ -313,3 +313,181 @@ def test_k_core_matches_bruteforce_random(spark):
 def test_k_core_rejects_bad_k(spark):
     with pytest.raises(ValueError, match="k must be"):
         graph.k_core(_edges(spark, [(1, 2)]), k=0)
+
+
+# ---------------------------------------------------------------------------
+# bfs_distances (operators/graph.py — r08)
+# ---------------------------------------------------------------------------
+
+
+def test_bfs_distances_known_graph(spark):
+    """Path + branch + unreachable island: exact hop levels, multi-source
+    min, unreachable nodes absent, isolated source reports 0."""
+    edges = _edges(spark, [(1, 2), (2, 3), (3, 4), (2, 5), (8, 9)])
+    sources = spark.createDataFrame([(1,), (7,)], "node bigint")
+    got = {(r["node"], r["dist"]) for r in graph.bfs_distances(edges, sources).collect()}
+    assert got == {(1, 0), (7, 0), (2, 1), (3, 2), (5, 2), (4, 3)}
+    # 8, 9 unreachable → absent
+
+
+def test_bfs_distances_matches_bruteforce(spark):
+    import collections
+    import random
+
+    rng = random.Random(41)
+    pairs = [(rng.randrange(30), rng.randrange(30)) for _ in range(60)]
+    srcs = [0, 7, 13]
+    edges = _edges(spark, pairs)
+    sources = spark.createDataFrame([(s,) for s in srcs], "node bigint")
+    got = {(r["node"], r["dist"]) for r in graph.bfs_distances(edges, sources).collect()}
+    adj = collections.defaultdict(set)
+    for u, v in pairs:
+        if u != v:
+            adj[u].add(v)
+            adj[v].add(u)
+    dist = {s: 0 for s in srcs}
+    frontier, d = set(srcs), 0
+    while frontier:
+        d += 1
+        nxt = {m for n in frontier for m in adj[n] if m not in dist}
+        for m in nxt:
+            dist[m] = d
+        frontier = nxt
+    assert got == set(dist.items())
+
+
+def test_bfs_distances_directed_mode(spark):
+    """directed=True must not traverse edges backwards."""
+    edges = _edges(spark, [(1, 2), (3, 2)])
+    sources = spark.createDataFrame([(1,)], "node bigint")
+    got = {(r["node"], r["dist"]) for r in graph.bfs_distances(edges, sources, directed=True).collect()}
+    assert got == {(1, 0), (2, 1)}  # 3 only reaches 2, never reached
+
+
+def test_bfs_distances_max_depth_guard(spark):
+    edges = _edges(spark, [(i, i + 1) for i in range(10)])
+    sources = spark.createDataFrame([(0,)], "node bigint")
+    with pytest.raises(RuntimeError, match="max_depth"):
+        graph.bfs_distances(edges, sources, max_depth=3)
+
+
+# ---------------------------------------------------------------------------
+# value_runs (operators/patterns.py — r08)
+# ---------------------------------------------------------------------------
+
+
+def test_value_runs_islands_and_boundaries(spark):
+    """Runs split on False AND on NULL; min_len filters; single-row runs
+    count; per-group independence."""
+    rows = [
+        # g, ord, flag
+        ("a", 1, True), ("a", 2, True), ("a", 3, False), ("a", 4, True),
+        ("a", 5, None), ("a", 6, True), ("a", 7, True), ("a", 8, True),
+        ("b", 1, True),
+        ("c", 1, False),
+    ]
+    df = spark.createDataFrame(rows, "g string, o int, f boolean")
+    got = {
+        (r["g"], r["run_start"], r["run_end"], r["run_len"])
+        for r in patterns.value_runs(df, "g", "o", "f").collect()
+    }
+    assert got == {
+        ("a", 1, 2, 2), ("a", 4, 4, 1), ("a", 6, 8, 3), ("b", 1, 1, 1),
+    }
+    got2 = {
+        (r["g"], r["run_start"], r["run_end"], r["run_len"])
+        for r in patterns.value_runs(df, "g", "o", "f", min_len=2).collect()
+    }
+    assert got2 == {("a", 1, 2, 2), ("a", 6, 8, 3)}
+
+
+def test_value_runs_matches_bruteforce(spark):
+    import random
+
+    rng = random.Random(53)
+    rows = [
+        (rng.randrange(6), i, rng.random() < 0.6)
+        for g in range(6)
+        for i in range(rng.randrange(5, 40))
+    ]
+    # make orders unique per group
+    seen = set()
+    rows = [r for r in rows if not (r[:2] in seen or seen.add(r[:2]))]
+    df = spark.createDataFrame(rows, "g int, o int, f boolean")
+    got = {
+        (r["g"], r["run_start"], r["run_end"], r["run_len"])
+        for r in patterns.value_runs(df, "g", "o", "f").collect()
+    }
+    per_group = {}
+    for g, o, f in rows:
+        per_group.setdefault(g, []).append((o, f))
+    want = set()
+    for g, lst in per_group.items():
+        lst.sort()
+        run = []
+        for o, f in lst + [(None, False)]:
+            if f:
+                run.append(o)
+            elif run:
+                want.add((g, run[0], run[-1], len(run)))
+                run = []
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# minhash_index / incremental_dedup (operators/dedup.py — r08)
+# ---------------------------------------------------------------------------
+
+
+def test_incremental_dedup_screens_near_dups(spark):
+    from kf_task_fhir_etl_spark.operators import dedup
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "completely different text about distributed query engines"),
+        ],
+        "doc_id bigint, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog again and again"),  # exact dup
+            (11, "an entirely novel document mentioning nothing seen before"),
+            (12, "completely different text about distributed query engines"),  # exact dup
+        ],
+        "doc_id bigint, text string",
+    )
+    index = dedup.minhash_index(corpus)
+    survivors = {r["doc_id"] for r in dedup.incremental_dedup(batch, index, corpus).collect()}
+    assert survivors == {11}
+
+
+def test_incremental_dedup_index_append_composes(spark):
+    """The index is append-only: screening batch2 against index(corpus) ∪
+    index(batch1 survivors) must flag a batch2 doc that duplicates a
+    batch1 survivor."""
+    from kf_task_fhir_etl_spark.operators import dedup
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id bigint, text string",
+    )
+    batch1 = spark.createDataFrame(
+        [(10, "iota kappa lambda mu nu xi omicron pi rho sigma")],
+        "doc_id bigint, text string",
+    )
+    index = dedup.minhash_index(corpus)
+    s1 = dedup.incremental_dedup(batch1, index, corpus)
+    assert {r["doc_id"] for r in s1.collect()} == {10}
+    # extend index + corpus with the accepted batch
+    index2 = index.unionByName(dedup.minhash_index(s1))
+    corpus2 = corpus.unionByName(s1)
+    batch2 = spark.createDataFrame(
+        [
+            (20, "iota kappa lambda mu nu xi omicron pi rho sigma"),  # dup of 10
+            (21, "totally fresh words never indexed anywhere at all"),
+        ],
+        "doc_id bigint, text string",
+    )
+    s2 = {r["doc_id"] for r in dedup.incremental_dedup(batch2, index2, corpus2).collect()}
+    assert s2 == {21}
