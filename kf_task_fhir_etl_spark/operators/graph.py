@@ -359,9 +359,8 @@ def k_core(
         .localCheckpoint()
     )
     n_cur = cur.count()
-    for _ in range(max_rounds):
-        if n_cur == 0:
-            break
+    peels = 0
+    while n_cur > 0:
         deg = (
             cur.select(F.col("u").alias("node"))
             .unionAll(cur.select(F.col("v").alias("node")))
@@ -380,14 +379,20 @@ def k_core(
             # fixpoint: nxt duplicates cur — release the duplicate blocks
             _release_checkpoint(nxt)
             break
+        # the guard counts PRODUCTIVE peel rounds only, so a graph whose
+        # peel depth is exactly max_rounds still gets its (free) fixpoint
+        # confirmation instead of a spurious raise (r08 review off-by-one)
+        peels += 1
+        if peels > max_rounds:
+            _release_checkpoint(nxt)
+            _release_checkpoint(cur)
+            raise RuntimeError(
+                f"k_core: still peeling after max_rounds={max_rounds} "
+                "productive rounds — raise the guard (each counted round "
+                "removed >=1 node, so the graph's peel depth exceeds it)"
+            )
         _release_checkpoint(cur)
         cur, n_cur = nxt, n_nxt
-    else:
-        raise RuntimeError(
-            f"k_core: no fixpoint within max_rounds={max_rounds} — raise the "
-            "guard (peeling removes >=1 node per non-fixpoint round, so this "
-            "means the graph has more peel depth than the guard allows)"
-        )
     return (
         cur.select(F.col("u").alias("node"))
         .unionAll(cur.select(F.col("v").alias("node")))
@@ -428,7 +433,13 @@ def bfs_distances(
     intersected with nothing: a source absent from the graph still
     reports dist 0 (it IS reachable from itself)."""
     e = (
-        edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
+        # NULL endpoints dropped explicitly (r08 review): symmetrize's
+        # src != dst filter drops them on the undirected path, but a raw
+        # directed list from an outer join would otherwise push NULL into
+        # the frontier as a phantom "node" with a distance
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("t")).filter(
+            F.col(src).isNotNull() & F.col(dst).isNotNull()
+        )
         if directed
         else symmetrize(edges, src, dst).select(
             F.col("src").alias("s"), F.col("dst").alias("t")
@@ -473,5 +484,17 @@ def bfs_distances(
         prev_rounds = [frontier, visited]
         frontier, visited = new_frontier, new_visited
     _release_checkpoint(e)
-    _release_checkpoint(frontier)  # empty final frontier
+    # flush the deferred last round too (r08 review: prev_rounds still held
+    # frontier_{n-1} and the ~|reachable|-row visited_{n-1} at loop exit —
+    # the resident-driver leak class this family engineers against). Safe:
+    # the returned `visited` was eagerly checkpointed before these were
+    # deferred, and it is never in prev_rounds (reassigned after).
+    for stale_df in prev_rounds:
+        _release_checkpoint(stale_df)
+    if prev_rounds:
+        # ≥1 round ran: the final frontier is a separate empty frame —
+        # releasable. With ZERO rounds (no sources) `frontier` IS the
+        # returned visited frame; releasing it would hand the caller a
+        # dead checkpoint.
+        _release_checkpoint(frontier)
     return visited

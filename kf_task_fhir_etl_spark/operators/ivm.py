@@ -117,7 +117,14 @@ def apply_agg_delta(
     # parity requires.
     view_types = dict(zip(view.schema.names, (f.dataType for f in view.schema.fields)))
     out = merged.select(
-        *[F.coalesce(F.col(k), F.col(f"__dk_{k}")).alias(k) for k in keys],
+        # keys cast back too (r08 review): a delta keyed wider (int view
+        # key, bigint delta key) joins fine via implicit cast but the
+        # coalesce would widen the OUTPUT key, breaking the same
+        # round-trip the measure casts protect
+        *[
+            F.coalesce(F.col(k), F.col(f"__dk_{k}")).cast(view_types[k]).alias(k)
+            for k in keys
+        ],
         (F.coalesce(F.col(count_col), zero) + F.coalesce(F.col("__dn"), zero))
         .cast(view_types[count_col])
         .alias(count_col),

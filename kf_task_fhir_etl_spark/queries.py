@@ -368,11 +368,13 @@ def q08_resource_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 # on triangle_count/funnel_trajectories/set_similarity_join (VERDICT r07
 # #4) — q131/q134/q135 re-prove. SIX new gates (pattern spans q137,
 # negated funnel q138, k-core q139, BFS distances q140, value runs q141,
-# incremental dedup q142) land WITH their proofs. The remaining 29 slots
-# take 29 of the 37 r05-vintage re-proves (q01/q04/q06/q07/q09 first —
-# the verdict's named order; >=20 required); the EIGHT deferred
-# (q49-q53 plus q19/q21/q22, window full at 50) sit at the head of
-# _CHECK_LAST with per-entry sibling notes and LEAD the r09 window.
+# incremental dedup q142) land WITH their proofs. The remaining 27 slots
+# take 27 of the 37 r05-vintage re-proves (q01/q04/q06/q07/q09 first —
+# the verdict's named order; >=20 required); the TEN deferred
+# (q49-q53, q19/q21/q22, and q38/q56 — displaced late by the q63/q72
+# changed-code re-proves the r08-review banding guard forced; window
+# full at 50) sit at the head of _CHECK_LAST with per-entry sibling
+# notes and LEAD the r09 window.
 # Everything else in _CHECK_LAST is r06/r07-green on code untouched this
 # round. Window composition is MACHINE-CHECKED: tests/test_staleness_guard.py
 # diffs the tree against the previous round tag, maps changed symbols to
@@ -405,6 +407,10 @@ _CHECK_FIRST = [
     "q140_bfs_distances",
     "q141_value_runs",
     "q142_incremental_dedup",
+    # banding-validation guard added to minhash_lsh_candidates (r08
+    # review) dirties its candidate consumers too:
+    "q63_dup_clusters",
+    "q72_canonical_docs",
     # -- r05-vintage re-proves (untouched code; next-oldest debt)
     "q01_pricing_summary",
     "q04_recode_split",
@@ -418,11 +424,9 @@ _CHECK_FIRST = [
     "q18_quality_score",
     "q28_asof_join",
     "q37_stateful_user_totals_stream",
-    "q38_corpus_prep_pipeline",
     "q39_multimodal_features",
     "q54_star_broadcast_join",
     "q55_decorrelated_avg_qty",
-    "q56_regional_revenue_chain",
     "q58_embedding_centroids",
     "q59_stream_stream_join",
     "q60_train_test_split",
@@ -473,6 +477,17 @@ _CHECK_LAST = [
     # sum, the same shape over a boolean instead of a time gap);
     # displaced by q140-q142; untouched since r05; LEADS r09.
     "q22_sessionization",
+    # q38: composed corpus-prep pipeline — its component operators are
+    # exercised IN-WINDOW by q17 (lang-id), q18 (quality score), q62
+    # (chunking) and q69 (stratified sample); displaced by the q63/q72
+    # changed-code re-proves (banding guard); untouched since r05;
+    # LEADS r09.
+    "q38_corpus_prep_pipeline",
+    # q56: multi-join revenue chain — the join-chain machinery is
+    # exercised IN-WINDOW by q54 (star broadcast join) and q55
+    # (decorrelated subquery join); displaced by q63/q72; untouched
+    # since r05; LEADS r09.
+    "q56_regional_revenue_chain",
     # -- r06/r07-green, code untouched this round ---------------------------
     "q110_importance_sample",
     "q111_budget_select",
@@ -488,8 +503,6 @@ _CHECK_LAST = [
     "q107_rank_functions",
     "q109_streaming_quality_filter",
     "q112_stream_static_join",
-    "q63_dup_clusters",
-    "q72_canonical_docs",
     "q130_zorder_clustering",
     "q126_tdigest_quantiles",
     "q132_expectations_suite",

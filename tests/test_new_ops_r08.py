@@ -491,3 +491,84 @@ def test_incremental_dedup_index_append_composes(spark):
     )
     s2 = {r["doc_id"] for r in dedup.incremental_dedup(batch2, index2, corpus2).collect()}
     assert s2 == {21}
+
+
+# ---------------------------------------------------------------------------
+# r08 first-review-pass fixes
+# ---------------------------------------------------------------------------
+
+
+def test_bfs_directed_null_endpoints_dropped(spark):
+    """A directed edge list from an outer join carries NULL endpoints —
+    they must never enter the frontier as a phantom node (r08 review)."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, None), (None, 3)], "src bigint, dst bigint"
+    )
+    sources = spark.createDataFrame([(1,)], "node bigint")
+    got = {(r["node"], r["dist"]) for r in graph.bfs_distances(edges, sources, directed=True).collect()}
+    assert got == {(1, 0), (2, 1)}
+
+
+def test_bfs_releases_all_superseded_rounds(spark):
+    """At loop exit no superseded round may stay pinned: only the
+    caller-owned result checkpoint survives (r08 review — prev_rounds
+    held the last frontier + near-full-size visited)."""
+    jsc = spark.sparkContext._jsc.sc()
+    before = {info.id() for info in jsc.getRDDStorageInfo()}
+    edges = _edges(spark, [(1, 2), (2, 3), (3, 4)])
+    sources = spark.createDataFrame([(1,)], "node bigint")
+    out = graph.bfs_distances(edges, sources)
+    assert out.count() == 4
+    after = {info.id() for info in jsc.getRDDStorageInfo()}
+    assert len(after - before) == 1  # exactly the returned visited frame
+
+
+def test_k_core_exact_depth_fixpoint_not_spurious_raise(spark):
+    """A graph whose peel depth is exactly max_rounds must return its
+    (correct) core, not raise — the guard counts PRODUCTIVE rounds (r08
+    review off-by-one). Chain + triangle peels one chain node per round."""
+    pairs = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (6, 4)]
+    # k=2: chain 1-2-3 peels in 3 rounds (one pendant per round)
+    got = {
+        (r["node"], r["deg"])
+        for r in graph.k_core(_edges(spark, pairs), k=2, max_rounds=3).collect()
+    }
+    assert got == {(4, 2), (5, 2), (6, 2)}
+    with pytest.raises(RuntimeError, match="max_rounds"):
+        graph.k_core(_edges(spark, pairs), k=2, max_rounds=2)
+
+
+def test_ivm_preserves_key_dtype(spark):
+    """A delta keyed wider than the view (int vs bigint) must not widen
+    the OUTPUT key (r08 review — the same round-trip contract as the
+    measure casts)."""
+    view = spark.createDataFrame([(1, 1, 2.0)], "k int, n bigint, s double")
+    delta = spark.createDataFrame([(1, 1.0, 1), (2, 3.0, 1)], "k bigint, v double, op int")
+    out = apply_agg_delta(view, delta, ["k"], {"s": "v"})
+    assert dict(out.dtypes)["k"] == "int"
+    view.unionByName(out)  # strict round-trip
+
+
+def test_minhash_banding_validation():
+    """bands must divide num_hashes: bands > num_hashes degenerates to
+    all-docs-collide (rows_per_band 0), a non-divisor silently drops
+    hashes (r08 review)."""
+    from kf_task_fhir_etl_spark.operators import dedup
+
+    with pytest.raises(ValueError, match="divisor"):
+        dedup._validate_banding(8, 16)
+    with pytest.raises(ValueError, match="divisor"):
+        dedup._validate_banding(8, 3)
+    with pytest.raises(ValueError, match="divisor"):
+        dedup._validate_banding(8, 0)
+    dedup._validate_banding(8, 4)  # ok
+
+
+def test_minhash_index_and_candidates_reject_bad_banding(spark):
+    from kf_task_fhir_etl_spark.operators import dedup
+
+    docs = spark.createDataFrame([(1, "some text here")], "doc_id bigint, text string")
+    with pytest.raises(ValueError, match="divisor"):
+        dedup.minhash_index(docs, bands=16)
+    with pytest.raises(ValueError, match="divisor"):
+        dedup.minhash_lsh_candidates(docs, num_hashes=8, bands=3)
