@@ -3295,10 +3295,13 @@ def q142_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     restriction + list_intersect Jaccard in DuckDB."""
     from kf_task_fhir_etl_spark.operators import dedup
 
+    from kf_task_fhir_etl_spark import etl
+
     docs = load_table(spark, sf_dir, "documents")
     corpus = docs.filter(F.col("doc_id") % 3 != 0)
     batch = docs.filter(F.col("doc_id") % 3 == 0)
     index = dedup.minhash_index(corpus, num_hashes=8, bands=4, shingle_size=5, max_chars=200)
+    handles: list[DataFrame] = []
     survivors = dedup.incremental_dedup(
         batch,
         index,
@@ -3308,5 +3311,8 @@ def q142_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands=4,
         shingle_size=5,
         max_chars=200,
+        handles_out=handles,
     )
-    return survivors.select("doc_id", "source").orderBy("doc_id")
+    result = survivors.select("doc_id", "source").localCheckpoint(eager=True)
+    etl.release_checkpoints(handles)
+    return result.orderBy("doc_id")

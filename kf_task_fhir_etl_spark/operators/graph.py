@@ -459,6 +459,12 @@ def bfs_distances(
     while frontier_n > 0:
         depth += 1
         if depth > max_depth:
+            # release-before-raise (r08 review, second pass — the q129
+            # discipline): nothing was served to the caller, so every
+            # pinned round goes, deduped by id (round 1 defers the SAME
+            # object twice as frontier and visited)
+            for stale_df in {id(d): d for d in (e, frontier, visited, *prev_rounds)}.values():
+                _release_checkpoint(stale_df)
             raise RuntimeError(
                 f"bfs_distances: frontier still non-empty past max_depth="
                 f"{max_depth} — raise the guard for deep graphs"

@@ -79,6 +79,23 @@ def apply_agg_delta(
             "reserved staging names (__d_present/__dn/__dk_*/__d_*); "
             "rename them first"
         )
+    # key dtypes must match EXACTLY (r08 review, second pass): a
+    # wider-keyed delta would join via implicit cast but widen the output
+    # key through the coalesce — and casting it back down instead aborts
+    # mid-merge under ANSI (Spark 4 default) or silently wraps a new
+    # out-of-range group onto a wrong existing one with ANSI off. Loud,
+    # up front, never mid-job.
+    vt = {f.name: f.dataType for f in view.schema.fields}
+    dt = {f.name: f.dataType for f in delta.schema.fields}
+    key_mismatch = [k for k in keys if k in dt and dt[k] != vt.get(k)]
+    if key_mismatch:
+        raise ValueError(
+            "apply_agg_delta: delta key dtypes must equal the view's — "
+            + ", ".join(
+                f"{k}: view {vt[k].simpleString()} != delta {dt[k].simpleString()}"
+                for k in key_mismatch
+            )
+        )
     sign = F.col(sign_col)
     d = delta.groupBy(*keys).agg(
         F.sum(sign).cast("bigint").alias("__dn"),
@@ -117,14 +134,7 @@ def apply_agg_delta(
     # parity requires.
     view_types = dict(zip(view.schema.names, (f.dataType for f in view.schema.fields)))
     out = merged.select(
-        # keys cast back too (r08 review): a delta keyed wider (int view
-        # key, bigint delta key) joins fine via implicit cast but the
-        # coalesce would widen the OUTPUT key, breaking the same
-        # round-trip the measure casts protect
-        *[
-            F.coalesce(F.col(k), F.col(f"__dk_{k}")).cast(view_types[k]).alias(k)
-            for k in keys
-        ],
+        *[F.coalesce(F.col(k), F.col(f"__dk_{k}")).alias(k) for k in keys],
         (F.coalesce(F.col(count_col), zero) + F.coalesce(F.col("__dn"), zero))
         .cast(view_types[count_col])
         .alias(count_col),

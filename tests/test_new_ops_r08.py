@@ -538,13 +538,17 @@ def test_k_core_exact_depth_fixpoint_not_spurious_raise(spark):
         graph.k_core(_edges(spark, pairs), k=2, max_rounds=2)
 
 
-def test_ivm_preserves_key_dtype(spark):
-    """A delta keyed wider than the view (int vs bigint) must not widen
-    the OUTPUT key (r08 review — the same round-trip contract as the
-    measure casts)."""
+def test_ivm_key_dtype_mismatch_raises_and_match_preserves(spark):
+    """A delta keyed wider than the view must raise LOUDLY up front
+    (r08 review, second pass: casting it back down would abort mid-merge
+    under ANSI or silently wrap with ANSI off); matching key dtypes pass
+    through unwidened."""
     view = spark.createDataFrame([(1, 1, 2.0)], "k int, n bigint, s double")
-    delta = spark.createDataFrame([(1, 1.0, 1), (2, 3.0, 1)], "k bigint, v double, op int")
-    out = apply_agg_delta(view, delta, ["k"], {"s": "v"})
+    wide = spark.createDataFrame([(1, 1.0, 1)], "k bigint, v double, op int")
+    with pytest.raises(ValueError, match="key dtypes"):
+        apply_agg_delta(view, wide, ["k"], {"s": "v"})
+    ok = spark.createDataFrame([(1, 1.0, 1), (2, 3.0, 1)], "k int, v double, op int")
+    out = apply_agg_delta(view, ok, ["k"], {"s": "v"})
     assert dict(out.dtypes)["k"] == "int"
     view.unionByName(out)  # strict round-trip
 
@@ -572,3 +576,58 @@ def test_minhash_index_and_candidates_reject_bad_banding(spark):
         dedup.minhash_index(docs, bands=16)
     with pytest.raises(ValueError, match="divisor"):
         dedup.minhash_lsh_candidates(docs, num_hashes=8, bands=3)
+
+
+def test_bfs_max_depth_raise_releases_everything(spark):
+    """The guard raise must not pin any round (r08 review, second pass —
+    the release-before-raise discipline): nothing was served, so the
+    BlockManager set returns to its pre-call state."""
+    jsc = spark.sparkContext._jsc.sc()
+    before = {info.id() for info in jsc.getRDDStorageInfo()}
+    edges = _edges(spark, [(i, i + 1) for i in range(10)])
+    sources = spark.createDataFrame([(0,)], "node bigint")
+    with pytest.raises(RuntimeError, match="max_depth"):
+        graph.bfs_distances(edges, sources, max_depth=3)
+    after = {info.id() for info in jsc.getRDDStorageInfo()}
+    assert after <= before
+
+
+def test_incremental_dedup_stages_candidates_for_release(spark):
+    """The candidate frame has three consumers — with handles_out it is
+    checkpointed once and the caller's release frees it for real (r08
+    review, second pass)."""
+    from kf_task_fhir_etl_spark import etl
+    from kf_task_fhir_etl_spark.operators import dedup
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")],
+        "doc_id bigint, text string",
+    )
+    batch = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog"),
+         (11, "some new unrelated words appear in this one")],
+        "doc_id bigint, text string",
+    )
+    index = dedup.minhash_index(corpus)
+    handles = []
+    out = dedup.incremental_dedup(batch, index, corpus, handles_out=handles)
+    got = {r["doc_id"] for r in out.collect()}
+    assert got == {11}
+    assert len(handles) == 1
+    etl.release_checkpoints(handles)
+    with pytest.raises(Exception):
+        handles[0].count()  # truncated lineage — release was real
+
+
+def test_hashed_tokens_single_definition():
+    """verify_jaccard_pairs and incremental_dedup share ONE tokenization
+    convention (r08 review, second pass): the helper exists and the old
+    inline copies are gone."""
+    import inspect
+
+    from kf_task_fhir_etl_spark.operators import dedup
+
+    src_verify = inspect.getsource(dedup.verify_jaccard_pairs)
+    src_incr = inspect.getsource(dedup.incremental_dedup)
+    assert "_hashed_tokens" in src_verify and "_hashed_tokens" in src_incr
+    assert "word_tokens" not in src_verify and "word_tokens" not in src_incr
