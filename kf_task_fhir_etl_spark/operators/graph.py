@@ -447,7 +447,11 @@ def bfs_distances(
     )
     e = e.repartition("s").localCheckpoint()
     visited = (
-        sources.select(F.col(source_col).alias("node"))
+        # NULL sources dropped like NULL edge endpoints (r08 review,
+        # third pass): an outer-join-derived source list would otherwise
+        # emit a phantom (NULL, 0) row no SQL oracle produces
+        sources.filter(F.col(source_col).isNotNull())
+        .select(F.col(source_col).alias("node"))
         .distinct()
         .select("node", F.lit(0).alias("dist"))
         .localCheckpoint()

@@ -87,12 +87,19 @@ def apply_agg_delta(
     # up front, never mid-job.
     vt = {f.name: f.dataType for f in view.schema.fields}
     dt = {f.name: f.dataType for f in delta.schema.fields}
-    key_mismatch = [k for k in keys if k in dt and dt[k] != vt.get(k)]
+    # a key absent from either side is the same loud error (r08 review,
+    # third pass: the first cut crashed with KeyError while FORMATTING
+    # this message when a key existed only in the delta)
+    key_mismatch = [k for k in keys if vt.get(k) is None or dt.get(k) is None or dt[k] != vt[k]]
     if key_mismatch:
+        def _fmt(side: dict, k: str) -> str:
+            t = side.get(k)
+            return t.simpleString() if t is not None else "ABSENT"
+
         raise ValueError(
             "apply_agg_delta: delta key dtypes must equal the view's — "
             + ", ".join(
-                f"{k}: view {vt[k].simpleString()} != delta {dt[k].simpleString()}"
+                f"{k}: view {_fmt(vt, k)} != delta {_fmt(dt, k)}"
                 for k in key_mismatch
             )
         )

@@ -69,7 +69,12 @@ def prepared(df: DataFrame) -> DataFrame:
     without re-checkpointing. Release with ``etl.release_checkpoints``
     on retirement. Already-checkpointed inputs are returned as-is —
     re-preparing would duplicate the blocks (r07 review, ninth pass),
-    the same probe the consumers use."""
+    the same probe the consumers use. OWNERSHIP COROLLARY (r08 review):
+    because re-preparing returns the SAME frame, a prepared frame passed
+    across components is SHARED state — exactly one owner may release
+    it; a consumer that wants an independently-releasable lifetime must
+    prepare from the UNPREPARED plan, never from another owner's
+    prepared handle."""
     if is_checkpointed_relation(df):
         return df
     return df.localCheckpoint(eager=True)

@@ -64,7 +64,12 @@ def pattern_spans(
     types = {first, then, *deny}
     us = F.unix_micros(F.col(ts_col))
     ev = (
-        events.filter(F.col(ts_col).isNotNull())
+        # NULL users excluded like NULL timestamps (r08 review, third
+        # pass): partitionBy groups all NULL users into ONE partition and
+        # would emit spans for unattributed events, where every
+        # relational formulation (and the funnel's equi-joins) drops
+        # NULL keys — the SQL join semantics are the contract
+        events.filter(F.col(ts_col).isNotNull() & F.col(user_col).isNotNull())
         .filter(F.col(type_col).isin(*types))
         .select(
             F.col(user_col).alias("user"),

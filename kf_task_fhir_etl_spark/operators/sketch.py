@@ -142,7 +142,11 @@ def prepare_sketch(cms: DataFrame) -> DataFrame:
     (ADVICE r05). Release with ``etl.release_checkpoints([sketch])`` when
     a long-lived session retires it. Delegates to ``lifecycle.prepared``
     (r08 consolidation), which also makes re-preparing an
-    already-checkpointed sketch a no-op instead of a block copy."""
+    already-checkpointed sketch a no-op instead of a block copy — so a
+    re-prepared handle is the SAME frame: exactly one owner releases it,
+    and a consumer needing an independent lifetime prepares from the raw
+    sketch plan, never from another owner's prepared handle (the
+    lifecycle.prepared ownership corollary)."""
     return lifecycle_prepared(cms)
 
 

@@ -631,3 +631,29 @@ def test_hashed_tokens_single_definition():
     src_incr = inspect.getsource(dedup.incremental_dedup)
     assert "_hashed_tokens" in src_verify and "_hashed_tokens" in src_incr
     assert "word_tokens" not in src_verify and "word_tokens" not in src_incr
+
+
+def test_pattern_spans_and_bfs_drop_null_keys(spark):
+    """NULL user events and NULL source nodes are excluded at intake
+    (r08 review, third pass): SQL join semantics are the contract — no
+    phantom NULL-keyed outputs."""
+    ev = spark.createDataFrame(
+        [(None, "A", datetime(2024, 1, 1)), (None, "B", datetime(2024, 1, 1, 0, 1)),
+         (1, "A", datetime(2024, 1, 1)), (1, "B", datetime(2024, 1, 1, 0, 1))],
+        "user_id bigint, event_type string, ts timestamp",
+    )
+    got = patterns.pattern_spans(ev, "A", "B").collect()
+    assert [r["user_id"] for r in got] == [1]
+    edges = _edges(spark, [(1, 2)])
+    sources = spark.createDataFrame([(1,), (None,)], "node bigint")
+    nodes = {r["node"] for r in graph.bfs_distances(edges, sources).collect()}
+    assert nodes == {1, 2}
+
+
+def test_ivm_key_guard_message_handles_absent_key(spark):
+    """A key present on only one side reports ABSENT loudly instead of
+    crashing while formatting the error (r08 review, third pass)."""
+    view = spark.createDataFrame([("a", 1, 2.0)], "c_custkey string, n bigint, s double")
+    delta = spark.createDataFrame([("a", 1.0, 1)], "custkey string, v double, op int")
+    with pytest.raises(ValueError, match="ABSENT"):
+        apply_agg_delta(view, delta, ["custkey"], {"s": "v"})
