@@ -2514,14 +2514,7 @@ def q131_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_partkey")
         .filter(F.col("l_partkey") % 10 == 0)
     )
-    a, b = li.alias("a"), li.alias("b")
-    pairs = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .select(
-            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
-        )
-    )
+    pairs = _copurchase_pairs(li)
     handles: list[DataFrame] = []
     counts = graph.triangle_count(pairs, handles_out=handles)
     result = counts.localCheckpoint(eager=True)  # per-node rows — the residue
@@ -3031,6 +3024,20 @@ def q138_negated_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _copurchase_pairs(li: DataFrame) -> DataFrame:
+    """Oriented (src < dst) part co-purchase pairs from a pre-filtered
+    (l_orderkey, l_partkey) frame — ONE definition shared by the graph
+    gates (q131 part-sampled, q139/q140 order-sampled): a change to the
+    orientation or self-join here cannot desynchronize one gate's graph
+    from its siblings (r08 review, fourth pass)."""
+    a, b = li.alias("a"), li.alias("b")
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+    )
+
+
 def _q139_oracle(k: int = 3, rounds: int = 8) -> str:
     """Unrolled peeling oracle (the q102/q125 chained-CTE discipline): each
     round drops nodes below degree k and the edges touching them. The
@@ -3091,12 +3098,7 @@ def q139_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_orderkey") % 20 == 0)
         .select("l_orderkey", "l_partkey")
     )
-    a, b = li.alias("a"), li.alias("b")
-    pairs = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
-    )
+    pairs = _copurchase_pairs(li)
     return graph.k_core(pairs, k=3).orderBy("node")
 
 
@@ -3118,17 +3120,14 @@ def _q140_oracle(rounds: int = 12) -> str:
         """
     WITH li AS (
       SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 20 = 0
+    ), p AS MATERIALIZED (
+      -- the dominant join+DISTINCT runs ONCE; e references it twice
+      -- (r08 review, fourth pass: the inlined twin re-ran it per copy)
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
     ), e AS MATERIALIZED (
-      SELECT u, v FROM (
-        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
-        FROM li a JOIN li b
-          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-      ) UNION ALL
-      SELECT v, u FROM (
-        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
-        FROM li a JOIN li b
-          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-      )
+      SELECT u, v FROM p UNION ALL SELECT v, u FROM p
     ), v0 AS MATERIALIZED (
       SELECT DISTINCT node, 0 AS dist FROM (
         SELECT u AS node FROM e UNION ALL SELECT v FROM e
@@ -3171,12 +3170,7 @@ def q140_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_orderkey") % 20 == 0)
         .select("l_orderkey", "l_partkey")
     )
-    a, b = li.alias("a"), li.alias("b")
-    pairs = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
-    )
+    pairs = _copurchase_pairs(li)
     nodes = (
         pairs.select(F.col("src").alias("node"))
         .unionByName(pairs.select(F.col("dst").alias("node")))

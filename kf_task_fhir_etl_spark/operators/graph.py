@@ -462,17 +462,6 @@ def bfs_distances(
     depth = 0
     while frontier_n > 0:
         depth += 1
-        if depth > max_depth:
-            # release-before-raise (r08 review, second pass — the q129
-            # discipline): nothing was served to the caller, so every
-            # pinned round goes, deduped by id (round 1 defers the SAME
-            # object twice as frontier and visited)
-            for stale_df in {id(d): d for d in (e, frontier, visited, *prev_rounds)}.values():
-                _release_checkpoint(stale_df)
-            raise RuntimeError(
-                f"bfs_distances: frontier still non-empty past max_depth="
-                f"{max_depth} — raise the guard for deep graphs"
-            )
         neighbors = (
             e.join(frontier.select(F.col("node").alias("s")), "s")
             .select(F.col("t").alias("node"))
@@ -485,6 +474,24 @@ def bfs_distances(
         )
         new_visited = visited.unionByName(new_frontier).localCheckpoint()
         frontier_n = new_frontier.count()
+        if depth > max_depth and frontier_n > 0:
+            # the guard trips only when a node would be ASSIGNED a
+            # distance beyond max_depth — a graph whose eccentricity is
+            # exactly max_depth gets its (cheap, empty) confirmation
+            # round instead of a spurious raise, the k_core off-by-one
+            # fix applied here too (r08 review, fourth pass).
+            # release-before-raise (the q129 discipline): nothing was
+            # served, so every pinned round goes, deduped by id (round 1
+            # defers the SAME object twice as frontier and visited)
+            for stale_df in {
+                id(d): d
+                for d in (e, frontier, visited, new_frontier, new_visited, *prev_rounds)
+            }.values():
+                _release_checkpoint(stale_df)
+            raise RuntimeError(
+                f"bfs_distances: a node at distance {depth} > max_depth="
+                f"{max_depth} exists — raise the guard for deep graphs"
+            )
         # superseded: the previous round's frontier AND visited checkpoints
         # (the new visited frame subsumes them). Release is deferred one
         # round via prev_rounds so the union above never reads released

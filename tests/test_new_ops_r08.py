@@ -406,7 +406,7 @@ def test_value_runs_matches_bruteforce(spark):
 
     rng = random.Random(53)
     rows = [
-        (rng.randrange(6), i, rng.random() < 0.6)
+        (g, i, rng.random() < 0.6)
         for g in range(6)
         for i in range(rng.randrange(5, 40))
     ]
@@ -613,10 +613,10 @@ def test_incremental_dedup_stages_candidates_for_release(spark):
     out = dedup.incremental_dedup(batch, index, corpus, handles_out=handles)
     got = {r["doc_id"] for r in out.collect()}
     assert got == {11}
-    assert len(handles) == 1
+    assert len(handles) == 2  # staged new_docs + staged candidates
     etl.release_checkpoints(handles)
     with pytest.raises(Exception):
-        handles[0].count()  # truncated lineage — release was real
+        handles[1].count()  # truncated lineage — release was real
 
 
 def test_hashed_tokens_single_definition():
