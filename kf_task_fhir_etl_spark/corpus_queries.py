@@ -3165,12 +3165,20 @@ def q140_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     Unreachable nodes are absent on BOTH sides."""
     from kf_task_fhir_etl_spark.operators import graph
 
+    from kf_task_fhir_etl_spark import etl
+
     li = (
         load_table(spark, sf_dir, "lineitem")
         .filter(F.col("l_orderkey") % 20 == 0)
         .select("l_orderkey", "l_partkey")
     )
-    pairs = _copurchase_pairs(li)
+    # checkpoint the dominant self-join ONCE: it otherwise appears 4x
+    # (twice under the nodes union, twice under symmetrize) across the
+    # two eager checkpoint jobs inside bfs_distances (r08 review, fifth
+    # pass — the gate-side twin of the oracle's MATERIALIZED p fix).
+    # Released right after the call: bfs consumed it eagerly (its own e/
+    # visited checkpoints), so the returned frame no longer reads it.
+    pairs = _copurchase_pairs(li).localCheckpoint(eager=True)
     nodes = (
         pairs.select(F.col("src").alias("node"))
         .unionByName(pairs.select(F.col("dst").alias("node")))
@@ -3178,6 +3186,7 @@ def q140_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sources = nodes.filter(F.col("node") % 97 == 0)
     dists = graph.bfs_distances(pairs, sources)
+    etl.release_checkpoints([pairs])
     return dists.select("node", F.col("dist").cast("int").alias("dist")).orderBy("node")
 
 

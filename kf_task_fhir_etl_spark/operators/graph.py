@@ -422,8 +422,10 @@ def bfs_distances(
     |reachable| rows and is rebuilt per round by union — at 100 TB both
     sides of every join are node-key partitioned and the edge list is
     shuffled to its join partitioning ONCE. Terminates when a frontier
-    comes back empty (the count doubles as the checkpoint's materializing
-    action); ``max_depth`` is a loud guard against pathological chains,
+    comes back empty (checkpoints are EAGER — the per-round count reads
+    already-materialized blocks; converting to lazy checkpoints would
+    also require re-auditing the deferred-release ordering); ``max_depth``
+    is a loud guard against pathological chains,
     not a silent truncation. BFS levels are unique fixpoints, so an
     unrolled SQL oracle with rounds ≥ the true eccentricity reproduces
     the distances exactly (extra rounds are no-ops).

@@ -139,11 +139,10 @@ def apply_agg_delta(
     # schema-strict unionByName. A recompute-from-scratch would carry the
     # view's original types, so this is also what delta ≡ recompute
     # parity requires.
-    view_types = dict(zip(view.schema.names, (f.dataType for f in view.schema.fields)))
     out = merged.select(
         *[F.coalesce(F.col(k), F.col(f"__dk_{k}")).alias(k) for k in keys],
         (F.coalesce(F.col(count_col), zero) + F.coalesce(F.col("__dn"), zero))
-        .cast(view_types[count_col])
+        .cast(vt[count_col])
         .alias(count_col),
         *[
             # untouched groups pass their stored value through UNCHANGED
@@ -154,7 +153,7 @@ def apply_agg_delta(
             .otherwise(
                 F.coalesce(F.col(alias), zero) + F.coalesce(F.col(f"__d_{alias}"), zero)
             )
-            .cast(view_types[alias])
+            .cast(vt[alias])
             .alias(alias)
             for alias in sum_cols
         ],

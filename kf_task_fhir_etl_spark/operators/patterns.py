@@ -225,8 +225,10 @@ def value_runs(
     separate the runs around them.
 
     Plan shape: ONE shuffle on the group key; the change-flag lag and the
-    running run-id sum share one window spec (one Window node), then one
-    groupBy on (group, run_id) — same key, no second exchange. The
+    running run-id sum share one partitioning+sort (two Window nodes over
+    one Exchange — Catalyst extracts the nested lag into its own Window,
+    but the exchange and sort are shared), then one groupBy on
+    (group, run_id) — same key, no second exchange. The
     change-flag method (flag != lag(flag) → cumulative sum) is
     deliberately different from the classic row_number-difference
     formulation so a SQL oracle using the latter is an independent
