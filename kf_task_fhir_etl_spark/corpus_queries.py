@@ -3024,6 +3024,23 @@ def q138_negated_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+_ORDER_SAMPLED_PAIRS_SQL = """
+    WITH li AS (
+      SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 20 = 0
+    ), pairs AS MATERIALIZED (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    )"""
+# ^ the SQL twin of _copurchase_pairs for the order-sampled graph — ONE
+# definition shared by the q139 and q140 oracles (r08 review, sixth pass:
+# hand-rolled copies could desynchronize the twins' graphs). MATERIALIZED:
+# the join+DISTINCT is the dominant cost and every consumer references it
+# 2-3 times. (A comment, not a floating string: a module-level expression
+# statement lands in the staleness guard's residual bucket and would dirty
+# EVERY gate in this module.)
+
+
 def _copurchase_pairs(li: DataFrame) -> DataFrame:
     """Oriented (src < dst) part co-purchase pairs from a pre-filtered
     (l_orderkey, l_partkey) frame — ONE definition shared by the graph
@@ -3048,14 +3065,10 @@ def _q139_oracle(k: int = 3, rounds: int = 8) -> str:
     three times per round — exponential, and it exhausts file handles
     re-opening the parquet 3^rounds times."""
     parts = [
-        """
-    WITH li AS (
-      SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 20 = 0
-    ), e0 AS MATERIALIZED (
-      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
-      FROM li a JOIN li b
-        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-    )"""
+        _ORDER_SAMPLED_PAIRS_SQL,
+        """, e0 AS (
+      SELECT u, v FROM pairs
+    )""",
     ]
     for i in range(1, rounds + 1):
         parts.append(
@@ -3117,17 +3130,9 @@ def _q140_oracle(rounds: int = 12) -> str:
     MATERIALIZED CTEs for the same reason as q139 (default inlining
     re-expands the previous round per reference)."""
     parts = [
-        """
-    WITH li AS (
-      SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 20 = 0
-    ), p AS MATERIALIZED (
-      -- the dominant join+DISTINCT runs ONCE; e references it twice
-      -- (r08 review, fourth pass: the inlined twin re-ran it per copy)
-      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
-      FROM li a JOIN li b
-        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-    ), e AS MATERIALIZED (
-      SELECT u, v FROM p UNION ALL SELECT v, u FROM p
+        _ORDER_SAMPLED_PAIRS_SQL,
+        """, e AS MATERIALIZED (
+      SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs
     ), v0 AS MATERIALIZED (
       SELECT DISTINCT node, 0 AS dist FROM (
         SELECT u AS node FROM e UNION ALL SELECT v FROM e
@@ -3303,8 +3308,14 @@ def q142_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     corpus = docs.filter(F.col("doc_id") % 3 != 0)
     batch = docs.filter(F.col("doc_id") % 3 == 0)
-    index = dedup.minhash_index(corpus, num_hashes=8, bands=4, shingle_size=5, max_chars=200)
+    # checkpointed ONCE: the params validation and the candidate join
+    # both read the index (r08 review, sixth pass); released with the
+    # staged handles below
     handles: list[DataFrame] = []
+    index = dedup.minhash_index(
+        corpus, num_hashes=8, bands=4, shingle_size=5, max_chars=200
+    ).localCheckpoint(eager=True)
+    handles.append(index)
     survivors = dedup.incremental_dedup(
         batch,
         index,

@@ -460,7 +460,6 @@ def bfs_distances(
     )
     frontier = visited
     frontier_n = frontier.count()
-    prev_rounds: list[DataFrame] = []
     depth = 0
     while frontier_n > 0:
         depth += 1
@@ -484,33 +483,28 @@ def bfs_distances(
             # fix applied here too (r08 review, fourth pass).
             # release-before-raise (the q129 discipline): nothing was
             # served, so every pinned round goes, deduped by id (round 1
-            # defers the SAME object twice as frontier and visited)
+            # holds the SAME object as frontier and visited)
             for stale_df in {
                 id(d): d
-                for d in (e, frontier, visited, new_frontier, new_visited, *prev_rounds)
+                for d in (e, frontier, visited, new_frontier, new_visited)
             }.values():
                 _release_checkpoint(stale_df)
             raise RuntimeError(
                 f"bfs_distances: a node at distance {depth} > max_depth="
                 f"{max_depth} exists — raise the guard for deep graphs"
             )
-        # superseded: the previous round's frontier AND visited checkpoints
-        # (the new visited frame subsumes them). Release is deferred one
-        # round via prev_rounds so the union above never reads released
-        # blocks while materializing.
-        for stale_df in prev_rounds:
-            _release_checkpoint(stale_df)
-        prev_rounds = [frontier, visited]
+        # the previous round is superseded IMMEDIATELY: both checkpoints
+        # above are eager, so new_visited's blocks exist before this line
+        # and nothing reads the old generation again (r08 review, sixth
+        # pass — the one-round deferral kept an extra ~|reachable|-row
+        # generation pinned and needed three bookkeeping special cases).
+        # Round 1 holds the same object as frontier AND visited.
+        _release_checkpoint(frontier)
+        if visited is not frontier:
+            _release_checkpoint(visited)
         frontier, visited = new_frontier, new_visited
     _release_checkpoint(e)
-    # flush the deferred last round too (r08 review: prev_rounds still held
-    # frontier_{n-1} and the ~|reachable|-row visited_{n-1} at loop exit —
-    # the resident-driver leak class this family engineers against). Safe:
-    # the returned `visited` was eagerly checkpointed before these were
-    # deferred, and it is never in prev_rounds (reassigned after).
-    for stale_df in prev_rounds:
-        _release_checkpoint(stale_df)
-    if prev_rounds:
+    if depth > 0:
         # ≥1 round ran: the final frontier is a separate empty frame —
         # releasable. With ZERO rounds (no sources) `frontier` IS the
         # returned visited frame; releasing it would hand the caller a

@@ -657,3 +657,28 @@ def test_ivm_key_guard_message_handles_absent_key(spark):
     delta = spark.createDataFrame([("a", 1.0, 1)], "custkey string, v double, op int")
     with pytest.raises(ValueError, match="ABSENT"):
         apply_agg_delta(view, delta, ["custkey"], {"s": "v"})
+
+
+def test_incremental_dedup_param_mismatch_is_loud(spark):
+    """Probing an index with different LSH parameters must raise, not
+    silently find zero candidates and wave every near-dup through (r08
+    review, sixth pass)."""
+    from kf_task_fhir_etl_spark.operators import dedup
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon")], "doc_id bigint, text string"
+    )
+    index = dedup.minhash_index(corpus, num_hashes=8, bands=4)
+    batch = spark.createDataFrame(
+        [(10, "alpha beta gamma delta epsilon")], "doc_id bigint, text string"
+    )
+    with pytest.raises(ValueError, match="params"):
+        dedup.incremental_dedup(batch, index, corpus, bands=2)
+    with pytest.raises(ValueError, match="params"):
+        dedup.incremental_dedup(batch, index, corpus, shingle_size=4)
+    # an index frame WITHOUT the metadata column is rejected too
+    with pytest.raises(ValueError, match="metadata"):
+        dedup.incremental_dedup(batch, index.drop("params"), corpus)
+    # matching params still screen correctly
+    out = dedup.incremental_dedup(batch, index, corpus)
+    assert out.count() == 0
