@@ -441,7 +441,10 @@ def bfs_distances(
         # the frontier as a phantom "node" with a distance
         edges.select(F.col(src).alias("s"), F.col(dst).alias("t")).filter(
             F.col(src).isNotNull() & F.col(dst).isNotNull()
-        )
+        ).distinct()  # symmetrize dedupes the undirected path; a raw
+        # outer-join-derived directed list is duplicate-heavy and every
+        # round's frontier join would shuffle the multiplied rows before
+        # neighbors.distinct() discards them (r08 review, seventh pass)
         if directed
         else symmetrize(edges, src, dst).select(
             F.col("src").alias("s"), F.col("dst").alias("t")

@@ -103,6 +103,56 @@ def apply_agg_delta(
                 for k in key_mismatch
             )
         )
+    # measure/count cast-back safety (r08 review, seventh pass): the
+    # merge casts the widened arithmetic back to the VIEW's dtypes, so a
+    # delta measure that does not fit the view's sum column losslessly
+    # (double measure, int view column) would silently truncate the
+    # merged value — count advanced, sum not. Validate the measure
+    # family UP-CASTS into the view column (the only residual risk is a
+    # true-sum overflow of the view's declared type, which a recompute
+    # hits identically); the count column must be integral.
+    def _up_casts(frm, to) -> bool:
+        from pyspark.sql import types as T
+
+        integral = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+        if frm == to:
+            return True
+        if isinstance(frm, integral) and isinstance(to, integral):
+            order = [T.ByteType, T.ShortType, T.IntegerType, T.LongType]
+            return order.index(type(frm)) <= order.index(type(to))
+        if isinstance(frm, T.FloatType) and isinstance(to, T.DoubleType):
+            return True
+        if isinstance(frm, T.DecimalType) and isinstance(to, T.DecimalType):
+            return to.scale >= frm.scale and (to.precision - to.scale) >= (
+                frm.precision - frm.scale
+            )
+        if isinstance(frm, integral) and isinstance(to, T.DecimalType):
+            digits = {T.ByteType: 3, T.ShortType: 5, T.IntegerType: 10, T.LongType: 20}
+            return (to.precision - to.scale) >= digits[type(frm)]
+        return False
+
+    from pyspark.sql import types as _T
+
+    if not isinstance(vt[count_col], (_T.ByteType, _T.ShortType, _T.IntegerType, _T.LongType)):
+        raise ValueError(
+            f"apply_agg_delta: count column {count_col!r} must be integral, "
+            f"got {vt[count_col].simpleString()}"
+        )
+    bad_measures = [
+        (alias, src)
+        for alias, src in sum_cols.items()
+        if src not in dt or not _up_casts(dt[src], vt[alias])
+    ]
+    if bad_measures:
+        raise ValueError(
+            "apply_agg_delta: delta measures must up-cast losslessly into "
+            "the view's sum columns — "
+            + ", ".join(
+                f"{src} ({dt[src].simpleString() if src in dt else 'ABSENT'}) "
+                f"-> {alias} ({vt[alias].simpleString()})"
+                for alias, src in bad_measures
+            )
+        )
     sign = F.col(sign_col)
     d = delta.groupBy(*keys).agg(
         F.sum(sign).cast("bigint").alias("__dn"),

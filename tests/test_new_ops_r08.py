@@ -682,3 +682,37 @@ def test_incremental_dedup_param_mismatch_is_loud(spark):
     # matching params still screen correctly
     out = dedup.incremental_dedup(batch, index, corpus)
     assert out.count() == 0
+
+
+def test_ivm_lossy_measure_cast_raises(spark):
+    """A delta measure that cannot up-cast losslessly into the view's
+    sum column must raise up front — the silent alternative truncated
+    the merged value while the count advanced (r08 review, seventh
+    pass). A non-integral count column is rejected too."""
+    view = spark.createDataFrame([("a", 1, 10)], "k string, n bigint, s int")
+    delta = spark.createDataFrame([("a", 0.5, 1)], "k string, v double, op int")
+    with pytest.raises(ValueError, match="up-cast"):
+        apply_agg_delta(view, delta, ["k"], {"s": "v"})
+    # int measure into bigint view column is lossless and fine
+    view2 = spark.createDataFrame([("a", 1, 10)], "k string, n bigint, s bigint")
+    delta2 = spark.createDataFrame([("a", 5, 1)], "k string, v int, op int")
+    out = apply_agg_delta(view2, delta2, ["k"], {"s": "v"})
+    assert {(r["k"], r["n"], r["s"]) for r in out.collect()} == {("a", 2, 15)}
+    bad_count = spark.createDataFrame([("a", 1.0, 10)], "k string, n double, s bigint")
+    with pytest.raises(ValueError, match="integral"):
+        apply_agg_delta(bad_count, delta2, ["k"], {"s": "v"})
+
+
+def test_incremental_dedup_mixed_params_index_rejected(spark):
+    """An append-only index where one segment was built with different
+    parameters must be rejected whole — a single-row probe would pass on
+    whichever segment it sampled while the mismatched segment silently
+    contributed zero candidates (r08 review, seventh pass)."""
+    from kf_task_fhir_etl_spark.operators import dedup
+
+    c1 = spark.createDataFrame([(1, "alpha beta gamma delta")], "doc_id bigint, text string")
+    c2 = spark.createDataFrame([(2, "epsilon zeta eta theta")], "doc_id bigint, text string")
+    mixed = dedup.minhash_index(c1, bands=4).unionByName(dedup.minhash_index(c2, bands=2))
+    batch = spark.createDataFrame([(10, "alpha beta gamma delta")], "doc_id bigint, text string")
+    with pytest.raises(ValueError, match="params"):
+        dedup.incremental_dedup(batch, mixed, c1.unionByName(c2), bands=4)
