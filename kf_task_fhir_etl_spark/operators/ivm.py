@@ -122,12 +122,24 @@ def apply_agg_delta(
             return order.index(type(frm)) <= order.index(type(to))
         if isinstance(frm, T.FloatType) and isinstance(to, T.DoubleType):
             return True
+        # integral → floating: lossless only within the mantissa (double
+        # holds every int32 exactly, float every int16; long → double is
+        # LOSSY above 2^53 — r08 review, eighth pass: the missing case
+        # spuriously rejected int-measure/double-view callers)
+        if isinstance(frm, (T.ByteType, T.ShortType, T.IntegerType)) and isinstance(
+            to, T.DoubleType
+        ):
+            return True
+        if isinstance(frm, (T.ByteType, T.ShortType)) and isinstance(to, T.FloatType):
+            return True
         if isinstance(frm, T.DecimalType) and isinstance(to, T.DecimalType):
             return to.scale >= frm.scale and (to.precision - to.scale) >= (
                 frm.precision - frm.scale
             )
         if isinstance(frm, integral) and isinstance(to, T.DecimalType):
-            digits = {T.ByteType: 3, T.ShortType: 5, T.IntegerType: 10, T.LongType: 20}
+            # digits of the TYPE MAX (|long| max = 9.22e18 -> 19 digits,
+            # not 20 — r08 review, eighth pass off-by-one)
+            digits = {T.ByteType: 3, T.ShortType: 5, T.IntegerType: 10, T.LongType: 19}
             return (to.precision - to.scale) >= digits[type(frm)]
         return False
 

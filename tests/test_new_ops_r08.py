@@ -716,3 +716,23 @@ def test_incremental_dedup_mixed_params_index_rejected(spark):
     batch = spark.createDataFrame([(10, "alpha beta gamma delta")], "doc_id bigint, text string")
     with pytest.raises(ValueError, match="params"):
         dedup.incremental_dedup(batch, mixed, c1.unionByName(c2), bands=4)
+
+
+def test_ivm_lossless_integral_measures_accepted(spark):
+    """int measure → double view sum and bigint measure → decimal(19,0)
+    view sum are LOSSLESS and must pass the validator (r08 review,
+    eighth pass: both were spuriously rejected)."""
+    view = spark.createDataFrame([("a", 1, 2.0)], "k string, n bigint, s double")
+    delta = spark.createDataFrame([("a", 5, 1)], "k string, v int, op int")
+    out = apply_agg_delta(view, delta, ["k"], {"s": "v"})
+    assert {(r["k"], r["n"], r["s"]) for r in out.collect()} == {("a", 2, 7.0)}
+    view2 = spark.createDataFrame(
+        [("a", 1, Decimal(10))], "k string, n bigint, s decimal(19,0)"
+    )
+    delta2 = spark.createDataFrame([("a", 2**62, 1)], "k string, v bigint, op int")
+    out2 = apply_agg_delta(view2, delta2, ["k"], {"s": "v"})
+    assert {r["s"] for r in out2.collect()} == {Decimal(10 + 2**62)}
+    # long → double stays rejected (lossy above 2^53)
+    delta3 = spark.createDataFrame([("a", 5, 1)], "k string, v bigint, op int")
+    with pytest.raises(ValueError, match="up-cast"):
+        apply_agg_delta(view, delta3, ["k"], {"s": "v"})
