@@ -46,10 +46,12 @@ def funnel_trajectories(
 
     One-shot cost note (VERDICT r07 #4, the documented contract): with
     ``handles_out=None`` step i's completion frame feeds BOTH step i+1's
-    filter join and the trajectory join, so one action re-derives each
-    non-final step ×2 — and the re-derivation NESTS: the events scan
-    under step 1 executes O(2^(k−1)) times for a k-step funnel (×4 at
-    k=3, the q134 shape). One-shot use is fine at k ≤ 2; beyond that,
+    filter join and the trajectory join, and each completion embeds its
+    predecessor exactly once — so the re-derivation telescopes
+    ADDITIVELY: the step-1 scan runs k times and total events-scan
+    executions are k(k+1)/2 per action (measured 3/6/10 at k=2/3/4;
+    r08 review corrected an earlier exponential claim). Cheap one-shot
+    at small k; for deep funnels or expensive upstream event plans,
     pass a list and release after the terminal action."""
     if not steps:
         raise ValueError("funnel_trajectories: empty step list")

@@ -251,14 +251,15 @@ def triangle_count(
     handles (``etl.release_checkpoints``) after its terminal action.
 
     One-shot cost note (VERDICT r07 #4, the documented contract): with
-    ``handles_out=None`` nothing is checkpointed, so ONE action on the
-    result re-derives ``und`` ×5 (degree build ×2 via the unionAll, the
-    orientation join, and transitively under every oriented appearance)
-    and the oriented list ×3 (both wedge sides + the closure) — the
-    caller's upstream edge plan executes up to ~5× per action. That is
-    the deliberate trade (a handle nobody releases is a leak); any
-    caller whose edge plan is more than a parquet scan should pass a
-    list and release it.
+    ``handles_out=None`` nothing is checkpointed and the re-derivation
+    NESTS: the oriented list appears ×3 (both wedge sides + the
+    closure) and each appearance embeds ``und`` ×5 (the orientation
+    join + 2 appearances under each of the two degree joins) — the
+    caller's upstream edge plan executes ~15× per action (measured in
+    the analyzed plan; r08 review corrected an earlier ~5× claim).
+    That is the deliberate trade (a handle nobody releases is a leak);
+    any caller whose edge plan is more than a parquet scan should pass
+    a list and release it.
     """
 
     from kf_task_fhir_etl_spark.operators.lifecycle import staged
@@ -310,10 +311,13 @@ def triangle_count(
     wedges = e1.join(e2, "s").filter(F.col("k1") < F.col("k2")).select("s", "t1", "t2")
     closing = oriented.select(F.col("s").alias("t1"), F.col("t").alias("t2"))
     tri = wedges.join(closing, ["t1", "t2"])
-    corners = (
-        tri.select(F.col("s").alias("node"))
-        .unionAll(tri.select(F.col("t1").alias("node")))
-        .unionAll(tri.select(F.col("t2").alias("node")))
+    # ONE derivation of tri: the previous 3-way unionAll re-ran the
+    # wedge + closure joins (the dominant O(sum d_out^2) work) once per
+    # corner even when handles_out staged the inputs (r08 review, ninth
+    # pass — measured 3x in the analyzed plan); explode emits the same
+    # three corner rows from a single pass
+    corners = tri.select(
+        F.explode(F.array(F.col("s"), F.col("t1"), F.col("t2"))).alias("node")
     )
     return corners.groupBy("node").agg(F.count(F.lit(1)).alias("n_tri"))
 

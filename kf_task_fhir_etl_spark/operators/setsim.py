@@ -65,12 +65,13 @@ def set_similarity_join(
     contract); the caller releases after its terminal action.
 
     One-shot cost note (VERDICT r07 #4, the documented contract): with
-    ``handles_out=None`` one action re-derives the exploded token table
-    ×3 (the df build plus once under each prefixed candidate side) and
-    the prefixed frame ×2 (its self-join) — the tokenize/explode scan,
-    the dominant cost, executes ~3× per action. One-shot use on a raw
-    parquet scan is acceptable; any derived input should pass a list
-    and release it."""
+    ``handles_out=None`` the prefixed frame appears ×2 (its self-join)
+    and each appearance embeds the exploded token table TWICE (directly
+    in the ordering aggregate and again under the df build it joins) —
+    the tokenize/explode scan, the dominant cost, executes ×4 per
+    action (measured in the analyzed plan; r08 review corrected an
+    earlier ×3 claim). One-shot use on a raw parquet scan is
+    acceptable; any derived input should pass a list and release it."""
     if not (0 < t_num <= t_den):
         raise ValueError(f"threshold must be in (0, 1]: {t_num}/{t_den}")
 
