@@ -43,6 +43,21 @@ def _release_checkpoint(df: DataFrame) -> None:
     release_checkpoints([df], blocking=False)
 
 
+def _normalize_undirected(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Canonical undirected simple-graph edge list (u < v): self-loops,
+    NULL endpoints (< propagates NULL -> filtered) and duplicates dropped.
+    ONE definition shared by triangle_count and k_core (r08 review, tenth
+    pass - the hand-rolled-copy drift hazard)."""
+    return (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") < F.col("v"))
+        .distinct()
+    )
+
+
 def pagerank(
     edges: DataFrame,
     iters: int = 5,
@@ -267,14 +282,7 @@ def triangle_count(
     def ck(df: DataFrame) -> DataFrame:
         return staged(df, handles_out)
 
-    und = ck(
-        edges.select(
-            F.least(F.col(src), F.col(dst)).alias("u"),
-            F.greatest(F.col(src), F.col(dst)).alias("v"),
-        )
-        .filter(F.col("u") < F.col("v"))  # drops self-loops and NULL endpoints
-        .distinct()
-    )
+    und = ck(_normalize_undirected(edges, src, dst))
     # deg is consumed by TWO joins (u-side, v-side) — staged like und/
     # oriented or the |E|-sized union + shuffle re-executes per
     # appearance (r07 review, third pass)
@@ -353,15 +361,7 @@ def k_core(
     """
     if k < 1:
         raise ValueError(f"k_core: k must be >= 1, got {k}")
-    cur = (
-        edges.select(
-            F.least(F.col(src), F.col(dst)).alias("u"),
-            F.greatest(F.col(src), F.col(dst)).alias("v"),
-        )
-        .filter(F.col("u") < F.col("v"))  # drops self-loops and NULL endpoints
-        .distinct()
-        .localCheckpoint()
-    )
+    cur = _normalize_undirected(edges, src, dst).localCheckpoint()
     n_cur = cur.count()
     peels = 0
     while n_cur > 0:

@@ -141,6 +141,13 @@ def apply_agg_delta(
             # not 20 — r08 review, eighth pass off-by-one)
             digits = {T.ByteType: 3, T.ShortType: 5, T.IntegerType: 10, T.LongType: 19}
             return (to.precision - to.scale) >= digits[type(frm)]
+        # scale-0 decimal → integral: lossless when every p-digit value
+        # fits the target's range (10^p − 1 ≤ type max — r08 review,
+        # tenth pass: warehouse-sourced integer quantities often arrive
+        # as decimal(p,0) and were spuriously rejected)
+        if isinstance(frm, T.DecimalType) and frm.scale == 0 and isinstance(to, integral):
+            fits = {T.ByteType: 2, T.ShortType: 4, T.IntegerType: 9, T.LongType: 18}
+            return frm.precision <= fits[type(to)]
         return False
 
     from pyspark.sql import types as _T

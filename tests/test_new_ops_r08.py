@@ -736,3 +736,21 @@ def test_ivm_lossless_integral_measures_accepted(spark):
     delta3 = spark.createDataFrame([("a", 5, 1)], "k string, v bigint, op int")
     with pytest.raises(ValueError, match="up-cast"):
         apply_agg_delta(view, delta3, ["k"], {"s": "v"})
+
+
+def test_ivm_scale0_decimal_measure_accepted(spark):
+    """decimal(p<=18, 0) measures up-cast losslessly into a bigint view
+    sum (r08 review, tenth pass — warehouse integer quantities arrive as
+    scale-0 decimals and were spuriously rejected)."""
+    view = spark.createDataFrame([("a", 1, 10)], "k string, n bigint, s bigint")
+    delta = spark.createDataFrame(
+        [("a", Decimal(7), 1)], "k string, v decimal(10,0), op int"
+    )
+    out = apply_agg_delta(view, delta, ["k"], {"s": "v"})
+    assert {(r["k"], r["n"], r["s"]) for r in out.collect()} == {("a", 2, 17)}
+    # decimal(19,0) can exceed bigint — still rejected
+    wide = spark.createDataFrame(
+        [("a", Decimal(7), 1)], "k string, v decimal(19,0), op int"
+    )
+    with pytest.raises(ValueError, match="up-cast"):
+        apply_agg_delta(view, wide, ["k"], {"s": "v"})
