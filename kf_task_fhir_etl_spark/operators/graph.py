@@ -45,9 +45,13 @@ def _release_checkpoint(df: DataFrame) -> None:
 
 def _normalize_undirected(edges: DataFrame, src: str, dst: str) -> DataFrame:
     """Canonical undirected simple-graph edge list (u < v): self-loops,
-    NULL endpoints (< propagates NULL -> filtered) and duplicates dropped.
-    ONE definition shared by triangle_count and k_core (r08 review, tenth
-    pass - the hand-rolled-copy drift hazard)."""
+    NULL endpoints and duplicates dropped. NULL mechanism, precisely
+    (r08 review, eleventh pass — the first comment claimed NULL
+    propagation): least/greatest SKIP NULL arguments, so a (NULL, x)
+    edge becomes (x, x) and the u < v filter drops it AS a self-loop —
+    both the strict < and the least/greatest pair are load-bearing for
+    NULL handling, not just for orientation. ONE definition shared by
+    triangle_count and k_core (the hand-rolled-copy drift hazard)."""
     return (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("u"),

@@ -754,3 +754,27 @@ def test_ivm_scale0_decimal_measure_accepted(spark):
     )
     with pytest.raises(ValueError, match="up-cast"):
         apply_agg_delta(view, wide, ["k"], {"s": "v"})
+
+
+def test_incremental_dedup_index_corpus_desync_is_loud(spark):
+    """A candidate whose indexed doc is missing from the corpus frame
+    must raise — it previously vanished in the verify joins and the
+    duplicate silently survived (r08 review, eleventh pass)."""
+    from kf_task_fhir_etl_spark.operators import dedup
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")], "doc_id bigint, text string"
+    )
+    extra = spark.createDataFrame(
+        [(10, "iota kappa lambda mu nu xi omicron")], "doc_id bigint, text string"
+    )
+    # index extended, corpus NOT — the trap
+    index = dedup.minhash_index(corpus).unionByName(dedup.minhash_index(extra))
+    batch = spark.createDataFrame(
+        [(20, "iota kappa lambda mu nu xi omicron")], "doc_id bigint, text string"
+    )
+    with pytest.raises(ValueError, match="out of sync"):
+        dedup.incremental_dedup(batch, index, corpus).collect()
+    # lockstep extension works and catches the duplicate
+    out = dedup.incremental_dedup(batch, index, corpus.unionByName(extra))
+    assert out.count() == 0
