@@ -2686,11 +2686,13 @@ def q133_incremental_view_maintenance(spark: SparkSession, sf_dir: str) -> DataF
     "q134_event_funnel",
     oracle="""
     WITH s1 AS (
-      -- ts IS NOT NULL mirrors the operator's intake filter: a user whose
-      -- only step-1 events carry NULL ts must be absent on BOTH sides
-      -- (r07 review, fourth pass)
+      -- ts/user IS NOT NULL mirrors the operator's intake filter: NULL
+      -- timestamps cannot order and a NULL user would mint one phantom
+      -- step-1 group no later equi-join can advance (r07 fourth pass;
+      -- r08 twelfth pass)
       SELECT user_id AS u, MIN(ts) AS t1 FROM events
-      WHERE event_type = 'view' AND ts IS NOT NULL GROUP BY 1
+      WHERE event_type = 'view' AND ts IS NOT NULL AND user_id IS NOT NULL
+      GROUP BY 1
     ), s2 AS (
       SELECT e.user_id AS u, MIN(e.ts) AS t2
       FROM events e JOIN s1 ON e.user_id = s1.u
@@ -2949,8 +2951,11 @@ def q137_pattern_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q138_negated_funnel",
     oracle="""
     WITH s1 AS (
+      -- user_id IS NOT NULL mirrors the operator intake (r08, twelfth
+      -- pass): a NULL user would be one phantom step-1 group
       SELECT user_id AS u, MIN(ts) AS t1 FROM events
-      WHERE event_type = 'view' AND ts IS NOT NULL GROUP BY 1
+      WHERE event_type = 'view' AND ts IS NOT NULL AND user_id IS NOT NULL
+      GROUP BY 1
     ), s2 AS (
       SELECT e.user_id AS u, MIN(e.ts) AS t2
       FROM events e JOIN s1 ON e.user_id = s1.u

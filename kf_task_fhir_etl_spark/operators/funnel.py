@@ -65,8 +65,13 @@ def funnel_trajectories(
     # make t1 NULL for a user whose only step-1 events carry NULL ts —
     # present in the trajectory but invisible to count(t1), silently
     # diverging from a COUNT(*)-over-users oracle (r07 review, third
-    # pass). Excluded at intake, the q126 discipline.
-    events = events.filter(F.col(ts_col).isNotNull())
+    # pass). NULL users go too (r08 review, twelfth pass): the step-1
+    # groupBy would otherwise mint one phantom pseudo-user from ALL
+    # unattributed events — a "user" the step-2 equi-join can never
+    # advance, disagreeing with pattern_spans' intake in this module's
+    # sibling (SQL join semantics are the contract). Excluded at intake,
+    # the q126 discipline.
+    events = events.filter(F.col(ts_col).isNotNull() & F.col(user_col).isNotNull())
     completed = (
         events.filter(F.col(type_col) == steps[0])
         .groupBy(F.col(user_col).alias("user"))

@@ -484,9 +484,16 @@ def bfs_distances(
             .select("node", F.lit(depth).alias("dist"))
             .localCheckpoint()
         )
-        new_visited = visited.unionByName(new_frontier).localCheckpoint()
         frontier_n = new_frontier.count()
-        if depth > max_depth and frontier_n > 0:
+        if frontier_n == 0:
+            # terminating round: the frontier is empty, so new_visited
+            # would be a byte-identical |reachable|-row COPY of visited —
+            # skip building it entirely (r08 review, twelfth pass: the
+            # old order wrote and then released one full visited pass
+            # per call for nothing)
+            _release_checkpoint(new_frontier)
+            break
+        if depth > max_depth:
             # the guard trips only when a node would be ASSIGNED a
             # distance beyond max_depth — a graph whose eccentricity is
             # exactly max_depth gets its (cheap, empty) confirmation
@@ -496,16 +503,16 @@ def bfs_distances(
             # served, so every pinned round goes, deduped by id (round 1
             # holds the SAME object as frontier and visited)
             for stale_df in {
-                id(d): d
-                for d in (e, frontier, visited, new_frontier, new_visited)
+                id(d): d for d in (e, frontier, visited, new_frontier)
             }.values():
                 _release_checkpoint(stale_df)
             raise RuntimeError(
                 f"bfs_distances: a node at distance {depth} > max_depth="
                 f"{max_depth} exists — raise the guard for deep graphs"
             )
-        # the previous round is superseded IMMEDIATELY: both checkpoints
-        # above are eager, so new_visited's blocks exist before this line
+        new_visited = visited.unionByName(new_frontier).localCheckpoint()
+        # the previous round is superseded IMMEDIATELY: the checkpoint
+        # above is eager, so new_visited's blocks exist before this line
         # and nothing reads the old generation again (r08 review, sixth
         # pass — the one-round deferral kept an extra ~|reachable|-row
         # generation pinned and needed three bookkeeping special cases).
@@ -515,10 +522,10 @@ def bfs_distances(
             _release_checkpoint(visited)
         frontier, visited = new_frontier, new_visited
     _release_checkpoint(e)
-    if depth > 0:
-        # ≥1 round ran: the final frontier is a separate empty frame —
-        # releasable. With ZERO rounds (no sources) `frontier` IS the
-        # returned visited frame; releasing it would hand the caller a
-        # dead checkpoint.
+    if frontier is not visited:
+        # ≥1 productive round ran: the last non-empty frontier is a
+        # separate frame already subsumed by visited — releasable. With
+        # ZERO productive rounds `frontier` IS the returned visited
+        # frame; releasing it would hand the caller a dead checkpoint.
         _release_checkpoint(frontier)
     return visited

@@ -778,3 +778,26 @@ def test_incremental_dedup_index_corpus_desync_is_loud(spark):
     # lockstep extension works and catches the duplicate
     out = dedup.incremental_dedup(batch, index, corpus.unionByName(extra))
     assert out.count() == 0
+
+
+def test_incremental_dedup_check_coverage_flags_unindexed_corpus(spark):
+    """Opt-in reverse lockstep check: a corpus doc missing from the index
+    (corpus extended, index forgotten) is invisible to the screen — with
+    check_coverage=True it raises; off by default because screening
+    against a deliberate index subset is legitimate (r08 review, twelfth
+    pass)."""
+    from kf_task_fhir_etl_spark.operators import dedup
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "iota kappa lambda mu nu xi omicron")],
+        "doc_id bigint, text string",
+    )
+    index = dedup.minhash_index(corpus.filter("doc_id = 1"))  # doc 2 unindexed
+    batch = spark.createDataFrame(
+        [(20, "iota kappa lambda mu nu xi omicron")], "doc_id bigint, text string"
+    )
+    # default: doc 20 (dup of unindexed 2) silently survives — documented
+    assert dedup.incremental_dedup(batch, index, corpus).count() == 1
+    with pytest.raises(ValueError, match="not in the index"):
+        dedup.incremental_dedup(batch, index, corpus, check_coverage=True)
