@@ -3228,7 +3228,10 @@ def q140_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM rn WHERE f
     GROUP BY o_custkey, r_all - r_f
     HAVING COUNT(*) >= 2
-    ORDER BY o_custkey, run_start
+    -- run_end completes the total order: two same-customer runs CAN
+    -- start on the same date (r08 review, thirteenth pass) — the driver
+    -- compare is order-insensitive, but sorts stay aligned on principle
+    ORDER BY o_custkey, run_start, run_end
     """,
 )
 def q141_value_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3248,7 +3251,7 @@ def q141_value_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return patterns.value_runs(
         o, "o_custkey", "o_orderdate", "f", tiebreak_cols=["o_orderkey"], min_len=2
-    ).orderBy("o_custkey", "run_start")
+    ).orderBy("o_custkey", "run_start", "run_end")
 
 
 # ---------------------------------------------------------------------------

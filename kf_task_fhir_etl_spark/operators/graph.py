@@ -391,7 +391,11 @@ def k_core(
         # peel depth is exactly max_rounds still gets its (free) fixpoint
         # confirmation instead of a spurious raise (r08 review off-by-one)
         peels += 1
-        if peels > max_rounds:
+        if peels > max_rounds and n_nxt > 0:
+            # n_nxt == 0 is a TERMINAL state, not "still peeling" — the
+            # empty answer is known, so the guard must not discard it
+            # (r08 review, thirteenth pass; the bfs empty-frontier-before-
+            # guard ordering applied here too)
             _release_checkpoint(nxt)
             _release_checkpoint(cur)
             raise RuntimeError(

@@ -801,3 +801,12 @@ def test_incremental_dedup_check_coverage_flags_unindexed_corpus(spark):
     assert dedup.incremental_dedup(batch, index, corpus).count() == 1
     with pytest.raises(ValueError, match="not in the index"):
         dedup.incremental_dedup(batch, index, corpus, check_coverage=True)
+
+
+def test_k_core_guard_accepts_terminal_empty_round(spark):
+    """A graph that peels EMPTY in exactly max_rounds+1 productive rounds
+    terminates with the (known, empty) answer instead of a spurious
+    'still peeling' raise (r08 review, thirteenth pass)."""
+    path = [(i, i + 1) for i in range(1, 7)]  # 1-2-3-4-5-6-7 peels empty in 3
+    got = graph.k_core(_edges(spark, path), k=2, max_rounds=2).collect()
+    assert got == []
