@@ -773,7 +773,9 @@ def test_incremental_dedup_index_corpus_desync_is_loud(spark):
     batch = spark.createDataFrame(
         [(20, "iota kappa lambda mu nu xi omicron")], "doc_id bigint, text string"
     )
-    with pytest.raises(ValueError, match="out of sync"):
+    # the assertion rides the verify join: loud at ACTION time (an
+    # executor-raised assert_true — zero extra jobs at construction)
+    with pytest.raises(Exception, match="out of sync"):
         dedup.incremental_dedup(batch, index, corpus).collect()
     # lockstep extension works and catches the duplicate
     out = dedup.incremental_dedup(batch, index, corpus.unionByName(extra))
