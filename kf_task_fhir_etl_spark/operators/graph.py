@@ -375,7 +375,11 @@ def k_core(
             .groupBy("node")
             .agg(F.count(F.lit(1)).alias("d"))
         )
-        keep = deg.filter(F.col("d") >= k).select("node")
+        # keep feeds TWO semi-joins — without the per-round checkpoint
+        # Catalyst re-derives the |E|-sized degree aggregate once per
+        # consumer (r08 review, fifteenth pass; the triangle_count deg
+        # lesson). |V|-sized, eager, released right after the count.
+        keep = deg.filter(F.col("d") >= k).select("node").localCheckpoint()
         nxt = (
             cur.join(keep.withColumnRenamed("node", "u"), "u", "leftsemi")
             .join(keep.withColumnRenamed("node", "v"), "v", "leftsemi")
@@ -383,6 +387,7 @@ def k_core(
             .localCheckpoint()
         )
         n_nxt = nxt.count()
+        _release_checkpoint(keep)
         if n_nxt == n_cur:
             # fixpoint: nxt duplicates cur — release the duplicate blocks
             _release_checkpoint(nxt)

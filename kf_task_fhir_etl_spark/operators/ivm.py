@@ -148,6 +148,15 @@ def apply_agg_delta(
         if isinstance(frm, T.DecimalType) and frm.scale == 0 and isinstance(to, integral):
             fits = {T.ByteType: 2, T.ShortType: 4, T.IntegerType: 9, T.LongType: 18}
             return frm.precision <= fits[type(to)]
+        # scale-0 decimal → floating: exact within the mantissa
+        # (10^15 − 1 < 2^53 for double, 10^7 − 1 < 2^24 for float —
+        # r08 review, fifteenth pass: the missing case spuriously
+        # rejected warehouse decimal quantities into double view sums)
+        if isinstance(frm, T.DecimalType) and frm.scale == 0:
+            if isinstance(to, T.DoubleType):
+                return frm.precision <= 15
+            if isinstance(to, T.FloatType):
+                return frm.precision <= 7
         return False
 
     from pyspark.sql import types as _T

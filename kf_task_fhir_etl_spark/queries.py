@@ -447,15 +447,18 @@ _CHECK_LAST = [
     # its r05 proof (staleness guard green); LEADS the r09 window.
     "q49_pivot_status_matrix",
     # q50: window frames — the rows/range frame machinery is exercised
-    # IN-WINDOW by q137 (RANGE-framed running max) and q21 (window aggs);
-    # untouched since r05; LEADS r09.
+    # IN-WINDOW by q137 (RANGE-framed running max) and q141 (rows-framed
+    # running sum; q21 is itself deferred this round, so it cannot vouch
+    # — r08 review, fifteenth pass); untouched since r05; LEADS r09.
     "q50_window_frames",
     # q51: JSON extraction — the from_json/get_json_object path is
     # exercised IN-WINDOW by q07 (try-cast JSON); untouched since r05;
     # LEADS r09.
     "q51_json_extract",
     # q52: explode + top-k — exercised IN-WINDOW by q09 (top-k per group)
-    # and q19 (token explode stats); untouched since r05; LEADS r09.
+    # and q135 (token explode under setsim; q19 is itself deferred this
+    # round, so it cannot vouch — r08 review, fifteenth pass); untouched
+    # since r05; LEADS r09.
     "q52_word_explode_topk",
     # q53: time-bucket rollup — the date-trunc groupBy machinery is
     # exercised IN-WINDOW by q01 (date-filtered grouped aggregates);

@@ -812,3 +812,31 @@ def test_k_core_guard_accepts_terminal_empty_round(spark):
     path = [(i, i + 1) for i in range(1, 7)]  # 1-2-3-4-5-6-7 peels empty in 3
     got = graph.k_core(_edges(spark, path), k=2, max_rounds=2).collect()
     assert got == []
+
+
+def test_ivm_scale0_decimal_into_double_accepted(spark):
+    """decimal(p<=15,0) is exact in double — accepted; decimal(16,0) is
+    not — rejected (r08 review, fifteenth pass)."""
+    view = spark.createDataFrame([("a", 1, 2.0)], "k string, n bigint, s double")
+    ok = spark.createDataFrame([("a", Decimal(3), 1)], "k string, v decimal(10,0), op int")
+    out = apply_agg_delta(view, ok, ["k"], {"s": "v"})
+    assert {(r["k"], r["s"]) for r in out.collect()} == {("a", 5.0)}
+    wide = spark.createDataFrame([("a", Decimal(3), 1)], "k string, v decimal(16,0), op int")
+    with pytest.raises(ValueError, match="up-cast"):
+        apply_agg_delta(view, wide, ["k"], {"s": "v"})
+
+
+def test_verify_jaccard_broadcast_kernel_tolerates_null_text(spark):
+    """The opt-in broadcast kernel must not crash on a NULL-text doc —
+    it maps to the empty token set (Jaccard 0, excluded at any positive
+    threshold, matching the relational path's drop) instead of
+    frozenset(None) (r08 review, fifteenth pass)."""
+    from kf_task_fhir_etl_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, None)],
+        "doc_id bigint, text string",
+    )
+    cands = spark.createDataFrame([(1, 2), (1, 3)], "id_a bigint, id_b bigint")
+    out = dedup.verify_jaccard_pairs(docs, cands, threshold=0.5, small_corpus=True)
+    assert {(r["id_a"], r["id_b"]) for r in out.collect()} == {(1, 2)}
