@@ -141,11 +141,15 @@ def funnel_with_negation(
     from kf_task_fhir_etl_spark.operators.funnel import funnel_trajectories
     from kf_task_fhir_etl_spark.operators.lifecycle import staged
 
-    traj = staged(
-        funnel_trajectories(events, steps, user_col, ts_col, type_col, handles_out),
-        handles_out,
-    )
+    traj = funnel_trajectories(events, steps, user_col, ts_col, type_col, handles_out)
     all_denied = sorted({t for ds in denies for t in ds})
+    if all_denied:
+        # traj feeds TWO consumers only when some transition is guarded
+        # (the vetoes join + the flagged join); with every deny set empty
+        # it has one consumer and staging would pin a needless
+        # |users|-sized frame per call — the funnel_trajectories
+        # final-step discipline (r08 review, sixteenth pass)
+        traj = staged(traj, handles_out)
     if all_denied:
         deny_ev = (
             events.filter(F.col(ts_col).isNotNull())

@@ -840,3 +840,34 @@ def test_verify_jaccard_broadcast_kernel_tolerates_null_text(spark):
     cands = spark.createDataFrame([(1, 2), (1, 3)], "id_a bigint, id_b bigint")
     out = dedup.verify_jaccard_pairs(docs, cands, threshold=0.5, small_corpus=True)
     assert {(r["id_a"], r["id_b"]) for r in out.collect()} == {(1, 2)}
+
+
+def test_incremental_dedup_null_text_docs_are_invisible(spark):
+    """NULL-text docs have no shingles: un-indexable in the corpus,
+    candidate-less in the batch — no hot md5('') bucket, no spurious
+    desync assert, batch NULL-text docs always survive (r08 review,
+    sixteenth pass)."""
+    from kf_task_fhir_etl_spark.operators import dedup
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, None)], "doc_id bigint, text string"
+    )
+    batch = spark.createDataFrame(
+        [(10, "alpha beta gamma delta"), (11, None)], "doc_id bigint, text string"
+    )
+    index = dedup.minhash_index(corpus)
+    # doc 2's NULL text is not indexed at all
+    assert index.filter("id = 2").count() == 0
+    out = {r["doc_id"] for r in dedup.incremental_dedup(batch, index, corpus).collect()}
+    assert out == {11}  # dup 10 screened; NULL-text 11 survives, no assert fired
+
+
+def test_funnel_with_negation_empty_denies_stages_nothing(spark):
+    """With every deny set empty the trajectory has one consumer — no
+    extra handle may be pinned for it (r08 review, sixteenth pass)."""
+    ev = _ev(spark, [(1, "A", 0), (1, "B", 5)])
+    handles = []
+    patterns.funnel_with_negation(ev, ["A", "B"], denies=[[]], handles_out=handles).collect()
+    # only funnel_trajectories' own per-step frames (here: the step-1
+    # completion frame) — no traj handle on top
+    assert len(handles) == 1
