@@ -365,16 +365,24 @@ def k_core(
     """
     if k < 1:
         raise ValueError(f"k_core: k must be >= 1, got {k}")
+    def _degrees(frame: DataFrame, out_col: str) -> DataFrame:
+        # ONE definition of "degree in the surviving graph" for the peel
+        # test AND the returned column — a drift between them would
+        # desynchronize the fixpoint from the reported core degrees
+        # (r08 review, seventeenth pass; the _normalize_undirected
+        # rationale applied within the function)
+        return (
+            frame.select(F.col("u").alias("node"))
+            .unionAll(frame.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias(out_col))
+        )
+
     cur = _normalize_undirected(edges, src, dst).localCheckpoint()
     n_cur = cur.count()
     peels = 0
     while n_cur > 0:
-        deg = (
-            cur.select(F.col("u").alias("node"))
-            .unionAll(cur.select(F.col("v").alias("node")))
-            .groupBy("node")
-            .agg(F.count(F.lit(1)).alias("d"))
-        )
+        deg = _degrees(cur, "d")
         # keep feeds TWO semi-joins — without the per-round checkpoint
         # Catalyst re-derives the |E|-sized degree aggregate once per
         # consumer (r08 review, fifteenth pass; the triangle_count deg
@@ -410,12 +418,7 @@ def k_core(
             )
         _release_checkpoint(cur)
         cur, n_cur = nxt, n_nxt
-    return (
-        cur.select(F.col("u").alias("node"))
-        .unionAll(cur.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("deg"))
-    )
+    return _degrees(cur, "deg")
 
 
 def bfs_distances(

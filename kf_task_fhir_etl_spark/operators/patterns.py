@@ -148,9 +148,10 @@ def funnel_with_negation(
         # (the vetoes join + the flagged join); with every deny set empty
         # it has one consumer and staging would pin a needless
         # |users|-sized frame per call — the funnel_trajectories
-        # final-step discipline (r08 review, sixteenth pass)
+        # final-step discipline (r08 review, sixteenth pass; one block
+        # with the veto pass so the staging decision can never
+        # desynchronize from it, seventeenth pass)
         traj = staged(traj, handles_out)
-    if all_denied:
         deny_ev = (
             events.filter(F.col(ts_col).isNotNull())
             .filter(F.col(type_col).isin(*all_denied))

@@ -871,3 +871,20 @@ def test_funnel_with_negation_empty_denies_stages_nothing(spark):
     # only funnel_trajectories' own per-step frames (here: the step-1
     # completion frame) — no traj handle on top
     assert len(handles) == 1
+
+
+def test_check_coverage_ignores_unindexable_docs(spark):
+    """check_coverage must not flag NULL-text corpus docs — they can
+    never be indexed, so a lockstep index was reported as desynced (r08
+    review, seventeenth pass)."""
+    from kf_task_fhir_etl_spark.operators import dedup
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, None)], "doc_id bigint, text string"
+    )
+    index = dedup.minhash_index(corpus)
+    batch = spark.createDataFrame(
+        [(10, "unrelated words entirely here")], "doc_id bigint, text string"
+    )
+    out = dedup.incremental_dedup(batch, index, corpus, check_coverage=True)
+    assert out.count() == 1  # no spurious raise; non-dup batch doc survives
