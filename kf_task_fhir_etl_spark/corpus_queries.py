@@ -1798,7 +1798,7 @@ def q123_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-20 byte-for-byte — including boundary ties, which the
     (estimate DESC, word) total order pins. Ranking is
     TakeOrderedAndProject (per-partition top-k), never a global sort."""
-    from kf_task_fhir_etl_spark.operators import sketch
+    from kf_task_fhir_etl_spark.operators import lifecycle, sketch
 
     docs = load_table(spark, sf_dir, "documents")
     words = docs.select(F.explode(F.split(F.lower(F.col("text")), " ")).alias("word")).filter(
@@ -1811,11 +1811,11 @@ def q123_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kf_task_fhir_etl_spark import etl
 
     words = words.localCheckpoint(eager=False)
-    # prepare_sketch: cms_estimate would otherwise take its own INTERNAL
-    # lazy checkpoint of the raw build (sketch.py) — a pinned 4×512 sketch
-    # per gate call with no reachable release handle (r07 review); the
-    # prepared handle is released below with words
-    cms = sketch.prepare_sketch(sketch.cms_build(words, "word", depth=4, width=512))
+    # lifecycle.prepared: cms_estimate would otherwise take its own
+    # INTERNAL lazy checkpoint of the raw build (sketch.py) — a pinned
+    # 4×512 sketch per gate call with no reachable release handle (r07
+    # review); the prepared handle is released below with words
+    cms = lifecycle.prepared(sketch.cms_build(words, "word", depth=4, width=512))
     top = sketch.cms_topk(cms, words, "word", k=20)
     exact = words.groupBy("word").agg(F.count(F.lit(1)).alias("exact_n"))
     result = (
@@ -3108,7 +3108,11 @@ def q139_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
     equality; the oracle unrolls 8 peel rounds as chained CTEs (rounds
     past the fixpoint are provably no-ops), the q102/q125 discipline.
     Returns (node, deg-within-core); every deg >= 3 by the core
-    property, which the oracle hash pins."""
+    property, which the oracle hash pins. The final round's |E|-sized
+    edge checkpoint comes back via handles_out and is RELEASED after
+    the per-node degrees materialize (r08 ADVICE; the q131 lifecycle —
+    the returned aggregate's root cannot reach those blocks)."""
+    from kf_task_fhir_etl_spark import etl
     from kf_task_fhir_etl_spark.operators import graph
 
     li = (
@@ -3117,7 +3121,11 @@ def q139_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_partkey")
     )
     pairs = _copurchase_pairs(li)
-    return graph.k_core(pairs, k=3).orderBy("node")
+    handles: list[DataFrame] = []
+    core = graph.k_core(pairs, k=3, handles_out=handles)
+    result = core.localCheckpoint(eager=True)  # |core|-node rows — the residue
+    etl.release_checkpoints(handles)
+    return result.orderBy("node")
 
 
 # ---------------------------------------------------------------------------

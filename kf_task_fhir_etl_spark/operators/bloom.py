@@ -171,9 +171,9 @@ def bloom_prepare(bloom: DataFrame) -> DataFrame:
     build aggregation once and pin ONE set of blocks, not N (ADVICE r06:
     the per-call eager checkpoint accumulated pinned BlockManager entries
     in resident drivers). Release with ``etl.release_checkpoints([bloom])``
-    when the filter retires — the ``prepare_sketch`` lifecycle
-    (operators/sketch.py:145), via the shared ``lifecycle.prepared``
-    implementation."""
+    when the filter retires — the shared ``lifecycle.prepared``
+    contract (operators/lifecycle.py; the sketch shims were retired in
+    r09, this named wrapper stays for the bloom-specific docs)."""
     from kf_task_fhir_etl_spark.operators.lifecycle import prepared
 
     return prepared(bloom)

@@ -340,6 +340,7 @@ def k_core(
     src: str = "src",
     dst: str = "dst",
     max_rounds: int = 100,
+    handles_out: list[DataFrame] | None = None,
 ) -> DataFrame:
     """The k-core of an UNDIRECTED simple graph — iterative peeling
     (Matula/Beck '83; the Batagelj-Zaveršnik formulation): repeatedly
@@ -362,6 +363,18 @@ def k_core(
     label_propagation/connected_components discipline). Rounds are
     data-bounded (≤ |V| pathologically, a handful in practice);
     ``max_rounds`` is a loud guard, not a silent truncation.
+
+    Lifecycle of the RETURNED plan (r08 ADVICE): the result is a degree
+    aggregate over the FINAL round's |E|-sized edge checkpoint, whose
+    blocks are therefore NOT reachable through the returned frame's root
+    (its analyzed plan is an Aggregate, not a LogicalRDD, so
+    ``etl.release_checkpoints`` on the result cannot free them). Pass
+    ``handles_out`` (the funnel_counts contract) to receive that final
+    edge checkpoint for explicit release after the caller's terminal
+    action; with ``handles_out=None`` the blocks are reclaimed only by
+    GC + ContextCleaner when the returned frame is dropped — acceptable
+    for one-shot callers, a deferred-GC lifetime resident drivers that
+    call k_core repeatedly should avoid.
     """
     if k < 1:
         raise ValueError(f"k_core: k must be >= 1, got {k}")
@@ -418,6 +431,10 @@ def k_core(
             )
         _release_checkpoint(cur)
         cur, n_cur = nxt, n_nxt
+    if handles_out is not None:
+        # hand the final round's edge checkpoint to the caller — the
+        # returned aggregate cannot release it (docstring lifecycle note)
+        handles_out.append(cur)
     return _degrees(cur, "deg")
 
 

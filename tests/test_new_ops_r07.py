@@ -10,7 +10,7 @@ from pyspark.sql import functions as F
 
 from kf_task_fhir_etl_spark import etl
 from kf_task_fhir_etl_spark.operators import bloom
-from kf_task_fhir_etl_spark.operators.sketch import _is_checkpointed_relation
+from kf_task_fhir_etl_spark.operators.lifecycle import is_checkpointed_relation
 
 
 # ---------------------------------------------------------------------------
@@ -98,7 +98,7 @@ def test_bloom_dense_probe_equals_exact_semi_join_rows(spark):
 
 def test_bloom_prepare_reuse_and_release(spark):
     """A prepared filter is recognized by bloom_prune (no second
-    checkpoint, no duplicate build jobs — the prepare_sketch contract),
+    checkpoint, no duplicate build jobs — the lifecycle.prepared contract),
     and release_checkpoints frees its blocks for real: re-executing the
     released relation fails loudly because the truncated lineage cannot
     be recomputed (the test_pipeline_memo release-proof pattern)."""
@@ -106,7 +106,7 @@ def test_bloom_prepare_reuse_and_release(spark):
     big = spark.range(1000).select(F.col("id").alias("k"))
     bl = bloom.bloom_build(small, "k", num_bits=64 * 8, num_hashes=4)
     prepped = bloom.bloom_prepare(bl)
-    assert _is_checkpointed_relation(prepped)
+    assert is_checkpointed_relation(prepped)
 
     jsc = spark.sparkContext._jsc.sc()
     ids_before = {info.id() for info in jsc.getRDDStorageInfo()}
