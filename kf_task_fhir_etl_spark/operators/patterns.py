@@ -150,8 +150,23 @@ def funnel_with_negation(
         # |users|-sized frame per call — the funnel_trajectories
         # final-step discipline (r08 review, sixteenth pass; one block
         # with the veto pass so the staging decision can never
-        # desynchronize from it, seventeenth pass)
-        traj = staged(traj, handles_out)
+        # desynchronize from it, seventeenth pass).
+        # Project every step timestamp to integer µs ONCE here (VERDICT
+        # r08 #1): the veto aggregate previously converted the same t{i}
+        # columns k times per denied event — codegen made that nearly
+        # free, but the per-transition unix_micros calls bloated the
+        # aggregate's expression tree. |users| × k bigints of extra
+        # checkpoint width, trivial.
+        traj = staged(
+            traj.select(
+                "*",
+                *[
+                    F.unix_micros(F.col(f"t{i}")).alias(f"__us{i}")
+                    for i in range(1, len(steps) + 1)
+                ],
+            ),
+            handles_out,
+        )
         deny_ev = (
             events.filter(F.col(ts_col).isNotNull())
             .filter(F.col(type_col).isin(*all_denied))
@@ -172,8 +187,8 @@ def funnel_with_negation(
                     F.max(
                         F.when(
                             F.col("__t").isin(*ds)
-                            & (F.col("__us") > F.unix_micros(F.col(f"t{i}")))
-                            & (F.col("__us") < F.unix_micros(F.col(f"t{i + 1}"))),
+                            & (F.col("__us") > F.col(f"__us{i}"))
+                            & (F.col("__us") < F.col(f"__us{i + 1}")),
                             1,
                         ).otherwise(0)
                     ).alias(f"__v{i}")
