@@ -3346,3 +3346,100 @@ def q142_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = survivors.select("doc_id", "source").localCheckpoint(eager=True)
     etl.release_checkpoints(handles)
     return result.orderBy("doc_id")
+
+# ---------------------------------------------------------------------------
+# q143 — weighted single/multi-source shortest paths (operators/graph.py;
+# the seventh member of the iterative graph family: pagerank q102, label
+# prop q125, CC q63, triangles q131, k-core q139, BFS q140)
+# ---------------------------------------------------------------------------
+
+
+def _q143_oracle(rounds: int = 14) -> str:
+    """Unrolled Bellman-Ford min-relaxation (the q140 discipline with a
+    weight column): per round every node keeps the MIN of its current
+    distance and (a neighbor's distance + the edge weight). Weighted
+    shortest distances are a unique fixpoint and min-relaxation is
+    monotone, so any round count >= the max edge count of an optimal
+    path (8 at sf0.01 / 9 at sf0.1, measured) is byte-identical — extra
+    rounds are no-ops; weights are INTEGERS (1 + (u+v) % 5) so both
+    engines land on exact bigints. MATERIALIZED CTEs for the q139/q140
+    reason (default inlining re-expands the previous round per
+    reference)."""
+    parts = [
+        _ORDER_SAMPLED_PAIRS_SQL,
+        """, e AS MATERIALIZED (
+      SELECT u AS s, v AS t, 1 + (u + v) % 5 AS w FROM pairs
+      UNION ALL
+      SELECT v AS s, u AS t, 1 + (u + v) % 5 AS w FROM pairs
+    ), v0 AS MATERIALIZED (
+      SELECT DISTINCT node, CAST(0 AS BIGINT) AS dist FROM (
+        SELECT s AS node FROM e UNION ALL SELECT t FROM e
+      ) WHERE node % 97 = 0
+    )""",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""", v{i} AS MATERIALIZED (
+      SELECT node, MIN(dist) AS dist FROM (
+        SELECT node, dist FROM v{i-1}
+        UNION ALL
+        SELECT e.t AS node, v{i-1}.dist + e.w AS dist
+        FROM v{i-1} JOIN e ON v{i-1}.node = e.s
+      ) GROUP BY node
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT node, CAST(dist AS BIGINT) AS dist FROM v{rounds} ORDER BY node"""
+    )
+    return "".join(parts)
+
+
+@register("q143_weighted_sssp", oracle=_q143_oracle())
+def q143_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source weighted shortest paths over the order-sampled part
+    co-purchase graph (operators/graph.py::sssp_distances), weights
+    1 + (u+v) % 5 (deterministic INTEGERS both engines derive
+    identically — exact bigint distances, no float near the decision),
+    sources = graph nodes with node % 97 = 0 (the q140 convention). The
+    Spark side runs frontier Bellman-Ford to the no-improvement fixpoint
+    — per round one node-key relax join + min-aggregate and ONE
+    full-outer merge checkpoint whose projections are the next frontier
+    and distance table; superseded rounds released; the final state
+    comes back via handles_out and is released after the result
+    materializes (the q139 lifecycle). The oracle unrolls 14
+    min-relaxation rounds as MATERIALIZED CTEs (8 productive at sf0.01 /
+    9 at sf0.1, measured; extra rounds are provably no-ops). Unreachable
+    nodes are absent on BOTH sides; a light multi-hop path beats a heavy
+    direct edge, which hop-BFS (q140) cannot express — the two gates'
+    differing distances on the same graph pin the weight semantics."""
+    from kf_task_fhir_etl_spark import etl
+    from kf_task_fhir_etl_spark.operators import graph
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 20 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    # checkpoint the dominant self-join ONCE (the q140 rationale: it
+    # otherwise appears under both the weighted-edge build and the
+    # source-node derivation across sssp's eager checkpoint jobs);
+    # released right after the call — sssp consumed it eagerly
+    pairs = _copurchase_pairs(li).localCheckpoint(eager=True)
+    weighted = pairs.select(
+        "src", "dst", (F.lit(1) + (F.col("src") + F.col("dst")) % 5).cast("bigint").alias("w")
+    )
+    nodes = (
+        pairs.select(F.col("src").alias("node"))
+        .unionByName(pairs.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    sources = nodes.filter(F.col("node") % 97 == 0)
+    handles: list[DataFrame] = []
+    dists = graph.sssp_distances(weighted, sources, handles_out=handles)
+    result = dists.select("node", F.col("dist").cast("bigint").alias("dist")).localCheckpoint(
+        eager=True
+    )
+    etl.release_checkpoints(handles)
+    etl.release_checkpoints([pairs])
+    return result.orderBy("node")

@@ -128,6 +128,118 @@ def test_k_core_handles_out_releases_final_checkpoint(spark):
         handles[0].count()  # blocks gone, truncated lineage → loud failure
 
 
+# ---------------------------------------------------------------------------
+# Weighted SSSP (VERDICT r08 #4)
+# ---------------------------------------------------------------------------
+
+
+def _brute_sssp(edges, sources, directed=False):
+    """Driver-side Bellman-Ford over (s, t, w) tuples — the independent
+    method the randomized parity check compares against."""
+    adj = list(edges) + ([] if directed else [(t, s, w) for s, t, w in edges])
+    dist = {s: 0 for s in sources}
+    for _ in range(len({n for e in adj for n in e[:2]} | set(sources)) + 1):
+        changed = False
+        for s, t, w in adj:
+            if s == t or s is None or t is None or w is None:
+                continue
+            if s in dist and dist[s] + w < dist.get(t, float("inf")):
+                dist[t] = dist[s] + w
+                changed = True
+        if not changed:
+            break
+    return dist
+
+
+def _wedges(spark, triples):
+    return spark.createDataFrame(triples, "src bigint, dst bigint, w bigint")
+
+
+def _srcs(spark, nodes):
+    return spark.createDataFrame([(n,) for n in nodes], "node bigint")
+
+
+def test_sssp_prefers_light_multi_hop_path(spark):
+    """The defining weighted case: a heavy direct edge loses to a light
+    two-hop path — hop-BFS would say dist(2) = 1, SSSP must say 2."""
+    e = _wedges(spark, [(0, 2, 10), (0, 1, 1), (1, 2, 1)])
+    got = {r["node"]: r["dist"] for r in graph.sssp_distances(e, _srcs(spark, [0])).collect()}
+    assert got == {0: 0, 1: 1, 2: 2}
+
+
+def test_sssp_multi_source_and_unreachable(spark):
+    """Nearest-source semantics + unreachable nodes absent + an isolated
+    source reports 0 (the bfs_distances conventions)."""
+    e = _wedges(spark, [(0, 1, 5), (1, 2, 5), (10, 11, 1)])
+    got = {
+        r["node"]: r["dist"]
+        for r in graph.sssp_distances(e, _srcs(spark, [0, 2, 99])).collect()
+    }
+    # node 1 is 5 from either source; 10/11 unreachable; 99 isolated source
+    assert got == {0: 0, 2: 0, 1: 5, 99: 0}
+
+
+def test_sssp_directed_vs_undirected(spark):
+    e = _wedges(spark, [(0, 1, 3), (2, 1, 4)])
+    d = {r["node"]: r["dist"] for r in graph.sssp_distances(e, _srcs(spark, [0]), directed=True).collect()}
+    assert d == {0: 0, 1: 3}  # 1→2 edge is 2→1 only; 2 unreachable
+    u = {r["node"]: r["dist"] for r in graph.sssp_distances(e, _srcs(spark, [0])).collect()}
+    assert u == {0: 0, 1: 3, 2: 7}
+
+
+def test_sssp_parallel_edges_and_nulls(spark):
+    """Parallel edges collapse to the min weight; NULL endpoints/weights
+    and self-loops are dropped, never phantom nodes."""
+    rows = [(0, 1, 9), (0, 1, 2), (1, 1, 1), (None, 1, 1), (1, None, 1), (1, 2, None)]
+    e = spark.createDataFrame(rows, "src bigint, dst bigint, w bigint")
+    got = {r["node"]: r["dist"] for r in graph.sssp_distances(e, _srcs(spark, [0])).collect()}
+    assert got == {0: 0, 1: 2}
+
+
+def test_sssp_randomized_brute_force_parity(spark):
+    """Random sparse graphs, integer weights — distances must equal the
+    driver-side Bellman-Ford exactly (both directed and undirected)."""
+    import random
+
+    rng = random.Random(909)
+    for directed in (False, True):
+        for trial in range(3):
+            n = rng.randint(6, 14)
+            m = rng.randint(n, 3 * n)
+            edges = [
+                (rng.randrange(n), rng.randrange(n), rng.randint(1, 9))
+                for _ in range(m)
+            ]
+            sources = sorted(rng.sample(range(n), rng.randint(1, 2)))
+            want = _brute_sssp(edges, sources, directed)
+            got = {
+                r["node"]: r["dist"]
+                for r in graph.sssp_distances(
+                    _wedges(spark, edges), _srcs(spark, sources), directed=directed
+                ).collect()
+            }
+            assert got == want, (directed, trial, edges, sources)
+
+
+def test_sssp_max_rounds_guard(spark):
+    """A path graph needing more productive rounds than the guard raises
+    loudly; exactly-at-the-bound gets its free fixpoint confirmation."""
+    chain = [(i, i + 1, 1) for i in range(6)]
+    e = _wedges(spark, chain)
+    with pytest.raises(RuntimeError, match="max_rounds"):
+        graph.sssp_distances(e, _srcs(spark, [0]), max_rounds=3, directed=True)
+    ok = graph.sssp_distances(e, _srcs(spark, [0]), max_rounds=6, directed=True)
+    assert ok.count() == 7  # eccentricity exactly 6: no spurious raise
+
+
+def test_sssp_double_weights(spark):
+    e = spark.createDataFrame(
+        [(0, 1, 0.5), (1, 2, 0.25), (0, 2, 1.0)], "src bigint, dst bigint, w double"
+    )
+    got = {r["node"]: r["dist"] for r in graph.sssp_distances(e, _srcs(spark, [0])).collect()}
+    assert got == {0: 0.0, 1: 0.5, 2: 0.75}
+
+
 def test_k_core_without_handles_matches(spark):
     """handles_out=None keeps the r08 behavior (GC-reclaimed lifetime) and
     identical results."""
