@@ -411,12 +411,11 @@ _CHECK_FIRST = [
     #    each registers — test_check_lists_are_exact_and_disjoint rejects
     #    unknown names, so the window briefly runs <50 until all three land)
     "q143_weighted_sssp",
-    # "q144_join_view_ivm",
+    "q144_join_view_ivm",
     # "q145_streaming_pattern_spans",
-    # placeholders holding the remaining slots until the new gates
-    # register — the head of the r10 JSON-family deferral, displaced
-    # one-for-one as each gate lands:
-    "q24_fhir_patient_resources",
+    # placeholder holding the last slot until the final new gate
+    # registers — the head of the r10 JSON-family deferral, displaced
+    # when it lands:
     "q30_fhir_vital_status_json",
     # -- r06-vintage re-proves (untouched code; next-oldest debt)
     "q100_corpus_build_pipeline",
@@ -458,6 +457,7 @@ _CHECK_LAST = [
     # selects the same plan() structs), their code is untouched this
     # round (staleness guard green), and the 29 in-window r06 slots went
     # to gates with no such umbrella. LEAD the r10 window.
+    "q24_fhir_patient_resources",
     "q74_fhir_proband_status_json",
     "q75_fhir_family_json",
     "q76_fhir_research_study_json",

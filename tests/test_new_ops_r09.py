@@ -129,6 +129,100 @@ def test_k_core_handles_out_releases_final_checkpoint(spark):
 
 
 # ---------------------------------------------------------------------------
+# Join-view IVM (VERDICT r08 #5)
+# ---------------------------------------------------------------------------
+
+
+def _ivm_frames(spark):
+    """R(k, pri), S(k, qty) with duplicates and NULL keys on both sides."""
+    r = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b"), (3, "b"), (None, "x")], "k int, pri string"
+    )
+    s = spark.createDataFrame(
+        [(1, 10), (1, 20), (2, 5), (3, 7), (None, 99)], "k int, qty int"
+    )
+    return r, s
+
+
+def _recompute(r_new, s_new):
+    return (
+        r_new.join(s_new, ["k"])
+        .groupBy("pri")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("qty").cast("int").alias("sum_qty"))
+    )
+
+
+def _rows(df):
+    return sorted((r["pri"], r["n"], r["sum_qty"]) for r in df.collect())
+
+
+def test_join_view_delta_both_sides_matches_recompute(spark):
+    """The full contract: inserts AND deletes on BOTH sides — including a
+    matching (r_del, s_del) pair whose double-deletion the ΔR⋈ΔS term
+    must compensate — maintained view ≡ from-scratch over the new states."""
+    from kf_task_fhir_etl_spark.operators import ivm
+
+    r_old, s_old = _ivm_frames(spark)
+    view = _recompute(r_old, s_old)
+    # ΔR: insert (4,'b'), delete one (3,'b') copy; ΔS: insert (4,30),
+    # delete (3,7) — the (3,'b')×(3,7) pair leaves both sides at once
+    delta_r = spark.createDataFrame(
+        [(4, "b", 1), (3, "b", -1)], "k int, pri string, op int"
+    )
+    delta_s = spark.createDataFrame([(4, 30, 1), (3, 7, -1)], "k int, qty int, op int")
+    got = ivm.apply_join_view_delta(
+        view, r_old, s_old, delta_r, delta_s, on=["k"], keys=["pri"],
+        sum_cols={"sum_qty": "qty"},
+    )
+    r_new = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b"), (None, "x"), (4, "b")], "k int, pri string"
+    )
+    s_new = spark.createDataFrame(
+        [(1, 10), (1, 20), (2, 5), (None, 99), (4, 30)], "k int, qty int"
+    )
+    assert _rows(got) == _rows(_recompute(r_new, s_new))
+    assert dict(got.dtypes) == dict(view.dtypes)  # schema preservation inherited
+
+
+def test_join_view_delta_one_sided_and_group_vanish(spark):
+    """One-sided changelog; a group whose every joined row is deleted
+    VANISHES (zero-count removal through the join algebra)."""
+    from kf_task_fhir_etl_spark.operators import ivm
+
+    r_old, s_old = _ivm_frames(spark)
+    view = _recompute(r_old, s_old)
+    # delete BOTH (3,'b') copies from R: group 'b' loses its only joined
+    # rows (2 copies × s(3,7)) and must vanish
+    delta_r = spark.createDataFrame(
+        [(3, "b", -1), (3, "b", -1)], "k int, pri string, op int"
+    )
+    got = ivm.apply_join_view_delta(
+        view, r_old, s_old, delta_r, None, on=["k"], keys=["pri"],
+        sum_cols={"sum_qty": "qty"},
+    )
+    r_new = spark.createDataFrame([(1, "a"), (2, "a"), (None, "x")], "k int, pri string")
+    assert _rows(got) == _rows(_recompute(r_new, s_old))
+    assert not [r for r in got.collect() if r["pri"] == "b"]
+
+
+def test_join_delta_validation(spark):
+    from kf_task_fhir_etl_spark.operators import ivm
+
+    r_old, s_old = _ivm_frames(spark)
+    with pytest.raises(ValueError, match="both deltas are None"):
+        ivm.join_delta(r_old, s_old, None, None, on=["k"])
+    bad_schema = spark.createDataFrame([(1, 1)], "k int, op int")  # lacks pri
+    with pytest.raises(ValueError, match="columns"):
+        ivm.join_delta(r_old, s_old, bad_schema, None, on=["k"])
+    wide_key = spark.createDataFrame([(1, "a", 1)], "k bigint, pri string, op int")
+    with pytest.raises(ValueError, match="dtypes drift"):
+        ivm.join_delta(r_old, s_old, wide_key, None, on=["k"])
+    clash = s_old.withColumnRenamed("qty", "pri")
+    with pytest.raises(ValueError, match="both sides"):
+        ivm.join_delta(r_old, clash, None, clash.withColumn("op", F.lit(1)), on=["k"])
+
+
+# ---------------------------------------------------------------------------
 # Weighted SSSP (VERDICT r08 #4)
 # ---------------------------------------------------------------------------
 
