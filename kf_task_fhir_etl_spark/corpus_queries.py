@@ -2896,9 +2896,9 @@ def q136_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "q137_pattern_spans",
-    oracle="""
+# Shared by q137 (batch) and q145 (stream): the stream ≡ batch contract is
+# literally "same oracle" — one SQL string, two execution surfaces.
+_SPANS_ORACLE_SQL = """
     WITH b AS (
       SELECT user_id AS u, epoch_us(ts) AS us FROM events
       WHERE event_type = 'purchase' AND ts IS NOT NULL
@@ -2921,8 +2921,10 @@ def q136_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE n.u = spans.u AND n.us > spans.start_us AND n.us < spans.end_us
       )
     ORDER BY user_id, start_us, end_us
-    """,
-)
+    """
+
+
+@register("q137_pattern_spans", oracle=_SPANS_ORACLE_SQL)
 def q137_pattern_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All view→purchase spans with NO error strictly between
     (operators/patterns.py::pattern_spans) — existential all-matches
@@ -3533,3 +3535,42 @@ def q144_join_view_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "pri", "n", F.col("sum_qty").cast("double").alias("sum_qty")
     ).orderBy("pri")
+
+
+# ---------------------------------------------------------------------------
+# q145 — streaming pattern spans (streaming/patterns.py; the stream form of
+# q137 — VERDICT r08 #6, completing batch/stream unification for the
+# pattern family)
+# ---------------------------------------------------------------------------
+
+
+@register("q145_streaming_pattern_spans", oracle=_SPANS_ORACLE_SQL)
+def q145_streaming_pattern_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The q137 pattern (view→purchase with no error strictly between)
+    evaluated on a STREAM (streaming/patterns.py::streaming_pattern_spans):
+    the events table replays as THREE event-time-ordered microbatches
+    (ts-quantile file split, maxFilesPerTrigger=1 — the monotone
+    log-segment shape), and a keyed state machine carries (latest view µs,
+    latest error µs) per user — 4 scalars, no history buffering — deciding
+    each purchase on arrival; spans that straddle a batch boundary (view
+    in batch 1, purchase in batch 2) exercise the carried state. The
+    oracle is LITERALLY q137's batch SQL (_SPANS_ORACLE_SQL — one string,
+    two surfaces): streamed decisions must be span-for-span identical to
+    the batch window pass, including strict-precedence µs ties at batch
+    boundaries (the matcher applies the SET rule to carried state too).
+    Append-mode emission is sound because a span's veto window closes at
+    its end event — nothing later can retract it."""
+    from kf_task_fhir_etl_spark.streaming.events import (
+        read_events_stream_time_split,
+        run_stream_to_memory,
+    )
+    from kf_task_fhir_etl_spark.streaming.patterns import streaming_pattern_spans
+
+    stream = read_events_stream_time_split(spark, sf_dir, n_splits=3)
+    spans = streaming_pattern_spans(stream, "view", "purchase", ["error"])
+    run_stream_to_memory(spans, "q145_spans_mem", output_mode="append")
+    return (
+        spark.table("q145_spans_mem")
+        .select("user_id", "start_us", "end_us")
+        .orderBy("user_id", "start_us", "end_us")
+    )

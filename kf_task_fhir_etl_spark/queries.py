@@ -407,16 +407,10 @@ _CHECK_FIRST = [
     "q134_event_funnel",
     "q138_negated_funnel",
     "q137_pattern_spans",
-    # -- NEW gates this round (each lands WITH its proof; uncommented as
-    #    each registers — test_check_lists_are_exact_and_disjoint rejects
-    #    unknown names, so the window briefly runs <50 until all three land)
+    # -- NEW gates this round (each landed WITH its proof)
     "q143_weighted_sssp",
     "q144_join_view_ivm",
-    # "q145_streaming_pattern_spans",
-    # placeholder holding the last slot until the final new gate
-    # registers — the head of the r10 JSON-family deferral, displaced
-    # when it lands:
-    "q30_fhir_vital_status_json",
+    "q145_streaming_pattern_spans",
     # -- r06-vintage re-proves (untouched code; next-oldest debt)
     "q100_corpus_build_pipeline",
     "q101_scd2_history",
@@ -458,6 +452,7 @@ _CHECK_LAST = [
     # round (staleness guard green), and the 29 in-window r06 slots went
     # to gates with no such umbrella. LEAD the r10 window.
     "q24_fhir_patient_resources",
+    "q30_fhir_vital_status_json",
     "q74_fhir_proband_status_json",
     "q75_fhir_family_json",
     "q76_fhir_research_study_json",

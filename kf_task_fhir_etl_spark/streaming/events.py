@@ -203,3 +203,64 @@ def read_events_stream_with_flush(
         .format("parquet")
         .load(stage)
     )
+
+
+def read_events_stream_time_split(spark: SparkSession, sf_dir: str, n_splits: int = 3) -> DataFrame:
+    """Events stream delivered as ``n_splits`` microbatches in EVENT-TIME
+    order — the monotone log-segment replay shape the stateful pattern
+    operators' ordering contract names (streaming/patterns.py): the staged
+    layout splits the events table into ``n_splits`` files on ts-quantile
+    cut values (splits are by VALUE, so same-µs rows always land in one
+    batch) with ascending mtimes, and ``maxFilesPerTrigger=1`` replays
+    them oldest-first. NULL-ts rows ride in the first file so the stream
+    still carries the full table (stateful intakes filter them). A
+    production deployment gets this ordering from time-partitioned file
+    drops or per-key-ordered Kafka; this staging makes the contract
+    reproducible over the flat testdata parquet."""
+    import os
+    import time
+
+    from kf_task_fhir_etl_spark.catalog import load_table, staged_layout
+
+    if n_splits < 2:
+        raise ValueError(f"read_events_stream_time_split: n_splits must be >= 2, got {n_splits}")
+
+    def build(tmp: str) -> None:
+        ev = load_table(spark, sf_dir, "events")  # ts normalized to timestamp
+        us = ev.select(F.unix_micros("ts").cast("double").alias("u"))
+        cuts = sorted(
+            set(us.approxQuantile("u", [i / n_splits for i in range(1, n_splits)], 0.001))
+        )
+        if not cuts:  # empty / all-NULL-ts table: one batch is all there is
+            ev.coalesce(1).write.mode("append").parquet(tmp)
+            return
+        buckets = []
+        lo = None
+        for c in cuts:
+            cond = F.unix_micros("ts") <= F.lit(int(c))
+            if lo is not None:
+                cond = cond & (F.unix_micros("ts") > F.lit(int(lo)))
+            else:
+                cond = cond | F.col("ts").isNull()
+            buckets.append(ev.filter(cond))
+            lo = c
+        buckets.append(ev.filter(F.unix_micros("ts") > F.lit(int(lo))))
+        seen: set[str] = set()
+        now = time.time()
+        for i, b in enumerate(buckets):
+            b.coalesce(1).write.mode("append").parquet(tmp)
+            new = {f for f in os.listdir(tmp) if f.endswith(".parquet")} - seen
+            # one data file per bucket (coalesce(1)); distinct ascending
+            # mtimes pin FileStreamSource's oldest-first batch order
+            for f in new:
+                os.utime(os.path.join(tmp, f), (now - 1000 + i * 100,) * 2)
+            seen |= new
+
+    stage = staged_layout(f"tsplit{n_splits}_stream", sf_dir, ["events"], build)
+    schema = spark.read.parquet(stage).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(stage)
+    )

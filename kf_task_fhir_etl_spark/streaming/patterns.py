@@ -1,0 +1,168 @@
+"""Streaming event-pattern spans — the stream form of
+``operators/patterns.py::pattern_spans`` (VERDICT r08 #6), completing the
+batch/stream unification story for the pattern family the way q109 did for
+the stateless quality filters and q96/q37 for dedup/aggregation.
+
+Batch ``pattern_spans`` is ONE window pass per user: for each ``then``
+event, the latest strictly-earlier ``first`` event, kept when no ``deny``
+event sits strictly between them. That running-max-over-history shape is
+exactly a keyed streaming state machine: per user, carry (latest anchor µs,
+latest deny µs) and decide each arriving ``then`` event against the carried
+state — O(1) state per user, no buffering of history. Decisions are
+emitted append-only: a span, once emitted, is final (the open-interval veto
+only depends on events BEFORE the span's end, which the ordering contract
+below has already delivered).
+
+ORDERING CONTRACT (documented, enforced by the q145 source): each user's
+events must arrive in nondecreasing event-time order ACROSS microbatches,
+with same-microsecond rows co-batched not required — the matcher applies
+the strict-precedence rule to the carried state too, so an anchor that
+straddles a batch boundary at the same microsecond as a target still
+cannot count as "before" it. Within a microbatch, arbitrary row order is
+fine (the matcher sorts the group's Arrow batch). This is the monotone
+log-segment replay shape (Kafka per-key ordering, time-partitioned file
+drops); true out-of-order ingestion needs watermark-delayed evaluation —
+buffer events until the watermark passes, then run this same matcher over
+the released prefix — which is a composition of the session-window flush
+machinery (streaming/events.py) with this operator, not a different
+algorithm.
+
+Scale: state is 4 scalars per distinct user, hash-partitioned by the user
+key into the state store — the same shuffle key as the batch window pass,
+so skew reasoning carries over; a hot user costs one sorted scan of its
+per-batch slice, never a self-join. The matcher is vectorized numpy over
+each group's Arrow batch (prefix maxima + one searchsorted), not a Python
+row loop.
+
+Reference anchor: the reference pipeline has no streaming surface
+(SURVEY.md §2.8); this extends the engine's pattern family (q137/q138/
+q141) to the stream side.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+# sentinel for "no event seen yet" — any real unix_micros beats it
+_ABSENT = np.iinfo(np.int64).min
+
+SPANS_STATE = "has_first boolean, last_first bigint, has_deny boolean, last_deny bigint"
+
+
+def _make_span_matcher(first: str, then: str, deny: set[str]):
+    deny_list = sorted(deny)
+
+    def match(key, pdfs, state: GroupState):
+        if state.exists:
+            has_f, lf, has_d, ld = state.get
+            seed_first = np.int64(lf) if has_f else _ABSENT
+            seed_deny = np.int64(ld) if has_d else _ABSENT
+        else:
+            seed_first = seed_deny = _ABSENT
+        parts = [p for p in pdfs if len(p)]
+        if not parts:
+            return
+        pdf = parts[0] if len(parts) == 1 else pd.concat(parts, ignore_index=True)
+        # stable sort: equal-µs rows keep arrival order, but the decision
+        # rule below is a SET rule over strictly-earlier µs, so their
+        # relative order cannot change any emitted span
+        pdf = pdf.sort_values("__us", kind="mergesort", ignore_index=True)
+        us = pdf["__us"].to_numpy(dtype=np.int64)
+        t = pdf["__t"].to_numpy()
+        is_first = t == first
+        is_deny = np.isin(t, deny_list) if deny_list else np.zeros(len(t), dtype=bool)
+        is_then = t == then
+        # prefix maxima INCLUDING row i; the strictly-before lookup below
+        # rewinds to the last row with a smaller µs (searchsorted 'left'),
+        # which is the batch half of the strict-precedence SET rule
+        cf = np.maximum.accumulate(np.where(is_first, us, _ABSENT))
+        cd = np.maximum.accumulate(np.where(is_deny, us, _ABSENT))
+        k = np.searchsorted(us, us, side="left") - 1
+        ki = np.clip(k, 0, None)
+        last_first = np.where(k >= 0, cf[ki], _ABSENT)
+        last_deny = np.where(k >= 0, cd[ki], _ABSENT)
+        # carried state joins under the SAME strict rule: a prior-batch
+        # anchor at the target's exact µs is not "before" it, so a batch
+        # boundary can never split the engines on a tie
+        last_first = np.maximum(last_first, np.where(us > seed_first, seed_first, _ABSENT))
+        last_deny = np.maximum(last_deny, np.where(us > seed_deny, seed_deny, _ABSENT))
+        hit = (
+            is_then
+            & (last_first != _ABSENT)
+            & ((last_deny == _ABSENT) | (last_deny <= last_first))
+        )
+        new_first = max(seed_first, cf[-1]) if len(cf) else seed_first
+        new_deny = max(seed_deny, cd[-1]) if len(cd) else seed_deny
+        state.update(
+            (
+                bool(new_first != _ABSENT),
+                int(new_first) if new_first != _ABSENT else 0,
+                bool(new_deny != _ABSENT),
+                int(new_deny) if new_deny != _ABSENT else 0,
+            )
+        )
+        if hit.any():
+            yield pd.DataFrame(
+                {
+                    "user": np.repeat(key[0], int(hit.sum())),
+                    "start_us": last_first[hit],
+                    "end_us": us[hit],
+                }
+            )
+
+    return match
+
+
+def streaming_pattern_spans(
+    events: DataFrame,
+    first: str,
+    then: str,
+    deny: list[str] | None = None,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Matched (user, start_us, end_us) spans over an event STREAM, with
+    pattern_spans' exact batch semantics: every ``then`` event pairs with
+    its latest strictly-earlier ``first`` event and survives only if no
+    ``deny`` event falls strictly inside the open µs interval. NULL
+    users/timestamps are excluded at intake (the batch operator's
+    contract). Emits one row per matching ``then`` event — duplicates
+    when several targets share a span, exactly like the batch window
+    pass.
+
+    State per user is (latest anchor µs, latest deny µs) — 4 scalars, no
+    event buffering — under the module-level ordering contract
+    (per-user nondecreasing event time across microbatches)."""
+    deny = deny or []
+    types = {first, then, *deny}
+    user_field = next(f for f in events.schema.fields if f.name == user_col)
+    ev = (
+        events.filter(F.col(ts_col).isNotNull() & F.col(user_col).isNotNull())
+        .filter(F.col(type_col).isin(*types))
+        .select(
+            F.col(user_col).alias("user"),
+            F.col(type_col).alias("__t"),
+            F.unix_micros(F.col(ts_col)).alias("__us"),
+        )
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("user", user_field.dataType),
+            T.StructField("start_us", T.LongType()),
+            T.StructField("end_us", T.LongType()),
+        ]
+    )
+    out = ev.groupBy("user").applyInPandasWithState(
+        _make_span_matcher(first, then, set(deny)),
+        outputStructType=out_schema,
+        stateStructType=SPANS_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return out.select(F.col("user").alias(user_col), "start_us", "end_us")

@@ -344,3 +344,150 @@ def test_k_core_without_handles_matches(spark):
     b = {(r["node"], r["deg"]) for r in graph.k_core(e, 2).collect()}
     assert a == b and len(a) == 4
     etl.release_checkpoints(with_h)
+
+
+# ---------------------------------------------------------------------------
+# streaming pattern spans (VERDICT r08 #6 — streaming/patterns.py)
+# ---------------------------------------------------------------------------
+
+
+def _span_events(spark, rows):
+    """rows: (user, µs, type) — µs as integers so tie semantics are exact."""
+    return spark.createDataFrame(
+        rows, "user_id bigint, us bigint, event_type string"
+    ).select("user_id", F.timestamp_micros("us").alias("ts"), "event_type")
+
+
+def _run_spans_stream(spark, tmp_path, batches, name, deny=("N",)):
+    """Write one parquet dir per microbatch (write order = mtime order =
+    batch order under maxFilesPerTrigger=1), run the stateful stream to a
+    memory sink, return the emitted spans as a SORTED LIST (duplicates
+    matter — the operator emits one row per matching target event)."""
+    from kf_task_fhir_etl_spark.streaming import patterns as spat
+
+    src = str(tmp_path / f"{name}_src")
+    schema = None
+    for i, rows in enumerate(batches, 1):
+        df = _span_events(spark, rows)
+        schema = df.schema
+        df.coalesce(1).write.parquet(f"{src}/b{i}.parquet")
+    raw = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(f"{src}/*.parquet")
+    )
+    spans = spat.streaming_pattern_spans(raw, "A", "B", list(deny))
+    q = (
+        spans.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(tmp_path / f"{name}_ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return sorted(tuple(r) for r in spark.table(name).collect())
+
+
+def test_streaming_spans_cross_batch_state(spark, tmp_path):
+    """Spans and vetoes that straddle microbatch boundaries must resolve
+    from the carried per-user state: anchor in batch 1 + target in batch 2
+    matches; a deny on either side of the boundary voids iff it sits
+    strictly inside the open interval."""
+    b1 = [
+        (1, 100, "A"),                      # → matches the batch-2 B
+        (2, 100, "A"), (2, 150, "N"),       # deny inside, carried → voided
+        (3, 50, "N"), (3, 100, "A"),        # deny BEFORE anchor → harmless
+        (4, 100, "A"),                      # deny arrives in batch 2
+    ]
+    b2 = [
+        (1, 200, "B"),
+        (2, 200, "B"),
+        (3, 200, "B"),
+        (4, 150, "N"), (4, 200, "B"),
+    ]
+    got = _run_spans_stream(spark, tmp_path, [b1, b2], "spans_xbatch")
+    assert got == [(1, 100, 200), (3, 100, 200)]
+
+
+def test_streaming_spans_strict_tie_semantics(spark, tmp_path):
+    """Same-µs ties follow the batch SET rule on BOTH sides of a batch
+    boundary: an anchor at the target's exact µs is never 'before' it
+    (in-batch via searchsorted, cross-batch via the guarded state seed);
+    a deny tied to the start or end µs never voids (open interval)."""
+    b1 = [
+        (1, 100, "A"), (1, 100, "B"),        # in-batch tie → no span
+        (2, 100, "A"),                        # cross-batch tie with b2's B
+        (3, 100, "A"),
+        (4, 100, "A"), (4, 100, "N"),        # deny tied to start → harmless
+    ]
+    b2 = [
+        (2, 100, "B"),                        # → no span (anchor not < target)
+        (3, 200, "N"), (3, 200, "B"),        # deny tied to end → harmless
+        (4, 200, "B"),
+        (5, 300, "A"), (5, 400, "B"), (5, 400, "B"),  # two targets, one µs
+    ]
+    got = _run_spans_stream(spark, tmp_path, [b1, b2], "spans_ties")
+    assert got == [(3, 100, 200), (4, 100, 200), (5, 300, 400), (5, 300, 400)]
+
+
+def test_streaming_spans_match_batch_operator_randomized(spark, tmp_path):
+    """Stream ≡ batch on a randomized event log with heavy µs collisions:
+    the union of the time-split microbatches fed to the stateful matcher
+    must reproduce operators/patterns.py::pattern_spans row-for-row
+    (duplicates included)."""
+    import random
+
+    from kf_task_fhir_etl_spark.operators import patterns as bpat
+
+    rng = random.Random(945)
+    rows = [
+        (rng.randrange(12), rng.randrange(60), rng.choice(["A", "B", "N", "C"]))
+        for _ in range(400)
+    ]
+    # value-based split (same-µs rows co-batch) = the ordering contract
+    batches = [
+        [r for r in rows if r[1] <= 20],
+        [r for r in rows if 20 < r[1] <= 40],
+        [r for r in rows if r[1] > 40],
+    ]
+    got = _run_spans_stream(spark, tmp_path, batches, "spans_rand")
+    want = sorted(
+        tuple(r)
+        for r in bpat.pattern_spans(_span_events(spark, rows), "A", "B", ["N"]).collect()
+    )
+    assert got == want
+
+
+def test_time_split_reader_files_are_ordered_and_complete(spark):
+    """The staged time-split layout: one file per split, mtimes ascending
+    in event-time order, non-null ts ranges DISJOINT across files (so
+    same-µs rows can never straddle a microbatch), union exact."""
+    import os
+
+    from kf_task_fhir_etl_spark.catalog import load_table
+    from kf_task_fhir_etl_spark.streaming.events import read_events_stream_time_split
+    from .conftest import SF_SMOKE
+
+    read_events_stream_time_split(spark, SF_SMOKE, n_splits=3)  # ensures staging
+    from kf_task_fhir_etl_spark.catalog import staged_base
+
+    stage = staged_base("tsplit3_stream", SF_SMOKE, ["events"])
+    files = sorted(
+        (f for f in os.listdir(stage) if f.endswith(".parquet")),
+        key=lambda f: os.path.getmtime(os.path.join(stage, f)),
+    )
+    assert len(files) == 3
+    total = 0
+    prev_hi = None
+    for f in files:
+        part = spark.read.parquet(os.path.join(stage, f))
+        total += part.count()
+        rng = part.agg(
+            F.min(F.unix_micros("ts")).alias("lo"), F.max(F.unix_micros("ts")).alias("hi")
+        ).collect()[0]
+        if prev_hi is not None and rng["lo"] is not None:
+            assert rng["lo"] > prev_hi, "splits overlap or tie across files"
+        prev_hi = rng["hi"] if rng["hi"] is not None else prev_hi
+    assert total == load_table(spark, SF_SMOKE, "events").count()
