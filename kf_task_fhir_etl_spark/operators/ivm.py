@@ -31,6 +31,11 @@ inner equi-join views via the delta-join rule Î”(Râ‹ˆS) = Î”Râ‹ˆS âˆª Râ‹ˆÎ”S âˆ
 Î”Râ‹ˆÎ”S (signs multiply); ``apply_join_view_delta`` composes it with
 ``apply_agg_delta`` so an aggregate over a join maintains through
 changelogs on either or both bases without rescanning the join.
+
+r09 (late): ``apply_distinct_count_delta`` maintains COUNT(DISTINCT)
+views â€” not self-maintainable at the view level, so it carries the
+standard auxiliary (keys, value, multiplicity) support relation
+(Gupta/Mumick); ``distinct_count_support`` bootstraps it.
 """
 
 from __future__ import annotations
@@ -380,3 +385,181 @@ def apply_join_view_delta(
     changelog groupBy inside apply_agg_delta."""
     d = join_delta(r_old, s_old, delta_r, delta_s, on, sign_col, broadcast_deltas)
     return apply_agg_delta(view, d, keys, sum_cols, count_col, sign_col)
+
+
+def apply_distinct_count_delta(
+    view: DataFrame,
+    support: DataFrame,
+    delta: DataFrame,
+    keys: list[str],
+    value_col: str,
+    count_col: str = "n_distinct",
+    mult_col: str = "m",
+    sign_col: str = "op",
+) -> tuple[DataFrame, DataFrame]:
+    """Maintain ``SELECT keys, COUNT(DISTINCT value) GROUP BY keys``
+    through a signed changelog â€” the step in the Blakeley line that is NOT
+    self-maintainable at the view level (a delete cannot tell you whether
+    the deleted value still occurs in the group), and therefore the first
+    operator here that carries an AUXILIARY relation, exactly as the IVM
+    literature prescribes (Gupta/Mumick's "supporting views"; every
+    streaming-SQL distinct-count does the same): ``support`` holds one
+    row per (group, value) with its multiplicity ``m``. COUNT(DISTINCT)
+    is then just the per-group row count of the support â€” and the support
+    itself IS self-maintainable (it is a COUNT(*) view over (keys,
+    value)).
+
+    Returns ``(new_view, new_support)`` â€” the caller owns both tables,
+    the same way it owns the view in ``apply_agg_delta``.
+
+    Contracts:
+    - ``view``: keys + ``count_col`` (integral). ``support``: keys +
+      ``value_col`` + ``mult_col`` (integral, > 0 in a well-formed
+      state). ``delta``: keys + ``value_col`` + ``sign_col`` (+1/âˆ’1).
+    - NULL values: COUNT(DISTINCT v) ignores NULLs in SQL â€” NULL-valued
+      delta rows are no-ops and the support never stores a NULL value.
+      Consequently a group exists in the maintained view iff it has â‰¥1
+      DISTINCT NON-NULL value (the recompute equivalent carries
+      ``WHERE v IS NOT NULL``). Group existence under all-NULL rows is a
+      COUNT(*) question â€” compose with ``apply_agg_delta`` when you need
+      it, as a real pipeline maintains both anyway.
+    - NULL keys group null-safely (the apply_agg_delta discipline).
+    - Malformed logs (a delete with no matching insert) leave a NEGATIVE
+      multiplicity row in the support â€” loud downstream, never silently
+      dropped; only exact zeros vanish. Such a value still counts as
+      "present" (nonzero multiplicity) until compensated.
+
+    Cost at 100 TB: the delta pre-aggregates to (keys, value) â€” batch-
+    sized; the support is touched by one broadcast semi-join (slice out
+    touched groups), one broadcast anti-join (pass untouched groups
+    through BYTE-EXACT, never re-derived), and one full-outer merge whose
+    left side is only the touched groups' rows. The VIEW is touched by
+    one broadcast anti-join + a union of recomputed touched-group counts.
+    Nothing ever rescans the fact table, and no step is O(|support|)
+    shuffle â€” bucket the persisted support by ``keys`` and the semi/anti
+    probes are zero-exchange on the support side."""
+    from pyspark.sql import types as T
+
+    integral = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    vt = {f.name: f.dataType for f in view.schema.fields}
+    st = {f.name: f.dataType for f in support.schema.fields}
+    dt = {f.name: f.dataType for f in delta.schema.fields}
+    if count_col not in vt:
+        raise ValueError(f"apply_distinct_count_delta: view lacks {count_col!r}")
+    if not isinstance(vt[count_col], integral):
+        raise ValueError(
+            f"apply_distinct_count_delta: count column {count_col!r} must be "
+            f"integral, got {vt[count_col].simpleString()}"
+        )
+    if mult_col not in st or not isinstance(st[mult_col], integral):
+        raise ValueError(
+            f"apply_distinct_count_delta: support multiplicity {mult_col!r} "
+            "missing or non-integral"
+        )
+    for side, cols, need in (
+        ("view", vt, keys + [count_col]),
+        ("support", st, keys + [value_col, mult_col]),
+        ("delta", dt, keys + [value_col, sign_col]),
+    ):
+        missing = [c for c in need if c not in cols]
+        if missing:
+            raise ValueError(f"apply_distinct_count_delta: {side} lacks {missing}")
+    # key/value dtypes must match EXACTLY across all three relations (the
+    # apply_agg_delta rationale: implicit-cast joins widen or wrap)
+    for c in keys:
+        if not (vt[c] == st[c] == dt[c]):
+            raise ValueError(
+                f"apply_distinct_count_delta: key {c!r} dtypes differ â€” view "
+                f"{vt[c].simpleString()}, support {st[c].simpleString()}, "
+                f"delta {dt[c].simpleString()}"
+            )
+    if st[value_col] != dt[value_col]:
+        raise ValueError(
+            f"apply_distinct_count_delta: value {value_col!r} dtype differs â€” "
+            f"support {st[value_col].simpleString()} != delta "
+            f"{dt[value_col].simpleString()}"
+        )
+    reserved = {"__dm", "__dv"} | {f"__dk_{k}" for k in keys}
+    clash = reserved.intersection(set(support.columns) | set(view.columns))
+    if clash:
+        raise ValueError(
+            f"apply_distinct_count_delta: view/support columns {sorted(clash)} "
+            "collide with reserved staging names (__dm/__dv/__dk_*); "
+            "rename them first"
+        )
+
+    # 1. changelog â†’ (keys, value) multiplicity delta (batch-sized; the
+    #    only shuffle whose size depends on the batch)
+    dm = (
+        delta.filter(F.col(value_col).isNotNull())
+        .groupBy(*keys, value_col)
+        .agg(F.sum(F.col(sign_col)).cast("bigint").alias("__dm"))
+        .filter(F.col("__dm") != 0)
+    )
+    # renamed key columns make every probe unambiguous even when view/
+    # support/delta derive from one parent frame (the common bootstrap
+    # shape) â€” the eqNullSafe(df1[k], df2[k]) form would lean on
+    # self-join attribute disambiguation instead
+    dkeys = dm.select(*[F.col(k).alias(f"__dk_{k}") for k in keys]).distinct()
+    key_cond = None
+    for k in keys:
+        eq = F.col(k).eqNullSafe(F.col(f"__dk_{k}"))
+        key_cond = eq if key_cond is None else (key_cond & eq)
+
+    # 2. slice the support: touched groups enter the merge, untouched
+    #    groups pass through byte-exact (broadcast key probes)
+    touched = support.join(F.broadcast(dkeys), key_cond, "left_semi")
+    untouched = support.join(F.broadcast(dkeys), key_cond, "left_anti")
+
+    # 3. null-safe full-outer merge on (keys, value); exact zeros vanish
+    dmr = dm.select(
+        *[F.col(k).alias(f"__dk_{k}") for k in keys],
+        F.col(value_col).alias("__dv"),
+        "__dm",
+    )
+    cond = key_cond & F.col(value_col).eqNullSafe(F.col("__dv"))
+    merged = (
+        touched.join(dmr, cond, "full")
+        .select(
+            *[F.coalesce(F.col(k), F.col(f"__dk_{k}")).alias(k) for k in keys],
+            F.coalesce(F.col(value_col), F.col("__dv")).alias(value_col),
+            (
+                F.coalesce(F.col(mult_col), F.lit(0))
+                + F.coalesce(F.col("__dm"), F.lit(0))
+            )
+            .cast(st[mult_col])
+            .alias(mult_col),
+        )
+        .filter(F.col(mult_col) != 0)
+    )
+    new_support = untouched.select(*support.columns).unionByName(
+        merged.select(*support.columns)
+    )
+
+    # 4. recount ONLY the touched groups; groups whose last value vanished
+    #    simply produce no row (the GROUP BY contract)
+    new_counts = merged.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast(vt[count_col]).alias(count_col)
+    )
+    untouched_view = view.join(F.broadcast(dkeys), key_cond, "left_anti")
+    new_view = untouched_view.select(*view.columns).unionByName(
+        new_counts.select(*view.columns)
+    )
+    return new_view, new_support
+
+
+def distinct_count_support(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    mult_col: str = "m",
+) -> DataFrame:
+    """Bootstrap the auxiliary support relation for
+    ``apply_distinct_count_delta`` from a base table: one row per (group,
+    non-null value) with its multiplicity. One groupBy â€” run it once at
+    view creation; thereafter the support maintains incrementally."""
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*keys, value_col)
+        .agg(F.count(F.lit(1)).alias(mult_col))
+    )
