@@ -2682,9 +2682,10 @@ def q133_incremental_view_maintenance(spark: SparkSession, sf_dir: str) -> DataF
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "q134_event_funnel",
-    oracle="""
+# Shared by q134 (batch) and q147 (stream): the stream ≡ batch contract is
+# literally "same oracle" — one SQL string, two execution surfaces (the
+# q137/q145 pattern).
+_FUNNEL_ORACLE_SQL = """
     WITH s1 AS (
       -- ts/user IS NOT NULL mirrors the operator's intake filter: NULL
       -- timestamps cannot order and a NULL user would mint one phantom
@@ -2724,8 +2725,10 @@ def q133_incremental_view_maintenance(spark: SparkSession, sf_dir: str) -> DataF
                 ROUND(SUM(epoch_us(t3) - epoch_us(t1)) / (COUNT(*) * 1000000.0), 4)
               END FROM s3j)
     ) ORDER BY step_idx
-    """,
-)
+    """
+
+
+@register("q134_event_funnel", oracle=_FUNNEL_ORACLE_SQL)
 def q134_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-touch ordered funnel (operators/funnel.py::funnel_counts):
     view → click → purchase, step k counted only when its event lands
@@ -3573,4 +3576,136 @@ def q145_streaming_pattern_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.table("q145_spans_mem")
         .select("user_id", "start_us", "end_us")
         .orderBy("user_id", "start_us", "end_us")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q146 — COUNT(DISTINCT) view maintenance (operators/ivm.py::
+# apply_distinct_count_delta; the auxiliary-support step of the IVM line)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q146_distinct_count_ivm",
+    oracle="""
+    SELECT event_type, CAST(ts AS DATE) AS event_date,
+           COUNT(DISTINCT user_id) AS n_distinct
+    FROM events
+    WHERE user_id IS NOT NULL AND (event_id % 7 = 3 OR event_id % 11 <> 5)
+    GROUP BY event_type, CAST(ts AS DATE)
+    ORDER BY event_type, event_date
+    """,
+)
+def q146_distinct_count_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-users-per-(type, day) view maintained through a signed
+    changelog (operators/ivm.py::apply_distinct_count_delta): events with
+    event_id % 7 = 3 arrive late (+1) while % 11 = 5 rows leave (−1).
+    COUNT(DISTINCT) is NOT view-level self-maintainable — deleting one of
+    a user's several same-day events must NOT drop the user from that
+    day's count, deleting the last one must — so the operator maintains
+    the standard auxiliary (keys, user, multiplicity) support relation
+    and recounts only delta-touched groups. The (type, day) grain makes
+    both paths live at sf0.01: most (group, user) multiplicities are 1-3,
+    so the changelog both decrements multiplicities AND fully removes/
+    introduces users (a type-only grain saturates at all-users-everywhere
+    and the deletes would be invisible in the final hash). The oracle
+    RECOMPUTES the view from scratch over the post-changelog row set:
+    incremental ≡ recompute, the q133/q144 discipline. (The view/support
+    bootstrap below is gate scaffolding a real pipeline has materialized;
+    steady-state cost is changelog-sized + touched-group-sized, and the
+    base table is never rescanned.)"""
+    from kf_task_fhir_etl_spark.operators import ivm
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.to_date("ts").alias("event_date"), "user_id"
+    )
+    old = ev.filter(F.col("event_id") % 7 != 3)
+    view = (
+        old.filter(F.col("user_id").isNotNull())
+        .groupBy("event_type", "event_date")
+        .agg(F.count_distinct("user_id").alias("n_distinct"))
+    )
+    support = ivm.distinct_count_support(old, ["event_type", "event_date"], "user_id")
+    delta = (
+        ev.filter(F.col("event_id") % 7 == 3)
+        .select("event_type", "event_date", "user_id")
+        .withColumn("op", F.lit(1))
+        .unionByName(
+            old.filter(F.col("event_id") % 11 == 5)
+            .select("event_type", "event_date", "user_id")
+            .withColumn("op", F.lit(-1))
+        )
+    )
+    new_view, _new_support = ivm.apply_distinct_count_delta(
+        view, support, delta, keys=["event_type", "event_date"], value_col="user_id"
+    )
+    return new_view.orderBy("event_type", "event_date")
+
+
+# ---------------------------------------------------------------------------
+# q147 — streaming funnel (streaming/patterns.py::streaming_funnel_
+# trajectories; the stream form of q134, completing batch/stream
+# unification for the funnel family)
+# ---------------------------------------------------------------------------
+
+
+@register("q147_streaming_funnel", oracle=_FUNNEL_ORACLE_SQL)
+def q147_streaming_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The q134 first-touch funnel (view → click → purchase) evaluated on
+    a STREAM: the events table replays as three event-time-ordered
+    microbatches (the q145 source) and a keyed state machine carries the
+    k first-touch completion µs per user, advancing step i+1 only on an
+    event STRICTLY after the carried t_i. Trajectory updates emit in
+    UPDATE mode — ``reached`` is monotone and each us_j is immutable once
+    set, so the max-``reached`` row per user is the final trajectory; the
+    report aggregates those with the same integer-µs gap arithmetic as
+    the batch operator. The oracle is LITERALLY q134's batch SQL
+    (_FUNNEL_ORACLE_SQL): streamed funnel counts and gap averages must be
+    value-identical to the batch chain's."""
+    from pyspark.sql import Window
+
+    from kf_task_fhir_etl_spark.streaming.events import (
+        read_events_stream_time_split,
+        run_stream_to_memory,
+    )
+    from kf_task_fhir_etl_spark.streaming.patterns import streaming_funnel_trajectories
+
+    steps = ["view", "click", "purchase"]
+    stream = read_events_stream_time_split(spark, sf_dir, n_splits=3)
+    traj = streaming_funnel_trajectories(stream, steps)
+    run_stream_to_memory(traj, "q147_funnel_mem", output_mode="update")
+    t = spark.table("q147_funnel_mem")
+    w = Window.partitionBy("user_id").orderBy(F.desc("reached"))
+    final = t.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1)
+    aggs = []
+    for j in range(1, len(steps) + 1):
+        reached_j = F.col("reached") >= j
+        aggs.append(
+            F.sum(F.when(reached_j, 1).otherwise(0)).cast("bigint").alias(f"__n{j}")
+        )
+        # INTEGER µs gap accumulation, one final double division — the
+        # q134 arithmetic, so both surfaces land on the same 4dp value
+        aggs.append(
+            F.sum(
+                F.when(reached_j, F.col(f"us{j}") - F.col("us1")).otherwise(F.lit(0))
+            ).alias(f"__g{j}")
+        )
+    agg = final.agg(*aggs)
+    rows = [
+        F.struct(
+            F.lit(j).alias("step_idx"),
+            F.lit(step).alias("step"),
+            F.coalesce(F.col(f"__n{j}"), F.lit(0)).alias("n_users"),
+            F.when(F.coalesce(F.col(f"__n{j}"), F.lit(0)) == 0, F.lit(0.0))
+            .otherwise(
+                F.round(F.col(f"__g{j}") / (F.col(f"__n{j}") * F.lit(1000000.0)), 4)
+            )
+            .alias("avg_s_from_first"),
+        )
+        for j, step in enumerate(steps, start=1)
+    ]
+    return (
+        agg.select(F.explode(F.array(*rows)).alias("r"))
+        .select("r.step_idx", "r.step", "r.n_users", "r.avg_s_from_first")
+        .orderBy("step_idx")
     )

@@ -371,14 +371,20 @@ def q08_resource_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (VERDICT r08 "what's wrong" #1) → q138 re-proves, and q134 re-proves
 # as the shared-trajectory sibling; (5) join-view IVM lands in ivm.py →
 # q133 re-proves alongside the new gate; (6) pattern_spans feeds the new
-# stream gate → q137 re-proves. THREE new gates (weighted SSSP q143,
-# join-view IVM q144, streaming pattern spans q145 — VERDICT r08 #4-#6)
-# land WITH their proofs. The remaining 29 slots take 29 of the 42
-# r06-vintage re-proves (next-oldest debt); the THIRTEEN deferred
-# (q24/q30/q74-q84 — the builder-JSON byte-gate family, every one of
-# whose builder plan() paths is exercised by q85's fused pipeline, green
-# r08, and untouched this round; window full at 50) sit at the head of
-# _CHECK_LAST with per-entry notes and LEAD the r10 window.
+# stream gate → q137 re-proves; (7) connected_components symmetrizes via
+# ONE explode pass instead of union-of-two-selects (the VERDICT r08 q63
+# question — the union form derived the candidate frame twice) → q63/q72
+# re-prove. FIVE new gates (weighted SSSP q143,
+# join-view IVM q144, streaming pattern spans q145 — VERDICT r08 #4-#6 —
+# plus distinct-count IVM q146 and streaming funnel q147, the natural
+# next steps in the IVM and batch/stream-unification lines) land WITH
+# their proofs. The remaining slots take 25 of the 42
+# r06-vintage re-proves (next-oldest debt); the SEVENTEEN deferred
+# (q24/q30/q74-q84 — the builder-JSON byte-gate family — plus
+# q25/q27/q33/q34, every one of whose builder plan() paths is exercised
+# by q85's fused pipeline, green r08, and untouched this round; window
+# full at 50) sit at the head of _CHECK_LAST with per-entry notes and
+# LEAD the r10 window.
 # Everything else in _CHECK_LAST is r06/r07/r08-green on code untouched
 # this round. Window composition is MACHINE-CHECKED:
 # tests/test_staleness_guard.py diffs the tree against the previous round
@@ -407,10 +413,14 @@ _CHECK_FIRST = [
     "q134_event_funnel",
     "q138_negated_funnel",
     "q137_pattern_spans",
+    "q63_dup_clusters",
+    "q72_canonical_docs",
     # -- NEW gates this round (each landed WITH its proof)
     "q143_weighted_sssp",
     "q144_join_view_ivm",
     "q145_streaming_pattern_spans",
+    "q146_distinct_count_ivm",
+    "q147_streaming_funnel",
     # -- r06-vintage re-proves (untouched code; next-oldest debt)
     "q100_corpus_build_pipeline",
     "q101_scd2_history",
@@ -423,13 +433,9 @@ _CHECK_FIRST = [
     "q127_compact_small_files",
     "q128_streaming_cdc_apply",
     "q23_fhir_transform_cascade",
-    "q25_fhir_disease_narrow",
     "q26_fhir_family_groups",
-    "q27_fhir_specimen_narrow",
     "q31_fhir_drs_document_reference",
     "q32_fhir_family_relationship",
-    "q33_fhir_research_study",
-    "q34_fhir_proband_status",
     "q35_fhir_histopathology",
     "q57_approx_sketches",
     "q64_fhir_drs_metadata_hashes",
@@ -453,6 +459,17 @@ _CHECK_LAST = [
     # to gates with no such umbrella. LEAD the r10 window.
     "q24_fhir_patient_resources",
     "q30_fhir_vital_status_json",
+    # q25/q27/q33/q34 displaced mid-r09 (window full at 50) when the
+    # connected_components symmetrization fix pulled q63/q72 into the
+    # changed-code block and the two late new gates (q146/q147) landed:
+    # all four are builder gates whose plan() column expressions run
+    # inside q85's fused pipeline (r08 green, untouched this round) —
+    # the same umbrella argument as the JSON family above. LEAD the r10
+    # window with that family.
+    "q25_fhir_disease_narrow",
+    "q27_fhir_specimen_narrow",
+    "q33_fhir_research_study",
+    "q34_fhir_proband_status",
     "q74_fhir_proband_status_json",
     "q75_fhir_family_json",
     "q76_fhir_research_study_json",
@@ -478,8 +495,6 @@ _CHECK_LAST = [
     "q135_set_similarity_join",
     "q140_bfs_distances",
     "q141_value_runs",
-    "q63_dup_clusters",
-    "q72_canonical_docs",
     "q01_pricing_summary",
     "q04_recode_split",
     "q06_group_collect",

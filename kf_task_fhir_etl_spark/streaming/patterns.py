@@ -166,3 +166,101 @@ def streaming_pattern_spans(
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     return out.select(F.col("user").alias(user_col), "start_us", "end_us")
+
+
+def _make_funnel_matcher(steps: list[str]):
+    k = len(steps)
+
+    def match(key, pdfs, state: GroupState):
+        t = list(state.get) if state.exists else [int(_ABSENT)] * k
+        before = sum(1 for x in t if x != _ABSENT)
+        parts = [p for p in pdfs if len(p)]
+        if not parts:
+            return
+        pdf = parts[0] if len(parts) == 1 else pd.concat(parts, ignore_index=True)
+        us = pdf["__us"].to_numpy(dtype=np.int64)
+        ty = pdf["__t"].to_numpy()
+        # sequential per-step minima, each vectorized: t_i is fixed before
+        # t_{i+1} is derived, and the ordering contract means a qualifying
+        # step-i event can only ever arrive in the batch where t_{i-1} is
+        # already determined (or later) — so checking each batch once is
+        # exhaustive (see the module ordering contract)
+        for i in range(k):
+            if t[i] != _ABSENT:
+                continue  # first touch: an earlier batch's min stays
+            if i > 0 and t[i - 1] == _ABSENT:
+                break
+            cand = us[(ty == steps[i]) & (us > t[i - 1] if i > 0 else np.ones(len(us), dtype=bool))]
+            if len(cand):
+                t[i] = int(cand.min())
+            else:
+                break
+        after = sum(1 for x in t if x != _ABSENT)
+        state.update(tuple(t))
+        if after > before:
+            yield pd.DataFrame(
+                {
+                    "user": [key[0]],
+                    "reached": [after],
+                    **{
+                        f"us{i + 1}": [t[i] if t[i] != _ABSENT else None]
+                        for i in range(k)
+                    },
+                }
+            )
+
+    return match
+
+
+def streaming_funnel_trajectories(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """First-touch funnel trajectories over an event STREAM — the stream
+    form of ``operators/funnel.py::funnel_trajectories`` under this
+    module's ordering contract: per user the state is the k first-touch
+    completion µs (k scalars — never buffered events), and step i+1
+    completes when an event of its type lands STRICTLY after the carried
+    t_i. Emits in UPDATE mode: one row per user per microbatch in which
+    the user advanced ≥1 step — (user, reached, us1..usk). ``reached`` is
+    monotone and us_j never changes once set (first touch = earliest), so
+    the latest row per user (max ``reached``) is the final trajectory;
+    aggregate those for the funnel report.
+
+    NULL users/timestamps are excluded at intake (the batch operator's
+    contract). Scale: state is k bigints per user in the state store,
+    hash-partitioned on the user key — the same shuffle as every step of
+    the batch funnel chain."""
+    if not steps:
+        raise ValueError("streaming_funnel_trajectories: empty step list")
+    user_field = next(f for f in events.schema.fields if f.name == user_col)
+    ev = (
+        events.filter(F.col(ts_col).isNotNull() & F.col(user_col).isNotNull())
+        .filter(F.col(type_col).isin(*steps))
+        .select(
+            F.col(user_col).alias("user"),
+            F.col(type_col).alias("__t"),
+            F.unix_micros(F.col(ts_col)).alias("__us"),
+        )
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("user", user_field.dataType),
+            T.StructField("reached", T.IntegerType()),
+            *[T.StructField(f"us{i + 1}", T.LongType()) for i in range(len(steps))],
+        ]
+    )
+    state_schema = ", ".join(f"t{i + 1} bigint" for i in range(len(steps)))
+    out = ev.groupBy("user").applyInPandasWithState(
+        _make_funnel_matcher(list(steps)),
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return out.select(
+        F.col("user").alias(user_col), "reached", *[f"us{i + 1}" for i in range(len(steps))]
+    )

@@ -491,3 +491,229 @@ def test_time_split_reader_files_are_ordered_and_complete(spark):
             assert rng["lo"] > prev_hi, "splits overlap or tie across files"
         prev_hi = rng["hi"] if rng["hi"] is not None else prev_hi
     assert total == load_table(spark, SF_SMOKE, "events").count()
+
+
+# ---------------------------------------------------------------------------
+# distinct-count IVM (operators/ivm.py::apply_distinct_count_delta)
+# ---------------------------------------------------------------------------
+
+
+def _dc_base(spark, rows):
+    return spark.createDataFrame(rows, "g string, v bigint")
+
+
+def _dc_bootstrap(spark, rows):
+    from kf_task_fhir_etl_spark.operators import ivm
+
+    base = _dc_base(spark, rows)
+    view = (
+        base.filter(F.col("v").isNotNull())
+        .groupBy("g")
+        .agg(F.count_distinct("v").alias("n_distinct"))
+    )
+    support = ivm.distinct_count_support(base, ["g"], "v")
+    return base, view, support
+
+
+def _dc_apply(spark, rows, inserts, deletes):
+    from kf_task_fhir_etl_spark.operators import ivm
+
+    _, view, support = _dc_bootstrap(spark, rows)
+    delta = spark.createDataFrame(
+        [(g, v, 1) for g, v in inserts] + [(g, v, -1) for g, v in deletes],
+        "g string, v bigint, op int",
+    )
+    return ivm.apply_distinct_count_delta(view, support, delta, ["g"], "v")
+
+
+def test_distinct_count_delta_matches_recompute(spark):
+    """The whole contract: incremental ≡ from-scratch recompute over the
+    post-changelog rows — multiplicity decrements that keep the value,
+    last-copy deletes that remove it, inserts of known and novel values,
+    and a brand-new group, all in one changelog."""
+    rows = [("a", 1), ("a", 1), ("a", 2), ("b", 7), ("b", 8), ("c", 9)]
+    inserts = [("a", 3), ("d", 99)]          # known group new value; NEW group
+    deletes = [("a", 1), ("b", 8), ("c", 9)]  # decrement / remove / vanish group
+    new_view, new_support = _dc_apply(spark, rows, inserts, deletes)
+    post = [r for r in rows if r not in []]  # base rows
+    post = list(rows)
+    for d in deletes:
+        post.remove(d)
+    post += inserts
+    want = {
+        (r["g"], r["n_distinct"])
+        for r in _dc_base(spark, post)
+        .filter(F.col("v").isNotNull())
+        .groupBy("g")
+        .agg(F.count_distinct("v").alias("n_distinct"))
+        .collect()
+    }
+    got = {(r["g"], r["n_distinct"]) for r in new_view.collect()}
+    assert got == want == {("a", 3), ("b", 1), ("d", 1)}  # c vanished
+    # the maintained support equals a from-scratch support build
+    from kf_task_fhir_etl_spark.operators import ivm
+
+    want_sup = {
+        (r["g"], r["v"], r["m"])
+        for r in ivm.distinct_count_support(_dc_base(spark, post), ["g"], "v").collect()
+    }
+    assert {(r["g"], r["v"], r["m"]) for r in new_support.collect()} == want_sup
+
+
+def test_distinct_count_delta_null_values_are_noops_and_null_keys_merge(spark):
+    """NULL-valued changelog rows are no-ops (COUNT(DISTINCT) ignores
+    NULL); a NULL-keyed group maintains null-safely as ONE group."""
+    rows = [(None, 1), (None, 2), ("a", 1)]
+    inserts = [(None, 3), ("a", None)]   # null KEY is real; null VALUE is a no-op
+    deletes = [(None, 2)]
+    new_view, new_support = _dc_apply(spark, rows, inserts, deletes)
+    got = {(r["g"], r["n_distinct"]) for r in new_view.collect()}
+    assert got == {(None, 2), ("a", 1)}  # {1,3} under NULL key; 'a' untouched
+    sup = {(r["g"], r["v"], r["m"]) for r in new_support.collect()}
+    assert sup == {(None, 1, 1), (None, 3, 1), ("a", 1, 1)}
+
+
+def test_distinct_count_delta_malformed_log_stays_loud(spark):
+    """A delete with no matching insert leaves a NEGATIVE multiplicity row
+    (never silently dropped) and the value still counts as present until
+    compensated — the apply_agg_delta loudness convention."""
+    rows = [("a", 1)]
+    new_view, new_support = _dc_apply(spark, rows, [], [("a", 2), ("a", 2)])
+    sup = {(r["g"], r["v"], r["m"]) for r in new_support.collect()}
+    assert sup == {("a", 1, 1), ("a", 2, -2)}
+    assert {(r["g"], r["n_distinct"]) for r in new_view.collect()} == {("a", 2)}
+
+
+def test_distinct_count_delta_validation(spark):
+    from kf_task_fhir_etl_spark.operators import ivm
+
+    _, view, support = _dc_bootstrap(spark, [("a", 1)])
+    ok_delta = spark.createDataFrame([("a", 2, 1)], "g string, v bigint, op int")
+    # wrong value dtype in the delta
+    bad_val = spark.createDataFrame([("a", 2, 1)], "g string, v int, op int")
+    with pytest.raises(ValueError, match="dtype"):
+        ivm.apply_distinct_count_delta(view, support, bad_val, ["g"], "v")
+    # non-integral count column
+    with pytest.raises(ValueError, match="integral"):
+        ivm.apply_distinct_count_delta(
+            view.withColumn("n_distinct", F.col("n_distinct").cast("double")),
+            support, ok_delta, ["g"], "v",
+        )
+    # reserved staging name on the support
+    with pytest.raises(ValueError, match="reserved"):
+        ivm.apply_distinct_count_delta(
+            view, support.withColumn("__dm", F.lit(1)), ok_delta, ["g"], "v"
+        )
+    # missing key column in the delta
+    with pytest.raises(ValueError, match="lacks"):
+        ivm.apply_distinct_count_delta(
+            view, support, ok_delta.drop("g"), ["g"], "v"
+        )
+
+
+# ---------------------------------------------------------------------------
+# streaming funnel (streaming/patterns.py::streaming_funnel_trajectories)
+# ---------------------------------------------------------------------------
+
+
+def _run_funnel_stream(spark, tmp_path, batches, name, steps=("A", "B", "C")):
+    """Run the stateful funnel over one-parquet-dir-per-microbatch input;
+    return the FINAL trajectory per user (max reached) as a dict
+    user -> (reached, us1..usk)."""
+    from kf_task_fhir_etl_spark.streaming import patterns as spat
+
+    src = str(tmp_path / f"{name}_src")
+    schema = None
+    for i, rows in enumerate(batches, 1):
+        df = _span_events(spark, rows)
+        schema = df.schema
+        df.coalesce(1).write.parquet(f"{src}/b{i}.parquet")
+    raw = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(f"{src}/*.parquet")
+    )
+    traj = spat.streaming_funnel_trajectories(raw, list(steps))
+    q = (
+        traj.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(tmp_path / f"{name}_ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    out = {}
+    for r in spark.table(name).collect():
+        prev = out.get(r["user_id"])
+        if prev is None or r["reached"] > prev[0]:
+            out[r["user_id"]] = (r["reached"], *[r[f"us{i+1}"] for i in range(len(steps))])
+    return out
+
+
+def test_streaming_funnel_cross_batch_advancement(spark, tmp_path):
+    """Steps completed in different microbatches must chain through the
+    carried state; a step-2 event BEFORE t1 never counts even though it
+    arrives in the same batch as the step-1 event."""
+    b1 = [
+        (1, 100, "A"),
+        (2, 50, "B"), (2, 100, "A"),   # B before t1 — must not count
+        (3, 100, "A"), (3, 200, "B"),
+    ]
+    b2 = [
+        (1, 300, "B"), (1, 400, "C"),
+        (2, 300, "B"),
+        (3, 300, "C"),
+    ]
+    got = _run_funnel_stream(spark, tmp_path, [b1, b2], "fun_xbatch")
+    assert got == {
+        1: (3, 100, 300, 400),
+        2: (2, 100, 300, None),
+        3: (3, 100, 200, 300),
+    }
+
+
+def test_streaming_funnel_strict_after_ties(spark, tmp_path):
+    """A step event at EXACTLY the prior step's completion µs never
+    advances — in-batch and across a batch boundary."""
+    b1 = [
+        (1, 100, "A"), (1, 100, "B"),    # in-batch tie: B not after t1
+        (2, 100, "A"),
+    ]
+    b2 = [
+        (1, 200, "B"),                    # later B does advance
+        (2, 100, "B"), (2, 200, "B"),    # cross-batch tie ignored; 200 counts
+    ]
+    got = _run_funnel_stream(spark, tmp_path, [b1, b2], "fun_ties")
+    assert got == {1: (2, 100, 200, None), 2: (2, 100, 200, None)}
+
+
+def test_streaming_funnel_matches_batch_operator_randomized(spark, tmp_path):
+    """Stream ≡ batch on randomized events with µs collisions: final
+    streamed trajectories must equal funnel_trajectories' rows (converted
+    to µs), users absent from step 1 absent from both."""
+    import random
+
+    from kf_task_fhir_etl_spark.operators import funnel as bfun
+
+    rng = random.Random(947)
+    rows = [
+        (rng.randrange(10), rng.randrange(50), rng.choice(["A", "B", "C", "X"]))
+        for _ in range(300)
+    ]
+    batches = [
+        [r for r in rows if r[1] <= 15],
+        [r for r in rows if 15 < r[1] <= 33],
+        [r for r in rows if r[1] > 33],
+    ]
+    got = _run_funnel_stream(spark, tmp_path, batches, "fun_rand")
+    traj = bfun.funnel_trajectories(_span_events(spark, rows), ["A", "B", "C"])
+    want = {}
+    for r in traj.select(
+        "user",
+        *[F.unix_micros(F.col(f"t{i}")).alias(f"us{i}") for i in (1, 2, 3)],
+    ).collect():
+        us = (r["us1"], r["us2"], r["us3"])
+        want[r["user"]] = (sum(1 for x in us if x is not None), *us)
+    assert got == want
