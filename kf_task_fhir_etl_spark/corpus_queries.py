@@ -3709,3 +3709,71 @@ def q147_streaming_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("r.step_idx", "r.step", "r.n_users", "r.avg_s_from_first")
         .orderBy("step_idx")
     )
+
+
+# ---------------------------------------------------------------------------
+# q148 — MIN/MAX view maintenance (operators/ivm.py::apply_minmax_delta;
+# closing the documented self-maintainability gap with the standard hybrid)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q148_minmax_ivm",
+    oracle="""
+    SELECT o_orderpriority AS pri, strftime(o_orderdate, '%Y-%m') AS ym,
+           MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
+    FROM orders
+    WHERE o_orderkey % 7 = 3 OR o_orderkey % 97 <> 5
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def q148_minmax_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(priority, month) MIN/MAX order value maintained through a
+    signed changelog (operators/ivm.py::apply_minmax_delta): orders with
+    o_orderkey % 7 = 3 arrive late (+1) while the SPARSE % 97 = 5 rows
+    leave (−1) — so most touched groups are insert-only (maintained by
+    the algebraic LEAST/GREATEST fold, base never read) while the
+    delete-touched minority is recomputed from a broadcast-semi-join-
+    pruned slice of the post-changelog base, exercising BOTH paths of
+    the hybrid that makes non-self-maintainable extrema incrementally
+    maintainable. Deleting a group's current extremum must expose the
+    second-best (the exact failure mode ivm.py's header documents as the
+    reason apply_agg_delta excludes MIN/MAX). Oracle: from-scratch
+    recompute over the post-changelog row set — incremental ≡ recompute,
+    the q133/q144/q146 discipline. MIN/MAX preserve dtype, so values
+    hash exactly with no rounding anywhere."""
+    from kf_task_fhir_etl_spark.operators import ivm
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("pri"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+        F.col("o_totalprice").alias("price"),
+    )
+    old = orders.filter(F.col("o_orderkey") % 7 != 3)
+    view = old.groupBy("pri", "ym").agg(
+        F.min("price").alias("min_price"), F.max("price").alias("max_price")
+    )
+    base_new = orders.filter(
+        (F.col("o_orderkey") % 7 == 3) | (F.col("o_orderkey") % 97 != 5)
+    ).select("pri", "ym", "price")
+    delta = (
+        orders.filter(F.col("o_orderkey") % 7 == 3)
+        .select("pri", "ym", "price")
+        .withColumn("op", F.lit(1))
+        .unionByName(
+            old.filter(F.col("o_orderkey") % 97 == 5)
+            .select("pri", "ym", "price")
+            .withColumn("op", F.lit(-1))
+        )
+    )
+    out = ivm.apply_minmax_delta(
+        view,
+        base_new,
+        delta,
+        keys=["pri", "ym"],
+        min_cols={"min_price": "price"},
+        max_cols={"max_price": "price"},
+    )
+    return out.orderBy("pri", "ym")

@@ -36,6 +36,9 @@ r09 (late): ``apply_distinct_count_delta`` maintains COUNT(DISTINCT)
 views — not self-maintainable at the view level, so it carries the
 standard auxiliary (keys, value, multiplicity) support relation
 (Gupta/Mumick); ``distinct_count_support`` bootstraps it.
+``apply_minmax_delta`` closes the header's MIN/MAX gap with the standard
+hybrid: algebraic folds for insert-only groups, bounded recompute (a
+key-pruned slice of the post-changelog base) for delete-touched groups.
 """
 
 from __future__ import annotations
@@ -562,4 +565,152 @@ def distinct_count_support(
         df.filter(F.col(value_col).isNotNull())
         .groupBy(*keys, value_col)
         .agg(F.count(F.lit(1)).alias(mult_col))
+    )
+
+
+def apply_minmax_delta(
+    view: DataFrame,
+    base_new: DataFrame,
+    delta: DataFrame,
+    keys: list[str],
+    min_cols: dict[str, str] | None = None,
+    max_cols: dict[str, str] | None = None,
+    sign_col: str = "op",
+) -> DataFrame:
+    """Maintain ``SELECT keys, MIN(x)…, MAX(y)… GROUP BY keys`` through a
+    signed changelog — the hybrid every IVM system uses for the
+    non-self-maintainable extrema (this module's header documents WHY
+    they are excluded from ``apply_agg_delta``: a delete can expose an
+    unknown second minimum):
+
+    - INSERT-ONLY groups maintain algebraically: new_min =
+      LEAST(stored, min(inserted)) — batch-sized, base never touched.
+    - Groups with ANY delete are recomputed — but ONLY those groups, by
+      slicing ``base_new`` (the POST-changelog base) with a broadcast
+      semi-join on the delete-touched keys. Partition or bucket the base
+      by ``keys`` and that slice is a pruned scan, never a full rescan;
+      worst-case cost is the touched groups' row count, and an
+      insert-heavy workload never reads the base at all.
+
+    ``view``: keys + one column per min/max alias. ``base_new``: keys +
+    the raw measure columns (post-changelog state — a real pipeline has
+    it; deriving it here would rescan what the caller already wrote).
+    ``delta``: keys + measure columns + ``sign_col`` (+1/−1). Measure
+    dtypes must match the view EXACTLY (MIN/MAX preserve type — there is
+    no widening arithmetic to cast back from).
+
+    Semantics: group existence for delete-touched groups comes from the
+    recompute (a group emptied by deletes vanishes — the GROUP BY
+    contract); NULL measures follow SQL MIN/MAX (ignored; an all-NULL
+    group carries NULL extrema but exists); NULL keys merge null-safely;
+    untouched groups pass through BYTE-EXACT."""
+    min_cols = min_cols or {}
+    max_cols = max_cols or {}
+    if not min_cols and not max_cols:
+        raise ValueError("apply_minmax_delta: no min_cols or max_cols given")
+    overlap = set(min_cols) & set(max_cols)
+    if overlap:
+        raise ValueError(
+            f"apply_minmax_delta: aliases {sorted(overlap)} appear in both "
+            "min_cols and max_cols"
+        )
+    vt = {f.name: f.dataType for f in view.schema.fields}
+    bt = {f.name: f.dataType for f in base_new.schema.fields}
+    dt = {f.name: f.dataType for f in delta.schema.fields}
+    for side, cols, need in (
+        ("view", vt, keys + list(min_cols) + list(max_cols)),
+        ("base_new", bt, keys + sorted({*min_cols.values(), *max_cols.values()})),
+        ("delta", dt, keys + sorted({*min_cols.values(), *max_cols.values()}) + [sign_col]),
+    ):
+        missing = [c for c in need if c not in cols]
+        if missing:
+            raise ValueError(f"apply_minmax_delta: {side} lacks {missing}")
+    for c in keys:
+        if not (vt[c] == bt[c] == dt[c]):
+            raise ValueError(
+                f"apply_minmax_delta: key {c!r} dtypes differ — view "
+                f"{vt[c].simpleString()}, base {bt[c].simpleString()}, "
+                f"delta {dt[c].simpleString()}"
+            )
+    for alias, src in {**min_cols, **max_cols}.items():
+        if not (vt[alias] == bt[src] == dt[src]):
+            raise ValueError(
+                f"apply_minmax_delta: measure dtypes must match exactly — "
+                f"view {alias!r} {vt[alias].simpleString()}, base/delta "
+                f"{src!r} {bt[src].simpleString()}/{dt[src].simpleString()} "
+                "(MIN/MAX preserve type; nothing widens)"
+            )
+    reserved = {"__has_del"} | {f"__dk_{k}" for k in keys}
+    reserved.update(f"__i_{a}" for a in {*min_cols, *max_cols})
+    clash = reserved.intersection(view.columns)
+    if clash:
+        raise ValueError(
+            f"apply_minmax_delta: view columns {sorted(clash)} collide with "
+            "reserved staging names (__has_del/__dk_*/__i_*); rename first"
+        )
+
+    sign = F.col(sign_col)
+    # one batch-sized aggregate: per touched group, whether any delete
+    # landed + the insert-side extrema for the algebraic path
+    touched = delta.groupBy(*keys).agg(
+        F.max(F.when(sign < 0, 1).otherwise(0)).alias("__has_del"),
+        *[
+            F.min(F.when(sign > 0, F.col(src))).alias(f"__i_{alias}")
+            for alias, src in min_cols.items()
+        ],
+        *[
+            F.max(F.when(sign > 0, F.col(src))).alias(f"__i_{alias}")
+            for alias, src in max_cols.items()
+        ],
+    )
+    touched = touched.select(
+        *[F.col(k).alias(f"__dk_{k}") for k in keys],
+        "__has_del",
+        *[f"__i_{a}" for a in list(min_cols) + list(max_cols)],
+    )
+    key_cond = None
+    for k in keys:
+        eq = F.col(k).eqNullSafe(F.col(f"__dk_{k}"))
+        key_cond = eq if key_cond is None else (key_cond & eq)
+
+    all_keys = touched.select(*[f"__dk_{k}" for k in keys])
+    del_keys = touched.filter(F.col("__has_del") == 1).select(
+        *[f"__dk_{k}" for k in keys]
+    )
+    ins = touched.filter(F.col("__has_del") == 0)
+
+    untouched = view.join(F.broadcast(all_keys), key_cond, "left_anti")
+
+    # algebraic fold for insert-only groups (full outer so NEW groups
+    # appear); LEAST/GREATEST return the non-NULL side, which is exactly
+    # SQL MIN/MAX-ignore-NULL folding, and NULL when both are NULL
+    view_ins = view.join(F.broadcast(ins.select(*[f"__dk_{k}" for k in keys])), key_cond, "left_semi")
+    # no broadcast hint on the full outer: BroadcastHashJoin cannot build
+    # a full-outer side, so Spark would ignore it — both sides here are
+    # (touched-group)-sized anyway
+    folded = view_ins.join(ins, key_cond, "full").select(
+        *[F.coalesce(F.col(k), F.col(f"__dk_{k}")).alias(k) for k in keys],
+        *[
+            F.least(F.col(alias), F.col(f"__i_{alias}")).alias(alias)
+            for alias in min_cols
+        ],
+        *[
+            F.greatest(F.col(alias), F.col(f"__i_{alias}")).alias(alias)
+            for alias in max_cols
+        ],
+    )
+    # bounded recompute: ONLY delete-touched groups read the base
+    recomputed = (
+        base_new.join(F.broadcast(del_keys), key_cond, "left_semi")
+        .groupBy(*keys)
+        .agg(
+            *[F.min(src).alias(alias) for alias, src in min_cols.items()],
+            *[F.max(src).alias(alias) for alias, src in max_cols.items()],
+        )
+    )
+    cols = view.columns
+    return (
+        untouched.select(*cols)
+        .unionByName(folded.select(*cols))
+        .unionByName(recomputed.select(*cols))
     )

@@ -374,17 +374,17 @@ def q08_resource_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 # stream gate → q137 re-proves; (7) connected_components symmetrizes via
 # ONE explode pass instead of union-of-two-selects (the VERDICT r08 q63
 # question — the union form derived the candidate frame twice) → q63/q72
-# re-prove. FIVE new gates (weighted SSSP q143,
+# re-prove. SIX new gates (weighted SSSP q143,
 # join-view IVM q144, streaming pattern spans q145 — VERDICT r08 #4-#6 —
-# plus distinct-count IVM q146 and streaming funnel q147, the natural
-# next steps in the IVM and batch/stream-unification lines) land WITH
-# their proofs. The remaining slots take 25 of the 42
-# r06-vintage re-proves (next-oldest debt); the SEVENTEEN deferred
+# plus distinct-count IVM q146, streaming funnel q147, and MIN/MAX IVM
+# q148, the natural next steps in the IVM and batch/stream-unification
+# lines) land WITH their proofs. The remaining slots take 24 of the 42
+# r06-vintage re-proves (next-oldest debt); the EIGHTEEN deferred
 # (q24/q30/q74-q84 — the builder-JSON byte-gate family — plus
-# q25/q27/q33/q34, every one of whose builder plan() paths is exercised
-# by q85's fused pipeline, green r08, and untouched this round; window
-# full at 50) sit at the head of _CHECK_LAST with per-entry notes and
-# LEAD the r10 window.
+# q25/q26/q27/q33/q34, every one of whose builder plan() paths is
+# exercised by q85's fused pipeline, green r08, and untouched this
+# round; window full at 50) sit at the head of _CHECK_LAST with
+# per-entry notes and LEAD the r10 window.
 # Everything else in _CHECK_LAST is r06/r07/r08-green on code untouched
 # this round. Window composition is MACHINE-CHECKED:
 # tests/test_staleness_guard.py diffs the tree against the previous round
@@ -421,6 +421,7 @@ _CHECK_FIRST = [
     "q145_streaming_pattern_spans",
     "q146_distinct_count_ivm",
     "q147_streaming_funnel",
+    "q148_minmax_ivm",
     # -- r06-vintage re-proves (untouched code; next-oldest debt)
     "q100_corpus_build_pipeline",
     "q101_scd2_history",
@@ -433,7 +434,6 @@ _CHECK_FIRST = [
     "q127_compact_small_files",
     "q128_streaming_cdc_apply",
     "q23_fhir_transform_cascade",
-    "q26_fhir_family_groups",
     "q31_fhir_drs_document_reference",
     "q32_fhir_family_relationship",
     "q35_fhir_histopathology",
@@ -459,14 +459,15 @@ _CHECK_LAST = [
     # to gates with no such umbrella. LEAD the r10 window.
     "q24_fhir_patient_resources",
     "q30_fhir_vital_status_json",
-    # q25/q27/q33/q34 displaced mid-r09 (window full at 50) when the
+    # q25/q26/q27/q33/q34 displaced mid-r09 (window full at 50) when the
     # connected_components symmetrization fix pulled q63/q72 into the
-    # changed-code block and the two late new gates (q146/q147) landed:
-    # all four are builder gates whose plan() column expressions run
-    # inside q85's fused pipeline (r08 green, untouched this round) —
+    # changed-code block and the three late new gates (q146/q147/q148)
+    # landed: all five are builder gates whose plan() column expressions
+    # run inside q85's fused pipeline (r08 green, untouched this round) —
     # the same umbrella argument as the JSON family above. LEAD the r10
     # window with that family.
     "q25_fhir_disease_narrow",
+    "q26_fhir_family_groups",
     "q27_fhir_specimen_narrow",
     "q33_fhir_research_study",
     "q34_fhir_proband_status",

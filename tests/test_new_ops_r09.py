@@ -717,3 +717,126 @@ def test_streaming_funnel_matches_batch_operator_randomized(spark, tmp_path):
         us = (r["us1"], r["us2"], r["us3"])
         want[r["user"]] = (sum(1 for x in us if x is not None), *us)
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# MIN/MAX IVM (operators/ivm.py::apply_minmax_delta)
+# ---------------------------------------------------------------------------
+
+
+def _mm_frames(spark, base_rows, inserts, deletes):
+    """base_rows: pre-changelog (g, x). Returns (view, base_new, delta,
+    post_rows)."""
+    base = spark.createDataFrame(base_rows, "g string, x bigint")
+    view = base.groupBy("g").agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+    post = list(base_rows)
+    for d in deletes:
+        post.remove(d)
+    post += inserts
+    base_new = spark.createDataFrame(post, "g string, x bigint") if post else \
+        spark.createDataFrame([], "g string, x bigint")
+    delta = spark.createDataFrame(
+        [(g, x, 1) for g, x in inserts] + [(g, x, -1) for g, x in deletes],
+        "g string, x bigint, op int",
+    )
+    return view, base_new, delta, post
+
+
+def _mm_apply(spark, base_rows, inserts, deletes):
+    from kf_task_fhir_etl_spark.operators import ivm
+
+    view, base_new, delta, post = _mm_frames(spark, base_rows, inserts, deletes)
+    out = ivm.apply_minmax_delta(
+        view, base_new, delta, ["g"], min_cols={"lo": "x"}, max_cols={"hi": "x"}
+    )
+    got = {(r["g"], r["lo"], r["hi"]) for r in out.collect()}
+    want = {
+        (r["g"], r["lo"], r["hi"])
+        for r in spark.createDataFrame(post, "g string, x bigint")
+        .groupBy("g")
+        .agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+        .collect()
+    } if post else set()
+    return got, want
+
+
+def test_minmax_delta_delete_exposes_second_extremum(spark):
+    """The exact case that makes MIN/MAX non-self-maintainable: deleting
+    the current min must surface the unknown second min (recompute path);
+    deleting a non-extreme row must leave both extrema untouched."""
+    base = [("a", 1), ("a", 5), ("a", 9), ("b", 2), ("b", 4), ("b", 6)]
+    got, want = _mm_apply(spark, base, [], [("a", 1), ("b", 4)])
+    assert got == want == {("a", 5, 9), ("b", 2, 6)}
+
+
+def test_minmax_delta_insert_only_folds_and_new_group(spark):
+    """Insert-only groups fold algebraically (new extremum adopted,
+    interior insert ignored); a never-seen group appears."""
+    base = [("a", 3), ("a", 7)]
+    got, want = _mm_apply(spark, base, [("a", 1), ("a", 5), ("c", 42)], [])
+    assert got == want == {("a", 1, 7), ("c", 42, 42)}
+
+
+def test_minmax_delta_group_vanish_and_mixed(spark):
+    """A group emptied by deletes vanishes; a group with BOTH inserts and
+    deletes takes the recompute path and lands on the post-state extrema."""
+    base = [("a", 5), ("b", 1), ("b", 9)]
+    got, want = _mm_apply(spark, base, [("b", 0)], [("a", 5), ("b", 9)])
+    assert got == want == {("b", 0, 1)}
+
+
+def test_minmax_delta_null_measures(spark):
+    """SQL MIN/MAX ignore NULLs: NULL inserts never displace extrema, an
+    all-NULL group exists with NULL extrema, and a value landing on an
+    all-NULL group replaces them."""
+    base = [("a", None), ("b", 3)]
+    got, want = _mm_apply(spark, base, [("a", 4), ("b", None), ("d", None)], [])
+    assert got == want == {("a", 4, 4), ("b", 3, 3), ("d", None, None)}
+
+
+def test_minmax_delta_untouched_passthrough_and_bounded_base_touch(spark):
+    """Untouched groups pass through byte-exact, and the base is consulted
+    ONLY for delete-touched groups: a poisoned base row in an insert-only
+    group must be invisible to the fold (proof the recompute never reads
+    it)."""
+    from kf_task_fhir_etl_spark.operators import ivm
+
+    view = spark.createDataFrame(
+        [("a", 3, 7), ("b", 1, 2), ("c", 5, 5)], "g string, lo bigint, hi bigint"
+    )
+    # base poisoned for insert-only 'a' (a -999 the fold must never see);
+    # correct for delete-touched 'b'
+    base_new = spark.createDataFrame(
+        [("a", -999), ("b", 2), ("c", 5)], "g string, x bigint"
+    )
+    delta = spark.createDataFrame(
+        [("a", 10, 1), ("b", 1, -1)], "g string, x bigint, op int"
+    )
+    out = ivm.apply_minmax_delta(
+        view, base_new, delta, ["g"], min_cols={"lo": "x"}, max_cols={"hi": "x"}
+    )
+    got = {(r["g"], r["lo"], r["hi"]) for r in out.collect()}
+    assert got == {("a", 3, 10), ("b", 2, 2), ("c", 5, 5)}
+
+
+def test_minmax_delta_validation(spark):
+    from kf_task_fhir_etl_spark.operators import ivm
+
+    view, base_new, delta, _ = _mm_frames(spark, [("a", 1)], [], [])
+    ok = dict(min_cols={"lo": "x"}, max_cols={"hi": "x"})
+    with pytest.raises(ValueError, match="no min_cols"):
+        ivm.apply_minmax_delta(view, base_new, delta, ["g"])
+    with pytest.raises(ValueError, match="both"):
+        ivm.apply_minmax_delta(
+            view, base_new, delta, ["g"], min_cols={"lo": "x"}, max_cols={"lo": "x"}
+        )
+    with pytest.raises(ValueError, match="exactly"):
+        ivm.apply_minmax_delta(
+            view, base_new.withColumn("x", F.col("x").cast("int")), delta, ["g"], **ok
+        )
+    with pytest.raises(ValueError, match="lacks"):
+        ivm.apply_minmax_delta(view.drop("hi"), base_new, delta, ["g"], **ok)
+    with pytest.raises(ValueError, match="reserved"):
+        ivm.apply_minmax_delta(
+            view.withColumn("__has_del", F.lit(1)), base_new, delta, ["g"], **ok
+        )
