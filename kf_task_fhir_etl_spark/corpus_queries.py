@@ -3777,3 +3777,89 @@ def q148_minmax_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_cols={"max_price": "price"},
     )
     return out.orderBy("pri", "ym")
+
+
+# ---------------------------------------------------------------------------
+# q149 — top-k view maintenance (operators/ivm.py::apply_topk_delta; the
+# leaderboard primitive, completing the IVM family)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q149_topk_ivm",
+    oracle="""
+    WITH post AS (
+      SELECT o_orderpriority AS pri, strftime(o_orderdate, '%Y-%m') AS ym,
+             o_orderkey AS id,
+             o_totalprice + CASE WHEN o_orderkey % 7 <> 3 AND o_orderkey % 13 = 1
+                                 THEN 50000.0 ELSE 0.0 END AS price
+      FROM orders
+      WHERE o_orderkey % 7 = 3 OR o_orderkey % 97 <> 5
+    )
+    SELECT pri, ym, id, price FROM (
+      SELECT pri, ym, id, price,
+             ROW_NUMBER() OVER (PARTITION BY pri, ym ORDER BY price DESC, id) AS rn
+      FROM post
+    ) WHERE rn <= 3
+    ORDER BY pri, ym, id
+    """,
+)
+def q149_topk_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders by value per (priority, month) maintained through an
+    entity changelog (operators/ivm.py::apply_topk_delta) that exercises
+    all three paths at once: broad inserts (o_orderkey % 7 = 3 — the
+    algebraic fold: true-top-k(base ∪ inserts) ⊆ stored-top-k ∪ inserts),
+    sparse deletes (% 97 = 5 — a delete hitting a stored member forces
+    the bounded recompute of ONLY that group; one missing the view is a
+    PROVABLE no-op), and CDC-style updates (% 13 = 1 rows re-priced
+    +50000: delete of the pre-batch row + insert of the post-batch row —
+    a member update recomputes, a non-member update just folds the new
+    score in). Ties break on (price DESC, id ASC) — a total order both
+    engines share. Oracle: from-scratch ROW_NUMBER recompute over the
+    post-changelog rows — incremental ≡ recompute, the IVM-family
+    discipline; the +50000.0 re-price is one exact IEEE addition in both
+    engines."""
+    from kf_task_fhir_etl_spark.operators import ivm
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("pri"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+        F.col("o_totalprice").alias("price"),
+    ).withColumnRenamed("o_orderkey", "id")
+    old = orders.filter(F.col("id") % 7 != 3)
+    rank_w = Window.partitionBy("pri", "ym").orderBy(F.col("price").desc(), F.col("id"))
+    view = (
+        old.select("pri", "ym", "id", "price")
+        .withColumn("__rn", F.row_number().over(rank_w))
+        .filter(F.col("__rn") <= 3)
+        .drop("__rn")
+    )
+    updated = F.col("price") + F.when(
+        (F.col("id") % 7 != 3) & (F.col("id") % 13 == 1), F.lit(50000.0)
+    ).otherwise(F.lit(0.0))
+    base_new = orders.filter((F.col("id") % 7 == 3) | (F.col("id") % 97 != 5)).select(
+        "pri", "ym", "id", updated.alias("price")
+    )
+    upd = old.filter((F.col("id") % 97 != 5) & (F.col("id") % 13 == 1))
+    delta = (
+        orders.filter(F.col("id") % 7 == 3)                      # inserts
+        .select("pri", "ym", "id", "price").withColumn("op", F.lit(1))
+        .unionByName(
+            old.filter(F.col("id") % 97 == 5)                    # deletes
+            .select("pri", "ym", "id", "price").withColumn("op", F.lit(-1))
+        )
+        .unionByName(                                            # updates: − old row
+            upd.select("pri", "ym", "id", "price").withColumn("op", F.lit(-1))
+        )
+        .unionByName(                                            # updates: + new row
+            upd.select(
+                "pri", "ym", "id", (F.col("price") + F.lit(50000.0)).alias("price")
+            ).withColumn("op", F.lit(1))
+        )
+    )
+    out = ivm.apply_topk_delta(
+        view, base_new, delta, keys=["pri", "ym"], id_col="id", score_col="price", k=3
+    )
+    return out.orderBy("pri", "ym", "id")

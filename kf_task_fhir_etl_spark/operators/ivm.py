@@ -39,6 +39,9 @@ standard auxiliary (keys, value, multiplicity) support relation
 ``apply_minmax_delta`` closes the header's MIN/MAX gap with the standard
 hybrid: algebraic folds for insert-only groups, bounded recompute (a
 key-pruned slice of the post-changelog base) for delete-touched groups.
+``apply_topk_delta`` extends the same hybrid to per-group top-k rankings
+with a sharper trigger: only deletes that HIT a stored member recompute —
+a miss is a provable no-op, and inserts always fold.
 """
 
 from __future__ import annotations
@@ -707,6 +710,164 @@ def apply_minmax_delta(
             *[F.min(src).alias(alias) for alias, src in min_cols.items()],
             *[F.max(src).alias(alias) for alias, src in max_cols.items()],
         )
+    )
+    cols = view.columns
+    return (
+        untouched.select(*cols)
+        .unionByName(folded.select(*cols))
+        .unionByName(recomputed.select(*cols))
+    )
+
+
+def apply_topk_delta(
+    view: DataFrame,
+    base_new: DataFrame,
+    delta: DataFrame,
+    keys: list[str],
+    id_col: str,
+    score_col: str,
+    k: int,
+    sign_col: str = "op",
+) -> DataFrame:
+    """Maintain ``the top-k rows per group by (score DESC, id ASC)``
+    through a signed changelog — the leaderboard/top-documents view,
+    completing this module's family (aggregate → join → distinct →
+    extrema → top-k). The ranking needs the same hybrid as
+    ``apply_minmax_delta``, but with a sharper recompute trigger:
+
+    - The changelog is an ENTITY changelog (CDC-style), one live row per
+      id per group: per (keys, id), a delete refers to the PRE-batch row
+      and an insert provides the POST-batch row, so delete + insert
+      together in one batch = UPDATE (the new score lands; the old row —
+      if it was a stored member — triggers the recompute below exactly
+      like a plain member delete). An insert-then-delete of a row that
+      never existed before the batch is NOT expressible in signed sets —
+      compact such pairs away before applying (the q128 LWW discipline).
+    - INSERTS fold algebraically: true-top-k(base ∪ inserts) ⊆
+      (stored-top-k ∪ inserts), so re-ranking that union — view-sized —
+      is exact. Base never read.
+    - A DELETE that MISSES the stored top-k is a provable NO-OP: the
+      view holds every group row when the group has < k rows, so a miss
+      means the row ranked below the cut, and removing it promotes
+      nothing. Fold path, base never read.
+    - Only deletes that HIT a stored member force a recompute — of ONLY
+      those groups, from a broadcast-semi-join-pruned slice of
+      ``base_new`` (the POST-changelog base). Partition/bucket the base
+      by ``keys`` → pruned scan.
+
+    NULL scores are excluded everywhere (a NULL cannot rank; the
+    recompute-equivalent carries ``WHERE score IS NOT NULL``); NULL ids
+    are rejected at the changelog (an entity needs an identity); NULL
+    keys group null-safely. ``id_col`` must be unique per group in the
+    base — the caller's entity contract. Untouched groups pass through
+    BYTE-EXACT. Dtypes must match exactly (ranking moves rows, nothing
+    widens)."""
+    if k < 1:
+        raise ValueError(f"apply_topk_delta: k must be >= 1, got {k}")
+    vt = {f.name: f.dataType for f in view.schema.fields}
+    bt = {f.name: f.dataType for f in base_new.schema.fields}
+    dt = {f.name: f.dataType for f in delta.schema.fields}
+    for side, cols, need in (
+        ("view", vt, keys + [id_col, score_col]),
+        ("base_new", bt, keys + [id_col, score_col]),
+        ("delta", dt, keys + [id_col, score_col, sign_col]),
+    ):
+        missing = [c for c in need if c not in cols]
+        if missing:
+            raise ValueError(f"apply_topk_delta: {side} lacks {missing}")
+    for c in keys + [id_col, score_col]:
+        if not (vt[c] == bt[c] == dt[c]):
+            raise ValueError(
+                f"apply_topk_delta: {c!r} dtypes differ — view "
+                f"{vt[c].simpleString()}, base {bt[c].simpleString()}, "
+                f"delta {dt[c].simpleString()} (nothing widens in a rank)"
+            )
+    reserved = {"__has_ins", "__has_del", "__rn", "__dk_id"} | {
+        f"__dk_{c}" for c in keys
+    }
+    clash = reserved.intersection(view.columns)
+    if clash:
+        raise ValueError(
+            f"apply_topk_delta: view columns {sorted(clash)} collide with "
+            "reserved staging names (__has_ins/__has_del/__rn/__dk_*); "
+            "rename them first"
+        )
+
+    from pyspark.sql import Window
+
+    # 1. fold the changelog per entity (batch-sized); NULL ids rejected
+    #    loudly IN-PLAN (the q142 assert_true discipline — no extra job)
+    per_ent = (
+        delta.select(
+            *keys,
+            F.when(
+                F.col(id_col).isNotNull(), F.col(id_col)
+            ).otherwise(
+                F.raise_error(F.lit("apply_topk_delta: NULL id in changelog"))
+            ).alias(id_col),
+            score_col,
+            sign_col,
+        )
+        .groupBy(*keys, id_col)
+        .agg(
+            F.max(F.when(F.col(sign_col) > 0, 1).otherwise(0)).alias("__has_ins"),
+            F.max(F.when(F.col(sign_col) < 0, 1).otherwise(0)).alias("__has_del"),
+            # the post-batch score rides the insert row (a delete's score
+            # column is ignored — it names the pre-batch row by id)
+            F.max(F.when(F.col(sign_col) > 0, F.col(score_col))).alias(score_col),
+        )
+    )
+    inserts = per_ent.filter(
+        (F.col("__has_ins") == 1) & F.col(score_col).isNotNull()
+    ).select(*keys, id_col, score_col)
+    deletes = per_ent.filter(F.col("__has_del") == 1).select(*keys, id_col)
+
+    key_cond = None
+    for c in keys:
+        eq = F.col(c).eqNullSafe(F.col(f"__dk_{c}"))
+        key_cond = eq if key_cond is None else (key_cond & eq)
+
+    # 2. deletes that HIT a stored member → recompute groups
+    view_members = view.select(
+        *[F.col(c).alias(f"__dk_{c}") for c in keys], F.col(id_col).alias("__dk_id")
+    )
+    hit_cond = key_cond & F.col(id_col).eqNullSafe(F.col("__dk_id"))
+    del_hit_keys = (
+        deletes.join(F.broadcast(view_members), hit_cond, "left_semi")
+        .select(*[F.col(c).alias(f"__dk_{c}") for c in keys])
+        .distinct()
+    )
+    # every touched group (fold ∪ recompute) leaves the untouched set
+    all_keys = per_ent.select(*[F.col(c).alias(f"__dk_{c}") for c in keys]).distinct()
+    fold_keys = all_keys.join(del_hit_keys, [f"__dk_{c}" for c in keys], "left_anti")
+
+    untouched = view.join(F.broadcast(all_keys), key_cond, "left_anti")
+
+    rank_w = Window.partitionBy(*keys).orderBy(F.col(score_col).desc(), F.col(id_col))
+    # 3. fold path: stored rows ∪ inserted rows of fold groups, re-ranked
+    #    (view-sized; miss-deletes provably cannot change the result)
+    fold_pool = (
+        view.join(F.broadcast(fold_keys), key_cond, "left_semi")
+        .select(*view.columns)
+        .unionByName(
+            inserts.join(F.broadcast(fold_keys), key_cond, "left_semi").select(
+                *view.columns
+            )
+        )
+    )
+    folded = (
+        fold_pool.withColumn("__rn", F.row_number().over(rank_w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+    # 4. recompute path: ONLY member-delete groups read the base
+    recomputed = (
+        base_new.join(F.broadcast(del_hit_keys), key_cond, "left_semi")
+        .filter(F.col(score_col).isNotNull())
+        .select(*view.columns)
+        .withColumn("__rn", F.row_number().over(rank_w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
     )
     cols = view.columns
     return (

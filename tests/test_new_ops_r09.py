@@ -840,3 +840,132 @@ def test_minmax_delta_validation(spark):
         ivm.apply_minmax_delta(
             view.withColumn("__has_del", F.lit(1)), base_new, delta, ["g"], **ok
         )
+
+
+# ---------------------------------------------------------------------------
+# top-k IVM (operators/ivm.py::apply_topk_delta)
+# ---------------------------------------------------------------------------
+
+
+def _tk_frames(spark, base_rows, k=2):
+    from pyspark.sql import Window
+
+    base = spark.createDataFrame(base_rows, "g string, id bigint, s double")
+    w = Window.partitionBy("g").orderBy(F.col("s").desc(), F.col("id"))
+    view = (
+        base.withColumn("__r", F.row_number().over(w)).filter(F.col("__r") <= k).drop("__r")
+    )
+    return base, view
+
+
+def _tk_apply(spark, base_rows, inserts, deletes, k=2, base_override=None):
+    """inserts: (g, id, s) +1 rows; deletes: (g, id) −1 rows (score rides
+    as NULL — deletes name the pre-batch row by id). Returns (got, want)
+    vs a from-scratch top-k over the post rows."""
+    from pyspark.sql import Window
+
+    from kf_task_fhir_etl_spark.operators import ivm
+
+    _, view = _tk_frames(spark, base_rows, k)
+    post = [r for r in base_rows if (r[0], r[1]) not in {(g, i) for g, i in deletes}]
+    post += inserts
+    base_new = spark.createDataFrame(
+        base_override if base_override is not None else post, "g string, id bigint, s double"
+    )
+    delta = spark.createDataFrame(
+        [(g, i, s, 1) for g, i, s in inserts]
+        + [(g, i, None, -1) for g, i in deletes],
+        "g string, id bigint, s double, op int",
+    )
+    out = ivm.apply_topk_delta(view, base_new, delta, ["g"], "id", "s", k)
+    got = {tuple(r) for r in out.collect()}
+    w = Window.partitionBy("g").orderBy(F.col("s").desc(), F.col("id"))
+    want = {
+        tuple(r)
+        for r in spark.createDataFrame(post, "g string, id bigint, s double")
+        .withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= 2 if k == 2 else F.col("__r") <= k)
+        .drop("__r")
+        .collect()
+    }
+    return got, want
+
+
+def test_topk_delta_insert_displaces_and_new_group(spark):
+    base = [("a", 1, 10.0), ("a", 2, 8.0), ("a", 3, 5.0)]
+    got, want = _tk_apply(spark, base, [("a", 9, 9.0), ("b", 7, 1.0)], [])
+    assert got == want == {("a", 1, 10.0), ("a", 9, 9.0), ("b", 7, 1.0)}
+
+
+def test_topk_delta_member_delete_promotes_hidden_row(spark):
+    """Deleting a stored member must surface the row BELOW the cut — only
+    the recompute path can know it."""
+    base = [("a", 1, 10.0), ("a", 2, 8.0), ("a", 3, 5.0)]
+    got, want = _tk_apply(spark, base, [], [("a", 1)])
+    assert got == want == {("a", 2, 8.0), ("a", 3, 5.0)}
+
+
+def test_topk_delta_nonmember_delete_never_reads_base(spark):
+    """A delete below the cut is a provable no-op — poison the base for
+    that group and the fold must not see it."""
+    base = [("a", 1, 10.0), ("a", 2, 8.0), ("a", 3, 5.0)]
+    # post-state would be rows 1,2 on top; poisoned base says otherwise
+    got, _ = _tk_apply(
+        spark, base, [], [("a", 3)],
+        base_override=[("a", 99, 999.0)],
+    )
+    assert got == {("a", 1, 10.0), ("a", 2, 8.0)}
+
+
+def test_topk_delta_update_member_and_nonmember(spark):
+    """CDC update = delete + insert of one entity: a member update
+    recomputes (score drop can demote it), a non-member update folds
+    (score jump can promote it)."""
+    base = [("a", 1, 10.0), ("a", 2, 8.0), ("a", 3, 5.0)]
+    # member 1 drops to 1.0 -> falls out; non-member 3 jumps to 9.0 -> in
+    inserts = [("a", 1, 1.0), ("a", 3, 9.0)]
+    deletes = [("a", 1), ("a", 3)]
+    post = [("a", 1, 1.0), ("a", 2, 8.0), ("a", 3, 9.0)]
+    from kf_task_fhir_etl_spark.operators import ivm
+
+    _, view = _tk_frames(spark, base, 2)
+    base_new = spark.createDataFrame(post, "g string, id bigint, s double")
+    delta = spark.createDataFrame(
+        [("a", 1, 10.0, -1), ("a", 1, 1.0, 1), ("a", 3, 5.0, -1), ("a", 3, 9.0, 1)],
+        "g string, id bigint, s double, op int",
+    )
+    out = ivm.apply_topk_delta(view, base_new, delta, ["g"], "id", "s", 2)
+    assert {tuple(r) for r in out.collect()} == {("a", 3, 9.0), ("a", 2, 8.0)}
+
+
+def test_topk_delta_untouched_group_vanish_ties_and_small_groups(spark):
+    """Untouched groups byte-exact; a group emptied by deletes vanishes;
+    groups with < k rows keep all rows; score ties break by id."""
+    base = [("a", 1, 5.0), ("b", 2, 3.0), ("c", 4, 7.0), ("c", 3, 7.0)]
+    got, want = _tk_apply(spark, base, [("c", 5, 7.0)], [("b", 2)])
+    # c: three rows tied at 7.0 -> ids 3,4 win
+    assert got == want == {("a", 1, 5.0), ("c", 3, 7.0), ("c", 4, 7.0)}
+
+
+def test_topk_delta_null_score_insert_and_validation(spark):
+    from kf_task_fhir_etl_spark.operators import ivm
+
+    base = [("a", 1, 5.0)]
+    _, view = _tk_frames(spark, base, 2)
+    base_new = spark.createDataFrame(base + [("a", 2, None)], "g string, id bigint, s double")
+    # NULL-score insert can never rank — view unchanged
+    delta = spark.createDataFrame([("a", 2, None, 1)], "g string, id bigint, s double, op int")
+    out = ivm.apply_topk_delta(view, base_new, delta, ["g"], "id", "s", 2)
+    assert {tuple(r) for r in out.collect()} == {("a", 1, 5.0)}
+    with pytest.raises(ValueError, match="k must be"):
+        ivm.apply_topk_delta(view, base_new, delta, ["g"], "id", "s", 0)
+    with pytest.raises(ValueError, match="dtypes differ"):
+        ivm.apply_topk_delta(
+            view, base_new.withColumn("s", F.col("s").cast("float")), delta,
+            ["g"], "id", "s", 2,
+        )
+    with pytest.raises(ValueError, match="lacks"):
+        ivm.apply_topk_delta(view.drop("s"), base_new, delta, ["g"], "id", "s", 2)
+    with pytest.raises(Exception, match="NULL id"):
+        bad = spark.createDataFrame([("a", None, 1.0, 1)], "g string, id bigint, s double, op int")
+        ivm.apply_topk_delta(view, base_new, bad, ["g"], "id", "s", 2).collect()
