@@ -3863,3 +3863,86 @@ def q149_topk_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
         view, base_new, delta, keys=["pri", "ym"], id_col="id", score_col="price", k=3
     )
     return out.orderBy("pri", "ym", "id")
+
+
+# ---------------------------------------------------------------------------
+# q150 — personalized PageRank (operators/graph.py::personalized_pagerank;
+# random walk with restart over the q102 buyer-supplier graph)
+# ---------------------------------------------------------------------------
+
+
+def _q150_oracle(iters: int = 5) -> str:
+    head = """
+    WITH e0 AS (
+      SELECT DISTINCT 'c' || o_custkey AS a, 's' || l_suppkey AS b
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE EXTRACT(year FROM o_orderdate) = 1995
+    ), edges AS (
+      SELECT a AS src, b AS dst FROM e0 UNION SELECT b, a FROM e0
+    ), deg AS (
+      SELECT src, COUNT(*) AS deg FROM edges GROUP BY src
+    ), seeds AS (
+      SELECT DISTINCT a AS node FROM e0
+      WHERE CAST(substr(a, 2) AS BIGINT) % 50 = 0
+    ), sc AS (
+      SELECT COUNT(*) AS s FROM seeds
+    ), rv AS (
+      SELECT d.src AS node,
+             CASE WHEN d.src IN (SELECT node FROM seeds)
+                  THEN 1.0 / (SELECT s FROM sc) ELSE 0.0 END AS r
+      FROM deg d
+    ), r0 AS (
+      SELECT node, r AS pr FROM rv
+    )"""
+    its = ""
+    prev = "r0"
+    for i in range(1, iters + 1):
+        its += f""", s{i} AS (
+      SELECT e.dst AS node, SUM(r.pr / d.deg) AS w
+      FROM edges e JOIN {prev} r ON e.src = r.node
+                   JOIN deg d ON e.src = d.src
+      GROUP BY e.dst
+    ), it{i} AS (
+      SELECT rv.node, ROUND(0.15 * rv.r + 0.85 * COALESCE(s{i}.w, 0.0), 12) AS pr
+      FROM rv LEFT JOIN s{i} ON rv.node = s{i}.node
+    )"""
+        prev = f"it{i}"
+    return head + its + f"""
+    SELECT node, ROUND(pr, 6) AS pr FROM {prev} ORDER BY node
+    """
+
+
+@register("q150_personalized_pagerank", oracle=_q150_oracle(5))
+def q150_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (random walk with restart — operators/
+    graph.py::personalized_pagerank) over the q102 buyer-supplier graph,
+    restarting at the every-50th-customer seed set: proximity-to-seeds
+    ranking, the recommendation-primitive counterpart of q102's global
+    centrality. Five rounds from the restart vector; every round rounds
+    to 12dp so the oracle's sequentially-unrolled CTE trajectory matches
+    bit-for-bit, and the FULL vector is published (zero-rank rows for
+    nodes unreachable from the seeds — both engines emit them). The
+    symmetrized gate graph has no dangling nodes, so the operator's
+    restart-proportional dangling redistribution is identically zero and
+    the oracle elides it (pytest pins the dangling case on a directed
+    graph against a same-rounding numpy replica). Seeds are intersected
+    with the graph's node set inside the operator — absent customers
+    carry no restart mass, exactly the oracle's FROM e0 seed derivation."""
+    from kf_task_fhir_etl_spark.operators import graph
+
+    o = load_table(spark, sf_dir, "orders").filter(F.year("o_orderdate") == 1995)
+    li = load_table(spark, sf_dir, "lineitem")
+    e0 = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("a"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("b"),
+        )
+        .distinct()
+    )
+    edges = graph.symmetrize(e0, "a", "b")
+    cust = load_table(spark, sf_dir, "customer")
+    sources = cust.filter(F.col("c_custkey") % 50 == 0).select(
+        F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("node")
+    )
+    return graph.personalized_pagerank(edges, sources, iters=5).orderBy("node")

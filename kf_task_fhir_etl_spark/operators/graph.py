@@ -707,3 +707,114 @@ def sssp_distances(
         # projection's root cannot release them (the k_core lifecycle)
         handles_out.append(state)
     return dist
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    sources: DataFrame,
+    iters: int = 5,
+    damping: float = 0.85,
+    round_digits: int = 12,
+    source_col: str = "node",
+) -> DataFrame:
+    """Personalized PageRank (random walk with restart): ``pagerank``
+    with the teleport mass concentrated on a RESTART SET instead of
+    spread uniformly — the similarity/recommendation primitive ("rank
+    everything by proximity to THESE nodes"). Update rule per round::
+
+        pr'(v) = (1−d)·r(v) + d·(Σ_{u→v} pr(u)/deg(u) + D·r(v))
+
+    where ``r(v) = 1/|S|`` for v in the restart set S (sources present
+    in the graph — absent sources carry no mass) and 0 elsewhere, and
+    ``D`` is the round's dangling mass, redistributed PROPORTIONAL TO
+    THE RESTART VECTOR (the standard PPR treatment — a lost walker
+    restarts, it does not teleport uniformly). Rank mass is conserved:
+    Σ pr = 1 every round up to the per-round rounding.
+
+    Runs fixed ``iters`` rounds from r itself; returns (node, pr) at
+    6dp, INCLUDING zero-rank rows for nodes unreachable from S — the
+    full-vector contract an unrolled SQL oracle reproduces (every round
+    rounds to ``round_digits``, so distributed partial sums and a
+    sequential engine agree bit-for-bit).
+
+    Plan shape per round: identical to ``pagerank`` (one edge⋈rank join
+    + groupBy(dst) sum, both on the node-key partitioning the staged
+    edge table carries; one-row dangling aggregate broadcast). The
+    restart vector is a staged |V|-row frame reused every round. Raises
+    on an empty effective restart set (release-before-raise)."""
+    edges = edges.localCheckpoint()
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    seeds = nodes.join(
+        sources.select(F.col(source_col).alias("node")).distinct(), "node", "left_semi"
+    )
+    # restart vector: 1/|S| on seeds, 0.0 elsewhere — staged once, read
+    # every round (twice: the base term and the dangling redistribution).
+    # The CHECKPOINTED frame handle is kept for release: the reach-through
+    # in etl.release_checkpoints frees blocks only when the frame's
+    # analyzed root IS the LogicalRDD — a projection would silently no-op
+    restart_ck = (
+        nodes.join(seeds.select("node", F.lit(True).alias("__s")), "node", "left")
+        .select("node", F.col("__s").isNotNull().alias("__s"))
+        .localCheckpoint()
+    )
+    s = restart_ck.filter(F.col("__s")).count()
+    if s == 0:
+        for frame in (edges, nodes, restart_ck):
+            _release_checkpoint(frame)
+        raise ValueError(
+            "personalized_pagerank: no source node exists in the graph — "
+            "the restart vector would be all-zero"
+        )
+    restart = restart_ck.select(
+        "node", F.when(F.col("__s"), F.lit(1.0 / s)).otherwise(F.lit(0.0)).alias("r")
+    )
+    deg = edges.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
+    edges_deg = (
+        edges.join(deg, edges["src"] == deg["node"])
+        .select("src", "dst", "deg")
+        .repartition("src")
+        .localCheckpoint()
+    )
+    dangling_nodes = nodes.join(deg.select("node"), "node", "left_anti").localCheckpoint()
+    ranks = restart.select("node", F.col("r").alias("pr"))
+    prev_ck: DataFrame | None = None
+    for _ in range(iters):
+        contribs = edges_deg.join(ranks, edges_deg["src"] == ranks["node"]).select(
+            F.col("dst").alias("node"), (F.col("pr") / F.col("deg")).alias("w")
+        )
+        sums = contribs.groupBy("node").agg(F.sum("w").alias("w_sum"))
+        dangling = ranks.join(dangling_nodes, "node", "leftsemi").agg(
+            F.round(F.coalesce(F.sum("pr"), F.lit(0.0)), round_digits).alias("d_mass")
+        )
+        ranks = (
+            restart.join(sums, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                F.round(
+                    F.lit(1.0 - damping) * F.col("r")
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("w_sum"), F.lit(0.0))
+                        + F.col("d_mass") * F.col("r")
+                    ),
+                    round_digits,
+                ).alias("pr"),
+            )
+            .localCheckpoint()
+        )
+        if prev_ck is not None:
+            _release_checkpoint(prev_ck)
+        prev_ck = ranks
+    if prev_ck is not None:
+        for frame in (edges, nodes, edges_deg, dangling_nodes):
+            _release_checkpoint(frame)
+        # the restart vector's checkpoint is superseded too: the returned
+        # frame re-derives from the FINAL round's checkpoint only
+        _release_checkpoint(restart_ck)
+    return ranks.select("node", F.round(F.col("pr"), 6).alias("pr"))

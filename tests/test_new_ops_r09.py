@@ -969,3 +969,82 @@ def test_topk_delta_null_score_insert_and_validation(spark):
     with pytest.raises(Exception, match="NULL id"):
         bad = spark.createDataFrame([("a", None, 1.0, 1)], "g string, id bigint, s double, op int")
         ivm.apply_topk_delta(view, base_new, bad, ["g"], "id", "s", 2).collect()
+
+
+# ---------------------------------------------------------------------------
+# personalized PageRank (operators/graph.py::personalized_pagerank)
+# ---------------------------------------------------------------------------
+
+
+def _ppr_edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src string, dst string")
+
+
+def _ppr_seeds(spark, nodes):
+    return spark.createDataFrame([(n,) for n in nodes], "node string")
+
+
+def _ppr_numpy(pairs, seeds, iters=5, d=0.85, digits=12):
+    """Same-rounding sequential replica: per round w_sum per node, dangling
+    mass rounded to `digits`, pr' = round((1-d)*r + d*(w + D*r), digits)."""
+    nodes = sorted({a for a, _ in pairs} | {b for _, b in pairs})
+    idx = {n: i for i, n in enumerate(nodes)}
+    out = {n: [] for n in nodes}
+    for a, b in pairs:
+        out[a].append(b)
+    s = [n for n in seeds if n in idx]
+    r = {n: (1.0 / len(s) if n in s else 0.0) for n in nodes}
+    pr = dict(r)
+    for _ in range(iters):
+        w = {n: 0.0 for n in nodes}
+        for a in nodes:
+            if out[a]:
+                share = pr[a] / len(out[a])
+                for b in out[a]:
+                    w[b] += share
+        dmass = round(sum(pr[n] for n in nodes if not out[n]), digits)
+        pr = {
+            n: round((1 - d) * r[n] + d * (w[n] + dmass * r[n]), digits) for n in nodes
+        }
+    return {n: round(pr[n], 6) for n in nodes}
+
+
+def test_ppr_matches_numpy_with_dangling(spark):
+    """Directed graph with a dangling sink: the restart-proportional
+    dangling redistribution must match a same-rounding sequential
+    replica bit-for-bit (12dp per round, 6dp published)."""
+    pairs = [("a", "b"), ("b", "c"), ("a", "c"), ("d", "a")]  # c dangles
+    got = {
+        r["node"]: r["pr"]
+        for r in graph.personalized_pagerank(
+            _ppr_edges(spark, pairs), _ppr_seeds(spark, ["a", "d"]), iters=5
+        ).collect()
+    }
+    assert got == _ppr_numpy(pairs, ["a", "d"])
+
+
+def test_ppr_unreachable_nodes_carry_zero_and_seeds_intersect(spark):
+    """A component with no seed gets rank 0.0 rows (full-vector
+    contract); seeds absent from the graph carry no restart mass."""
+    pairs = [("a", "b"), ("x", "y")]  # two components
+    got = {
+        r["node"]: r["pr"]
+        for r in graph.personalized_pagerank(
+            _ppr_edges(spark, pairs), _ppr_seeds(spark, ["a", "ghost"]), iters=3
+        ).collect()
+    }
+    assert set(got) == {"a", "b", "x", "y"}
+    assert got["x"] == 0.0 and got["y"] == 0.0
+    assert got == _ppr_numpy(pairs, ["a"], iters=3)  # ghost contributed nothing
+
+
+def test_ppr_mass_conserved_and_empty_seeds_raise(spark):
+    pairs = [("a", "b"), ("b", "a"), ("b", "c")]
+    res = graph.personalized_pagerank(
+        _ppr_edges(spark, pairs), _ppr_seeds(spark, ["b"]), iters=4
+    ).collect()
+    assert abs(sum(r["pr"] for r in res) - 1.0) < 1e-6
+    with pytest.raises(ValueError, match="no source node"):
+        graph.personalized_pagerank(
+            _ppr_edges(spark, pairs), _ppr_seeds(spark, ["zzz"]), iters=2
+        )
