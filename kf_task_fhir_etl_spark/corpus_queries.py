@@ -3785,9 +3785,10 @@ def q148_minmax_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "q149_topk_ivm",
-    oracle="""
+# Shared by q149 (batch) and q151 (stream): the stream ≡ batch contract is
+# literally "same oracle" — one SQL string, two execution surfaces (the
+# q137/q145 and q134/q147 pattern).
+_TOPK_ORACLE_SQL = """
     WITH post AS (
       SELECT o_orderpriority AS pri, strftime(o_orderdate, '%Y-%m') AS ym,
              o_orderkey AS id,
@@ -3802,8 +3803,10 @@ def q148_minmax_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM post
     ) WHERE rn <= 3
     ORDER BY pri, ym, id
-    """,
-)
+    """
+
+
+@register("q149_topk_ivm", oracle=_TOPK_ORACLE_SQL)
 def q149_topk_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 orders by value per (priority, month) maintained through an
     entity changelog (operators/ivm.py::apply_topk_delta) that exercises
@@ -3946,3 +3949,104 @@ def q150_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("node")
     )
     return graph.personalized_pagerank(edges, sources, iters=5).orderBy("node")
+
+
+# ---------------------------------------------------------------------------
+# q151 — streaming top-k leaderboard (streaming/leaderboard.py; a CDC
+# change stream maintains base table AND top-k view in one committed store)
+# ---------------------------------------------------------------------------
+
+
+@register("q151_streaming_topk", oracle=_TOPK_ORACLE_SQL)
+def q151_streaming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The q149 leaderboard maintained from a CHANGE STREAM
+    (streaming/leaderboard.py::topk_stream): three change epochs — (1)
+    upsert every pre-changelog order, (2) upsert the % 7 = 3 late
+    arrivals and DELETE the % 97 = 5 rows, (3) re-price the % 13 = 1
+    survivors (+50000, CDC updates) — stream through ``foreachBatch``;
+    each microbatch LWW-merges the base table AND delta-maintains the
+    per-(priority, month) top-3 view in ONE versioned-store commit (base
+    and view cannot diverge under at-least-once replay — the whole point
+    of the single-commit design). The oracle is LITERALLY q149's batch
+    SQL (_TOPK_ORACLE_SQL — one string, two surfaces): the streamed
+    leaderboard must be row-identical to the batch operator's
+    incremental-≡-recompute result. Store + checkpoint key on the source
+    content fingerprint (the q128 replay-idempotency discipline)."""
+    import os as _os
+
+    from kf_task_fhir_etl_spark.catalog import staged_base, staged_layout
+    from kf_task_fhir_etl_spark.streaming import cdc, leaderboard
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("id"),
+        F.col("o_orderpriority").alias("pri"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+        F.col("o_totalprice").alias("price"),
+    )
+    i = F.col("id")
+    old = orders.filter(i % 7 != 3)
+
+    def build_changes(tmp: str) -> None:
+        e1 = old.select(
+            "pri", "ym", "id", "price",
+            F.lit(1).cast("long").alias("seq"),
+            F.lit(cdc.OP_UPSERT).alias("op"),
+        )
+        e2 = (
+            orders.filter(i % 7 == 3)
+            .select(
+                "pri", "ym", "id", "price",
+                F.lit(2).cast("long").alias("seq"),
+                F.lit(cdc.OP_UPSERT).alias("op"),
+            )
+            .unionByName(
+                old.filter(i % 97 == 5).select(
+                    "pri", "ym", "id",
+                    F.lit(None).cast("double").alias("price"),
+                    F.lit(2).cast("long").alias("seq"),
+                    F.lit(cdc.OP_DELETE).alias("op"),
+                )
+            )
+        )
+        e3 = old.filter((i % 97 != 5) & (i % 13 == 1)).select(
+            "pri", "ym", "id",
+            (F.col("price") + F.lit(50000.0)).alias("price"),
+            F.lit(3).cast("long").alias("seq"),
+            F.lit(cdc.OP_UPSERT).alias("op"),
+        )
+        for n, df in enumerate((e1, e2, e3), start=1):
+            df.coalesce(1).write.parquet(_os.path.join(tmp, f"e{n}"))
+
+    changes_dir = staged_layout("topk_changes", sf_dir, ["orders"], build_changes)
+    base = staged_base("topkstore", sf_dir, ["orders"])
+    _os.makedirs(base, exist_ok=True)
+    store = _os.path.join(base, "store")
+    stream = (
+        spark.readStream.schema(
+            "pri string, ym string, id bigint, price double, seq long, op string"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(_os.path.join(changes_dir, "e*"))
+    )
+    q = leaderboard.topk_stream(
+        stream,
+        store,
+        keys=["pri", "ym"],
+        id_col="id",
+        score_col="price",
+        k=3,
+        order_col="seq",
+        op_col="op",
+        checkpoint=_os.path.join(base, "ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    view = leaderboard.read_leaderboard(spark, store, ["pri", "ym", "id", "price"])
+    if view is None:
+        raise RuntimeError(
+            f"q151: leaderboard store at {store} has no committed version; "
+            "remove the stream checkpoint to replay the changes"
+        )
+    return view.orderBy("pri", "ym", "id")

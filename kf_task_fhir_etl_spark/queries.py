@@ -374,18 +374,18 @@ def q08_resource_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 # stream gate → q137 re-proves; (7) connected_components symmetrizes via
 # ONE explode pass instead of union-of-two-selects (the VERDICT r08 q63
 # question — the union form derived the candidate frame twice) → q63/q72
-# re-prove. EIGHT new gates (weighted SSSP q143,
+# re-prove. NINE new gates (weighted SSSP q143,
 # join-view IVM q144, streaming pattern spans q145 — VERDICT r08 #4-#6 —
 # plus distinct-count IVM q146, streaming funnel q147, MIN/MAX IVM q148,
-# top-k IVM q149, and personalized PageRank q150 — the natural next
-# steps in the IVM, batch/stream-unification, and iterative-graph
-# lines) land WITH their proofs. The remaining
-# slots take 22 of the 42
-# r06-vintage re-proves (next-oldest debt); the TWENTY deferred
+# top-k IVM q149, personalized PageRank q150, and streaming top-k q151 —
+# the natural next steps in the IVM, batch/stream-unification, and
+# iterative-graph lines) land WITH their proofs. The remaining
+# slots take 21 of the 42
+# r06-vintage re-proves (next-oldest debt); the TWENTY-ONE deferred
 # (q24/q30/q74-q84 — the builder-JSON byte-gate family — plus
-# q25/q26/q27/q33/q34/q64/q65, every one of whose builder plan() paths
-# is exercised by q85's fused pipeline, green r08, and untouched this
-# round; window full at 50) sit at the head of _CHECK_LAST with
+# q25/q26/q27/q33/q34/q35/q64/q65, every one of whose builder plan()
+# paths is exercised by q85's fused pipeline, green r08, and untouched
+# this round; window full at 50) sit at the head of _CHECK_LAST with
 # per-entry notes and LEAD the r10 window.
 # Everything else in _CHECK_LAST is r06/r07/r08-green on code untouched
 # this round. Window composition is MACHINE-CHECKED:
@@ -426,6 +426,7 @@ _CHECK_FIRST = [
     "q148_minmax_ivm",
     "q149_topk_ivm",
     "q150_personalized_pagerank",
+    "q151_streaming_topk",
     # -- r06-vintage re-proves (untouched code; next-oldest debt)
     "q100_corpus_build_pipeline",
     "q101_scd2_history",
@@ -440,7 +441,6 @@ _CHECK_FIRST = [
     "q23_fhir_transform_cascade",
     "q31_fhir_drs_document_reference",
     "q32_fhir_family_relationship",
-    "q35_fhir_histopathology",
     "q57_approx_sketches",
     "q70_incremental_rollup",
     "q89_quality_filter_funnel",
@@ -461,10 +461,10 @@ _CHECK_LAST = [
     # to gates with no such umbrella. LEAD the r10 window.
     "q24_fhir_patient_resources",
     "q30_fhir_vital_status_json",
-    # q25/q26/q27/q33/q34/q64/q65 displaced mid-r09 (window full at 50)
-    # when the connected_components symmetrization fix pulled q63/q72
-    # into the changed-code block and the five late new gates (q146-q150)
-    # landed: all seven are builder gates whose plan() column expressions
+    # q25/q26/q27/q33/q34/q35/q64/q65 displaced mid-r09 (window full at
+    # 50) when the connected_components symmetrization fix pulled q63/q72
+    # into the changed-code block and the six late new gates (q146-q151)
+    # landed: all eight are builder gates whose plan() column expressions
     # run inside q85's fused pipeline (r08 green, untouched this round) —
     # the same umbrella argument as the JSON family above. LEAD the r10
     # window with that family.
@@ -473,6 +473,7 @@ _CHECK_LAST = [
     "q27_fhir_specimen_narrow",
     "q33_fhir_research_study",
     "q34_fhir_proband_status",
+    "q35_fhir_histopathology",
     "q64_fhir_drs_metadata_hashes",
     "q65_fhir_specimen_bodysite_dispatch",
     "q74_fhir_proband_status_json",

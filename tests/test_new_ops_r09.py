@@ -1048,3 +1048,141 @@ def test_ppr_mass_conserved_and_empty_seeds_raise(spark):
         graph.personalized_pagerank(
             _ppr_edges(spark, pairs), _ppr_seeds(spark, ["zzz"]), iters=2
         )
+
+
+# ---------------------------------------------------------------------------
+# streaming top-k leaderboard (streaming/leaderboard.py)
+# ---------------------------------------------------------------------------
+
+
+def _lb_run(spark, tmp_path, batches, name, k=2):
+    """batches: list of lists of (g, id, price, seq, op). Runs the sink,
+    returns (view_rows, live_rows) as sorted tuples."""
+    import os
+
+    from kf_task_fhir_etl_spark.streaming import leaderboard
+
+    src = str(tmp_path / f"{name}_src")
+    schema = "g string, id bigint, price double, seq long, op string"
+    for n, rows in enumerate(batches, 1):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            os.path.join(src, f"e{n}")
+        )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(src, "e*"))
+    )
+    store = str(tmp_path / f"{name}_store")
+    q = leaderboard.topk_stream(
+        stream, store, keys=["g"], id_col="id", score_col="price", k=k,
+        order_col="seq", op_col="op", checkpoint=str(tmp_path / f"{name}_ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    cols = ["g", "id", "price"]
+    view = sorted(tuple(r) for r in leaderboard.read_leaderboard(spark, store, cols).collect())
+    live = sorted(tuple(r) for r in leaderboard.read_live_table(spark, store, cols).collect())
+    return view, live
+
+
+def _lb_expect(spark, live_rows, k=2):
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("g").orderBy(F.col("price").desc(), F.col("id"))
+    df = spark.createDataFrame(live_rows, "g string, id bigint, price double")
+    return sorted(
+        tuple(r)
+        for r in df.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= k)
+        .drop("__r")
+        .collect()
+    )
+
+
+def test_leaderboard_stream_updates_deletes_match_recompute(spark, tmp_path):
+    """Inserts, CDC updates, and deletes across microbatches: the final
+    view must equal a from-scratch top-k over the final live table."""
+    b1 = [
+        ("a", 1, 10.0, 1, "upsert"), ("a", 2, 8.0, 1, "upsert"),
+        ("a", 3, 5.0, 1, "upsert"), ("b", 7, 3.0, 1, "upsert"),
+    ]
+    b2 = [
+        ("a", 1, 1.0, 2, "upsert"),   # member demoted by update
+        ("a", 4, 9.0, 2, "upsert"),   # new entity into the top
+        ("b", 7, None, 2, "delete"),  # group vanishes
+    ]
+    view, live = _lb_run(spark, tmp_path, [b1, b2], "lb_upd")
+    want_live = [("a", 1, 1.0), ("a", 2, 8.0), ("a", 3, 5.0), ("a", 4, 9.0)]
+    assert live == sorted(want_live)
+    assert view == _lb_expect(spark, want_live) == sorted([("a", 4, 9.0), ("a", 2, 8.0)])
+
+
+def test_leaderboard_stale_change_loses_lww_and_view_follows(spark, tmp_path):
+    """An out-of-order change that LOSES the LWW merge must be a view
+    no-op too — the delta diffs the merge OUTCOME, not the raw ops: a
+    seq-1 delete arriving after a seq-2 upsert cannot evict the row from
+    base OR view."""
+    b1 = [("a", 1, 10.0, 2, "upsert"), ("a", 2, 8.0, 2, "upsert")]
+    b2 = [("a", 1, None, 1, "delete"),   # stale: loses to the seq-2 upsert
+          ("a", 2, 99.0, 1, "upsert")]  # stale: must NOT re-price
+    view, live = _lb_run(spark, tmp_path, [b1, b2], "lb_stale")
+    want_live = [("a", 1, 10.0), ("a", 2, 8.0)]
+    assert live == sorted(want_live)
+    assert view == _lb_expect(spark, want_live)
+
+
+def test_leaderboard_batch_boundary_independence(spark, tmp_path):
+    """The same change set in different microbatch splits converges to
+    the same view and live table."""
+    changes = [
+        ("a", 1, 10.0, 1, "upsert"), ("a", 2, 8.0, 1, "upsert"),
+        ("a", 3, 5.0, 1, "upsert"), ("a", 1, None, 2, "delete"),
+        ("a", 4, 9.0, 2, "upsert"), ("a", 3, 12.0, 3, "upsert"),
+    ]
+    results = []
+    for si, split in enumerate(([changes], [changes[:3], changes[3:]],
+                                [[c] for c in changes])):
+        results.append(_lb_run(spark, tmp_path, split, f"lb_split{si}"))
+    assert results[0] == results[1] == results[2]
+    want_live = [("a", 2, 8.0), ("a", 3, 12.0), ("a", 4, 9.0)]
+    assert results[0][1] == sorted(want_live)
+    assert results[0][0] == _lb_expect(spark, want_live)
+
+
+def test_leaderboard_reserved_names_and_view_tag_rejected(spark, tmp_path):
+    from kf_task_fhir_etl_spark.streaming import leaderboard
+
+    schema = "g string, id bigint, price double, seq long, op string"
+    bad_schema = schema.replace("op string", "__op string")
+    seed_dir = str(tmp_path / "seed_src")
+    spark.createDataFrame(
+        [("a", 1, 1.0, 1, "upsert")], bad_schema
+    ).coalesce(1).write.parquet(seed_dir)
+    stream = spark.readStream.schema(bad_schema).parquet(seed_dir)
+    with pytest.raises(ValueError, match="reserved"):
+        leaderboard.topk_stream(
+            stream, str(tmp_path / "s"), ["g"], "id", "price", 2, "seq", "__op"
+        )
+    # '__view__' as an op VALUE dies in-plan inside the sink
+    import os
+
+    src = str(tmp_path / "tag_src")
+    spark.createDataFrame(
+        [("a", 1, 1.0, 1, "__view__")], schema
+    ).coalesce(1).write.parquet(os.path.join(src, "e1"))
+    stream2 = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(src, "e*"))
+    )
+    q = leaderboard.topk_stream(
+        stream2, str(tmp_path / "tag_store"), ["g"], "id", "price", 2,
+        "seq", "op", checkpoint=str(tmp_path / "tag_ckpt"),
+    )
+    with pytest.raises(Exception, match="reserved|__view__|StreamingQuery"):
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
