@@ -42,6 +42,10 @@ key-pruned slice of the post-changelog base) for delete-touched groups.
 ``apply_topk_delta`` extends the same hybrid to per-group top-k rankings
 with a sharper trigger: only deletes that HIT a stored member recompute —
 a miss is a provable no-op, and inserts always fold.
+
+Reference anchor: the reference pipeline recomputes everything per run
+(no materialized views, ``etl/ingest.py`` full-table loads); the IVM
+family is an engine extension on the Blakeley/Gupta-Mumick line.
 """
 
 from __future__ import annotations

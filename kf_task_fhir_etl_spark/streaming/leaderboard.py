@@ -36,6 +36,10 @@ Scale shape: steps 1-2 are batch-sized; step 3 is the CDC copy-on-write
 merge (table-sized, distributed — partition the store by a key prefix at
 real scale); step 4 is view-sized folds plus pruned re-ranks. The view
 adds k·|groups| rows to the store — noise next to the base.
+
+Reference anchor: the reference pipeline has no streaming surface and no
+materialized-view maintenance (SURVEY.md §2.8); this composes the
+engine's own CDC (q128) and top-k IVM (q149) extensions.
 """
 
 from __future__ import annotations
