@@ -1186,3 +1186,61 @@ def test_leaderboard_reserved_names_and_view_tag_rejected(spark, tmp_path):
             q.processAllAvailable()
         finally:
             q.stop()
+
+
+# ---------------------------------------------------------------------------
+# plan-shape asserts: the IVM family's probe joins ARE broadcast
+# (the docstrings' scale claims, machine-checked — the q95/q129 discipline)
+# ---------------------------------------------------------------------------
+
+
+def _executed_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_distinct_count_probes_are_broadcast(spark):
+    """The support/view slicing (semi + anti + view-anti) must compile to
+    BroadcastHashJoin — a shuffled probe would re-exchange the table-sized
+    support per batch, the exact cost the operator's docstring excludes."""
+    from kf_task_fhir_etl_spark.operators import ivm
+
+    base = _dc_base(spark, [("a", 1), ("a", 2), ("b", 3)])
+    view = (
+        base.groupBy("g").agg(F.count_distinct("v").alias("n_distinct"))
+    )
+    support = ivm.distinct_count_support(base, ["g"], "v")
+    delta = spark.createDataFrame([("a", 9, 1)], "g string, v bigint, op int")
+    new_view, new_support = ivm.apply_distinct_count_delta(
+        view, support, delta, ["g"], "v"
+    )
+    for frame, want in ((new_support, 2), (new_view, 1)):
+        plan = _executed_plan(frame)
+        assert plan.count("BroadcastHashJoin") >= want, plan
+        assert "SortMergeJoin LeftSemi" not in plan and "SortMergeJoin LeftAnti" not in plan, plan
+
+
+def test_minmax_and_topk_probes_are_broadcast(spark):
+    """Same contract for the extrema/rank hybrids: untouched-passthrough
+    anti, touched semi, and the base recompute slice are all broadcast
+    probes; only the fold/merge itself may shuffle."""
+    from kf_task_fhir_etl_spark.operators import ivm
+
+    view, base_new, delta, _ = _mm_frames(
+        spark, [("a", 1), ("b", 2)], [("a", 9)], [("b", 2)]
+    )
+    mm = ivm.apply_minmax_delta(
+        view, base_new, delta, ["g"], min_cols={"lo": "x"}, max_cols={"hi": "x"}
+    )
+    plan = _executed_plan(mm)
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "SortMergeJoin LeftSemi" not in plan and "SortMergeJoin LeftAnti" not in plan, plan
+
+    _, tview = _tk_frames(spark, [("a", 1, 5.0), ("a", 2, 3.0)], 2)
+    tbase = spark.createDataFrame([("a", 2, 3.0)], "g string, id bigint, s double")
+    tdelta = spark.createDataFrame(
+        [("a", 1, None, -1), ("a", 3, 7.0, 1)], "g string, id bigint, s double, op int"
+    )
+    tk = ivm.apply_topk_delta(tview, tbase, tdelta, ["g"], "id", "s", 2)
+    plan = _executed_plan(tk)
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "SortMergeJoin LeftSemi" not in plan and "SortMergeJoin LeftAnti" not in plan, plan
