@@ -1,7 +1,9 @@
 """Round-9 operator tests: the incremental_dedup params-validation memo
 (VERDICT r08 #7), the k_core handles_out release handle (r08 ADVICE),
-weighted SSSP, join-view IVM, and streaming pattern spans (VERDICT r08
-#4-#6)."""
+weighted SSSP, join-view IVM, streaming pattern spans (VERDICT r08
+#4-#6), and the round's extensions — distinct-count/minmax/top-k IVM,
+the streaming funnel, the streaming top-k leaderboard, personalized
+PageRank, and the IVM-family broadcast-probe plan asserts."""
 
 from __future__ import annotations
 
