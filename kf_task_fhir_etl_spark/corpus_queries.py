@@ -3971,7 +3971,11 @@ def q151_streaming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL (_TOPK_ORACLE_SQL — one string, two surfaces): the streamed
     leaderboard must be row-identical to the batch operator's
     incremental-≡-recompute result. Store + checkpoint key on the source
-    content fingerprint (the q128 replay-idempotency discipline)."""
+    content fingerprint (the q128 replay-idempotency discipline). r10: the
+    store is PARTITIONED (versioned_store.apply_batch_partitioned) — base
+    rows bucket by group-key hash, the view rides its own partition, and a
+    microbatch rewrites only touched buckets (the tag moves to
+    'topkstore_p' so an old flat-layout store can never be misread)."""
     import os as _os
 
     from kf_task_fhir_etl_spark.catalog import staged_base, staged_layout
@@ -4018,7 +4022,7 @@ def q151_streaming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             df.coalesce(1).write.parquet(_os.path.join(tmp, f"e{n}"))
 
     changes_dir = staged_layout("topk_changes", sf_dir, ["orders"], build_changes)
-    base = staged_base("topkstore", sf_dir, ["orders"])
+    base = staged_base("topkstore_p", sf_dir, ["orders"])
     _os.makedirs(base, exist_ok=True)
     store = _os.path.join(base, "store")
     stream = (
@@ -4038,6 +4042,7 @@ def q151_streaming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         order_col="seq",
         op_col="op",
         checkpoint=_os.path.join(base, "ckpt"),
+        buckets=8,
     )
     try:
         q.processAllAvailable()

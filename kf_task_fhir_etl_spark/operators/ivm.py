@@ -788,13 +788,13 @@ def apply_topk_delta(
             )
     reserved = {"__has_ins", "__has_del", "__rn", "__dk_id"} | {
         f"__dk_{c}" for c in keys
-    }
+    } | {f"__dh_{c}" for c in keys}
     clash = reserved.intersection(view.columns)
     if clash:
         raise ValueError(
             f"apply_topk_delta: view columns {sorted(clash)} collide with "
-            "reserved staging names (__has_ins/__has_del/__rn/__dk_*); "
-            "rename them first"
+            "reserved staging names (__has_ins/__has_del/__rn/__dk_*/"
+            "__dh_*); rename them first"
         )
 
     from pyspark.sql import Window
@@ -831,19 +831,32 @@ def apply_topk_delta(
         eq = F.col(c).eqNullSafe(F.col(f"__dk_{c}"))
         key_cond = eq if key_cond is None else (key_cond & eq)
 
-    # 2. deletes that HIT a stored member → recompute groups
+    # 2. deletes that HIT a stored member → recompute groups. The hit set
+    #    is carried under its OWN prefix (__dh_) so the fold/recompute
+    #    split below can compare null-safely — a name-list anti-join here
+    #    put a NULL-keyed group on BOTH paths, duplicating its view rows
+    #    (r10, found via the leaderboard NULL-group-key gate; the r09
+    #    gates never exercised NULL keys through the delete path)
     view_members = view.select(
         *[F.col(c).alias(f"__dk_{c}") for c in keys], F.col(id_col).alias("__dk_id")
     )
     hit_cond = key_cond & F.col(id_col).eqNullSafe(F.col("__dk_id"))
     del_hit_keys = (
         deletes.join(F.broadcast(view_members), hit_cond, "left_semi")
-        .select(*[F.col(c).alias(f"__dk_{c}") for c in keys])
+        .select(*[F.col(c).alias(f"__dh_{c}") for c in keys])
         .distinct()
     )
+    dh_cond = None
+    for c in keys:
+        eq = F.col(c).eqNullSafe(F.col(f"__dh_{c}"))
+        dh_cond = eq if dh_cond is None else (dh_cond & eq)
+    dk_dh_cond = None
+    for c in keys:
+        eq = F.col(f"__dk_{c}").eqNullSafe(F.col(f"__dh_{c}"))
+        dk_dh_cond = eq if dk_dh_cond is None else (dk_dh_cond & eq)
     # every touched group (fold ∪ recompute) leaves the untouched set
     all_keys = per_ent.select(*[F.col(c).alias(f"__dk_{c}") for c in keys]).distinct()
-    fold_keys = all_keys.join(del_hit_keys, [f"__dk_{c}" for c in keys], "left_anti")
+    fold_keys = all_keys.join(del_hit_keys, dk_dh_cond, "left_anti")
 
     untouched = view.join(F.broadcast(all_keys), key_cond, "left_anti")
 
@@ -866,7 +879,7 @@ def apply_topk_delta(
     )
     # 4. recompute path: ONLY member-delete groups read the base
     recomputed = (
-        base_new.join(F.broadcast(del_hit_keys), key_cond, "left_semi")
+        base_new.join(F.broadcast(del_hit_keys), dh_cond, "left_semi")
         .filter(F.col(score_col).isNotNull())
         .select(*view.columns)
         .withColumn("__rn", F.row_number().over(rank_w))

@@ -215,6 +215,151 @@ def test_personalized_pagerank_iters0_releases_staged_frames(spark):
     assert _wait_stored_at_most(spark, before + 1) <= before + 1
 
 
+# ---------------------------------------------------------------------------
+# apply_topk_delta NULL-key fold/recompute split (found via the leaderboard
+# NULL-group gate: the name-list anti-join put a NULL-keyed group on BOTH
+# paths, duplicating its rows)
+# ---------------------------------------------------------------------------
+
+
+def test_apply_topk_delta_null_key_member_delete_recomputes_once(spark):
+    from kf_task_fhir_etl_spark.operators import ivm
+
+    base_old = spark.createDataFrame(
+        [(None, 1, 10.0), (None, 2, 8.0), (None, 3, 5.0), ("g", 9, 1.0)],
+        "k string, id bigint, s double",
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("k").orderBy(F.col("s").desc(), F.col("id"))
+    view = (
+        base_old.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= 2)
+        .drop("__r")
+    )
+    # delete the NULL group's stored leader → bounded recompute of that group
+    delta = spark.createDataFrame(
+        [(None, 1, None, -1)], "k string, id bigint, s double, op int"
+    )
+    base_new = base_old.filter(~(F.col("k").isNull() & (F.col("id") == 1)))
+    out = sorted(
+        (
+            tuple(r)
+            for r in ivm.apply_topk_delta(
+                view, base_new, delta, keys=["k"], id_col="id", score_col="s", k=2
+            ).collect()
+        ),
+        key=repr,
+    )
+    assert out == sorted([(None, 2, 8.0), (None, 3, 5.0), ("g", 9, 1.0)], key=repr)
+
+
+# ---------------------------------------------------------------------------
+# leaderboard on the partitioned store (r09 ADVICE + VERDICT #2/#7)
+# ---------------------------------------------------------------------------
+
+
+def _lb_stream(spark, tmp_path, batches, name):
+    schema = "g string, id bigint, price double, seq long, op string"
+    src = str(tmp_path / f"{name}_src")
+    for n, rows in enumerate(batches, 1):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            os.path.join(src, f"e{n}")
+        )
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(src, "e*"))
+    )
+
+
+def _lb_go(spark, tmp_path, batches, name, buckets=4, k=2):
+    from kf_task_fhir_etl_spark.streaming import leaderboard
+
+    store = str(tmp_path / f"{name}_store")
+    q = leaderboard.topk_stream(
+        _lb_stream(spark, tmp_path, batches, name), store, keys=["g"],
+        id_col="id", score_col="price", k=k, order_col="seq", op_col="op",
+        checkpoint=str(tmp_path / f"{name}_ckpt"), buckets=buckets,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return store
+
+
+def test_leaderboard_null_group_key_update_is_visible_to_the_diff(spark, tmp_path):
+    """r09 ADVICE (medium): an entity whose GROUP KEY is NULL must still be
+    diffed pre-vs-post — the old name-list joins dropped it, leaving a
+    stale duplicate id in the maintained view after an update."""
+    from kf_task_fhir_etl_spark.streaming import leaderboard
+
+    b1 = [(None, 1, 10.0, 1, "upsert"), (None, 2, 8.0, 1, "upsert")]
+    b2 = [(None, 1, 1.0, 2, "upsert")]  # demote the NULL-group leader
+    store = _lb_go(spark, tmp_path, [b1, b2], "lb_nullg")
+    view = sorted(
+        tuple(r)
+        for r in leaderboard.read_leaderboard(spark, store, ["g", "id", "price"]).collect()
+    )
+    # id=1 must appear ONCE, at its new score — never both scores
+    assert view == [(None, 1, 1.0), (None, 2, 8.0)]
+    live = sorted(
+        tuple(r)
+        for r in leaderboard.read_live_table(spark, store, ["g", "id", "price"]).collect()
+    )
+    assert live == [(None, 1, 1.0), (None, 2, 8.0)]
+
+
+def test_leaderboard_null_op_raises_named_error(spark, tmp_path):
+    """r09 ADVICE (low): a NULL op must be named as such, not mislabeled
+    as the reserved '__view__' tag."""
+    from kf_task_fhir_etl_spark.streaming import leaderboard
+
+    b1 = [("a", 1, 1.0, 1, None)]
+    store = str(tmp_path / "lb_nullop_store")
+    q = leaderboard.topk_stream(
+        _lb_stream(spark, tmp_path, [b1], "lb_nullop"), store, keys=["g"],
+        id_col="id", score_col="price", k=2, order_col="seq", op_col="op",
+        checkpoint=str(tmp_path / "lb_nullop_ckpt"),
+    )
+    with pytest.raises(Exception, match="NULL op|StreamingQuery"):
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+
+def test_leaderboard_untouched_buckets_carry_forward(spark, tmp_path):
+    """The write-amplification contract at the sink level: a microbatch
+    touching one group rewrites that group's bucket + the view partition,
+    while the other group's bucket files survive IN PLACE."""
+    from kf_task_fhir_etl_spark.streaming import leaderboard
+
+    # two groups in DISTINCT buckets under buckets=4 (verified below)
+    b1 = [("a", 1, 10.0, 1, "upsert"), ("b", 7, 3.0, 1, "upsert")]
+    b2 = [("a", 2, 20.0, 2, "upsert")]  # touches group a only
+    store = _lb_go(spark, tmp_path, [b1, b2], "lb_carry", buckets=4)
+    bucket_of = {
+        r["g"]: r["b"]
+        for r in spark.createDataFrame([("a",), ("b",)], "g string")
+        .select("g", F.concat(F.lit("b"), F.pmod(F.xxhash64("g"), F.lit(4)).cast("string")).alias("b"))
+        .collect()
+    }
+    assert bucket_of["a"] != bucket_of["b"], "pick groups in distinct buckets"
+    m0 = vs.read_manifest(spark, store, 0)
+    m1 = vs.read_manifest(spark, store, 1)
+    # group b's bucket: same path (batch-0 data dir), untouched on disk;
+    # group a's bucket and the view: rewritten by batch 1
+    assert m1[bucket_of["b"]] == m0[bucket_of["b"]] and ".vp0" in m1[bucket_of["b"]]
+    assert ".vp1" in m1[bucket_of["a"]] and ".vp1" in m1[leaderboard.VIEW_PART]
+    view = sorted(
+        tuple(r)
+        for r in leaderboard.read_leaderboard(spark, store, ["g", "id", "price"]).collect()
+    )
+    assert view == [("a", 1, 10.0), ("a", 2, 20.0), ("b", 7, 3.0)]
+
+
 def test_personalized_pagerank_one_iter_still_releases(spark):
     """The non-degenerate path keeps its r09 contract: exactly one survivor
     (the final round's checkpoint) after ≥1 iteration."""
