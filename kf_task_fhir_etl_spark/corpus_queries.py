@@ -4055,3 +4055,110 @@ def q151_streaming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "remove the stream checkpoint to replay the changes"
         )
     return view.orderBy("pri", "ym", "id")
+
+
+# ---------------------------------------------------------------------------
+# q155 — partitioned-store CDC apply (streaming/cdc.py buckets= +
+# streaming/versioned_store.py::apply_batch_partitioned; VERDICT r09 #2 —
+# commits rewrite only touched key buckets)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q155_partitioned_cdc_apply",
+    oracle="""
+    SELECT o_orderkey AS order_key,
+           CASE WHEN o_orderkey % 5 = 0 THEN 'P5' ELSE o_orderstatus END AS status,
+           ROUND(o_totalprice, 2)
+             + CASE WHEN o_orderkey % 11 = 0 THEN 1000.0 ELSE 0.0 END AS price
+    FROM orders
+    WHERE o_orderkey % 9 <> 0 OR o_orderkey % 11 = 0
+    ORDER BY order_key
+    """,
+)
+def q155_partitioned_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The q128 CDC-apply shape on the PARTITIONED versioned store
+    (``cdc_stream(buckets=8)``): four change epochs — (1) upsert every
+    key, (2) re-status keys %5==0 to 'P5', (3) DELETE keys %9==0, (4)
+    re-price keys %11==0 (+1000) — stream through ``foreachBatch``, each
+    microbatch LWW-merging ONLY the key buckets its winners hash into
+    (untouched buckets carry forward by manifest reference, byte-identical
+    — pytest pins the carried-forward file listing at the store level).
+    Epoch 4 deliberately overlaps epoch 3: a key divisible by both 9 and
+    11 is tombstoned at seq 3 and RESURRECTED by the seq-4 upsert — the
+    LWW total order must make the later upsert win across partitioned
+    commits exactly as it does in the flat store. The oracle is the
+    closed-form last-writer-wins over the four epochs: %9 keys absent
+    unless %11 resurrects them, %5 re-statused, %11 re-priced."""
+    import os as _os
+
+    from kf_task_fhir_etl_spark.catalog import staged_base, staged_layout
+    from kf_task_fhir_etl_spark.streaming import cdc
+
+    orders = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    status2 = F.when(k % 5 == 0, F.lit("P5")).otherwise(F.col("o_orderstatus"))
+
+    def build_changes(tmp: str) -> None:
+        e1 = orders.select(
+            k.alias("order_key"),
+            F.col("o_orderstatus").alias("status"),
+            F.round(F.col("o_totalprice"), 2).alias("price"),
+            F.lit(1).cast("long").alias("seq"),
+            F.lit(cdc.OP_UPSERT).alias("op"),
+        )
+        e2 = orders.filter(k % 5 == 0).select(
+            k.alias("order_key"),
+            F.lit("P5").alias("status"),
+            F.round(F.col("o_totalprice"), 2).alias("price"),
+            F.lit(2).cast("long").alias("seq"),
+            F.lit(cdc.OP_UPSERT).alias("op"),
+        )
+        e3 = orders.filter(k % 9 == 0).select(
+            k.alias("order_key"),
+            F.lit(None).cast("string").alias("status"),
+            F.lit(None).cast("double").alias("price"),
+            F.lit(3).cast("long").alias("seq"),
+            F.lit(cdc.OP_DELETE).alias("op"),
+        )
+        e4 = orders.filter(k % 11 == 0).select(
+            k.alias("order_key"),
+            status2.alias("status"),
+            (F.round(F.col("o_totalprice"), 2) + F.lit(1000.0)).alias("price"),
+            F.lit(4).cast("long").alias("seq"),
+            F.lit(cdc.OP_UPSERT).alias("op"),
+        )
+        for i, df in enumerate((e1, e2, e3, e4), start=1):
+            df.coalesce(1).write.parquet(_os.path.join(tmp, f"e{i}"))
+
+    changes_dir = staged_layout("pcdc_changes", sf_dir, ["orders"], build_changes)
+    base = staged_base("pcdcstore", sf_dir, ["orders"])
+    _os.makedirs(base, exist_ok=True)
+    store = _os.path.join(base, "store")
+    stream = (
+        spark.readStream.schema(
+            "order_key bigint, status string, price double, seq long, op string"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(_os.path.join(changes_dir, "e*"))
+    )
+    q = cdc.cdc_stream(
+        stream,
+        store,
+        key_cols=["order_key"],
+        order_col="seq",
+        op_col="op",
+        checkpoint=_os.path.join(base, "ckpt"),
+        buckets=8,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    live = cdc.read_table(spark, store)
+    if live is None:
+        raise RuntimeError(
+            f"q155: CDC store at {store} has no committed version; "
+            "remove the stream checkpoint to replay the changes"
+        )
+    return live.select("order_key", "status", "price").orderBy("order_key")

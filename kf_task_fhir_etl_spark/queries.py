@@ -396,7 +396,6 @@ def q08_resource_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CHECK_FIRST = [
     # -- the ten deferred r05-vintage re-proves lead (VERDICT r08 #1; the
     #    disclosed order — q49-q53 first)
-    "q49_pivot_status_matrix",
     "q50_window_frames",
     "q51_json_extract",
     "q52_word_explode_topk",
@@ -405,8 +404,8 @@ _CHECK_FIRST = [
     "q21_window_agg",
     "q22_sessionization",
     "q38_corpus_prep_pipeline",
-    "q56_regional_revenue_chain",
     # -- changed-code re-proves (see composition note above)
+    "q102_pagerank",
     "q121_count_min_sketch",
     "q123_cms_heavy_hitters",
     "q139_kcore_peeling",
@@ -427,6 +426,7 @@ _CHECK_FIRST = [
     "q149_topk_ivm",
     "q150_personalized_pagerank",
     "q151_streaming_topk",
+    "q155_partitioned_cdc_apply",
     # -- r06-vintage re-proves (untouched code; next-oldest debt)
     "q100_corpus_build_pipeline",
     "q101_scd2_history",
@@ -451,6 +451,7 @@ _CHECK_FIRST = [
     "q99_percentile_quality_filter",
 ]
 _CHECK_LAST = [
+    "q56_regional_revenue_chain",  # r09-green; slot lent to q155 (r10 interim)
     # -- deferred r06-vintage re-proves (window full at 50) ----------------
     # The builder-JSON byte-gate family: each gate pins one builder's
     # emitted resource JSON byte-for-byte vs a DuckDB string-assembly
@@ -568,7 +569,7 @@ _CHECK_LAST = [
     "q40_multimodal_frame_sample",
     "q41_multimodal_metadata_stats",
     "q42_topn_shipping_priority",
-    "q102_pagerank",
+    "q49_pivot_status_matrix",  # r09-green; slot lent to q102's re-prove (r10 interim)
 ]
 
 

@@ -258,6 +258,14 @@ def _write_manifest(spark: SparkSession, store_path: str, batch_id: int, mapping
         out.close()
 
 
+def store_is_partitioned(spark: SparkSession, store_path: str) -> bool:
+    """True when the store has a manifests directory — i.e. it was
+    committed through ``apply_batch_partitioned``. The two layouts share
+    the ``.commits`` convention, so dual-layout readers branch on this."""
+    fs, p = hadoop_fs(spark, manifests_dir(store_path))
+    return bool(fs.exists(p))
+
+
 def read_manifest(spark: SparkSession, store_path: str, batch_id: int) -> dict[str, str]:
     """The {partition value: data dir} map of a COMMITTED batch. A marker
     without a readable manifest is corruption, not freshness — raise (the

@@ -216,6 +216,66 @@ def test_personalized_pagerank_iters0_releases_staged_frames(spark):
 
 
 # ---------------------------------------------------------------------------
+# partitioned CDC store (cdc_stream buckets=)
+# ---------------------------------------------------------------------------
+
+
+def test_cdc_partitioned_buckets_match_flat_store(spark, tmp_path):
+    """The bucketed layout is a pure storage change: the same change
+    stream must converge to the same live table as the flat store, with
+    only touched buckets rewritten per batch."""
+    from kf_task_fhir_etl_spark.streaming import cdc
+
+    schema = "k bigint, v string, seq long, op string"
+    batches = [
+        [(1, "a", 1, "upsert"), (2, "b", 1, "upsert"), (3, "c", 1, "upsert")],
+        [(2, "b2", 2, "upsert"), (3, None, 2, "delete")],
+        [(3, "c3", 3, "upsert"), (4, "d", 3, "upsert")],  # resurrect 3
+    ]
+    src = str(tmp_path / "cdcsrc")
+    for n, rows in enumerate(batches, 1):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            os.path.join(src, f"e{n}")
+        )
+
+    def run(name, buckets):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(os.path.join(src, "e*"))
+        )
+        store = str(tmp_path / f"{name}_store")
+        q = cdc.cdc_stream(
+            stream, store, key_cols=["k"], order_col="seq", op_col="op",
+            checkpoint=str(tmp_path / f"{name}_ckpt"), buckets=buckets,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return store, sorted(tuple(r) for r in cdc.read_table(spark, store).collect())
+
+    flat_store, flat = run("flat", None)
+    part_store, part = run("part", 3)
+    assert flat == part == [(1, "a"), (2, "b2"), (3, "c3"), (4, "d")]
+    assert not vs.store_is_partitioned(spark, flat_store)
+    assert vs.store_is_partitioned(spark, part_store)
+    # batch 2 touched only keys 2 and 3: key 1's bucket (if distinct from
+    # both) must still point into the batch-0 data dir at the end iff no
+    # later batch touched it — verify via the manifest's path vintages
+    m = vs.read_manifest(spark, part_store, 2)
+    bucket_of = {
+        r["k"]: r["b"]
+        for r in spark.createDataFrame([(1,), (2,), (3,), (4,)], "k bigint")
+        .select("k", F.concat(F.lit("b"), F.pmod(F.xxhash64("k"), F.lit(3)).cast("string")).alias("b"))
+        .collect()
+    }
+    later_touched = {bucket_of[2], bucket_of[3], bucket_of[4]}
+    if bucket_of[1] not in later_touched:
+        assert ".vp0" in m[bucket_of[1]]
+
+
+# ---------------------------------------------------------------------------
 # apply_topk_delta NULL-key fold/recompute split (found via the leaderboard
 # NULL-group gate: the name-list anti-join put a NULL-keyed group on BOTH
 # paths, duplicating its rows)
