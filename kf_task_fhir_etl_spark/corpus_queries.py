@@ -3455,9 +3455,7 @@ def q143_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "q144_join_view_ivm",
-    oracle="""
+_JOIN_VIEW_ORACLE_SQL = """
     WITH r_new AS (
       SELECT o_orderkey, o_orderpriority AS pri FROM orders
       WHERE o_orderkey % 7 = 3 OR o_orderkey % 11 <> 5
@@ -3470,8 +3468,10 @@ def q143_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM r_new JOIN s_new USING (o_orderkey)
     GROUP BY pri
     ORDER BY pri
-    """,
-)
+    """
+
+
+@register("q144_join_view_ivm", oracle=_JOIN_VIEW_ORACLE_SQL)
 def q144_join_view_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-view IVM (operators/ivm.py::apply_join_view_delta): a
     per-priority (COUNT, SUM qty) view over orders ⋈ lineitem is
@@ -4162,3 +4162,108 @@ def q155_partitioned_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             "remove the stream checkpoint to replay the changes"
         )
     return live.select("order_key", "status", "price").orderBy("order_key")
+
+
+# ---------------------------------------------------------------------------
+# q152 — streaming join+agg materialized view (streaming/matview.py;
+# VERDICT r09 Next #3 — the q144 algebra on the streaming/storage substrate)
+# ---------------------------------------------------------------------------
+
+
+@register("q152_streaming_join_agg_view", oracle=_JOIN_VIEW_ORACLE_SQL)
+def q152_streaming_join_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The q144 per-priority (COUNT, SUM qty) view over orders ⋈ lineitem
+    maintained from a MULTIPLEXED CHANGELOG STREAM (streaming/matview.py::
+    join_agg_view_stream): epoch 1 loads base R (old orders, +1), epoch 2
+    loads base S (old lineitem, +1) — the view BOOTSTRAPS through the same
+    R⋈ΔS delta path it maintains with, no from-scratch build to drift
+    from — and epoch 3 carries BOTH sides' changes in one microbatch
+    (late orders +, leavers −; late lineitems +, linenumber-3 rows −),
+    exercising all three delta-join quadrants including ΔR⋈ΔS. Base R,
+    base S (signed multisets with multiplicity), and the view live in
+    three partitions of ONE partitioned versioned store, committed by one
+    marker per batch — epoch 1 never touches S's partition on disk and
+    vice versa. The oracle is LITERALLY q144's recompute SQL
+    (_JOIN_VIEW_ORACLE_SQL — one string, two surfaces): the streamed view
+    must be value-identical to the batch operator's incremental ≡
+    recompute result."""
+    import os as _os
+
+    from kf_task_fhir_etl_spark.catalog import staged_base, staged_layout
+    from kf_task_fhir_etl_spark.streaming import matview
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(18,4)")
+    r_all = orders.select("o_orderkey", F.col("o_orderpriority").alias("pri"))
+    s_all = li.select(
+        F.col("l_orderkey").alias("o_orderkey"), qty.alias("qty"), "l_linenumber"
+    )
+    r_old = r_all.filter(F.col("o_orderkey") % 7 != 3)
+    s_old = s_all.filter(F.col("o_orderkey") % 5 != 2)
+    nul_q = F.lit(None).cast("decimal(18,4)")
+    nul_p = F.lit(None).cast("string")
+
+    def r_row(df, op):
+        return df.select(
+            F.lit("R").alias("side"), "o_orderkey", "pri", nul_q.alias("qty"),
+            F.lit(op).alias("op"),
+        )
+
+    def s_row(df, op):
+        return df.select(
+            F.lit("S").alias("side"), "o_orderkey", nul_p.alias("pri"), "qty",
+            F.lit(op).alias("op"),
+        )
+
+    def build_changes(tmp: str) -> None:
+        e1 = r_row(r_old, 1)
+        e2 = s_row(s_old.select("o_orderkey", "qty"), 1)
+        e3 = (
+            r_row(r_all.filter(F.col("o_orderkey") % 7 == 3), 1)
+            .unionByName(r_row(r_old.filter(F.col("o_orderkey") % 11 == 5), -1))
+            .unionByName(s_row(s_all.filter(F.col("o_orderkey") % 5 == 2), 1))
+            .unionByName(
+                s_row(s_old.filter(F.col("l_linenumber") == 3), -1)
+            )
+        )
+        for i, df in enumerate((e1, e2, e3), start=1):
+            df.coalesce(1).write.parquet(_os.path.join(tmp, f"e{i}"))
+
+    changes_dir = staged_layout("jav_changes", sf_dir, ["orders", "lineitem"], build_changes)
+    base = staged_base("javstore", sf_dir, ["orders", "lineitem"])
+    _os.makedirs(base, exist_ok=True)
+    store = _os.path.join(base, "store")
+    stream = (
+        spark.readStream.schema(
+            "side string, o_orderkey bigint, pri string, qty decimal(18,4), op int"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(_os.path.join(changes_dir, "e*"))
+    )
+    q = matview.join_agg_view_stream(
+        stream,
+        store,
+        side_col="side",
+        r_cols=["o_orderkey", "pri"],
+        s_cols=["o_orderkey", "qty"],
+        on=["o_orderkey"],
+        keys=["pri"],
+        sum_cols={"sum_qty": "qty"},
+        count_col="n",
+        op_col="op",
+        checkpoint=_os.path.join(base, "ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    view = matview.read_view(spark, store)
+    if view is None:
+        raise RuntimeError(
+            f"q152: matview store at {store} has no committed version; "
+            "remove the stream checkpoint to replay the changes"
+        )
+    return view.select(
+        "pri", "n", F.col("sum_qty").cast("double").alias("sum_qty")
+    ).orderBy("pri")

@@ -216,6 +216,95 @@ def test_personalized_pagerank_iters0_releases_staged_frames(spark):
 
 
 # ---------------------------------------------------------------------------
+# streaming join+agg materialized view (streaming/matview.py)
+# ---------------------------------------------------------------------------
+
+
+def test_matview_stream_multiset_and_one_sided_carry_forward(spark, tmp_path):
+    """Signed-multiset bases (duplicates count), NULL join keys never
+    match (a NULL-keyed changelog row is a view no-op), and a one-sided
+    microbatch leaves the other side's partition untouched ON DISK."""
+    from kf_task_fhir_etl_spark.streaming import matview
+
+    schema = "side string, k bigint, pri string, qty double, op int"
+    b1 = [("R", 1, "a", None, 1), ("R", 2, "b", None, 1), ("R", 2, "b", None, 1)]
+    b2 = [("S", 1, None, 10.0, 1), ("S", 2, None, 5.0, 1), ("S", 2, None, 5.0, 1)]
+    b3 = [
+        ("R", 2, "b", None, -1),          # one copy of the dup leaves
+        ("S", 1, None, 7.0, 1),
+        ("S", None, None, 99.0, 1),       # NULL key: stored, never joins
+    ]
+    src = str(tmp_path / "mv_src")
+    for n, rows in enumerate((b1, b2, b3), 1):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            os.path.join(src, f"e{n}")
+        )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(src, "e*"))
+    )
+    store = str(tmp_path / "mv_store")
+    q = matview.join_agg_view_stream(
+        stream, store, side_col="side",
+        r_cols=["k", "pri"], s_cols=["k", "qty"], on=["k"], keys=["pri"],
+        sum_cols={"sum_qty": "qty"}, count_col="n", op_col="op",
+        checkpoint=str(tmp_path / "mv_ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    view = sorted(tuple(r) for r in matview.read_view(spark, store).collect())
+    # a: (1,a)⋈{10,7} → n=2 sum=17; b: 1 surviving (2,b) ⋈ {5,5} → n=2 sum=10
+    assert view == [("a", 2, 17.0), ("b", 2, 10.0)]
+    r_base = sorted(tuple(r) for r in matview.read_base(spark, store, "R").collect())
+    assert r_base == [(1, "a", 1), (2, "b", 1)]  # dup collapsed to m, then −1
+    s_rows = {(r["k"], r["qty"]): r["__m"] for r in matview.read_base(spark, store, "S").collect()}
+    assert s_rows == {(1, 10.0): 1, (1, 7.0): 1, (2, 5.0): 2, (None, 99.0): 1}
+    # carry-forward: batch 2 (S only) must NOT rewrite R's partition;
+    # batch 3 touched both sides again
+    m1 = vs.read_manifest(spark, store, 1)
+    m2 = vs.read_manifest(spark, store, 2)
+    assert ".vp0" in m1[matview.R_PART] and ".vp1" in m1[matview.S_PART]
+    assert ".vp2" in m2[matview.R_PART] and ".vp2" in m2[matview.S_PART]
+
+
+def test_matview_rejects_bad_side_and_reserved_columns(spark, tmp_path):
+    from kf_task_fhir_etl_spark.streaming import matview
+
+    schema = "side string, k bigint, pri string, qty double, op int, __x int"
+    res_src = str(tmp_path / "res_src")
+    spark.createDataFrame([("R", 1, "a", None, 1, 0)], schema).coalesce(1).write.parquet(res_src)
+    stream = spark.readStream.schema(schema).parquet(res_src)
+    with pytest.raises(ValueError, match="reserved"):
+        matview.join_agg_view_stream(
+            stream, str(tmp_path / "s"), side_col="side",
+            r_cols=["k", "pri"], s_cols=["k", "qty"], on=["k"], keys=["pri"],
+            sum_cols={"sum_qty": "qty"},
+        )
+    schema2 = "side string, k bigint, pri string, qty double, op int"
+    src = str(tmp_path / "badside_src")
+    spark.createDataFrame([("X", 1, "a", None, 1)], schema2).coalesce(1).write.parquet(
+        os.path.join(src, "e1")
+    )
+    stream2 = (
+        spark.readStream.schema(schema2).option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(src, "e*"))
+    )
+    q = matview.join_agg_view_stream(
+        stream2, str(tmp_path / "badside_store"), side_col="side",
+        r_cols=["k", "pri"], s_cols=["k", "qty"], on=["k"], keys=["pri"],
+        sum_cols={"sum_qty": "qty"}, checkpoint=str(tmp_path / "badside_ckpt"),
+    )
+    with pytest.raises(Exception, match="side must be|StreamingQuery"):
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+
+# ---------------------------------------------------------------------------
 # partitioned CDC store (cdc_stream buckets=)
 # ---------------------------------------------------------------------------
 
