@@ -4267,3 +4267,44 @@ def q152_streaming_join_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     return view.select(
         "pri", "n", F.col("sum_qty").cast("double").alias("sum_qty")
     ).orderBy("pri")
+
+
+# ---------------------------------------------------------------------------
+# q153 — OUT-OF-ORDER streaming pattern spans (streaming/patterns.py::
+# streaming_pattern_spans_ooo; VERDICT r09 Next #4 — the ordering contract
+# produced by watermark buffering instead of assumed from the source)
+# ---------------------------------------------------------------------------
+
+
+@register("q153_streaming_pattern_spans_ooo", oracle=_SPANS_ORACLE_SQL)
+def q153_streaming_pattern_spans_ooo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The q137 pattern (view→purchase with no error strictly between)
+    evaluated on a stream whose per-user event times are GENUINELY
+    out of order across microbatches: every fifth event arrives one batch
+    late (streaming/events.py::read_events_stream_late_shifted), violating
+    the contract q145's in-order source guarantees. The buffered matcher
+    (streaming_pattern_spans_ooo) absorbs the disorder in per-user state,
+    releasing and deciding only the watermark-passed prefix through the
+    SAME decision core as q145, with event-time timeouts waking users whose
+    buffers outlive their arrivals and two sentinel microbatches closing
+    the finite replay. The oracle is LITERALLY q137's batch SQL
+    (_SPANS_ORACLE_SQL — one string, now three surfaces): shuffled arrival
+    must change NOTHING about the decisions. The sentinel user is filtered
+    from the output (its rows are deny-typed and can never match)."""
+    from kf_task_fhir_etl_spark.streaming.events import (
+        read_events_stream_late_shifted,
+        run_stream_to_memory,
+    )
+    from kf_task_fhir_etl_spark.streaming.patterns import streaming_pattern_spans_ooo
+
+    stream, wm = read_events_stream_late_shifted(spark, sf_dir, n_splits=3, late_mod=5)
+    spans = streaming_pattern_spans_ooo(
+        stream, "view", "purchase", ["error"], watermark=wm
+    )
+    run_stream_to_memory(spans, "q153_spans_mem", output_mode="append")
+    return (
+        spark.table("q153_spans_mem")
+        .filter(F.col("user_id") != -1)
+        .select("user_id", "start_us", "end_us")
+        .orderBy("user_id", "start_us", "end_us")
+    )

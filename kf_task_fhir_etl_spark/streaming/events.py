@@ -264,3 +264,108 @@ def read_events_stream_time_split(spark: SparkSession, sf_dir: str, n_splits: in
         .format("parquet")
         .load(stage)
     )
+
+
+def read_events_stream_late_shifted(
+    spark: SparkSession,
+    sf_dir: str,
+    n_splits: int = 3,
+    late_mod: int = 5,
+    flush_type: str = "error",
+    flush_user: int = -1,
+):
+    """Events stream with REAL cross-batch event-time disorder, plus the
+    watermark bound that covers it — the out-of-order counterpart of
+    ``read_events_stream_time_split`` (r10, VERDICT r09 Next #4). The
+    staged layout splits events into ``n_splits`` ts-quantile slices, then
+    DELAYS every event with ``event_id % late_mod == 0`` by one batch:
+    batch i+1 carries slice i+1's regular rows plus slice i's latecomers,
+    so per-user event time is NOT monotone across microbatches and the
+    ordering contract of ``streaming_pattern_spans`` is genuinely violated
+    (the buffered ``streaming_pattern_spans_ooo`` must absorb it). The
+    disorder is bounded by one slice's time width, so the returned
+    watermark delay — max slice width plus an hour of slack — guarantees
+    no latecomer is ever watermark-dropped.
+
+    TWO trailing sentinel microbatches close the finite replay: each holds
+    one ``flush_type`` event for ``flush_user`` far past max(ts). The
+    first advances the watermark computation past every buffered event;
+    the second triggers one more microbatch so the event-time TIMEOUTS
+    actually fire with that advanced watermark (the timeout check runs per
+    batch, and the watermark a batch sees was computed at the previous
+    batch's end — one sentinel alone would advance it with nothing left to
+    deliver the wake-up). Sentinels are REAL typed events (not a filtered
+    pseudo-type): a pushed-down type filter must never drop them before
+    the watermark node collects their event time. Callers filter
+    ``user_id = flush_user`` out of results.
+
+    Returns ``(stream, watermark_delay_str)``."""
+    import os
+    import time
+
+    from kf_task_fhir_etl_spark.catalog import load_table, staged_layout
+
+    if n_splits < 2:
+        raise ValueError(f"read_events_stream_late_shifted: n_splits must be >= 2, got {n_splits}")
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    bounds = ev.agg(
+        F.min(us).alias("lo"), F.max(us).alias("hi")
+    ).collect()[0]
+    lo, hi = bounds["lo"], bounds["hi"]
+    if lo is None:
+        raise ValueError("read_events_stream_late_shifted: events table has no timestamps")
+    cuts = sorted(
+        set(
+            ev.select(us.cast("double").alias("u")).approxQuantile(
+                "u", [i / n_splits for i in range(1, n_splits)], 0.001
+            )
+        )
+    )
+    edges = [lo] + [int(c) for c in cuts] + [hi]
+    width = max(b - a for a, b in zip(edges, edges[1:])) if len(edges) > 1 else hi - lo
+    delay_us = int(width) + 3_600_000_000
+    watermark = f"{delay_us // 1_000_000} seconds"
+
+    def build(tmp: str) -> None:
+        # slice index by quantile cut, then shift latecomers one batch out
+        idx = F.lit(0)
+        for c in cuts:
+            idx = idx + F.when(us > F.lit(int(c)), 1).otherwise(0)
+        late = (F.col("event_id") % late_mod == 0) & (idx < F.lit(len(cuts)))
+        shifted = (idx + F.when(late, 1).otherwise(0)).alias("__batch")
+        staged_df = ev.select("*", shifted)
+        hi_ts = ev.agg(F.max("ts").alias("m")).collect()[0]["m"]
+        files = []
+        for i in range(len(cuts) + 1):
+            cond = F.col("__batch") == i
+            if i == 0:
+                cond = cond | F.col("ts").isNull()
+            files.append(staged_df.filter(cond).drop("__batch"))
+        for n, sent_us in enumerate((delay_us + 7_200_000_000, 2 * (delay_us + 7_200_000_000))):
+            files.append(
+                spark.createDataFrame(
+                    [(-1 - n, hi_ts, flush_user, flush_type, 0.0, None)], ev.schema
+                ).withColumn("ts", F.col("ts") + F.expr(f"INTERVAL {sent_us // 1_000_000} SECONDS"))
+            )
+        seen: set[str] = set()
+        now = time.time()
+        for i, b in enumerate(files):
+            b.coalesce(1).write.mode("append").parquet(tmp)
+            new = {f for f in os.listdir(tmp) if f.endswith(".parquet")} - seen
+            # distinct ascending mtimes pin FileStreamSource's batch order
+            for f in new:
+                os.utime(os.path.join(tmp, f), (now - 1000 + i * 100,) * 2)
+            seen |= new
+
+    stage = staged_layout(
+        f"lateshift{n_splits}m{late_mod}_stream", sf_dir, ["events"], build
+    )
+    schema = spark.read.parquet(stage).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(stage)
+    )
+    return stream, watermark

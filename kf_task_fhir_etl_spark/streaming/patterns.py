@@ -54,6 +54,39 @@ _ABSENT = np.iinfo(np.int64).min
 SPANS_STATE = "has_first boolean, last_first bigint, has_deny boolean, last_deny bigint"
 
 
+def _decide_spans(us, t, first: str, then: str, deny_list: list[str], seed_first, seed_deny):
+    """The span decision core over a SORTED µs window with carried seeds —
+    ONE implementation shared by the in-order matcher and the
+    watermark-buffered out-of-order matcher (r10): returns
+    ``(hit mask, per-row last_first, new_first, new_deny)``.
+
+    Prefix maxima INCLUDE row i; the strictly-before lookup rewinds to the
+    last row with a smaller µs (searchsorted 'left') — the window half of
+    the strict-precedence SET rule. Carried state joins under the SAME
+    strict rule: a prior-window anchor at the target's exact µs is not
+    "before" it, so a window boundary can never split the engines on a
+    tie."""
+    is_first = t == first
+    is_deny = np.isin(t, deny_list) if deny_list else np.zeros(len(t), dtype=bool)
+    is_then = t == then
+    cf = np.maximum.accumulate(np.where(is_first, us, _ABSENT))
+    cd = np.maximum.accumulate(np.where(is_deny, us, _ABSENT))
+    k = np.searchsorted(us, us, side="left") - 1
+    ki = np.clip(k, 0, None)
+    last_first = np.where(k >= 0, cf[ki], _ABSENT)
+    last_deny = np.where(k >= 0, cd[ki], _ABSENT)
+    last_first = np.maximum(last_first, np.where(us > seed_first, seed_first, _ABSENT))
+    last_deny = np.maximum(last_deny, np.where(us > seed_deny, seed_deny, _ABSENT))
+    hit = (
+        is_then
+        & (last_first != _ABSENT)
+        & ((last_deny == _ABSENT) | (last_deny <= last_first))
+    )
+    new_first = max(seed_first, cf[-1]) if len(cf) else seed_first
+    new_deny = max(seed_deny, cd[-1]) if len(cd) else seed_deny
+    return hit, last_first, new_first, new_deny
+
+
 def _make_span_matcher(first: str, then: str, deny: set[str]):
     deny_list = sorted(deny)
 
@@ -69,35 +102,14 @@ def _make_span_matcher(first: str, then: str, deny: set[str]):
             return
         pdf = parts[0] if len(parts) == 1 else pd.concat(parts, ignore_index=True)
         # stable sort: equal-µs rows keep arrival order, but the decision
-        # rule below is a SET rule over strictly-earlier µs, so their
-        # relative order cannot change any emitted span
+        # rule is a SET rule over strictly-earlier µs, so their relative
+        # order cannot change any emitted span
         pdf = pdf.sort_values("__us", kind="mergesort", ignore_index=True)
         us = pdf["__us"].to_numpy(dtype=np.int64)
         t = pdf["__t"].to_numpy()
-        is_first = t == first
-        is_deny = np.isin(t, deny_list) if deny_list else np.zeros(len(t), dtype=bool)
-        is_then = t == then
-        # prefix maxima INCLUDING row i; the strictly-before lookup below
-        # rewinds to the last row with a smaller µs (searchsorted 'left'),
-        # which is the batch half of the strict-precedence SET rule
-        cf = np.maximum.accumulate(np.where(is_first, us, _ABSENT))
-        cd = np.maximum.accumulate(np.where(is_deny, us, _ABSENT))
-        k = np.searchsorted(us, us, side="left") - 1
-        ki = np.clip(k, 0, None)
-        last_first = np.where(k >= 0, cf[ki], _ABSENT)
-        last_deny = np.where(k >= 0, cd[ki], _ABSENT)
-        # carried state joins under the SAME strict rule: a prior-batch
-        # anchor at the target's exact µs is not "before" it, so a batch
-        # boundary can never split the engines on a tie
-        last_first = np.maximum(last_first, np.where(us > seed_first, seed_first, _ABSENT))
-        last_deny = np.maximum(last_deny, np.where(us > seed_deny, seed_deny, _ABSENT))
-        hit = (
-            is_then
-            & (last_first != _ABSENT)
-            & ((last_deny == _ABSENT) | (last_deny <= last_first))
+        hit, last_first, new_first, new_deny = _decide_spans(
+            us, t, first, then, deny_list, seed_first, seed_deny
         )
-        new_first = max(seed_first, cf[-1]) if len(cf) else seed_first
-        new_deny = max(seed_deny, cd[-1]) if len(cd) else seed_deny
         state.update(
             (
                 bool(new_first != _ABSENT),
@@ -264,3 +276,144 @@ def streaming_funnel_trajectories(
     return out.select(
         F.col("user").alias(user_col), "reached", *[f"us{i + 1}" for i in range(len(steps))]
     )
+
+
+# ---------------------------------------------------------------------------
+# Out-of-order streaming pattern spans (r10 — VERDICT r09 Next #4): the
+# module ordering contract, PRODUCED instead of assumed. Events buffer in
+# per-user state until the WATERMARK passes them; the released prefix —
+# now guaranteed complete and re-sorted — runs through the SAME decision
+# core as the in-order matcher (_decide_spans), carrying the same 4-scalar
+# seeds across releases. Soundness: an event is released only when
+# strictly below the watermark, and every future arrival is at-or-above
+# it (later rows are late beyond the declared bound and dropped, exactly
+# the watermark contract every Spark aggregation applies) — so nothing
+# that could anchor or veto a released decision can arrive afterwards,
+# and append-mode emission stays final. State per user is the 4 scalars
+# plus ONLY the inside-the-disorder-window buffer (watermark-bounded, the
+# session-window flush discipline of streaming/events.py), never full
+# history. Flushing the trailing buffer on a finite replay needs the
+# watermark to advance past it and ONE further microbatch to fire the
+# event-time timeouts — the two-sentinel staging in
+# events.read_events_stream_late_shifted.
+# ---------------------------------------------------------------------------
+
+BUFFERED_SPANS_STATE = (
+    SPANS_STATE + ", pend_us array<bigint>, pend_t array<string>"
+)
+
+
+def _make_buffered_span_matcher(first: str, then: str, deny: set[str]):
+    deny_list = sorted(deny)
+
+    def match(key, pdfs, state: GroupState):
+        wm_ms = state.getCurrentWatermarkMs()
+        wm_us = np.int64(wm_ms) * 1000
+        if state.exists:
+            has_f, lf, has_d, ld, pus, pt = state.get
+            seed_first = np.int64(lf) if has_f else _ABSENT
+            seed_deny = np.int64(ld) if has_d else _ABSENT
+            pend_us = np.asarray(list(pus or []), dtype=np.int64)
+            pend_t = np.asarray(list(pt or []), dtype=object)
+        else:
+            seed_first = seed_deny = _ABSENT
+            pend_us = np.empty(0, dtype=np.int64)
+            pend_t = np.empty(0, dtype=object)
+        parts = [p for p in pdfs if len(p)]
+        if parts:
+            pdf = parts[0] if len(parts) == 1 else pd.concat(parts, ignore_index=True)
+            us_all = np.concatenate([pend_us, pdf["__us"].to_numpy(dtype=np.int64)])
+            t_all = np.concatenate([pend_t, pdf["__t"].to_numpy(dtype=object)])
+        else:  # timeout invocation: release from the buffer alone
+            us_all, t_all = pend_us, pend_t
+        order = np.argsort(us_all, kind="stable")
+        us_all, t_all = us_all[order], t_all[order]
+        # released prefix: strictly below the watermark (future arrivals
+        # are ≥ wm, so strictness keeps the no-retraction guarantee even
+        # for a future event AT the watermark)
+        cut = int(np.searchsorted(us_all, wm_us, side="left"))
+        ready_us, ready_t = us_all[:cut], t_all[:cut]
+        rest_us, rest_t = us_all[cut:], t_all[cut:]
+        hit = None
+        if len(ready_us):
+            hit, last_first, seed_first, seed_deny = _decide_spans(
+                ready_us, ready_t, first, then, deny_list, seed_first, seed_deny
+            )
+        state.update(
+            (
+                bool(seed_first != _ABSENT),
+                int(seed_first) if seed_first != _ABSENT else 0,
+                bool(seed_deny != _ABSENT),
+                int(seed_deny) if seed_deny != _ABSENT else 0,
+                [int(x) for x in rest_us],
+                [str(x) for x in rest_t],
+            )
+        )
+        if len(rest_us):
+            # wake this key when the watermark passes its oldest pending
+            # event, even if no new rows arrive for it (ms floor: wm > ts
+            # in ms implies wm_us > pend_us — strict release preserved)
+            state.setTimeoutTimestamp(max(int(rest_us.min() // 1000), wm_ms + 1))
+        if hit is not None and hit.any():
+            yield pd.DataFrame(
+                {
+                    "user": np.repeat(key[0], int(hit.sum())),
+                    "start_us": last_first[hit],
+                    "end_us": ready_us[hit],
+                }
+            )
+
+    return match
+
+
+def streaming_pattern_spans_ooo(
+    events: DataFrame,
+    first: str,
+    then: str,
+    deny: list[str] | None = None,
+    watermark: str = "1 hour",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """``streaming_pattern_spans`` for OUT-OF-ORDER arrival: per-user
+    event-time disorder up to ``watermark`` is absorbed by a state buffer
+    and decisions are made only over the watermark-released prefix —
+    semantics remain EXACTLY the batch window pass (q137's SQL), including
+    strict-precedence µs ties across release boundaries. Rows later than
+    the watermark bound are dropped (the standard contract); state per
+    user is 4 scalars + the inside-the-bound buffer. Emission stays
+    append-mode final. NULL users/timestamps are excluded at intake."""
+    deny = deny or []
+    types = {first, then, *deny}
+    user_field = next(f for f in events.schema.fields if f.name == user_col)
+    ev = (
+        events.withWatermark(ts_col, watermark)
+        .filter(F.col(ts_col).isNotNull() & F.col(user_col).isNotNull())
+        .filter(F.col(type_col).isin(*types))
+        .select(
+            F.col(user_col).alias("user"),
+            F.col(type_col).alias("__t"),
+            F.unix_micros(F.col(ts_col)).alias("__us"),
+            # the watermark-tagged TIMESTAMP column must survive the
+            # projection — event-time timeout resolves its delay through
+            # this attribute; the matcher ignores it (decisions are on the
+            # integer µs)
+            F.col(ts_col).alias("__ts"),
+        )
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("user", user_field.dataType),
+            T.StructField("start_us", T.LongType()),
+            T.StructField("end_us", T.LongType()),
+        ]
+    )
+    out = ev.groupBy("user").applyInPandasWithState(
+        _make_buffered_span_matcher(first, then, set(deny)),
+        outputStructType=out_schema,
+        stateStructType=BUFFERED_SPANS_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    return out.select(F.col("user").alias(user_col), "start_us", "end_us")

@@ -216,6 +216,72 @@ def test_personalized_pagerank_iters0_releases_staged_frames(spark):
 
 
 # ---------------------------------------------------------------------------
+# out-of-order streaming pattern spans (streaming/patterns.py::
+# streaming_pattern_spans_ooo)
+# ---------------------------------------------------------------------------
+
+
+def _ts(h):
+    import datetime
+
+    return datetime.datetime(2024, 1, 1, h, 0, 0)
+
+
+def test_ooo_spans_late_anchor_and_late_deny_change_decisions(spark, tmp_path):
+    """Cross-batch disorder the in-order matcher would get WRONG both
+    ways: user 1's anchor arrives a batch after its target (in-order: no
+    span; buffered: span), and user 2's deny arrives a batch after the
+    span it sits inside (in-order: span wrongly emitted; buffered:
+    vetoed). Two sentinel batches advance the watermark and fire the
+    event-time timeouts."""
+    import time as _time
+
+    from kf_task_fhir_etl_spark.streaming.events import run_stream_to_memory
+    from kf_task_fhir_etl_spark.streaming.patterns import streaming_pattern_spans_ooo
+
+    schema = "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
+    b1 = [
+        (1, _ts(5), 1, "purchase", 0.0, None),    # target BEFORE its anchor arrives
+        (10, _ts(1), 2, "view", 0.0, None),
+        (11, _ts(5), 2, "purchase", 0.0, None),   # will be vetoed by a LATE error
+    ]
+    b2 = [
+        (2, _ts(3), 1, "view", 0.0, None),        # late anchor for user 1's t5 target
+        (12, _ts(3), 2, "error", 0.0, None),      # late deny inside user 2's (1,5)
+    ]
+    s1 = [(-1, _ts(20), -1, "error", 0.0, None)]
+    s2 = [(-2, _ts(23), -1, "error", 0.0, None)]
+    src = str(tmp_path / "ooo_src")
+    os.makedirs(src)
+    now = _time.time()
+    for i, rows in enumerate((b1, b2, s1, s2)):
+        before = set(os.listdir(src))
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+        for f in set(os.listdir(src)) - before:
+            if f.endswith(".parquet"):
+                os.utime(os.path.join(src, f), (now - 1000 + i * 100,) * 2)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    spans = streaming_pattern_spans_ooo(
+        stream, "view", "purchase", ["error"], watermark="3 hours"
+    )
+    run_stream_to_memory(spans, "ooo_unit_mem", output_mode="append")
+    got = sorted(
+        tuple(r)
+        for r in spark.table("ooo_unit_mem")
+        .filter(F.col("user_id") != -1)
+        .collect()
+    )
+    h = lambda hh: int(_ts(hh).replace(tzinfo=__import__("datetime").timezone.utc).timestamp() * 1_000_000)  # noqa: E731
+    # user 1: late t3 view anchors the t5 purchase; user 2: late t3 error
+    # vetoes — exactly the two decisions an unbuffered matcher inverts
+    assert got == [(1, h(3), h(5))]
+
+
+# ---------------------------------------------------------------------------
 # streaming join+agg materialized view (streaming/matview.py)
 # ---------------------------------------------------------------------------
 
