@@ -396,7 +396,6 @@ def q08_resource_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CHECK_FIRST = [
     # -- the ten deferred r05-vintage re-proves lead (VERDICT r08 #1; the
     #    disclosed order — q49-q53 first)
-    "q52_word_explode_topk",
     "q53_time_bucket_rollup",
     "q19_token_stats",
     "q21_window_agg",
@@ -427,6 +426,7 @@ _CHECK_FIRST = [
     "q155_partitioned_cdc_apply",
     "q152_streaming_join_agg_view",
     "q153_streaming_pattern_spans_ooo",
+    "q154_incremental_components",
     # -- r06-vintage re-proves (untouched code; next-oldest debt)
     "q100_corpus_build_pipeline",
     "q101_scd2_history",
@@ -454,6 +454,7 @@ _CHECK_LAST = [
     "q56_regional_revenue_chain",  # r09-green; slot lent to q155 (r10 interim)
     "q50_window_frames",  # r09-green; slot lent to q152 (r10 interim)
     "q51_json_extract",  # r09-green; slot lent to q153 (r10 interim)
+    "q52_word_explode_topk",  # r09-green; slot lent to q154 (r10 interim)
     # -- deferred r06-vintage re-proves (window full at 50) ----------------
     # The builder-JSON byte-gate family: each gate pins one builder's
     # emitted resource JSON byte-for-byte vs a DuckDB string-assembly

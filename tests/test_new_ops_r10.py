@@ -216,6 +216,83 @@ def test_personalized_pagerank_iters0_releases_staged_frames(spark):
 
 
 # ---------------------------------------------------------------------------
+# incremental connected components (operators/graph_delta.py)
+# ---------------------------------------------------------------------------
+
+
+def _comps_of(spark, nodes, edges):
+    from kf_task_fhir_etl_spark.operators import dedup
+
+    n = spark.createDataFrame([(x,) for x in nodes], "node bigint")
+    e = spark.createDataFrame(edges or [(None, None)], "id_a bigint, id_b bigint")
+    if not edges:
+        e = e.limit(0)
+    return dedup.connected_components(n, e, node_col="node")
+
+
+def test_apply_components_delta_split_merge_rebridge_and_new_nodes(spark):
+    """One changelog exercising all four shapes at once: a bridge delete
+    SPLITS {1,2,3,4} at (2,3); an insert MERGES old components {5,6} and
+    {7}; a delete+insert pair RE-BRIDGES {8,9,10} through a new path; and
+    a chain of brand-new nodes {20,21} attaches to old node 7. The result
+    must equal a from-scratch recompute on the post-changelog graph."""
+    from kf_task_fhir_etl_spark.operators import dedup, graph_delta
+
+    old_edges = [(1, 2), (2, 3), (3, 4), (5, 6), (8, 9), (9, 10)]
+    nodes = [1, 2, 3, 4, 5, 6, 7, 8, 9, 10]
+    comps = _comps_of(spark, nodes, old_edges)
+    delta_rows = [
+        (2, 3, -1),            # split: {1,2} | {3,4}
+        (5, 7, 1),             # merge: {5,6} ∪ {7}
+        (9, 10, -1), (8, 10, 1),  # re-bridge inside one old component
+        (7, 20, 1), (20, 21, 1),  # new nodes chained onto old 7
+    ]
+    delta = spark.createDataFrame(delta_rows, "id_a bigint, id_b bigint, op int")
+    new_edges = [(1, 2), (3, 4), (5, 6), (8, 9), (5, 7), (8, 10), (7, 20), (20, 21)]
+    edges_new = spark.createDataFrame(new_edges, "id_a bigint, id_b bigint")
+    got = {
+        r["node"]: r["component"]
+        for r in graph_delta.apply_components_delta(comps, edges_new, delta).collect()
+    }
+    want = {
+        r["node"]: r["component"]
+        for r in dedup.connected_components(
+            spark.createDataFrame([(x,) for x in nodes + [20, 21]], "node bigint"),
+            edges_new,
+            node_col="node",
+        ).collect()
+    }
+    assert got == want
+    assert got[3] == got[4] == 3 and got[1] == got[2] == 1       # split halves
+    assert got[5] == got[6] == got[7] == got[20] == got[21] == 5  # merged + new chain
+    assert got[8] == got[9] == got[10] == 8                      # re-bridged intact
+
+
+def test_apply_components_delta_insert_only_and_delete_to_singletons(spark):
+    from kf_task_fhir_etl_spark.operators import graph_delta
+
+    comps = _comps_of(spark, [1, 2, 3], [(1, 2)])
+    # insert-only batch: no recompute scope at all
+    ins = spark.createDataFrame([(2, 3, 1)], "id_a bigint, id_b bigint, op int")
+    e_new = spark.createDataFrame([(1, 2), (2, 3)], "id_a bigint, id_b bigint")
+    got = {
+        r["node"]: r["component"]
+        for r in graph_delta.apply_components_delta(comps, e_new, ins).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1}
+    # delete the only edge: both endpoints become singletons, nodes never
+    # vanish from the labeling
+    comps2 = _comps_of(spark, [1, 2], [(1, 2)])
+    dele = spark.createDataFrame([(1, 2, -1)], "id_a bigint, id_b bigint, op int")
+    e_empty = spark.createDataFrame([], "id_a bigint, id_b bigint")
+    got2 = {
+        r["node"]: r["component"]
+        for r in graph_delta.apply_components_delta(comps2, e_empty, dele).collect()
+    }
+    assert got2 == {1: 1, 2: 2}
+
+
+# ---------------------------------------------------------------------------
 # out-of-order streaming pattern spans (streaming/patterns.py::
 # streaming_pattern_spans_ooo)
 # ---------------------------------------------------------------------------
