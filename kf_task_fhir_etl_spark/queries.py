@@ -355,123 +355,47 @@ def q08_resource_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Every entry keeps BOTH a queries() and an oracle_sql() registration either
 # way; nothing is retired.
 #
-# r09 composition (exactly 50).
-# The TEN deferred r05-vintage entries LEAD (VERDICT r08 #1 — the
-# disclosed commitment at last round's close: q49/q50/q51/q52/q53 first,
-# then q19/q21/q22/q38/q56) — retiring the last registry vintage older
-# than r06. Changed code this round: (1) the sketch.py transitional shims
-# (prepare_sketch, _is_checkpointed_relation) are RETIRED (VERDICT r08
-# missing #2) — cms_estimate now probes lifecycle.is_checkpointed_relation
-# directly and the q121 gate prepares via lifecycle.prepared →
-# q121/q123 re-prove; (2) k_core grew a handles_out release handle for
-# its final-round edge checkpoint (r08 ADVICE) and the q139 gate uses
-# it → q139 re-proves; (3) incremental_dedup memoizes its per-probe
-# params validation (VERDICT r08 #7) → q142 re-proves; (4)
-# funnel_with_negation projects µs once in the staged trajectory
-# (VERDICT r08 "what's wrong" #1) → q138 re-proves, and q134 re-proves
-# as the shared-trajectory sibling; (5) join-view IVM lands in ivm.py →
-# q133 re-proves alongside the new gate; (6) pattern_spans feeds the new
-# stream gate → q137 re-proves; (7) connected_components symmetrizes via
-# ONE explode pass instead of union-of-two-selects (the VERDICT r08 q63
-# question — the union form derived the candidate frame twice) → q63/q72
-# re-prove. NINE new gates (weighted SSSP q143,
-# join-view IVM q144, streaming pattern spans q145 — VERDICT r08 #4-#6 —
-# plus distinct-count IVM q146, streaming funnel q147, MIN/MAX IVM q148,
-# top-k IVM q149, personalized PageRank q150, and streaming top-k q151 —
-# the natural next steps in the IVM, batch/stream-unification, and
-# iterative-graph lines) land WITH their proofs. The remaining
-# slots take 21 of the 42
-# r06-vintage re-proves (next-oldest debt); the TWENTY-ONE deferred
-# (q24/q30/q74-q84 — the builder-JSON byte-gate family — plus
-# q25/q26/q27/q33/q34/q35/q64/q65, every one of whose builder plan()
-# paths is exercised by q85's fused pipeline, green r08, and untouched
-# this round; window full at 50) sit at the head of _CHECK_LAST with
-# per-entry notes and LEAD the r10 window.
-# Everything else in _CHECK_LAST is r06/r07/r08-green on code untouched
-# this round. Window composition is MACHINE-CHECKED:
+# r10 composition (exactly 50).
+# The TWENTY-ONE deferred r06-vintage builder gates LEAD (VERDICT r09
+# "Next round" #1 — the disclosed commitment at the head of last round's
+# _CHECK_LAST): q24/q30, then q25/q26/q27/q33/q34/q35/q64/q65, then
+# q74-q84 — retiring the last registry vintage older than r07. Changed
+# code this round: (1) the PARTITIONED versioned store lands (VERDICT r09
+# Missing #2 / Next #2 — commits rewrite only touched partitions,
+# untouched partition files carried forward by manifest reference) and
+# cdc_stream/read_table grow the buckets= layout -> q128 re-proves;
+# (2) the streaming leaderboard is rebuilt on that store — view in its
+# own partition (closing the r09 double store read), base bucketed by
+# group key, null-safe entity diffs and a named NULL-op guard (both r09
+# ADVICE items) -> q151 re-proves; (3) apply_topk_delta's fold/recompute
+# split is now null-safe (a name-list anti-join put NULL-keyed groups on
+# BOTH paths — found via the new leaderboard NULL-group test) -> q149
+# re-proves; (4) q144's oracle factored into the shared
+# _JOIN_VIEW_ORACLE_SQL so q152 streams against the identical string ->
+# q144 re-proves; (5) pagerank/personalized_pagerank release their staged
+# checkpoints on the iters=0 path too (VERDICT r09 What's-wrong #1 +
+# ADVICE) -> q102/q150 re-prove; (6) the span matcher's decision core is
+# factored into _decide_spans, shared with the new buffered matcher ->
+# q145 re-proves and q147 rides as the module sibling. FOUR new gates
+# land WITH their proofs: streaming join+agg matview q152 (Next #3),
+# out-of-order streaming pattern spans q153 (Next #4), incremental
+# connected components q154 (Next #5), and partitioned-store CDC q155
+# (Next #2's gate). The remaining 17 slots take the next-oldest debt —
+# r07-vintage re-proves; the TWELVE deferred r07 entries
+# (q136/q113/q114/q117/q118/q15/q36/q66/q88/q93/q103/q105, all on code
+# untouched since their r07 proofs) head _CHECK_LAST and LEAD the r11
+# window. Everything else in _CHECK_LAST is r07/r08/r09-green on code
+# untouched this round. Window composition is MACHINE-CHECKED:
 # tests/test_staleness_guard.py diffs the tree against the previous round
 # tag, maps changed symbols to registry entries, and fails if an affected
 # entry is rotated to the tail without a waiver.
 # ---------------------------------------------------------------------------
 _CHECK_FIRST = [
-    # -- the ten deferred r05-vintage re-proves lead (VERDICT r08 #1; the
-    #    disclosed order — q49-q53 first)
-    "q53_time_bucket_rollup",
-    "q19_token_stats",
-    "q21_window_agg",
-    "q22_sessionization",
-    "q38_corpus_prep_pipeline",
-    # -- changed-code re-proves (see composition note above)
-    "q102_pagerank",
-    "q121_count_min_sketch",
-    "q123_cms_heavy_hitters",
-    "q139_kcore_peeling",
-    "q142_incremental_dedup",
-    "q133_incremental_view_maintenance",
-    "q134_event_funnel",
-    "q138_negated_funnel",
-    "q137_pattern_spans",
-    "q63_dup_clusters",
-    "q72_canonical_docs",
-    # -- NEW gates this round (each landed WITH its proof)
-    "q143_weighted_sssp",
-    "q144_join_view_ivm",
-    "q145_streaming_pattern_spans",
-    "q146_distinct_count_ivm",
-    "q147_streaming_funnel",
-    "q148_minmax_ivm",
-    "q149_topk_ivm",
-    "q150_personalized_pagerank",
-    "q151_streaming_topk",
-    "q155_partitioned_cdc_apply",
-    "q152_streaming_join_agg_view",
-    "q153_streaming_pattern_spans_ooo",
-    "q154_incremental_components",
-    # -- r06-vintage re-proves (untouched code; next-oldest debt)
-    "q100_corpus_build_pipeline",
-    "q101_scd2_history",
-    "q106_kmv_distinct",
-    "q108_grouping_sets",
-    "q119_dynamic_partition_pruning",
-    "q120_streaming_session_windows",
-    "q124_narrow_multi_target",
-    "q125_label_propagation",
-    "q127_compact_small_files",
-    "q128_streaming_cdc_apply",
-    "q23_fhir_transform_cascade",
-    "q31_fhir_drs_document_reference",
-    "q32_fhir_family_relationship",
-    "q57_approx_sketches",
-    "q70_incremental_rollup",
-    "q89_quality_filter_funnel",
-    "q90_contamination_screen",
-    "q96_streaming_dedup",
-    "q97_shuffle_shards",
-    "q98_span_dedup",
-    "q99_percentile_quality_filter",
-]
-_CHECK_LAST = [
-    "q56_regional_revenue_chain",  # r09-green; slot lent to q155 (r10 interim)
-    "q50_window_frames",  # r09-green; slot lent to q152 (r10 interim)
-    "q51_json_extract",  # r09-green; slot lent to q153 (r10 interim)
-    "q52_word_explode_topk",  # r09-green; slot lent to q154 (r10 interim)
-    # -- deferred r06-vintage re-proves (window full at 50) ----------------
-    # The builder-JSON byte-gate family: each gate pins one builder's
-    # emitted resource JSON byte-for-byte vs a DuckDB string-assembly
-    # oracle. All of these builders' plan() column expressions ran green
-    # inside q85's fused full-pipeline gate in r08 (the fused build
-    # selects the same plan() structs), their code is untouched this
-    # round (staleness guard green), and the 29 in-window r06 slots went
-    # to gates with no such umbrella. LEAD the r10 window.
+    # -- the 21 deferred r06-vintage builder gates lead (VERDICT r09 #1;
+    #    the disclosed order: the two JSON-family heads, the eight
+    #    displaced mid-r09, then the q74-q84 JSON family)
     "q24_fhir_patient_resources",
     "q30_fhir_vital_status_json",
-    # q25/q26/q27/q33/q34/q35/q64/q65 displaced mid-r09 (window full at
-    # 50) when the connected_components symmetrization fix pulled q63/q72
-    # into the changed-code block and the six late new gates (q146-q151)
-    # landed: all eight are builder gates whose plan() column expressions
-    # run inside q85's fused pipeline (r08 green, untouched this round) —
-    # the same umbrella argument as the JSON family above. LEAD the r10
-    # window with that family.
     "q25_fhir_disease_narrow",
     "q26_fhir_family_groups",
     "q27_fhir_specimen_narrow",
@@ -491,7 +415,100 @@ _CHECK_LAST = [
     "q82_fhir_reference_entities_json",
     "q83_fhir_specimen_json",
     "q84_fhir_drs_json",
-    # -- r08-green (last round's window), code untouched this round --------
+    # -- changed-code re-proves (see composition note above)
+    "q128_streaming_cdc_apply",
+    "q151_streaming_topk",
+    "q149_topk_ivm",
+    "q144_join_view_ivm",
+    "q150_personalized_pagerank",
+    "q102_pagerank",
+    "q145_streaming_pattern_spans",
+    "q147_streaming_funnel",
+    # -- NEW gates this round (each landed WITH its proof)
+    "q152_streaming_join_agg_view",
+    "q153_streaming_pattern_spans_ooo",
+    "q154_incremental_components",
+    "q155_partitioned_cdc_apply",
+    # -- r07-vintage re-proves (untouched code; next-oldest debt)
+    "q110_importance_sample",
+    "q111_budget_select",
+    "q03_normalize_dedup",
+    "q16_ann_lsh_topk",
+    "q71_sequence_packing",
+    "q86_cube_order_matrix",
+    "q87_range_frame_running",
+    "q91_tfidf_keywords",
+    "q92_pii_redaction",
+    "q94_mixture_resample",
+    "q104_unpivot_yearly_revenue",
+    "q107_rank_functions",
+    "q109_streaming_quality_filter",
+    "q112_stream_static_join",
+    "q130_zorder_clustering",
+    "q126_tdigest_quantiles",
+    "q132_expectations_suite",
+]
+_CHECK_LAST = [
+    # -- deferred r07-vintage re-proves (window full at 50; untouched
+    #    since their r07 proofs — staleness guard green). LEAD the r11
+    #    window.
+    "q136_snapshot_diff",
+    "q113_ivf_lloyd_refinement",
+    "q114_semantic_dedup_unsupervised",
+    "q117_bigram_lm_score",
+    "q118_tfidf_doc_pairs",
+    "q15_embedding_neardup",
+    "q36_ann_ivf_topk",
+    "q66_embedding_neardup_lsh",
+    "q88_embedding_lsh_recall",
+    "q93_semantic_dedup",
+    "q103_data_profile",
+    "q105_fuzzy_match",
+    # -- r09-green (last round's window), code untouched this round ------
+    "q49_pivot_status_matrix",
+    "q50_window_frames",
+    "q51_json_extract",
+    "q52_word_explode_topk",
+    "q53_time_bucket_rollup",
+    "q19_token_stats",
+    "q21_window_agg",
+    "q22_sessionization",
+    "q38_corpus_prep_pipeline",
+    "q56_regional_revenue_chain",
+    "q121_count_min_sketch",
+    "q123_cms_heavy_hitters",
+    "q139_kcore_peeling",
+    "q142_incremental_dedup",
+    "q133_incremental_view_maintenance",
+    "q134_event_funnel",
+    "q138_negated_funnel",
+    "q137_pattern_spans",
+    "q63_dup_clusters",
+    "q72_canonical_docs",
+    "q143_weighted_sssp",
+    "q146_distinct_count_ivm",
+    "q148_minmax_ivm",
+    "q100_corpus_build_pipeline",
+    "q101_scd2_history",
+    "q106_kmv_distinct",
+    "q108_grouping_sets",
+    "q119_dynamic_partition_pruning",
+    "q120_streaming_session_windows",
+    "q124_narrow_multi_target",
+    "q125_label_propagation",
+    "q127_compact_small_files",
+    "q23_fhir_transform_cascade",
+    "q31_fhir_drs_document_reference",
+    "q32_fhir_family_relationship",
+    "q57_approx_sketches",
+    "q70_incremental_rollup",
+    "q89_quality_filter_funnel",
+    "q90_contamination_screen",
+    "q96_streaming_dedup",
+    "q97_shuffle_shards",
+    "q98_span_dedup",
+    "q99_percentile_quality_filter",
+    # -- r08-green, code untouched this round ------------------------------
     "q43_rollup_order_stats",
     "q44_customer_set_ops",
     "q45_exists_semi_join",
@@ -532,36 +549,7 @@ _CHECK_LAST = [
     "q95_bucketed_colocated_join",
     "q116_weighted_sample",
     "q122_profile_approx",
-    # -- r07-green, code untouched this round ------------------------------
-    "q110_importance_sample",
-    "q111_budget_select",
-    "q03_normalize_dedup",
-    "q16_ann_lsh_topk",
-    "q71_sequence_packing",
-    "q86_cube_order_matrix",
-    "q87_range_frame_running",
-    "q91_tfidf_keywords",
-    "q92_pii_redaction",
-    "q94_mixture_resample",
-    "q104_unpivot_yearly_revenue",
-    "q107_rank_functions",
-    "q109_streaming_quality_filter",
-    "q112_stream_static_join",
-    "q130_zorder_clustering",
-    "q126_tdigest_quantiles",
-    "q132_expectations_suite",
-    "q136_snapshot_diff",
-    "q113_ivf_lloyd_refinement",
-    "q114_semantic_dedup_unsupervised",
-    "q117_bigram_lm_score",
-    "q118_tfidf_doc_pairs",
-    "q15_embedding_neardup",
-    "q36_ann_ivf_topk",
-    "q66_embedding_neardup_lsh",
-    "q88_embedding_lsh_recall",
-    "q93_semantic_dedup",
-    "q103_data_profile",
-    "q105_fuzzy_match",
+    # -- r06/r07-green tail, code untouched this round ----------------------
     "q02_outer_join_cascade",
     "q05_sentinel_filter",
     "q08_resource_json",
@@ -572,7 +560,6 @@ _CHECK_LAST = [
     "q40_multimodal_frame_sample",
     "q41_multimodal_metadata_stats",
     "q42_topn_shipping_priority",
-    "q49_pivot_status_matrix",  # r09-green; slot lent to q102's re-prove (r10 interim)
 ]
 
 
