@@ -661,3 +661,63 @@ def test_personalized_pagerank_one_iter_still_releases(spark):
     out = graph.personalized_pagerank(e, seeds, iters=2)
     assert abs(sum(r["pr"] for r in out.collect()) - 1.0) < 1e-6  # mass conserved
     assert _wait_stored_at_most(spark, before + 1) <= before + 1
+
+
+# ---------------------------------------------------------------------------
+# plan-shape asserts (the r09 discipline): the r10 operators' delta-bounded
+# probes compile to BroadcastHashJoin — a shuffled probe would re-exchange
+# the table-sized side per batch, the exact cost the docstrings exclude
+# ---------------------------------------------------------------------------
+
+
+def _executed_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_components_delta_probes_are_broadcast(spark):
+    """apply_components_delta touches the full labeling only through
+    broadcast probes: the delete-touched semi/anti pair and the insert
+    label remap (LeftOuter). The intra-component edge slice joins are
+    deliberately unhinted (component-sized, not delta-sized) and may
+    shuffle."""
+    from kf_task_fhir_etl_spark.operators import graph_delta
+
+    comps = _comps_of(spark, [1, 2, 3, 4], [(1, 2), (3, 4)])
+    delta = spark.createDataFrame(
+        [(2, 3, 1), (3, 4, -1)], "id_a bigint, id_b bigint, op int"
+    )
+    e_new = spark.createDataFrame([(1, 2), (2, 3)], "id_a bigint, id_b bigint")
+    out = graph_delta.apply_components_delta(comps, e_new, delta)
+    plan = _executed_plan(out)
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "SortMergeJoin LeftSemi" not in plan and "SortMergeJoin LeftAnti" not in plan, plan
+    # the remap itself is a broadcast left outer, not a labeling reshuffle
+    assert "BroadcastHashJoin" in plan and "LeftOuter, BuildRight" in plan, plan
+
+
+def test_matview_base_merge_and_store_probes_shapes(spark):
+    """apply_base_delta's merge is a full-outer against the BATCH-sized
+    per-tuple delta — assert the signed-multiset fold keeps exact bag
+    semantics through a duplicate-heavy merge (values, not just plan:
+    the full outer legitimately shuffles, there is no broadcast claim)."""
+    from kf_task_fhir_etl_spark.streaming import matview
+
+    cur = spark.createDataFrame([(1, "a", 2), (2, "b", 1)], "k bigint, v string, __m bigint")
+    delta = spark.createDataFrame(
+        [(1, "a", -1), (2, "b", -1), (3, "c", 1), (3, "c", 1)],
+        "k bigint, v string, op int",
+    )
+    out = sorted(
+        tuple(r)
+        for r in matview.apply_base_delta(cur, delta, ["k", "v"], "op").collect()
+    )
+    assert out == [(1, "a", 1), (3, "c", 2)]  # exact-zero row (2,b) vanished
+    expanded = sorted(
+        tuple(r)
+        for r in matview.expand_base(
+            spark.createDataFrame([(3, "c", 2)], "k bigint, v string, __m bigint"),
+            ["k", "v"],
+            cur,
+        ).collect()
+    )
+    assert expanded == [(3, "c"), (3, "c")]  # multiplicity re-expands exactly
