@@ -3585,17 +3585,17 @@ def q145_streaming_pattern_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "q146_distinct_count_ivm",
-    oracle="""
+_DISTINCT_ORACLE_SQL = """
     SELECT event_type, CAST(ts AS DATE) AS event_date,
            COUNT(DISTINCT user_id) AS n_distinct
     FROM events
     WHERE user_id IS NOT NULL AND (event_id % 7 = 3 OR event_id % 11 <> 5)
     GROUP BY event_type, CAST(ts AS DATE)
     ORDER BY event_type, event_date
-    """,
-)
+    """
+
+
+@register("q146_distinct_count_ivm", oracle=_DISTINCT_ORACLE_SQL)
 def q146_distinct_count_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct-users-per-(type, day) view maintained through a signed
     changelog (operators/ivm.py::apply_distinct_count_delta): events with
@@ -4308,3 +4308,85 @@ def q153_streaming_pattern_spans_ooo(spark: SparkSession, sf_dir: str) -> DataFr
         .select("user_id", "start_us", "end_us")
         .orderBy("user_id", "start_us", "end_us")
     )
+
+
+# ---------------------------------------------------------------------------
+# q156 — streaming COUNT(DISTINCT) view (streaming/matview.py::
+# distinct_count_view_stream; completes the IVM streaming matrix —
+# agg q133, join+agg q152, top-k q151, distinct HERE)
+# ---------------------------------------------------------------------------
+
+
+@register("q156_streaming_distinct_view", oracle=_DISTINCT_ORACLE_SQL)
+def q156_streaming_distinct_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The q146 distinct-users-per-(type, day) view maintained from a
+    CHANGELOG STREAM (streaming/matview.py::distinct_count_view_stream):
+    epoch 1 loads the old rows (+1), epoch 2 carries the late arrivals
+    (event_id % 7 = 3, +1) and the leavers (% 11 = 5, −1) in one batch.
+    The Gupta/Mumick support relation buckets by group-key hash across
+    the partitioned store — a microbatch rewrites only the buckets its
+    delta's groups hash into, the view rides its own aggregate-sized
+    partition, and both commit under ONE marker (the q151/q152 atomicity
+    discipline). The oracle is LITERALLY q146's recompute SQL
+    (_DISTINCT_ORACLE_SQL — one string, two surfaces): the streamed view
+    must be value-identical to the batch operator's incremental ≡
+    recompute result."""
+    import os as _os
+
+    from kf_task_fhir_etl_spark.catalog import staged_base, staged_layout
+    from kf_task_fhir_etl_spark.streaming import matview
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.to_date("ts").alias("event_date"), "user_id"
+    )
+    old = ev.filter(F.col("event_id") % 7 != 3)
+    cols = ["event_type", "event_date", "user_id"]
+
+    def build_changes(tmp: str) -> None:
+        e1 = old.select(*cols, F.lit(1).alias("op"))
+        e2 = (
+            ev.filter(F.col("event_id") % 7 == 3)
+            .select(*cols, F.lit(1).alias("op"))
+            .unionByName(
+                old.filter(F.col("event_id") % 11 == 5).select(
+                    *cols, F.lit(-1).alias("op")
+                )
+            )
+        )
+        for i, df in enumerate((e1, e2), start=1):
+            df.coalesce(1).write.parquet(_os.path.join(tmp, f"e{i}"))
+
+    changes_dir = staged_layout("dcv_changes", sf_dir, ["events"], build_changes)
+    base = staged_base("dcvstore", sf_dir, ["events"])
+    _os.makedirs(base, exist_ok=True)
+    store = _os.path.join(base, "store")
+    stream = (
+        spark.readStream.schema(
+            "event_type string, event_date date, user_id bigint, op int"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(_os.path.join(changes_dir, "e*"))
+    )
+    q = matview.distinct_count_view_stream(
+        stream,
+        store,
+        keys=["event_type", "event_date"],
+        value_col="user_id",
+        op_col="op",
+        checkpoint=_os.path.join(base, "ckpt"),
+        buckets=8,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    view = matview.read_distinct_view(spark, store, ["event_type", "event_date"])
+    if view is None:
+        raise RuntimeError(
+            f"q156: distinct-view store at {store} has no committed version; "
+            "remove the stream checkpoint to replay the changes"
+        )
+    # the batch view carries only groups with >=1 distinct non-null user
+    # (the operator's documented NULL contract), matching the oracle's
+    # user_id IS NOT NULL recompute
+    return view.orderBy("event_type", "event_date")

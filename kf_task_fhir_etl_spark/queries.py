@@ -424,11 +424,13 @@ _CHECK_FIRST = [
     "q102_pagerank",
     "q145_streaming_pattern_spans",
     "q147_streaming_funnel",
+    "q146_distinct_count_ivm",
     # -- NEW gates this round (each landed WITH its proof)
     "q152_streaming_join_agg_view",
     "q153_streaming_pattern_spans_ooo",
     "q154_incremental_components",
     "q155_partitioned_cdc_apply",
+    "q156_streaming_distinct_view",
     # -- r07-vintage re-proves (untouched code; next-oldest debt)
     "q110_importance_sample",
     "q111_budget_select",
@@ -445,10 +447,13 @@ _CHECK_FIRST = [
     "q109_streaming_quality_filter",
     "q112_stream_static_join",
     "q130_zorder_clustering",
-    "q126_tdigest_quantiles",
-    "q132_expectations_suite",
 ]
 _CHECK_LAST = [
+    # -- r07-vintage fillers displaced when q146's re-prove (oracle
+    #    factored for q156) and q156 itself took their slots; they join
+    #    the r11-leading block below
+    "q126_tdigest_quantiles",
+    "q132_expectations_suite",
     # -- deferred r07-vintage re-proves (window full at 50; untouched
     #    since their r07 proofs — staleness guard green). LEAD the r11
     #    window.
@@ -486,7 +491,6 @@ _CHECK_LAST = [
     "q63_dup_clusters",
     "q72_canonical_docs",
     "q143_weighted_sssp",
-    "q146_distinct_count_ivm",
     "q148_minmax_ivm",
     "q100_corpus_build_pipeline",
     "q101_scd2_history",

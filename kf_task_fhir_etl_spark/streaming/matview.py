@@ -208,3 +208,144 @@ def read_base(spark: SparkSession, store_path: str, side: str) -> DataFrame | No
     if side not in (R_PART, S_PART):
         raise ValueError(f"read_base: side must be 'R' or 'S', got {side!r}")
     return versioned_store.read_partitions(spark, store_path, [side])
+
+
+# ---------------------------------------------------------------------------
+# Streaming COUNT(DISTINCT) view maintenance (r10, completing the IVM
+# streaming matrix: agg q133 / join+agg q152 / top-k q151 / distinct HERE).
+# The support relation is the table-sized piece, so it buckets by GROUP-key
+# hash like the leaderboard base: a microbatch rewrites only the buckets
+# its delta's groups hash into (plus the aggregate-sized view partition);
+# support rows and view rows share one widened schema so the commit stays
+# ONE partitionBy write. apply_distinct_count_delta's untouched-group
+# pass-through composes with the bucket slicing exactly: groups outside
+# the touched buckets never even reach the operator — they carry forward
+# as unopened files.
+# ---------------------------------------------------------------------------
+
+SUPPORT_MULT = "__m"
+VIEW_COUNT = "__n"
+
+
+def _dc_bucket_expr(keys: list[str], buckets: int):
+    return F.concat(
+        F.lit("b"), F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(buckets)).cast("string")
+    )
+
+
+def distinct_count_view_stream(
+    changes: DataFrame,
+    store_path: str,
+    keys: list[str],
+    value_col: str,
+    op_col: str = "op",
+    checkpoint: str | None = None,
+    buckets: int = 16,
+):
+    """Maintain ``SELECT keys, COUNT(DISTINCT value) GROUP BY keys`` (plus
+    its Gupta/Mumick support relation) from a signed changelog stream.
+    Stream rows: keys… + value_col + op_col (+1/−1). Per microbatch the
+    delta's touched buckets' support slices merge through
+    ``ivm.apply_distinct_count_delta`` and rewrite; every other bucket's
+    files carry forward by manifest reference; the view partition (one
+    aggregate-sized partition) rewrites whole. Read back with
+    ``read_distinct_view`` / ``read_distinct_support``."""
+    dunder = [c for c in changes.columns if c.startswith("__")]
+    if dunder:
+        raise ValueError(
+            f"distinct_count_view_stream: column names {dunder} are reserved "
+            "('__'-prefixed); rename them on the change stream"
+        )
+    from kf_task_fhir_etl_spark.operators import ivm
+
+    spark = changes.sparkSession
+    bucket = _dc_bucket_expr(keys, buckets)
+    data_cols = keys + [value_col]
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        delta = batch_df.select(*data_cols, F.col(op_col).alias("__op"))
+
+        def merge(read_parts):
+            touched = sorted(
+                r["__b"] for r in delta.select(bucket.alias("__b")).distinct().collect()
+            )
+            sup_slice = read_parts(touched) if touched else None
+            if sup_slice is not None:
+                sup_cur = sup_slice.select(*keys, value_col, F.col(SUPPORT_MULT))
+            else:
+                sup_cur = ivm.distinct_count_support(
+                    delta.select(*data_cols).limit(0), keys, value_col, mult_col=SUPPORT_MULT
+                )
+            view_slice = read_parts([VIEW_PART])
+            if view_slice is not None:
+                view_cur = view_slice.select(*keys, F.col(VIEW_COUNT))
+            else:
+                view_cur = (
+                    delta.limit(0)
+                    .groupBy(*keys)
+                    .agg(F.count_distinct(value_col).alias(VIEW_COUNT))
+                )
+            new_view, new_sup = ivm.apply_distinct_count_delta(
+                view_cur,
+                sup_cur,
+                delta,
+                keys,
+                value_col,
+                count_col=VIEW_COUNT,
+                mult_col=SUPPORT_MULT,
+                sign_col="__op",
+            )
+            vt = dict(new_view.dtypes)[VIEW_COUNT]
+            st = dict(new_sup.dtypes)[SUPPORT_MULT]
+            val_t = dict(new_sup.dtypes)[value_col]
+            # one widened schema so base buckets + view commit in ONE write
+            out = new_sup.select(
+                *keys,
+                value_col,
+                F.col(SUPPORT_MULT),
+                F.lit(None).cast(vt).alias(VIEW_COUNT),
+                bucket.alias("__b"),
+            ).unionByName(
+                new_view.select(
+                    *keys,
+                    F.lit(None).cast(val_t).alias(value_col),
+                    F.lit(None).cast(st).alias(SUPPORT_MULT),
+                    F.col(VIEW_COUNT),
+                    F.lit(VIEW_PART).alias("__b"),
+                )
+            )
+            return out, "__b", touched + [VIEW_PART]
+
+        versioned_store.apply_batch_partitioned(spark, store_path, merge, batch_id=batch_id)
+
+    writer = changes.writeStream.foreachBatch(sink).outputMode("append")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
+
+
+def read_distinct_view(
+    spark: SparkSession, store_path: str, keys: list[str], count_alias: str = "n_distinct"
+) -> DataFrame | None:
+    """The maintained COUNT(DISTINCT) view — a partition-pruned read of
+    the view partition (support buckets never scanned)."""
+    view = versioned_store.read_partitions(spark, store_path, [VIEW_PART])
+    if view is None:
+        return None
+    return view.select(*keys, F.col(VIEW_COUNT).alias(count_alias))
+
+
+def read_distinct_support(
+    spark: SparkSession, store_path: str, keys: list[str], value_col: str
+) -> DataFrame | None:
+    """The maintained support relation (keys, value, multiplicity)."""
+    last = versioned_store.last_committed_batch(spark, store_path)
+    if last < 0:
+        return None
+    parts = [
+        v for v in versioned_store.read_manifest(spark, store_path, last) if v != VIEW_PART
+    ]
+    sup = versioned_store.read_partitions(spark, store_path, parts) if parts else None
+    if sup is None:
+        return None
+    return sup.select(*keys, value_col, F.col(SUPPORT_MULT).alias("m"))

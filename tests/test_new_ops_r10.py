@@ -721,3 +721,61 @@ def test_matview_base_merge_and_store_probes_shapes(spark):
         ).collect()
     )
     assert expanded == [(3, "c"), (3, "c")]  # multiplicity re-expands exactly
+
+
+# ---------------------------------------------------------------------------
+# streaming COUNT(DISTINCT) view (streaming/matview.py::
+# distinct_count_view_stream)
+# ---------------------------------------------------------------------------
+
+
+def test_distinct_view_stream_decrement_vs_removal_and_carry_forward(spark, tmp_path):
+    """The COUNT(DISTINCT) crux through the stream: deleting one of a
+    user's several rows must NOT drop the user from the count, deleting
+    the last one must — and a batch touching one group's bucket leaves
+    the other bucket's support files in place."""
+    from kf_task_fhir_etl_spark.streaming import matview
+
+    schema = "g string, u bigint, op int"
+    b1 = [("a", 1, 1), ("a", 1, 1), ("a", 2, 1), ("b", 9, 1)]
+    b2 = [("a", 1, -1), ("a", 2, -1)]  # u=1 decrements (stays), u=2 leaves
+    src = str(tmp_path / "dcv_src")
+    for n, rows in enumerate((b1, b2), 1):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            os.path.join(src, f"e{n}")
+        )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(src, "e*"))
+    )
+    store = str(tmp_path / "dcv_store")
+    q = matview.distinct_count_view_stream(
+        stream, store, keys=["g"], value_col="u", op_col="op",
+        checkpoint=str(tmp_path / "dcv_ckpt"), buckets=4,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    view = sorted(
+        tuple(r) for r in matview.read_distinct_view(spark, store, ["g"]).collect()
+    )
+    assert view == [("a", 1), ("b", 1)]
+    sup = sorted(
+        tuple(r)
+        for r in matview.read_distinct_support(spark, store, ["g"], "u").collect()
+    )
+    assert sup == [("a", 1, 1), ("b", 9, 1)]
+    # bucket carry-forward: if b's bucket differs from a's, batch 2 (a
+    # only) must have left b's bucket at its batch-0 vintage
+    bucket_of = {
+        r["g"]: r["b"]
+        for r in spark.createDataFrame([("a",), ("b",)], "g string")
+        .select("g", F.concat(F.lit("b"), F.pmod(F.xxhash64("g"), F.lit(4)).cast("string")).alias("b"))
+        .collect()
+    }
+    m1 = vs.read_manifest(spark, store, 1)
+    if bucket_of["a"] != bucket_of["b"]:
+        assert ".vp0" in m1[bucket_of["b"]]
+    assert ".vp1" in m1[matview.VIEW_PART]
