@@ -4390,3 +4390,59 @@ def q156_streaming_distinct_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (the operator's documented NULL contract), matching the oracle's
     # user_id IS NOT NULL recompute
     return view.orderBy("event_type", "event_date")
+
+
+# ---------------------------------------------------------------------------
+# q157 — incremental SSSP, insert-only (operators/graph_delta.py::
+# apply_sssp_inserts; the q154 tractability boundary applied to distances)
+# ---------------------------------------------------------------------------
+
+
+@register("q157_incremental_sssp", oracle=_q143_oracle())
+def q157_incremental_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The q143 weighted shortest-path table MAINTAINED through an
+    insert-only edge batch (operators/graph_delta.py::apply_sssp_inserts):
+    co-purchase edges with (u+v) % 7 = 2 arrive late; the stored distances
+    of the remaining graph continue Bellman-Ford from the inserted edges'
+    one-hop relaxation (a batch-sized broadcast seed), propagating
+    improvement wavefronts through the post-changelog edge set — never
+    restarting from the sources. Insert-only means distances only
+    decrease, so the maintained table is BIT-IDENTICAL to the from-scratch
+    answer: the oracle is LITERALLY q143's unrolled min-relaxation SQL
+    (_q143_oracle — one string, two surfaces) over the full graph.
+    Sources are the FULL graph's % 97 nodes on both legs (a source whose
+    edges all arrive late sits at distance 0 awaiting them — the
+    multi-source contract). Deletion is out of scope by design (the
+    apply_components_delta tractability note); integer weights keep every
+    distance an exact bigint."""
+    from kf_task_fhir_etl_spark import etl
+    from kf_task_fhir_etl_spark.operators import graph, graph_delta
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 20 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    pairs = _copurchase_pairs(li).localCheckpoint(eager=True)
+    w = (F.lit(1) + (F.col("src") + F.col("dst")) % 5).cast("bigint").alias("w")
+    weighted_all = pairs.select("src", "dst", w)
+    late = (F.col("src") + F.col("dst")) % 7 == 2
+    nodes = (
+        pairs.select(F.col("src").alias("node"))
+        .unionByName(pairs.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    sources = nodes.filter(F.col("node") % 97 == 0)
+    handles: list[DataFrame] = []
+    dist_old = graph.sssp_distances(
+        weighted_all.filter(~late), sources, handles_out=handles
+    )
+    maintained = graph_delta.apply_sssp_inserts(
+        dist_old, weighted_all, weighted_all.filter(late)
+    )
+    result = maintained.select(
+        "node", F.col("dist").cast("bigint").alias("dist")
+    ).localCheckpoint(eager=True)
+    etl.release_checkpoints(handles)
+    etl.release_checkpoints([pairs])
+    return result.orderBy("node")

@@ -161,3 +161,118 @@ def apply_components_delta(
         node_col, F.coalesce(F.col("__to"), F.col(comp_col)).alias(comp_col)
     )
     return remapped
+
+
+def apply_sssp_inserts(
+    dist: DataFrame,
+    edges_new: DataFrame,
+    delta_edges: DataFrame,
+    weight_col: str = "w",
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    dist_col: str = "dist",
+    directed: bool = False,
+    max_rounds: int = 50,
+) -> DataFrame:
+    """Maintain multi-source shortest-path distances through an
+    INSERT-ONLY edge batch — the tractable half of dynamic SSSP, on the
+    same literature boundary as ``apply_components_delta``: edge
+    insertion only LOWERS distances, so Bellman-Ford simply CONTINUES
+    from the current table and converges to exactly the from-scratch
+    answer; deletion can raise distances, which without a maintained
+    shortest-path forest needs recompute (``sssp_distances``) — out of
+    scope by design.
+
+    ``dist``: (node_col, dist_col), the current distances (reachable
+    nodes only — the ``sssp_distances`` convention). ``edges_new``: the
+    POST-changelog edge set, the propagation medium (an improvement at v
+    must flow onward through v's OLD edges too — the apply_minmax_delta
+    ``base_new`` precedent). ``delta_edges``: the inserted edges
+    (src, dst, weight_col); symmetrized unless ``directed``.
+
+    Plan shape: the SEED frontier is the inserted edges' one-hop
+    relaxation against the current table — ONE broadcast-delta join,
+    batch-sized — and each later round is ``sssp_distances``' frontier
+    template (relax out of the improved set, min-aggregate, one
+    full-outer merge checkpoint) over the post-changelog edges, so the
+    per-round cost is bounded by the improvement wavefront, never a full
+    restart from the sources. An insert that improves nothing costs the
+    seed join and one empty-frontier check. ``max_rounds`` counts
+    productive rounds and raises loudly (also the negative-cycle exit
+    for negative delta weights). Integer weights stay exact (bigint);
+    see the sssp_distances float caveat otherwise."""
+    from kf_task_fhir_etl_spark.etl import release_checkpoints
+
+    def _sym(frame: DataFrame) -> DataFrame:
+        fwd = frame.select(
+            F.col(src).alias("s"), F.col(dst).alias("t"), F.col(weight_col).alias("w")
+        )
+        if directed:
+            out = fwd
+        else:
+            out = fwd.unionByName(
+                frame.select(
+                    F.col(dst).alias("s"), F.col(src).alias("t"), F.col(weight_col).alias("w")
+                )
+            )
+        return out.filter(
+            F.col("s").isNotNull() & F.col("t").isNotNull() & F.col("w").isNotNull()
+            & (F.col("s") != F.col("t"))
+        )
+
+    d = _sym(delta_edges)
+    e = _sym(edges_new).groupBy("s", "t").agg(F.min("w").alias("w")).repartition("s").localCheckpoint()
+
+    def _merge(table: DataFrame, cand: DataFrame) -> DataFrame:
+        return (
+            table.join(
+                cand.withColumnRenamed(node_col, "__n"),
+                F.col(node_col) == F.col("__n"),
+                "full",
+            )
+            .select(
+                F.coalesce(F.col(node_col), F.col("__n")).alias(node_col),
+                F.least(F.col(dist_col), F.col("__cand")).alias(dist_col),
+                (
+                    F.col(dist_col).isNull()
+                    | (F.col("__cand").isNotNull() & (F.col("__cand") < F.col(dist_col)))
+                ).alias("__improved"),
+            )
+            .localCheckpoint()
+        )
+
+    # seed: relax ONLY the inserted edges against the current distances
+    seed = (
+        dist.join(F.broadcast(d), dist[node_col] == F.col("s"))
+        .select(F.col("t").alias(node_col), (F.col(dist_col) + F.col("w")).alias("__cand"))
+        .groupBy(node_col)
+        .agg(F.min("__cand").alias("__cand"))
+    )
+    state = _merge(dist.select(node_col, dist_col), seed)
+    frontier = state.filter(F.col("__improved")).select(node_col, dist_col)
+    improved_n = frontier.count()
+    rounds = 0
+    while improved_n > 0:
+        rounds += 1
+        if rounds > max_rounds:
+            release_checkpoints([e, state], blocking=False)
+            raise RuntimeError(
+                f"apply_sssp_inserts: still relaxing after max_rounds="
+                f"{max_rounds} productive rounds — raise the guard for long "
+                "improvement chains, or check the delta for a negative-"
+                "weight cycle"
+            )
+        cand = (
+            e.join(frontier.withColumnRenamed(node_col, "s"), "s")
+            .select(F.col("t").alias(node_col), (F.col(dist_col) + F.col("w")).alias("__cand"))
+            .groupBy(node_col)
+            .agg(F.min("__cand").alias("__cand"))
+        )
+        merged = _merge(state.select(node_col, dist_col), cand)
+        release_checkpoints([state], blocking=False)
+        state = merged
+        frontier = state.filter(F.col("__improved")).select(node_col, dist_col)
+        improved_n = frontier.count()
+    release_checkpoints([e], blocking=False)
+    return state.select(node_col, dist_col)

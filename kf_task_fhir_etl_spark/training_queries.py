@@ -1825,7 +1825,7 @@ def q90_contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     + """
     , new_edges AS (
       SELECT id_a, id_b FROM pairs
-      WHERE (id_a % 7 = 3 OR id_b % 7 = 3) OR ((id_a + id_b) % 5 <> 0)
+      WHERE (id_a % 7 = 3 OR id_b % 7 = 3) OR ((id_a + id_b) % 10 <> 0)
     ), nodes AS (
       SELECT doc_id FROM documents WHERE doc_id % 7 <> 3
       UNION
@@ -1850,9 +1850,10 @@ def q154_incremental_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     changelog (operators/graph_delta.py::apply_components_delta) instead
     of recomputed: docs with doc_id % 7 = 3 arrive late — their candidate
     pairs are the INSERTS (new nodes included, exercising the singleton
-    bootstrap) — while old pairs with (id_a + id_b) % 5 = 0 are DELETED
+    bootstrap) — while old pairs with (id_a + id_b) % 10 = 0 are DELETED
     (splitting clusters unless a surviving or inserted path re-bridges
-    them). Inserts fold on the batch-sized component graph (broadcast
+    them; the 10% delete share keeps the touched-component recompute a
+    real but bounded slice of the cluster graph). Inserts fold on the batch-sized component graph (broadcast
     remap, the labeling never reshuffled); deletes recompute ONLY their
     touched components from the post-changelog intra-component edge
     slice. The oracle recomputes components from scratch over the
@@ -1873,12 +1874,12 @@ def q154_incremental_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     old_edges = pairs.filter(~late)
     old_nodes = docs.filter(F.col("doc_id") % 7 != 3).select(F.col("doc_id").alias("node"))
     comps = dedup.connected_components(old_nodes, old_edges, node_col="node")
-    deleted = old_edges.filter((F.col("id_a") + F.col("id_b")) % 5 == 0)
+    deleted = old_edges.filter((F.col("id_a") + F.col("id_b")) % 10 == 0)
     delta = (
         pairs.filter(late).withColumn("op", F.lit(1))
         .unionByName(deleted.withColumn("op", F.lit(-1)))
     )
-    edges_new = pairs.filter(late | ((F.col("id_a") + F.col("id_b")) % 5 != 0))
+    edges_new = pairs.filter(late | ((F.col("id_a") + F.col("id_b")) % 10 != 0))
     out = graph_delta.apply_components_delta(
         comps, edges_new, delta, node_col="node", comp_col="component"
     )

@@ -779,3 +779,72 @@ def test_distinct_view_stream_decrement_vs_removal_and_carry_forward(spark, tmp_
     if bucket_of["a"] != bucket_of["b"]:
         assert ".vp0" in m1[bucket_of["b"]]
     assert ".vp1" in m1[matview.VIEW_PART]
+
+
+# ---------------------------------------------------------------------------
+# incremental SSSP, insert-only (operators/graph_delta.py::apply_sssp_inserts)
+# ---------------------------------------------------------------------------
+
+
+def test_apply_sssp_inserts_matches_recompute_with_chained_improvements(spark):
+    """An inserted shortcut whose improvement must PROPAGATE through old
+    edges (multi-round wavefront), a new node reached only through an
+    inserted edge, and an insert that improves nothing — all must land on
+    the from-scratch answer."""
+    from kf_task_fhir_etl_spark.operators import graph, graph_delta
+
+    # path 0-1-2-3-4 with heavy weights; source = 0
+    old = spark.createDataFrame(
+        [(0, 1, 10), (1, 2, 10), (2, 3, 10), (3, 4, 10)],
+        "src bigint, dst bigint, w bigint",
+    )
+    src = spark.createDataFrame([(0,)], "node bigint")
+    dist_old = graph.sssp_distances(old, src)
+    assert {r["node"]: r["dist"] for r in dist_old.collect()} == {
+        0: 0, 1: 10, 2: 20, 3: 30, 4: 40,
+    }
+    # shortcut 0→2 (improves 2, then 3, then 4 through OLD edges — three
+    # wavefront rounds), a new node 9 off node 4, and a useless heavy edge
+    delta = spark.createDataFrame(
+        [(0, 2, 1), (4, 9, 2), (0, 1, 99)], "src bigint, dst bigint, w bigint"
+    )
+    edges_new = old.unionByName(delta)
+    got = {
+        r["node"]: r["dist"]
+        for r in graph_delta.apply_sssp_inserts(dist_old, edges_new, delta).collect()
+    }
+    want = {
+        r["node"]: r["dist"]
+        for r in graph.sssp_distances(edges_new, src).collect()
+    }
+    # hand-checkable witness: 2 takes the shortcut (1); 3 and 4 improve
+    # THROUGH old edges in successive wavefront rounds (11, 21); 9 is the
+    # new node (23); 1 keeps its direct 10 (the 99 insert is a no-op)
+    assert got == want == {0: 0, 1: 10, 2: 1, 3: 11, 4: 21, 9: 23}
+
+
+def test_apply_sssp_inserts_noop_batch_and_guard(spark):
+    from kf_task_fhir_etl_spark.operators import graph, graph_delta
+
+    old = spark.createDataFrame([(0, 1, 2), (1, 2, 2)], "src bigint, dst bigint, w bigint")
+    src = spark.createDataFrame([(0,)], "node bigint")
+    dist_old = graph.sssp_distances(old, src)
+    # a no-improvement insert: one seed join, zero rounds, table unchanged
+    delta = spark.createDataFrame([(0, 2, 99)], "src bigint, dst bigint, w bigint")
+    got = {
+        r["node"]: r["dist"]
+        for r in graph_delta.apply_sssp_inserts(
+            dist_old, old.unionByName(delta), delta
+        ).collect()
+    }
+    assert got == {0: 0, 1: 2, 2: 4}
+    # guard: a long improvement chain trips max_rounds loudly
+    chain_old = spark.createDataFrame(
+        [(i, i + 1, 100) for i in range(6)], "src bigint, dst bigint, w bigint"
+    )
+    d0 = graph.sssp_distances(chain_old, src)
+    shortcut = spark.createDataFrame([(0, 1, 1)], "src bigint, dst bigint, w bigint")
+    with pytest.raises(RuntimeError, match="max_rounds"):
+        graph_delta.apply_sssp_inserts(
+            d0, chain_old.unionByName(shortcut), shortcut, max_rounds=2
+        )
