@@ -4446,3 +4446,71 @@ def q157_incremental_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     etl.release_checkpoints(handles)
     etl.release_checkpoints([pairs])
     return result.orderBy("node")
+
+
+# ---------------------------------------------------------------------------
+# q158 — OUT-OF-ORDER streaming funnel (streaming/patterns.py::
+# streaming_funnel_trajectories_ooo; the q153 buffering applied to the
+# funnel family — both stateful pattern operators now have both arrival
+# modes)
+# ---------------------------------------------------------------------------
+
+
+@register("q158_streaming_funnel_ooo", oracle=_FUNNEL_ORACLE_SQL)
+def q158_streaming_funnel_ooo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The q134 first-touch funnel evaluated on the q153 DISORDERED stream
+    (every fifth event one batch late): the buffered matcher advances the
+    carried first-touch vector only over watermark-released prefixes
+    through the SAME core as the in-order q147 matcher, so shuffled
+    arrival must change NOTHING — the oracle is LITERALLY q134's batch
+    SQL (_FUNNEL_ORACLE_SQL, now a third surface). The sentinel user
+    rides step-1-typed events (the watermark must see them BEFORE the
+    type filter can drop them) and is filtered from the trajectories
+    before the report aggregation."""
+    from pyspark.sql import Window
+
+    from kf_task_fhir_etl_spark.streaming.events import (
+        read_events_stream_late_shifted,
+        run_stream_to_memory,
+    )
+    from kf_task_fhir_etl_spark.streaming.patterns import streaming_funnel_trajectories_ooo
+
+    steps = ["view", "click", "purchase"]
+    stream, wm = read_events_stream_late_shifted(
+        spark, sf_dir, n_splits=3, late_mod=5, flush_type="view"
+    )
+    traj = streaming_funnel_trajectories_ooo(stream, steps, watermark=wm)
+    run_stream_to_memory(traj, "q158_funnel_mem", output_mode="update")
+    t = spark.table("q158_funnel_mem").filter(F.col("user_id") != -1)
+    w = Window.partitionBy("user_id").orderBy(F.desc("reached"))
+    final = t.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1)
+    aggs = []
+    for j in range(1, len(steps) + 1):
+        reached_j = F.col("reached") >= j
+        aggs.append(
+            F.sum(F.when(reached_j, 1).otherwise(0)).cast("bigint").alias(f"__n{j}")
+        )
+        aggs.append(
+            F.sum(
+                F.when(reached_j, F.col(f"us{j}") - F.col("us1")).otherwise(F.lit(0))
+            ).alias(f"__g{j}")
+        )
+    agg = final.agg(*aggs)
+    rows = [
+        F.struct(
+            F.lit(j).alias("step_idx"),
+            F.lit(step).alias("step"),
+            F.coalesce(F.col(f"__n{j}"), F.lit(0)).alias("n_users"),
+            F.when(F.coalesce(F.col(f"__n{j}"), F.lit(0)) == 0, F.lit(0.0))
+            .otherwise(
+                F.round(F.col(f"__g{j}") / (F.col(f"__n{j}") * F.lit(1000000.0)), 4)
+            )
+            .alias("avg_s_from_first"),
+        )
+        for j, step in enumerate(steps, start=1)
+    ]
+    return (
+        agg.select(F.explode(F.array(*rows)).alias("r"))
+        .select("r.step_idx", "r.step", "r.n_users", "r.avg_s_from_first")
+        .orderBy("step_idx")
+    )

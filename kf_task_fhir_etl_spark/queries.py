@@ -432,6 +432,7 @@ _CHECK_FIRST = [
     "q155_partitioned_cdc_apply",
     "q156_streaming_distinct_view",
     "q157_incremental_sssp",
+    "q158_streaming_funnel_ooo",
     # -- r07-vintage re-proves (untouched code; next-oldest debt)
     "q110_importance_sample",
     "q111_budget_select",
@@ -446,12 +447,12 @@ _CHECK_FIRST = [
     "q104_unpivot_yearly_revenue",
     "q107_rank_functions",
     "q109_streaming_quality_filter",
-    "q112_stream_static_join",
 ]
 _CHECK_LAST = [
     # -- r07-vintage fillers displaced when q146's re-prove (oracle
     #    factored for q156) and the late new gates q156/q157 took their
     #    slots; they join the r11-leading block below
+    "q112_stream_static_join",
     "q130_zorder_clustering",
     "q126_tdigest_quantiles",
     "q132_expectations_suite",

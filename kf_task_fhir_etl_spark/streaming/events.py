@@ -358,8 +358,13 @@ def read_events_stream_late_shifted(
                 os.utime(os.path.join(tmp, f), (now - 1000 + i * 100,) * 2)
             seen |= new
 
+    # the tag carries EVERY layout-shaping parameter: two consumers with
+    # different sentinel types (q153's deny-typed, q158's step-typed) must
+    # never share a staging (caught live: the funnel gate inherited the
+    # spans gate's 'error' sentinels, which its type filter dropped before
+    # they could advance the watermark)
     stage = staged_layout(
-        f"lateshift{n_splits}m{late_mod}_stream", sf_dir, ["events"], build
+        f"lateshift{n_splits}m{late_mod}{flush_type}_stream", sf_dir, ["events"], build
     )
     schema = spark.read.parquet(stage).schema
     stream = (

@@ -180,6 +180,28 @@ def streaming_pattern_spans(
     return out.select(F.col("user").alias(user_col), "start_us", "end_us")
 
 
+def _advance_funnel(us, ty, t: list, steps: list[str]) -> list:
+    """The funnel advance core over ONE event window with carried
+    first-touch µs — sequential per-step minima, each vectorized: t_i is
+    fixed before t_{i+1} is derived, so a window containing several
+    consecutive steps' events advances through all of them in one pass.
+    Shared by the in-order matcher (whole batch = the window, exhaustive
+    under the module ordering contract) and the watermark-buffered
+    out-of-order matcher (window = the released prefix — r10)."""
+    k = len(steps)
+    for i in range(k):
+        if t[i] != _ABSENT:
+            continue  # first touch: an earlier window's min stays
+        if i > 0 and t[i - 1] == _ABSENT:
+            break
+        cand = us[(ty == steps[i]) & (us > t[i - 1] if i > 0 else np.ones(len(us), dtype=bool))]
+        if len(cand):
+            t[i] = int(cand.min())
+        else:
+            break
+    return t
+
+
 def _make_funnel_matcher(steps: list[str]):
     k = len(steps)
 
@@ -192,21 +214,7 @@ def _make_funnel_matcher(steps: list[str]):
         pdf = parts[0] if len(parts) == 1 else pd.concat(parts, ignore_index=True)
         us = pdf["__us"].to_numpy(dtype=np.int64)
         ty = pdf["__t"].to_numpy()
-        # sequential per-step minima, each vectorized: t_i is fixed before
-        # t_{i+1} is derived, and the ordering contract means a qualifying
-        # step-i event can only ever arrive in the batch where t_{i-1} is
-        # already determined (or later) — so checking each batch once is
-        # exhaustive (see the module ordering contract)
-        for i in range(k):
-            if t[i] != _ABSENT:
-                continue  # first touch: an earlier batch's min stays
-            if i > 0 and t[i - 1] == _ABSENT:
-                break
-            cand = us[(ty == steps[i]) & (us > t[i - 1] if i > 0 else np.ones(len(us), dtype=bool))]
-            if len(cand):
-                t[i] = int(cand.min())
-            else:
-                break
+        t = _advance_funnel(us, ty, t, steps)
         after = sum(1 for x in t if x != _ABSENT)
         state.update(tuple(t))
         if after > before:
@@ -417,3 +425,112 @@ def streaming_pattern_spans_ooo(
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
     return out.select(F.col("user").alias(user_col), "start_us", "end_us")
+
+
+def _make_buffered_funnel_matcher(steps: list[str]):
+    k = len(steps)
+
+    def match(key, pdfs, state: GroupState):
+        wm_ms = state.getCurrentWatermarkMs()
+        wm_us = np.int64(wm_ms) * 1000
+        if state.exists:
+            stored = list(state.get)
+            t = [int(x) for x in stored[:k]]
+            pus, pt = stored[k], stored[k + 1]
+            pend_us = np.asarray(list(pus or []), dtype=np.int64)
+            pend_t = np.asarray(list(pt or []), dtype=object)
+        else:
+            t = [int(_ABSENT)] * k
+            pend_us = np.empty(0, dtype=np.int64)
+            pend_t = np.empty(0, dtype=object)
+        before = sum(1 for x in t if x != _ABSENT)
+        parts = [p for p in pdfs if len(p)]
+        if parts:
+            pdf = parts[0] if len(parts) == 1 else pd.concat(parts, ignore_index=True)
+            us_all = np.concatenate([pend_us, pdf["__us"].to_numpy(dtype=np.int64)])
+            t_all = np.concatenate([pend_t, pdf["__t"].to_numpy(dtype=object)])
+        else:  # timeout invocation
+            us_all, t_all = pend_us, pend_t
+        order = np.argsort(us_all, kind="stable")
+        us_all, t_all = us_all[order], t_all[order]
+        cut = int(np.searchsorted(us_all, wm_us, side="left"))
+        if cut:
+            t = _advance_funnel(us_all[:cut], t_all[:cut], t, steps)
+        rest_us, rest_t = us_all[cut:], t_all[cut:]
+        after = sum(1 for x in t if x != _ABSENT)
+        state.update(
+            tuple(t) + ([int(x) for x in rest_us], [str(x) for x in rest_t])
+        )
+        if len(rest_us):
+            state.setTimeoutTimestamp(max(int(rest_us.min() // 1000), wm_ms + 1))
+        if after > before:
+            yield pd.DataFrame(
+                {
+                    "user": [key[0]],
+                    "reached": [after],
+                    **{
+                        f"us{i + 1}": [t[i] if t[i] != _ABSENT else None]
+                        for i in range(k)
+                    },
+                }
+            )
+
+    return match
+
+
+def streaming_funnel_trajectories_ooo(
+    events: DataFrame,
+    steps: list[str],
+    watermark: str = "1 hour",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """``streaming_funnel_trajectories`` for OUT-OF-ORDER arrival — the
+    same watermark-buffer machinery as ``streaming_pattern_spans_ooo``:
+    per-user events buffer inside the watermark bound, the released
+    prefix advances the carried first-touch vector through the SAME core
+    as the in-order matcher (``_advance_funnel``), and event-time
+    timeouts wake users whose buffers outlive their arrivals. Emission
+    stays UPDATE-mode with the same finality argument: releases happen in
+    event-time order, so a us_j, once set from a released prefix, is the
+    true first touch (no earlier qualifying event can still arrive inside
+    the declared bound). Rows later than the bound are dropped — the
+    standard watermark contract."""
+    if not steps:
+        raise ValueError("streaming_funnel_trajectories_ooo: empty step list")
+    user_field = next(f for f in events.schema.fields if f.name == user_col)
+    ev = (
+        events.withWatermark(ts_col, watermark)
+        .filter(F.col(ts_col).isNotNull() & F.col(user_col).isNotNull())
+        .filter(F.col(type_col).isin(*steps))
+        .select(
+            F.col(user_col).alias("user"),
+            F.col(type_col).alias("__t"),
+            F.unix_micros(F.col(ts_col)).alias("__us"),
+            # the watermark-tagged timestamp must survive the projection
+            # (event-time timeout resolves its delay through it)
+            F.col(ts_col).alias("__ts"),
+        )
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("user", user_field.dataType),
+            T.StructField("reached", T.IntegerType()),
+            *[T.StructField(f"us{i + 1}", T.LongType()) for i in range(len(steps))],
+        ]
+    )
+    state_schema = (
+        ", ".join(f"t{i + 1} bigint" for i in range(len(steps)))
+        + ", pend_us array<bigint>, pend_t array<string>"
+    )
+    out = ev.groupBy("user").applyInPandasWithState(
+        _make_buffered_funnel_matcher(list(steps)),
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    return out.select(
+        F.col("user").alias(user_col), "reached", *[f"us{i + 1}" for i in range(len(steps))]
+    )

@@ -848,3 +848,49 @@ def test_apply_sssp_inserts_noop_batch_and_guard(spark):
         graph_delta.apply_sssp_inserts(
             d0, chain_old.unionByName(shortcut), shortcut, max_rounds=2
         )
+
+
+def test_ooo_funnel_late_earlier_step_still_advances(spark, tmp_path):
+    """Step-2 and step-3 events arrive a batch BEFORE the step-1 event
+    that qualifies them (violating the in-order contract): the buffered
+    matcher must still produce the full first-touch trajectory, and a
+    decoy step-2 event EARLIER than step-1 must not count (strictly-after
+    rule preserved through the buffer)."""
+    import time as _time
+
+    from kf_task_fhir_etl_spark.streaming.events import run_stream_to_memory
+    from kf_task_fhir_etl_spark.streaming.patterns import streaming_funnel_trajectories_ooo
+
+    schema = "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
+    b1 = [
+        (1, _ts(2), 1, "click", 0.0, None),     # decoy: before the view
+        (2, _ts(4), 1, "click", 0.0, None),     # real step 2 (arrives early)
+        (3, _ts(5), 1, "purchase", 0.0, None),  # real step 3 (arrives early)
+    ]
+    b2 = [(4, _ts(3), 1, "view", 0.0, None)]    # LATE step 1
+    s1 = [(-1, _ts(20), -1, "view", 0.0, None)]
+    s2 = [(-2, _ts(23), -1, "view", 0.0, None)]
+    src = str(tmp_path / "ooof_src")
+    os.makedirs(src)
+    now = _time.time()
+    for i, rows in enumerate((b1, b2, s1, s2)):
+        before = set(os.listdir(src))
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+        for f in set(os.listdir(src)) - before:
+            if f.endswith(".parquet"):
+                os.utime(os.path.join(src, f), (now - 1000 + i * 100,) * 2)
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    traj = streaming_funnel_trajectories_ooo(
+        stream, ["view", "click", "purchase"], watermark="3 hours"
+    )
+    run_stream_to_memory(traj, "ooof_unit_mem", output_mode="update")
+    rows = (
+        spark.table("ooof_unit_mem")
+        .filter(F.col("user_id") == 1)
+        .orderBy(F.desc("reached"))
+        .collect()
+    )
+    h = lambda hh: int(_ts(hh).replace(tzinfo=__import__("datetime").timezone.utc).timestamp() * 1_000_000)  # noqa: E731
+    assert rows and tuple(rows[0]) == (1, 3, h(3), h(4), h(5))
