@@ -450,8 +450,8 @@ _CHECK_FIRST = [
 ]
 _CHECK_LAST = [
     # -- r07-vintage fillers displaced when q146's re-prove (oracle
-    #    factored for q156) and the late new gates q156/q157 took their
-    #    slots; they join the r11-leading block below
+    #    factored for q156) and the late new gates q156/q157/q158 took
+    #    their slots; they join the r11-leading block below
     "q112_stream_static_join",
     "q130_zorder_clustering",
     "q126_tdigest_quantiles",
