@@ -4438,7 +4438,7 @@ def q157_incremental_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
         weighted_all.filter(~late), sources, handles_out=handles
     )
     maintained = graph_delta.apply_sssp_inserts(
-        dist_old, weighted_all, weighted_all.filter(late)
+        dist_old, weighted_all, weighted_all.filter(late), handles_out=handles
     )
     result = maintained.select(
         "node", F.col("dist").cast("bigint").alias("dist")

@@ -174,6 +174,7 @@ def apply_sssp_inserts(
     dist_col: str = "dist",
     directed: bool = False,
     max_rounds: int = 50,
+    handles_out: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Maintain multi-source shortest-path distances through an
     INSERT-ONLY edge batch — the tractable half of dynamic SSSP, on the
@@ -275,4 +276,6 @@ def apply_sssp_inserts(
         frontier = state.filter(F.col("__improved")).select(node_col, dist_col)
         improved_n = frontier.count()
     release_checkpoints([e], blocking=False)
+    if handles_out is not None:
+        handles_out.append(state)
     return state.select(node_col, dist_col)

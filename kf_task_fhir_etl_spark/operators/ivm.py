@@ -54,6 +54,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def ns_eq_cond(left_cols: list[str], right_cols: list[str]):
+    """AND-fold of per-column ``eqNullSafe`` — THE null-safe join condition
+    the IVM family's probes are built from (one definition, r10 review:
+    hand-rolled copies of this loop are exactly how the null-unsafe
+    apply_topk_delta split slipped through r09). Pair ``left_cols[i]`` with
+    ``right_cols[i]``; both sides must already carry distinct names."""
+    cond = None
+    for a, b in zip(left_cols, right_cols):
+        eq = F.col(a).eqNullSafe(F.col(b))
+        cond = eq if cond is None else (cond & eq)
+    return cond
+
+
 def apply_agg_delta(
     view: DataFrame,
     delta: DataFrame,
@@ -826,10 +839,7 @@ def apply_topk_delta(
     ).select(*keys, id_col, score_col)
     deletes = per_ent.filter(F.col("__has_del") == 1).select(*keys, id_col)
 
-    key_cond = None
-    for c in keys:
-        eq = F.col(c).eqNullSafe(F.col(f"__dk_{c}"))
-        key_cond = eq if key_cond is None else (key_cond & eq)
+    key_cond = ns_eq_cond(keys, [f"__dk_{c}" for c in keys])
 
     # 2. deletes that HIT a stored member → recompute groups. The hit set
     #    is carried under its OWN prefix (__dh_) so the fold/recompute
@@ -846,14 +856,8 @@ def apply_topk_delta(
         .select(*[F.col(c).alias(f"__dh_{c}") for c in keys])
         .distinct()
     )
-    dh_cond = None
-    for c in keys:
-        eq = F.col(c).eqNullSafe(F.col(f"__dh_{c}"))
-        dh_cond = eq if dh_cond is None else (dh_cond & eq)
-    dk_dh_cond = None
-    for c in keys:
-        eq = F.col(f"__dk_{c}").eqNullSafe(F.col(f"__dh_{c}"))
-        dk_dh_cond = eq if dk_dh_cond is None else (dk_dh_cond & eq)
+    dh_cond = ns_eq_cond(keys, [f"__dh_{c}" for c in keys])
+    dk_dh_cond = ns_eq_cond([f"__dk_{c}" for c in keys], [f"__dh_{c}" for c in keys])
     # every touched group (fold ∪ recompute) leaves the untouched set
     all_keys = per_ent.select(*[F.col(c).alias(f"__dk_{c}") for c in keys]).distinct()
     fold_keys = all_keys.join(del_hit_keys, dk_dh_cond, "left_anti")

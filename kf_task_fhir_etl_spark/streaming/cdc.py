@@ -69,15 +69,6 @@ def cdc_apply_batch(
     return cdc_reduce(current.unionByName(winners), key_cols, order_col, op_col)
 
 
-def _bucket_expr(key_cols: list[str], buckets: int):
-    """Stable key-hash bucket as a safe partition-dir value (``xxhash64``
-    folds NULLs deterministically — never returns NULL)."""
-    return F.concat(
-        F.lit("b"),
-        F.pmod(F.xxhash64(*[F.col(k) for k in key_cols]), F.lit(buckets)).cast("string"),
-    )
-
-
 def read_table(spark: SparkSession, store_path: str) -> DataFrame | None:
     """The LIVE table (tombstones filtered); None when the store is fresh.
     Resolves either layout: a store committed with ``buckets`` set reads
@@ -145,7 +136,7 @@ def cdc_stream(
             versioned_store.apply_batch(spark, store_path, merge, batch_id=batch_id)
             return
 
-        bucket = _bucket_expr(key_cols, buckets)
+        bucket = versioned_store.bucket_value_expr(key_cols, buckets)
 
         def merge_parts(read_parts):
             winners = cdc_reduce(staged, key_cols, "__order", "__op")

@@ -310,9 +310,9 @@ def read_events_stream_late_shifted(
     ev = load_table(spark, sf_dir, "events")
     us = F.unix_micros(F.col("ts"))
     bounds = ev.agg(
-        F.min(us).alias("lo"), F.max(us).alias("hi")
+        F.min(us).alias("lo"), F.max(us).alias("hi"), F.max("ts").alias("hi_ts")
     ).collect()[0]
-    lo, hi = bounds["lo"], bounds["hi"]
+    lo, hi, hi_ts = bounds["lo"], bounds["hi"], bounds["hi_ts"]
     if lo is None:
         raise ValueError("read_events_stream_late_shifted: events table has no timestamps")
     cuts = sorted(
@@ -332,10 +332,17 @@ def read_events_stream_late_shifted(
         idx = F.lit(0)
         for c in cuts:
             idx = idx + F.when(us > F.lit(int(c)), 1).otherwise(0)
-        late = (F.col("event_id") % late_mod == 0) & (idx < F.lit(len(cuts)))
+        # ts-NULL rows must not match `late`: their idx is the literal 0
+        # (every cut comparison is NULL -> otherwise(0)), so without the
+        # isNotNull guard they would satisfy __batch == 1 AND the file-0
+        # isNull clause and be staged TWICE (r10 review)
+        late = (
+            F.col("ts").isNotNull()
+            & (F.col("event_id") % late_mod == 0)
+            & (idx < F.lit(len(cuts)))
+        )
         shifted = (idx + F.when(late, 1).otherwise(0)).alias("__batch")
         staged_df = ev.select("*", shifted)
-        hi_ts = ev.agg(F.max("ts").alias("m")).collect()[0]["m"]
         files = []
         for i in range(len(cuts) + 1):
             cond = F.col("__batch") == i
@@ -363,8 +370,11 @@ def read_events_stream_late_shifted(
     # never share a staging (caught live: the funnel gate inherited the
     # spans gate's 'error' sentinels, which its type filter dropped before
     # they could advance the watermark)
+    # v2: the NULL-ts late-route fix (r10 review) changes the staged BYTES
+    # for the same input data, so the tag carries a layout version — a
+    # cached v1 staging must not satisfy v2 code
     stage = staged_layout(
-        f"lateshift{n_splits}m{late_mod}{flush_type}_stream", sf_dir, ["events"], build
+        f"lateshift{n_splits}m{late_mod}{flush_type}v2_stream", sf_dir, ["events"], build
     )
     schema = spark.read.parquet(stage).schema
     stream = (

@@ -66,15 +66,6 @@ TAG_VIEW = "__view__"
 VIEW_PART = "view"
 
 
-def _bucket_expr(keys: list[str], buckets: int):
-    """Group-key hash bucket as a safe partition-dir value. ``xxhash64``
-    folds NULL inputs deterministically (never returns NULL), so NULL
-    group keys bucket like any other value."""
-    return F.concat(
-        F.lit("b"), F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(buckets)).cast("string")
-    )
-
-
 def topk_stream(
     changes: DataFrame,
     store_path: str,
@@ -110,7 +101,7 @@ def topk_stream(
     spark = changes.sparkSession
     ent_keys = keys + [id_col]
     data_cols = keys + [id_col, score_col]
-    bucket = _bucket_expr(keys, buckets)
+    bucket = versioned_store.bucket_value_expr(keys, buckets)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         staged = (
@@ -154,12 +145,7 @@ def topk_stream(
             # eqNullSafe via renamed probe columns (the ivm.py discipline) —
             # a plain name-list join would lose NULL-keyed entities from
             # the diff (r09 ADVICE, medium).
-            def _ns(cols_a: list[str], cols_b: list[str]):
-                cond = None
-                for a, b in zip(cols_a, cols_b):
-                    eq = F.col(a).eqNullSafe(F.col(b))
-                    cond = eq if cond is None else (cond & eq)
-                return cond
+            from kf_task_fhir_etl_spark.operators.ivm import ns_eq_cond as _ns
 
             tkeys = [f"__t_{c}" for c in ent_keys]
             probe = winners.select(

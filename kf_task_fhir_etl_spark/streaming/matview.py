@@ -62,14 +62,6 @@ VIEW_PART = "view"
 MULT_COL = "__m"
 
 
-def _ns_cond(left_cols: list[str], right_cols: list[str]):
-    cond = None
-    for a, b in zip(left_cols, right_cols):
-        eq = F.col(a).eqNullSafe(F.col(b))
-        cond = eq if cond is None else (cond & eq)
-    return cond
-
-
 def apply_base_delta(cur: DataFrame | None, delta: DataFrame, cols: list[str], sign_col: str) -> DataFrame:
     """Maintain a signed-multiset base partition: ``cur`` is (cols, __m),
     ``delta`` is (cols, sign). Null-safe full-outer merge per distinct
@@ -88,7 +80,7 @@ def apply_base_delta(cur: DataFrame | None, delta: DataFrame, cols: list[str], s
         return d.select(
             *[F.col(f"__d_{c}").alias(c) for c in cols], F.col("__dm").alias(MULT_COL)
         )
-    merged = cur.join(d, _ns_cond(cols, [f"__d_{c}" for c in cols]), "full")
+    merged = cur.join(d, ivm.ns_eq_cond(cols, [f"__d_{c}" for c in cols]), "full")
     zero = F.lit(0).cast("bigint")
     return merged.select(
         *[F.coalesce(F.col(c), F.col(f"__d_{c}")).alias(c) for c in cols],
@@ -227,12 +219,6 @@ SUPPORT_MULT = "__m"
 VIEW_COUNT = "__n"
 
 
-def _dc_bucket_expr(keys: list[str], buckets: int):
-    return F.concat(
-        F.lit("b"), F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(buckets)).cast("string")
-    )
-
-
 def distinct_count_view_stream(
     changes: DataFrame,
     store_path: str,
@@ -259,7 +245,7 @@ def distinct_count_view_stream(
     from kf_task_fhir_etl_spark.operators import ivm
 
     spark = changes.sparkSession
-    bucket = _dc_bucket_expr(keys, buckets)
+    bucket = versioned_store.bucket_value_expr(keys, buckets)
     data_cols = keys + [value_col]
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:

@@ -228,6 +228,18 @@ _PART_VALUE_RE = re.compile(r"[A-Za-z0-9][A-Za-z0-9_.-]*\Z")
 PART_COL = "__part"
 
 
+def bucket_value_expr(cols: list[str], buckets: int):
+    """Stable key-hash bucket as a safe partition-dir value — THE bucket
+    expression every partitioned sink shares (cdc/leaderboard/matview; one
+    definition, r10 review — three verbatim copies risked silent layout
+    divergence). ``xxhash64`` folds NULL inputs deterministically (never
+    returns NULL), so NULL keys bucket like any other value."""
+    return F.concat(
+        F.lit("b"),
+        F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(buckets)).cast("string"),
+    )
+
+
 def _check_part_value(value: str) -> str:
     if not isinstance(value, str) or not _PART_VALUE_RE.match(value):
         raise ValueError(

@@ -894,3 +894,26 @@ def test_ooo_funnel_late_earlier_step_still_advances(spark, tmp_path):
     )
     h = lambda hh: int(_ts(hh).replace(tzinfo=__import__("datetime").timezone.utc).timestamp() * 1_000_000)  # noqa: E731
     assert rows and tuple(rows[0]) == (1, 3, h(3), h(4), h(5))
+
+
+def test_apply_sssp_inserts_handles_out_releases_final_checkpoint(spark):
+    """The returned frame projects over the final merge's checkpoint —
+    handles_out must hand it back for release after the terminal action
+    (the k_core/sssp_distances lifecycle; r10 review)."""
+    from kf_task_fhir_etl_spark import etl
+    from kf_task_fhir_etl_spark.operators import graph, graph_delta
+    from pyspark.sql import DataFrame
+
+    old = spark.createDataFrame([(0, 1, 5)], "src bigint, dst bigint, w bigint")
+    src = spark.createDataFrame([(0,)], "node bigint")
+    d0 = graph.sssp_distances(old, src)
+    delta = spark.createDataFrame([(1, 2, 1)], "src bigint, dst bigint, w bigint")
+    handles: list[DataFrame] = []
+    out = graph_delta.apply_sssp_inserts(
+        d0, old.unionByName(delta), delta, handles_out=handles
+    )
+    assert len(handles) == 1
+    assert {r["node"]: r["dist"] for r in out.collect()} == {0: 0, 1: 5, 2: 6}
+    etl.release_checkpoints(handles)
+    with pytest.raises(Exception):
+        handles[0].count()  # blocks gone, truncated lineage → loud failure
