@@ -299,7 +299,10 @@ def read_manifest(spark: SparkSession, store_path: str, batch_id: int) -> dict[s
 
 
 def read_partitions(
-    spark: SparkSession, store_path: str, values: list[str] | None = None
+    spark: SparkSession,
+    store_path: str,
+    values: list[str] | None = None,
+    as_of: int | None = None,
 ) -> DataFrame | None:
     """Committed contents of the named partitions (``values=None`` → the
     whole store), resolved through the latest manifest — this is the
@@ -309,8 +312,22 @@ def read_partitions(
     absent from the manifest, exactly like a group with no rows). The
     selected partitions are read in ONE ``spark.read.parquet(*paths)``, so
     their schemas must be union-compatible — partitions holding genuinely
-    different relations (the matview store) are read one at a time."""
-    last = last_committed_batch(spark, store_path)
+    different relations (the matview store) are read one at a time.
+
+    ``as_of`` (r10): read the store AS OF a specific committed batch id —
+    snapshot/time-travel within the retention window. The lag-buffer
+    retention means the immediately-previous commit is always fully
+    readable; older snapshots raise through ``read_manifest`` once their
+    manifest is GC'd (loud, never a silent partial read)."""
+    if as_of is not None:
+        if as_of not in committed_ids(spark, store_path):
+            raise ValueError(
+                f"read_partitions: batch {as_of} was never committed to "
+                f"store {store_path!r} (or its marker is retired)"
+            )
+        last = as_of
+    else:
+        last = last_committed_batch(spark, store_path)
     if last < 0:
         return None
     manifest = read_manifest(spark, store_path, last)

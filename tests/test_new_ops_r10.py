@@ -917,3 +917,105 @@ def test_apply_sssp_inserts_handles_out_releases_final_checkpoint(spark):
     etl.release_checkpoints(handles)
     with pytest.raises(Exception):
         handles[0].count()  # blocks gone, truncated lineage → loud failure
+
+
+def test_partitioned_store_as_of_snapshot_reads(spark, tmp_path):
+    """Time travel within the retention window: the lag-buffer commit
+    stays fully readable (carried-forward partitions included); a retired
+    snapshot raises loudly instead of reading partially."""
+    store = _store(tmp_path)
+
+    def mk(rows, vals):
+        def commit(read_parts):
+            return _kv(spark, rows), "bucket", vals
+
+        return commit
+
+    assert vs.apply_batch_partitioned(
+        spark, store, mk([("a", 1, "a0"), ("b", 2, "b0")], ["a", "b"]), batch_id=0
+    )
+    assert vs.apply_batch_partitioned(
+        spark, store, mk([("b", 2, "b1")], ["b"]), batch_id=1
+    )
+    # latest: merged view; as_of=0: the original snapshot, partition a
+    # carried forward INTO snapshot 1 but read from its original dir
+    latest = {r["bucket"]: r["v"] for r in vs.read_partitions(spark, store).collect()}
+    snap0 = {r["bucket"]: r["v"] for r in vs.read_partitions(spark, store, as_of=0).collect()}
+    assert latest == {"a": "a0", "b": "b1"}
+    assert snap0 == {"a": "a0", "b": "b0"}
+    with pytest.raises(ValueError, match="never committed"):
+        vs.read_partitions(spark, store, as_of=99)
+    # retire snapshot 0 by advancing twice more; its marker is GC'd
+    assert vs.apply_batch_partitioned(spark, store, mk([("b", 2, "b2")], ["b"]), batch_id=2)
+    assert vs.apply_batch_partitioned(spark, store, mk([("b", 2, "b3")], ["b"]), batch_id=3)
+    with pytest.raises((ValueError, RuntimeError)):
+        vs.read_partitions(spark, store, as_of=0)
+
+
+# ---------------------------------------------------------------------------
+# randomized incremental ≡ recompute parity (seeded, not hypothesis — each
+# example drives full Spark jobs; 3 seeds × both operators)
+# ---------------------------------------------------------------------------
+
+
+def test_components_delta_randomized_parity_with_recompute(spark):
+    import random
+
+    from kf_task_fhir_etl_spark.operators import dedup, graph_delta
+
+    for seed in (7, 23, 99):
+        rng = random.Random(seed)
+        nodes = list(range(1, 15))
+        all_pairs = [(a, b) for a in nodes for b in nodes if a < b]
+        old_edges = rng.sample(all_pairs, 12)
+        comps = _comps_of(spark, nodes, old_edges)
+        dels = rng.sample(old_edges, 4)
+        ins = rng.sample([p for p in all_pairs if p not in old_edges], 4)
+        ins += [(2, 20 + seed % 3)]  # one brand-new node per seed
+        new_edges = [e for e in old_edges if e not in dels] + ins
+        delta = spark.createDataFrame(
+            [(a, b, -1) for a, b in dels] + [(a, b, 1) for a, b in ins],
+            "id_a bigint, id_b bigint, op int",
+        )
+        e_new = spark.createDataFrame(new_edges, "id_a bigint, id_b bigint")
+        got = {
+            r["node"]: r["component"]
+            for r in graph_delta.apply_components_delta(comps, e_new, delta).collect()
+        }
+        want = {
+            r["node"]: r["component"]
+            for r in dedup.connected_components(
+                spark.createDataFrame(
+                    [(x,) for x in nodes + [20 + seed % 3]], "node bigint"
+                ),
+                e_new,
+                node_col="node",
+            ).collect()
+        }
+        assert got == want, f"seed {seed}"
+
+
+def test_sssp_inserts_randomized_parity_with_recompute(spark):
+    import random
+
+    from kf_task_fhir_etl_spark.operators import graph, graph_delta
+
+    src = spark.createDataFrame([(1,), (9,)], "node bigint")
+    for seed in (3, 41, 77):
+        rng = random.Random(seed)
+        nodes = list(range(1, 12))
+        all_pairs = [(a, b) for a in nodes for b in nodes if a < b]
+        old = [(a, b, rng.randint(1, 9)) for a, b in rng.sample(all_pairs, 14)]
+        ins = [(a, b, rng.randint(1, 9)) for a, b in rng.sample(all_pairs, 5)]
+        old_df = spark.createDataFrame(old, "src bigint, dst bigint, w bigint")
+        ins_df = spark.createDataFrame(ins, "src bigint, dst bigint, w bigint")
+        new_df = old_df.unionByName(ins_df)
+        d0 = graph.sssp_distances(old_df, src)
+        got = {
+            r["node"]: r["dist"]
+            for r in graph_delta.apply_sssp_inserts(d0, new_df, ins_df).collect()
+        }
+        want = {
+            r["node"]: r["dist"] for r in graph.sssp_distances(new_df, src).collect()
+        }
+        assert got == want, f"seed {seed}"
