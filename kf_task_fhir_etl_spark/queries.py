@@ -355,110 +355,53 @@ def q08_resource_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Every entry keeps BOTH a queries() and an oracle_sql() registration either
 # way; nothing is retired.
 #
-# r10 composition (exactly 50).
-# The TWENTY-ONE deferred r06-vintage builder gates LEAD (VERDICT r09
-# "Next round" #1 — the disclosed commitment at the head of last round's
-# _CHECK_LAST): q24/q30, then q25/q26/q27/q33/q34/q35/q64/q65, then
-# q74-q84 — retiring the last registry vintage older than r07. Changed
-# code this round: (1) the PARTITIONED versioned store lands (VERDICT r09
-# Missing #2 / Next #2 — commits rewrite only touched partitions,
-# untouched partition files carried forward by manifest reference) and
-# cdc_stream/read_table grow the buckets= layout -> q128 re-proves;
-# (2) the streaming leaderboard is rebuilt on that store — view in its
-# own partition (closing the r09 double store read), base bucketed by
-# group key, null-safe entity diffs and a named NULL-op guard (both r09
-# ADVICE items) -> q151 re-proves; (3) apply_topk_delta's fold/recompute
-# split is now null-safe (a name-list anti-join put NULL-keyed groups on
-# BOTH paths — found via the new leaderboard NULL-group test) -> q149
-# re-proves; (4) q144's oracle factored into the shared
-# _JOIN_VIEW_ORACLE_SQL so q152 streams against the identical string ->
-# q144 re-proves; (5) pagerank/personalized_pagerank release their staged
-# checkpoints on the iters=0 path too (VERDICT r09 What's-wrong #1 +
-# ADVICE) -> q102/q150 re-prove; (6) the span matcher's decision core is
-# factored into _decide_spans, shared with the new buffered matcher ->
-# q145 re-proves and q147 rides as the module sibling. FOUR new gates
-# land WITH their proofs: streaming join+agg matview q152 (Next #3),
-# out-of-order streaming pattern spans q153 (Next #4), incremental
-# connected components q154 (Next #5), and partitioned-store CDC q155
-# (Next #2's gate). The remaining 17 slots take the next-oldest debt —
-# r07-vintage re-proves; the TWELVE deferred r07 entries
-# (q136/q113/q114/q117/q118/q15/q36/q66/q88/q93/q103/q105, all on code
-# untouched since their r07 proofs) head _CHECK_LAST and LEAD the r11
-# window. Everything else in _CHECK_LAST is r07/r08/r09-green on code
-# untouched this round. Window composition is MACHINE-CHECKED:
-# tests/test_staleness_guard.py diffs the tree against the previous round
-# tag, maps changed symbols to registry entries, and fails if an affected
-# entry is rotated to the tail without a waiver.
+# r11 composition (exactly 50).
+# (Correction first, per VERDICT r10 What's-wrong #1: the r10 note said
+# "FOUR new gates … remaining 17 slots … TWELVE deferred r07 entries";
+# the final r10 window actually landed SEVEN new gates (q152-q158), 13
+# r07 re-proves, and deferred 26 r07-vintage entries — 12 named + the
+# displaced fillers. This note now describes the as-landed r11 window.)
+#
+# The TWENTY-SIX deferred r07-vintage entries LEAD (VERDICT r10 "Next
+# round" #1 — the disclosed commitment at the head of last round's
+# _CHECK_LAST): the twelve named (q136/q113/q114/q117/q118/q15/q36/q66/
+# q88/q93/q103/q105), the four displaced fillers (q112/q130/q126/q132),
+# then the remaining ten r07-greens (q02/q05/q08/q10/q13/q20/q29/q40/
+# q41/q42) — retiring the r07 vintage entirely: after this round no
+# registry entry rides a proof older than r08. Changed code this round:
+# (1) manifest v2 lands (replay tokens decoupling the stream's replay
+# guard from the commit sequence + the retention watermark; flat-layout
+# detection per r10 ADVICE) -> every store-backed gate re-proves: q128/
+# q155 (cdc — also the blanket '__' guard and the retention intake
+# filter), q151 (leaderboard — also the empty-batch early-out and the
+# pinned winners frame, r10 ADVICE + What's-wrong #3), q152/q156
+# (matview); (2) the matview's base sides are BUCKETED BY JOIN KEY
+# (VERDICT r10 Missing #1 — a batch rewrites O(touched buckets) per
+# side, not O(|R|); delta joins read bucket slices) -> q152 re-proves on
+# the new layout (fresh staging tag); (3) apply_sssp_inserts stages its
+# propagation medium LAZILY and accepts a caller-staged frame (VERDICT
+# r10 What's-wrong #2 + ADVICE) -> q157 re-proves, q154 rides the module
+# change (its oracle also factored into _Q154_CC_RECOMPUTE_SQL, shared
+# with q159); (4) the event-stream sentinels are built by FIELD NAME
+# (r10 ADVICE) -> q153/q158/q120 re-prove (the late-shifted and
+# with-flush staging callers — the guard mapped q120 in).
+# THREE new gates land WITH their proofs: spanning-forest CC delete
+# maintenance q159 (Next #4 — non-tree deletes are certified no-ops),
+# CDC tombstone compaction/retention q160 (Next #5 — the last
+# named-but-unmodeled ingest piece), and as-of snapshot reads q161
+# (Next #6 — time travel driver-gated, not just pytest). The remaining
+# 11 remaining slots take the next-oldest debt — the first eleven
+# r08-vintage entries in numeric order (q01/q04/q06/q07/q09/q11/q12/
+# q14/q17/q18/q28); the other TWENTY-NINE r08-vintage entries head _CHECK_LAST
+# and LEAD the r12 window. Everything else in _CHECK_LAST is r09/r10-
+# green on code untouched this round. Window composition is MACHINE-
+# CHECKED: tests/test_staleness_guard.py diffs the tree against the
+# previous round tag, maps changed symbols to registry entries, and
+# fails if an affected entry is rotated to the tail without a waiver.
 # ---------------------------------------------------------------------------
 _CHECK_FIRST = [
-    # -- the 21 deferred r06-vintage builder gates lead (VERDICT r09 #1;
-    #    the disclosed order: the two JSON-family heads, the eight
-    #    displaced mid-r09, then the q74-q84 JSON family)
-    "q24_fhir_patient_resources",
-    "q30_fhir_vital_status_json",
-    "q25_fhir_disease_narrow",
-    "q26_fhir_family_groups",
-    "q27_fhir_specimen_narrow",
-    "q33_fhir_research_study",
-    "q34_fhir_proband_status",
-    "q35_fhir_histopathology",
-    "q64_fhir_drs_metadata_hashes",
-    "q65_fhir_specimen_bodysite_dispatch",
-    "q74_fhir_proband_status_json",
-    "q75_fhir_family_json",
-    "q76_fhir_research_study_json",
-    "q77_fhir_disease_json",
-    "q78_fhir_family_relationship_json",
-    "q79_fhir_histopathology_json",
-    "q80_fhir_phenotype_json",
-    "q81_fhir_research_subject_json",
-    "q82_fhir_reference_entities_json",
-    "q83_fhir_specimen_json",
-    "q84_fhir_drs_json",
-    # -- changed-code re-proves (see composition note above)
-    "q128_streaming_cdc_apply",
-    "q151_streaming_topk",
-    "q149_topk_ivm",
-    "q144_join_view_ivm",
-    "q150_personalized_pagerank",
-    "q102_pagerank",
-    "q145_streaming_pattern_spans",
-    "q147_streaming_funnel",
-    "q146_distinct_count_ivm",
-    # -- NEW gates this round (each landed WITH its proof)
-    "q152_streaming_join_agg_view",
-    "q153_streaming_pattern_spans_ooo",
-    "q154_incremental_components",
-    "q155_partitioned_cdc_apply",
-    "q156_streaming_distinct_view",
-    "q157_incremental_sssp",
-    "q158_streaming_funnel_ooo",
-    # -- r07-vintage re-proves (untouched code; next-oldest debt)
-    "q110_importance_sample",
-    "q111_budget_select",
-    "q03_normalize_dedup",
-    "q16_ann_lsh_topk",
-    "q71_sequence_packing",
-    "q86_cube_order_matrix",
-    "q87_range_frame_running",
-    "q91_tfidf_keywords",
-    "q92_pii_redaction",
-    "q94_mixture_resample",
-    "q104_unpivot_yearly_revenue",
-    "q107_rank_functions",
-    "q109_streaming_quality_filter",
-]
-_CHECK_LAST = [
-    # -- r07-vintage fillers displaced when q146's re-prove (oracle
-    #    factored for q156) and the late new gates q156/q157/q158 took
-    #    their slots; they join the r11-leading block below
-    "q112_stream_static_join",
-    "q130_zorder_clustering",
-    "q126_tdigest_quantiles",
-    "q132_expectations_suite",
-    # -- deferred r07-vintage re-proves (window full at 50; untouched
-    #    since their r07 proofs — staleness guard green). LEAD the r11
-    #    window.
+    # -- the 26 deferred r07-vintage entries lead (VERDICT r10 #1; the
+    #    disclosed order: 12 named, 4 displaced fillers, 10 remaining)
     "q136_snapshot_diff",
     "q113_ivf_lloyd_refinement",
     "q114_semantic_dedup_unsupervised",
@@ -471,7 +414,83 @@ _CHECK_LAST = [
     "q93_semantic_dedup",
     "q103_data_profile",
     "q105_fuzzy_match",
-    # -- r09-green (last round's window), code untouched this round ------
+    "q112_stream_static_join",
+    "q130_zorder_clustering",
+    "q126_tdigest_quantiles",
+    "q132_expectations_suite",
+    "q02_outer_join_cascade",
+    "q05_sentinel_filter",
+    "q08_resource_json",
+    "q10_dedup_exact",
+    "q13_simhash",
+    "q20_fingerprint",
+    "q29_range_join",
+    "q40_multimodal_frame_sample",
+    "q41_multimodal_metadata_stats",
+    "q42_topn_shipping_priority",
+    # -- changed-code re-proves (see composition note above)
+    "q128_streaming_cdc_apply",
+    "q155_partitioned_cdc_apply",
+    "q151_streaming_topk",
+    "q152_streaming_join_agg_view",
+    "q156_streaming_distinct_view",
+    "q153_streaming_pattern_spans_ooo",
+    "q158_streaming_funnel_ooo",
+    "q120_streaming_session_windows",
+    "q154_incremental_components",
+    "q157_incremental_sssp",
+    # -- NEW gates this round (each landed WITH its proof)
+    "q159_incremental_components_forest",
+    "q160_cdc_tombstone_retention",
+    "q161_store_asof_snapshots",
+    # -- r08-vintage re-proves (untouched code; next-oldest debt, first
+    #    twelve in numeric order)
+    "q01_pricing_summary",
+    "q04_recode_split",
+    "q06_group_collect",
+    "q07_try_cast_json",
+    "q09_topk_per_group",
+    "q11_minhash_lsh_candidates",
+    "q12_minhash_verified_pairs",
+    "q14_ann_cosine_topk",
+    "q17_language_id",
+    "q18_quality_score",
+    "q28_asof_join",
+]
+_CHECK_LAST = [
+    # -- deferred r08-vintage re-proves (window full at 50; untouched
+    #    since their r08 proofs — staleness guard green). LEAD the r12
+    #    window.
+    "q37_stateful_user_totals_stream",
+    "q39_multimodal_features",
+    "q43_rollup_order_stats",
+    "q44_customer_set_ops",
+    "q45_exists_semi_join",
+    "q46_not_exists_anti_join",
+    "q47_grouped_percentiles",
+    "q48_multi_distinct_agg",
+    "q54_star_broadcast_join",
+    "q55_decorrelated_avg_qty",
+    "q58_embedding_centroids",
+    "q59_stream_stream_join",
+    "q60_train_test_split",
+    "q61_source_quota_sample",
+    "q62_doc_chunking",
+    "q67_bpe_token_budget",
+    "q68_rolling_fingerprints",
+    "q69_stratified_sample",
+    "q73_salted_skew_join",
+    "q85_fhir_full_pipeline",
+    "q95_bucketed_colocated_join",
+    "q115_multi_study_pipeline",
+    "q116_weighted_sample",
+    "q122_profile_approx",
+    "q129_bloom_join_pruning",
+    "q131_triangle_count",
+    "q135_set_similarity_join",
+    "q140_bfs_distances",
+    "q141_value_runs",
+    # -- r09-green, code untouched this round ------------------------------
     "q49_pivot_status_matrix",
     "q50_window_frames",
     "q51_json_extract",
@@ -499,7 +518,6 @@ _CHECK_LAST = [
     "q106_kmv_distinct",
     "q108_grouping_sets",
     "q119_dynamic_partition_pruning",
-    "q120_streaming_session_windows",
     "q124_narrow_multi_target",
     "q125_label_propagation",
     "q127_compact_small_files",
@@ -514,58 +532,48 @@ _CHECK_LAST = [
     "q97_shuffle_shards",
     "q98_span_dedup",
     "q99_percentile_quality_filter",
-    # -- r08-green, code untouched this round ------------------------------
-    "q43_rollup_order_stats",
-    "q44_customer_set_ops",
-    "q45_exists_semi_join",
-    "q46_not_exists_anti_join",
-    "q47_grouped_percentiles",
-    "q48_multi_distinct_agg",
-    "q129_bloom_join_pruning",
-    "q85_fhir_full_pipeline",
-    "q115_multi_study_pipeline",
-    "q131_triangle_count",
-    "q135_set_similarity_join",
-    "q140_bfs_distances",
-    "q141_value_runs",
-    "q01_pricing_summary",
-    "q04_recode_split",
-    "q06_group_collect",
-    "q07_try_cast_json",
-    "q09_topk_per_group",
-    "q11_minhash_lsh_candidates",
-    "q12_minhash_verified_pairs",
-    "q14_ann_cosine_topk",
-    "q17_language_id",
-    "q18_quality_score",
-    "q28_asof_join",
-    "q37_stateful_user_totals_stream",
-    "q39_multimodal_features",
-    "q54_star_broadcast_join",
-    "q55_decorrelated_avg_qty",
-    "q58_embedding_centroids",
-    "q59_stream_stream_join",
-    "q60_train_test_split",
-    "q61_source_quota_sample",
-    "q62_doc_chunking",
-    "q67_bpe_token_budget",
-    "q68_rolling_fingerprints",
-    "q69_stratified_sample",
-    "q73_salted_skew_join",
-    "q95_bucketed_colocated_join",
-    "q116_weighted_sample",
-    "q122_profile_approx",
-    # -- r06/r07-green tail, code untouched this round ----------------------
-    "q02_outer_join_cascade",
-    "q05_sentinel_filter",
-    "q08_resource_json",
-    "q10_dedup_exact",
-    "q13_simhash",
-    "q20_fingerprint",
-    "q29_range_join",
-    "q40_multimodal_frame_sample",
-    "q41_multimodal_metadata_stats",
-    "q42_topn_shipping_priority",
+    # -- r10-green, code untouched this round ------------------------------
+    "q24_fhir_patient_resources",
+    "q30_fhir_vital_status_json",
+    "q25_fhir_disease_narrow",
+    "q26_fhir_family_groups",
+    "q27_fhir_specimen_narrow",
+    "q33_fhir_research_study",
+    "q34_fhir_proband_status",
+    "q35_fhir_histopathology",
+    "q64_fhir_drs_metadata_hashes",
+    "q65_fhir_specimen_bodysite_dispatch",
+    "q74_fhir_proband_status_json",
+    "q75_fhir_family_json",
+    "q76_fhir_research_study_json",
+    "q77_fhir_disease_json",
+    "q78_fhir_family_relationship_json",
+    "q79_fhir_histopathology_json",
+    "q80_fhir_phenotype_json",
+    "q81_fhir_research_subject_json",
+    "q82_fhir_reference_entities_json",
+    "q83_fhir_specimen_json",
+    "q84_fhir_drs_json",
+    "q149_topk_ivm",
+    "q144_join_view_ivm",
+    "q150_personalized_pagerank",
+    "q102_pagerank",
+    "q145_streaming_pattern_spans",
+    "q147_streaming_funnel",
+    "q146_distinct_count_ivm",
+    "q110_importance_sample",
+    "q111_budget_select",
+    "q03_normalize_dedup",
+    "q16_ann_lsh_topk",
+    "q71_sequence_packing",
+    "q86_cube_order_matrix",
+    "q87_range_frame_running",
+    "q91_tfidf_keywords",
+    "q92_pii_redaction",
+    "q94_mixture_resample",
+    "q104_unpivot_yearly_revenue",
+    "q107_rank_functions",
+    "q109_streaming_quality_filter",
 ]
 
 

@@ -29,6 +29,20 @@ EVENTS_SCHEMA = T.StructType(
 )
 
 
+def _sentinel_row(schema: T.StructType, **fields) -> list[tuple]:
+    """One sentinel row built by FIELD NAME against the events schema.
+    The previous positional 6-tuples silently misassigned every field if
+    the events table ever reordered or grew a column (r10 ADVICE, low);
+    this fails loudly on any drift and emits the tuple in schema order."""
+    names = tuple(schema.fieldNames())
+    if set(names) != set(fields):
+        raise ValueError(
+            f"events sentinel: schema fields {sorted(names)} != sentinel "
+            f"fields {sorted(fields)} — update the sentinel construction"
+        )
+    return [tuple(fields[n] for n in names)]
+
+
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet (one file = one microbatch
     locally; point at a directory of arriving files in production). The glob
@@ -182,7 +196,11 @@ def read_events_stream_with_flush(
         ev.coalesce(1).write.mode("overwrite").parquet(tmp)
         data_files = set(os.listdir(tmp))
         sentinel = spark.createDataFrame(
-            [(-1, hi, flush_user, "__flush__", 0.0, None)], ev.schema
+            _sentinel_row(
+                ev.schema, event_id=-1, ts=hi, user_id=flush_user,
+                event_type="__flush__", value=0.0, props=None,
+            ),
+            ev.schema,
         ).withColumn("ts", F.col("ts") + F.expr(f"INTERVAL {advance_hours} HOURS"))
         sentinel.coalesce(1).write.mode("append").parquet(tmp)
         # FileStreamSource batches oldest-mtime-first: pin the order from
@@ -352,7 +370,11 @@ def read_events_stream_late_shifted(
         for n, sent_us in enumerate((delay_us + 7_200_000_000, 2 * (delay_us + 7_200_000_000))):
             files.append(
                 spark.createDataFrame(
-                    [(-1 - n, hi_ts, flush_user, flush_type, 0.0, None)], ev.schema
+                    _sentinel_row(
+                        ev.schema, event_id=-1 - n, ts=hi_ts, user_id=flush_user,
+                        event_type=flush_type, value=0.0, props=None,
+                    ),
+                    ev.schema,
                 ).withColumn("ts", F.col("ts") + F.expr(f"INTERVAL {sent_us // 1_000_000} SECONDS"))
             )
         seen: set[str] = set()

@@ -5,14 +5,28 @@ stream over BOTH base tables (VERDICT r09 Next #3: the composition proof
 for the IVM family, lifted onto the streaming/storage substrate the
 leaderboard built).
 
-ONE STORE, ONE COMMIT, THREE PARTITIONS: the partitioned versioned store
-(``versioned_store.apply_batch_partitioned``, dict form — partitions may
-hold different relations) holds base R, base S, and the view, committed
-by one marker per microbatch. The classic multi-store hole (view advanced
-against an already-advanced base under at-least-once replay) is closed by
-construction, and a microbatch that carries changes for only ONE side
-leaves the other side's partition untouched on disk — carried forward by
-manifest reference, byte-identical.
+ONE STORE, ONE COMMIT, BUCKETED BASES (r11 — VERDICT r10 Missing #1): the
+partitioned versioned store holds base R and base S each hashed into
+``buckets`` partitions BY JOIN KEY (``R.b0…``, ``S.b0…``) plus one
+aggregate-sized ``view`` partition, all committed by one marker per
+microbatch. Bucketing by the JOIN key is what makes every access
+delta-bounded:
+
+- a batch's base-maintenance writes rewrite only the buckets its delta's
+  join keys hash into — per-microbatch write amplification is O(touched
+  buckets) per touched side, not O(|R|) (the r10 layout rewrote the whole
+  side);
+- the delta joins READ bucket slices too: ΔR⋈S needs only the S buckets
+  ΔR's keys hash into (and symmetrically), because ``ivm.join_delta``
+  touches the bases exclusively through equi-joins on ``on`` — a base row
+  outside those buckets cannot match, and NULL keys never match at all
+  (``xxhash64`` buckets them deterministically, the slice read is merely
+  a superset of the matchable rows).
+
+The classic multi-store hole (view advanced against an already-advanced
+base under at-least-once replay) stays closed by construction, and a
+one-sided microbatch leaves the other side's buckets untouched on disk —
+carried forward by manifest reference, byte-identical.
 
 Per microbatch:
 
@@ -20,8 +34,9 @@ Per microbatch:
    the side's columns + op ∈ {+1, −1}); a side with no rows is None;
 2. ``ivm.apply_join_view_delta`` folds the three-term delta join
    Δ(R⋈S) = ΔR⋈S ∪ R⋈ΔS ∪ ΔR⋈ΔS into the stored view — the base tables
-   are touched ONLY by the broadcast delta-driven joins, never rescanned;
-3. each side's base partition is maintained as a SIGNED MULTISET — one
+   are touched ONLY by the bucket-pruned, broadcast delta-driven joins,
+   never rescanned;
+3. each side's touched buckets are maintained as a SIGNED MULTISET — one
    stored row per distinct tuple with its multiplicity ``__m`` (the
    standard changelog-to-table compaction): a null-safe full-outer merge
    of the batch's per-tuple op sums, exact zeros vanishing. The join
@@ -29,7 +44,11 @@ Per microbatch:
    semantics are exact. A malformed log that drives ``__m`` negative
    stays in the store (loud downstream, the apply_agg_delta convention)
    but contributes nothing to joins until compensated;
-4. one dict-form commit: only the partitions a batch touched rewrite.
+4. ONE tuple-form commit: R rows, S rows and view rows ride one widened
+   schema (each relation's absent columns null — the
+   ``distinct_count_view_stream`` precedent) so the whole batch is a
+   single distributed ``partitionBy`` write; only the touched buckets +
+   the view enter the manifest as new dirs.
 
 View bootstrap is IVM itself: a fresh store starts from the EMPTY view
 (dtypes derived from the declared join+agg plan over zero rows) and the
@@ -37,10 +56,12 @@ initial load is just the first changelog — no from-scratch build path
 exists to drift from the incremental one.
 
 Scale shape: the per-batch shuffles are changelog-sized (the delta
-groupBys) plus the touched bases' merge; the view is aggregate-sized; a
+groupBys) plus the touched BUCKETS' merge; the view is aggregate-sized; a
 one-sided batch costs nothing on the other side's storage. For deltas too
 large to broadcast set ``broadcast_deltas=False`` (shuffle joins, never a
-base×base join).
+base×base join). Keep ``buckets`` stable for a store's lifetime (old
+buckets carry forward verbatim; a changed count would split tuples across
+bucketings — same contract as cdc_stream/topk_stream).
 
 Reference anchor: the reference pipeline recomputes everything per run
 (``etl/ingest.py`` full-table loads, no materialized views, no streaming
@@ -100,6 +121,23 @@ def expand_base(stored: DataFrame | None, cols: list[str], template: DataFrame) 
     )
 
 
+def _reject_unbucketed_layout(spark: SparkSession, store_path: str) -> None:
+    """A store committed with the r10 un-bucketed layout (whole-side
+    partitions named exactly 'R'/'S') must not be silently read as empty
+    by the bucketed code (prefix probes would match nothing)."""
+    last = versioned_store.last_committed_batch(spark, store_path)
+    if last < 0:
+        return
+    manifest = versioned_store.read_manifest(spark, store_path, last)
+    if R_PART in manifest or S_PART in manifest:
+        raise RuntimeError(
+            f"matview store {store_path!r} was committed with the "
+            "un-bucketed (whole-side) layout — rebuild it through the "
+            "bucketed sink; the bucketed reader would silently see empty "
+            "bases otherwise"
+        )
+
+
 def join_agg_view_stream(
     changes: DataFrame,
     store_path: str,
@@ -113,12 +151,15 @@ def join_agg_view_stream(
     op_col: str = "op",
     checkpoint: str | None = None,
     broadcast_deltas: bool = True,
+    buckets: int = 8,
 ):
     """Attach the join+agg matview sink to a multiplexed changelog stream.
     Stream rows carry ``side_col`` ∈ {'R', 'S'}, the UNION of both sides'
     columns (a row populates its own side's columns; the other side's are
     ignored), and ``op_col`` ∈ {+1, −1}. Returns the started
-    StreamingQuery; read back with ``read_view`` / ``read_base``."""
+    StreamingQuery; read back with ``read_view`` / ``read_base``.
+    ``buckets`` fixes each base side's join-key-hash partition count at
+    store creation — keep it stable for the store's lifetime."""
     for side, cols in (("R", r_cols), ("S", s_cols)):
         missing = [c for c in cols if c not in changes.columns]
         if missing:
@@ -129,7 +170,23 @@ def join_agg_view_stream(
             f"join_agg_view_stream: column names {dunder} are reserved "
             "('__'-prefixed); rename them on the change stream"
         )
+    data_cols = list(dict.fromkeys(r_cols + s_cols))
+    agg_cols = [count_col] + list(sum_cols)
+    clash = [c for c in agg_cols if c in data_cols]
+    if clash:
+        raise ValueError(
+            f"join_agg_view_stream: aggregate columns {clash} collide with "
+            "base columns — the widened store schema needs distinct names; "
+            "alias the aggregates"
+        )
+    bad_keys = [k for k in keys if k not in data_cols]
+    if bad_keys:
+        raise ValueError(f"join_agg_view_stream: view keys {bad_keys} are not base columns")
     spark = changes.sparkSession
+    _reject_unbucketed_layout(spark, store_path)
+    bucket = versioned_store.bucket_value_expr(on, buckets)
+    r_only = [c for c in data_cols if c not in r_cols]  # null-padded on R rows
+    s_only = [c for c in data_cols if c not in s_cols]
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         staged = batch_df.withColumn(
@@ -140,28 +197,42 @@ def join_agg_view_stream(
         )
 
         def merge(read_parts):
+            # ONE bounded collect drives every bucket decision: which side
+            # touched which join-key buckets
+            vals = staged.select("__side", bucket.alias("__bk")).distinct().collect()
+            r_vals = sorted({r["__bk"] for r in vals if r["__side"] == "R"})
+            s_vals = sorted({r["__bk"] for r in vals if r["__side"] == "S"})
+            if not r_vals and not s_vals:
+                return {}  # bump the replay guard, rewrite nothing
+            has_r, has_s = bool(r_vals), bool(s_vals)
             delta_r = staged.filter(F.col("__side") == "R").select(*r_cols, F.col(op_col).alias("__op"))
             delta_s = staged.filter(F.col("__side") == "S").select(*s_cols, F.col(op_col).alias("__op"))
-            has_r = bool(delta_r.take(1))
-            has_s = bool(delta_s.take(1))
-            if not has_r and not has_s:
-                return {}  # bump the replay guard, rewrite nothing
-            r_stored = read_parts([R_PART])
-            s_stored = read_parts([S_PART])
-            r_old = expand_base(r_stored, r_cols, delta_r)
-            s_old = expand_base(s_stored, s_cols, delta_s)
-            view_stored = read_parts([VIEW_PART])
-            if view_stored is None:
+
+            def side_slice(side: str, cols: list[str], bucket_vals: list[str]) -> DataFrame | None:
+                if not bucket_vals:
+                    return None
+                sl = read_parts([f"{side}.{b}" for b in bucket_vals])
+                return None if sl is None else sl.select(*cols, F.col(MULT_COL))
+
+            # delta-join slices: each side read at the OPPOSITE delta's
+            # key buckets (join_delta touches bases only via equi-joins on
+            # `on`, so this slice is a superset of every matchable row)
+            r_old = expand_base(side_slice(R_PART, r_cols, s_vals), r_cols, delta_r)
+            s_old = expand_base(side_slice(S_PART, s_cols, r_vals), s_cols, delta_s)
+            view_slice = read_parts([VIEW_PART])
+            if view_slice is None:
                 # dtype-exact empty view from the declared plan over 0 rows
                 view_stored = (
-                    r_old.limit(0)
-                    .join(s_old.limit(0), on)
+                    delta_r.select(*r_cols).limit(0)
+                    .join(delta_s.select(*s_cols).limit(0), on)
                     .groupBy(*keys)
                     .agg(
                         F.count(F.lit(1)).alias(count_col),
                         *[F.sum(src).alias(alias) for alias, src in sum_cols.items()],
                     )
                 )
+            else:
+                view_stored = view_slice.select(*keys, *agg_cols)
             new_view = ivm.apply_join_view_delta(
                 view_stored,
                 r_old,
@@ -175,12 +246,58 @@ def join_agg_view_stream(
                 sign_col="__op",
                 broadcast_deltas=broadcast_deltas,
             )
-            out = {VIEW_PART: new_view}
+            # base maintenance: only each side's OWN touched buckets
+            dt = dict(staged.dtypes)
+            view_dt = dict(new_view.dtypes)
+            mult_t = "bigint"
+
+            def nulls(cols: list[str], types: dict[str, str]):
+                return [F.lit(None).cast(types[c]).alias(c) for c in cols]
+
+            pieces = [
+                new_view.select(
+                    *keys,
+                    *nulls([c for c in data_cols if c not in keys], dt),
+                    F.lit(None).cast(mult_t).alias(MULT_COL),
+                    *agg_cols,
+                    F.lit(VIEW_PART).alias("__b"),
+                )
+            ]
             if has_r:
-                out[R_PART] = apply_base_delta(r_stored, delta_r, r_cols, "__op")
+                new_r = apply_base_delta(
+                    side_slice(R_PART, r_cols, r_vals), delta_r, r_cols, "__op"
+                )
+                pieces.append(
+                    new_r.select(
+                        *r_cols,
+                        *nulls(r_only, dt),
+                        F.col(MULT_COL),
+                        *nulls(agg_cols, view_dt),
+                        F.concat(F.lit(R_PART + "."), bucket).alias("__b"),
+                    )
+                )
             if has_s:
-                out[S_PART] = apply_base_delta(s_stored, delta_s, s_cols, "__op")
-            return out
+                new_s = apply_base_delta(
+                    side_slice(S_PART, s_cols, s_vals), delta_s, s_cols, "__op"
+                )
+                pieces.append(
+                    new_s.select(
+                        *s_cols,
+                        *nulls(s_only, dt),
+                        F.col(MULT_COL),
+                        *nulls(agg_cols, view_dt),
+                        F.concat(F.lit(S_PART + "."), bucket).alias("__b"),
+                    )
+                )
+            out = pieces[0]
+            for p in pieces[1:]:
+                out = out.unionByName(p)
+            touched = (
+                [f"{R_PART}.{b}" for b in r_vals]
+                + [f"{S_PART}.{b}" for b in s_vals]
+                + [VIEW_PART]
+            )
+            return out, "__b", touched
 
         versioned_store.apply_batch_partitioned(spark, store_path, merge, batch_id=batch_id)
 
@@ -190,16 +307,34 @@ def join_agg_view_stream(
     return writer.start()
 
 
-def read_view(spark: SparkSession, store_path: str) -> DataFrame | None:
-    """The maintained aggregate view (None when the store is fresh)."""
-    return versioned_store.read_partitions(spark, store_path, [VIEW_PART])
+def read_view(spark: SparkSession, store_path: str, cols: list[str]) -> DataFrame | None:
+    """The maintained aggregate view (None when the store is fresh): a
+    partition-pruned read of the view partition, narrowed to the view's
+    declared columns (keys + aggregates — base buckets share the widened
+    file schema but are never scanned)."""
+    view = versioned_store.read_partitions(spark, store_path, [VIEW_PART])
+    if view is None:
+        return None
+    return view.select(*cols)
 
 
-def read_base(spark: SparkSession, store_path: str, side: str) -> DataFrame | None:
-    """A maintained base multiset (columns + ``__m``); None when absent."""
+def read_base(
+    spark: SparkSession, store_path: str, side: str, cols: list[str]
+) -> DataFrame | None:
+    """A maintained base multiset (``cols`` + ``__m``); None when absent.
+    Reads only the side's bucket partitions (manifest-key prefix)."""
     if side not in (R_PART, S_PART):
         raise ValueError(f"read_base: side must be 'R' or 'S', got {side!r}")
-    return versioned_store.read_partitions(spark, store_path, [side])
+    _reject_unbucketed_layout(spark, store_path)
+    last = versioned_store.last_committed_batch(spark, store_path)
+    if last < 0:
+        return None
+    manifest = versioned_store.read_manifest(spark, store_path, last)
+    parts = [v for v in manifest if v.startswith(side + ".")]
+    base = versioned_store.read_partitions(spark, store_path, parts) if parts else None
+    if base is None:
+        return None
+    return base.select(*cols, F.col(MULT_COL))
 
 
 # ---------------------------------------------------------------------------

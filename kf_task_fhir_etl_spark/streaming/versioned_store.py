@@ -259,13 +259,30 @@ def manifests_dir(store_path: str) -> str:
     return store_path.rstrip("/") + ".manifests"
 
 
-def _write_manifest(spark: SparkSession, store_path: str, batch_id: int, mapping: dict[str, str]) -> None:
+def _write_manifest(
+    spark: SparkSession,
+    store_path: str,
+    batch_id: int,
+    mapping: dict[str, str],
+    meta: dict | None = None,
+) -> None:
+    """Manifest v2 (r11): ``{"v": 2, "parts": {value: path}, …meta}``.
+    ``meta`` carries store-level bookkeeping that must commit atomically
+    with the partition map — today ``replay_token`` (the highest STREAM
+    batch id applied, decoupled from the commit sequence so maintenance
+    commits can interleave with a streaming writer) and ``retention`` (the
+    CDC tombstone-compaction watermark). v1 manifests were the bare parts
+    map; readers accept both."""
+    record: dict = {"v": 2, "parts": mapping}
+    for k, v in (meta or {}).items():
+        if v is not None:
+            record[k] = v
     fs, dir_path = hadoop_fs(spark, manifests_dir(store_path))
     fs.mkdirs(dir_path)
     _, p = hadoop_fs(spark, manifests_dir(store_path) + f"/{batch_id}")
     out = fs.create(p, True)
     try:
-        out.write(bytearray(json.dumps(mapping, sort_keys=True).encode("utf-8")))
+        out.write(bytearray(json.dumps(record, sort_keys=True).encode("utf-8")))
     finally:
         out.close()
 
@@ -278,10 +295,27 @@ def store_is_partitioned(spark: SparkSession, store_path: str) -> bool:
     return bool(fs.exists(p))
 
 
+def read_manifest_meta(spark: SparkSession, store_path: str, batch_id: int) -> dict:
+    """The FULL manifest record of a committed batch, normalized to the v2
+    shape: ``{"parts": {value: path}, …meta}``. v1 manifests (bare parts
+    map — a partition value can never be "v": values must start with an
+    alphanumeric and "v" maps to a string path, while v2 stores the
+    literal int 2) normalize to ``{"parts": <map>}``."""
+    raw = _read_manifest_raw(spark, store_path, batch_id)
+    if isinstance(raw.get("v"), int) and isinstance(raw.get("parts"), dict):
+        return {k: v for k, v in raw.items() if k != "v"}
+    return {"parts": raw}
+
+
 def read_manifest(spark: SparkSession, store_path: str, batch_id: int) -> dict[str, str]:
-    """The {partition value: data dir} map of a COMMITTED batch. A marker
-    without a readable manifest is corruption, not freshness — raise (the
+    """The {partition value: data dir} map of a COMMITTED batch (either
+    manifest version — see ``read_manifest_meta``). A marker without a
+    readable manifest is corruption, not freshness — raise (the
     read_version discipline)."""
+    return read_manifest_meta(spark, store_path, batch_id)["parts"]
+
+
+def _read_manifest_raw(spark: SparkSession, store_path: str, batch_id: int) -> dict:
     fs, p = hadoop_fs(spark, manifests_dir(store_path) + f"/{batch_id}")
     try:
         stream = fs.open(p)
@@ -291,6 +325,20 @@ def read_manifest(spark: SparkSession, store_path: str, batch_id: int) -> dict[s
             stream.close()
         return json.loads(raw.decode("utf-8"))
     except Exception as exc:
+        # distinguish the LAYOUT MISMATCH from corruption (r10 ADVICE, low):
+        # a store committed through the flat apply_batch has .v{id} version
+        # dirs and no .manifests dir at all — opening it through the
+        # partitioned API deserves a migration message, not a corruption one
+        # (both stay loud; silent reset remains the one forbidden outcome)
+        mfs, mdir = hadoop_fs(spark, manifests_dir(store_path))
+        vfs, vdir = hadoop_fs(spark, version_path(store_path, batch_id))
+        if not mfs.exists(mdir) and vfs.exists(vdir):
+            raise RuntimeError(
+                f"store {store_path!r} was committed with the FLAT layout "
+                f"(.v{batch_id} version dirs, no manifests) — read it through "
+                "read_store/apply_batch, or rebuild it through the "
+                "partitioned API before pointing a bucketed sink at it"
+            ) from exc
         raise RuntimeError(
             f"partitioned store {store_path!r} has commit marker {batch_id} "
             "but its manifest is unreadable — refusing to treat an "
@@ -374,6 +422,8 @@ def apply_batch_partitioned(
     store_path: str,
     merge_fn: Callable,
     batch_id: int | None = None,
+    replay_token: int | None = None,
+    retention: int | None = None,
 ) -> bool:
     """Replay-guarded PARTITION-SCOPED read-merge-write commit.
 
@@ -400,10 +450,26 @@ def apply_batch_partitioned(
     ``apply_batch``. Cleanup is reference-aware: after commit, partition
     dirs referenced by neither the new manifest nor the lag-buffer
     (previous) manifest are deleted best-effort, then stale manifests/
-    markers below the lag buffer."""
+    markers below the lag buffer.
+
+    ``replay_token`` (r11): a replay guard DECOUPLED from the commit
+    sequence. When a store takes both streaming commits and maintenance
+    commits (tombstone compaction), ``batch_id``-as-commit-id breaks: a
+    maintenance commit at ``last + 1`` jumps ahead of the stream's own
+    batch counter, and every later stream batch reads as a replay —
+    silently dropped. With ``replay_token`` the commit id auto-increments
+    (pass ``batch_id=None``) while the STREAM's batch id rides in the
+    manifest: a batch at or below the highest applied token is skipped,
+    and tokenless maintenance commits carry the token forward untouched.
+    ``retention``: the CDC tombstone-compaction watermark, carried forward
+    as the max ever committed (see ``streaming/cdc.py``)."""
     committed = committed_ids(spark, store_path)  # ONE listing per batch
     last = committed[-1] if committed else -1
     if batch_id is not None and batch_id <= last:
+        return False
+    prev_meta = read_manifest_meta(spark, store_path, last) if last >= 0 else {"parts": {}}
+    prev_token = prev_meta.get("replay_token")
+    if replay_token is not None and prev_token is not None and replay_token <= prev_token:
         return False
     commit_id = batch_id if batch_id is not None else last + 1
     fs, marker = hadoop_fs(spark, commits_dir(store_path) + f"/{commit_id}")
@@ -414,7 +480,7 @@ def apply_batch_partitioned(
             f"sink requires a single writer per store (see apply_batch "
             f"docstring)"
         )
-    prev_manifest = read_manifest(spark, store_path, last) if last >= 0 else {}
+    prev_manifest = prev_meta["parts"]
 
     def read_parts(values: list[str] | None = None) -> DataFrame | None:
         if last < 0:
@@ -472,7 +538,17 @@ def apply_batch_partitioned(
             )
     new_manifest = {v: p for v, p in prev_manifest.items() if v not in touched}
     new_manifest.update(written)
-    _write_manifest(spark, store_path, commit_id, new_manifest)
+    # meta carries FORWARD monotonically: a tokenless (maintenance) commit
+    # keeps the stream's token; retention only ever grows
+    tokens = [t for t in (prev_token, replay_token) if t is not None]
+    retains = [r for r in (prev_meta.get("retention"), retention) if r is not None]
+    _write_manifest(
+        spark, store_path, commit_id, new_manifest,
+        meta={
+            "replay_token": max(tokens) if tokens else None,
+            "retention": max(retains) if retains else None,
+        },
+    )
     # COMMIT POINT — identical discipline to apply_batch
     fs.mkdirs(hadoop_fs(spark, commits_dir(store_path))[1])
     try:

@@ -398,19 +398,29 @@ def test_matview_stream_multiset_and_one_sided_carry_forward(spark, tmp_path):
         q.processAllAvailable()
     finally:
         q.stop()
-    view = sorted(tuple(r) for r in matview.read_view(spark, store).collect())
+    view = sorted(
+        tuple(r) for r in matview.read_view(spark, store, ["pri", "n", "sum_qty"]).collect()
+    )
     # a: (1,a)⋈{10,7} → n=2 sum=17; b: 1 surviving (2,b) ⋈ {5,5} → n=2 sum=10
     assert view == [("a", 2, 17.0), ("b", 2, 10.0)]
-    r_base = sorted(tuple(r) for r in matview.read_base(spark, store, "R").collect())
+    r_base = sorted(
+        tuple(r) for r in matview.read_base(spark, store, "R", ["k", "pri"]).collect()
+    )
     assert r_base == [(1, "a", 1), (2, "b", 1)]  # dup collapsed to m, then −1
-    s_rows = {(r["k"], r["qty"]): r["__m"] for r in matview.read_base(spark, store, "S").collect()}
+    s_rows = {
+        (r["k"], r["qty"]): r["__m"]
+        for r in matview.read_base(spark, store, "S", ["k", "qty"]).collect()
+    }
     assert s_rows == {(1, 10.0): 1, (1, 7.0): 1, (2, 5.0): 2, (None, 99.0): 1}
-    # carry-forward: batch 2 (S only) must NOT rewrite R's partition;
-    # batch 3 touched both sides again
+    # carry-forward (r11 bucketed layout): batch 2 (S only) must NOT
+    # rewrite ANY R bucket; batch 3 touched both sides again
     m1 = vs.read_manifest(spark, store, 1)
     m2 = vs.read_manifest(spark, store, 2)
-    assert ".vp0" in m1[matview.R_PART] and ".vp1" in m1[matview.S_PART]
-    assert ".vp2" in m2[matview.R_PART] and ".vp2" in m2[matview.S_PART]
+    r_parts_1 = {v: p for v, p in m1.items() if v.startswith("R.")}
+    assert r_parts_1 and all(".vp0" in p for p in r_parts_1.values())
+    assert any(".vp1" in p for v, p in m1.items() if v.startswith("S."))
+    assert any(".vp2" in p for v, p in m2.items() if v.startswith("R."))
+    assert any(".vp2" in p for v, p in m2.items() if v.startswith("S."))
 
 
 def test_matview_rejects_bad_side_and_reserved_columns(spark, tmp_path):

@@ -45,9 +45,9 @@ EXTRA_SCOPE = ["__spark_entry__.py"]
 # empty), and test_waivers_reference_real_out_of_window_entries FAILS on the
 # leftover dict until it is re-justified or cleared — a stale waiver can
 # neither mask a later change to the waived entry nor linger silently.
-WAIVER_ROUND = "round 8:"
+WAIVER_ROUND = "round 10:"
 WAIVERS: dict[str, str] = {
-    # r09: empty — every changed-code entry is in _CHECK_FIRST.
+    # r11: empty — every changed-code entry is in _CHECK_FIRST.
 }
 
 # Names resolved dynamically at runtime that static analysis cannot follow:
