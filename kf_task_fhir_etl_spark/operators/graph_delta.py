@@ -378,15 +378,20 @@ def spanning_forest(
     Deterministic: min-reductions only, no RNG.
 
     Returns a LOCALCHECKPOINTED frame the caller owns (the
-    connected_components/bfs_distances convention). This is not merely a
-    perf nicety: forests get multiply-referenced (the delta operator
-    probes one AND carries it forward) and re-fed across batches — left
-    as a raw plan, each reference doubles the join tree and Catalyst's
-    sizeInBytes stats (a PRODUCT over the tree's leaves) blow up into
-    million-bit BigInt multiplications that spin the driver at 100% for
-    minutes before a single task runs (observed live: jstack showed
-    SizeInBytesOnlyStatsPlanVisitor inside BigInteger.multiplyToomCook3).
-    The checkpoint truncates the plan to a leaf."""
+    connected_components/bfs_distances convention) — it truncates the
+    plan TREE so multiply-referenced forests don't replicate the build
+    subtree into every consumer. One thing the checkpoint does NOT do:
+    reset Catalyst's size statistics. LogicalRDD carries the ORIGIN
+    plan's sizeInBytes into the leaf (measured: checkpointed bits ==
+    plan bits), and sizeInBytes is a PRODUCT across join inputs starting
+    from Long.MaxValue defaults — so state chained IN MEMORY across many
+    batches doubles its stats bit-length per generation until planning
+    spins the driver at 100% in BigInteger.multiplyToomCook3 inside
+    SizeInBytesOnlyStatsPlanVisitor (observed live via jstack; a 26-node
+    test graph stalled for 20+ minutes before a single task ran). Store
+    maintained state through PARQUET (or the versioned store) between
+    batches — files reset stats to their actual sizes; every streaming
+    sink in this repo is immune for exactly that reason."""
     a, b = edge_cols
     from kf_task_fhir_etl_spark.operators.graph import bfs_distances
 
@@ -437,11 +442,13 @@ def apply_components_delta_forest(
     CURRENT graph (bootstrap with ``spanning_forest``); labels follow the
     min-node-id convention, bit-identical to a from-scratch
     ``connected_components`` recompute — the q159 gate's contract.
-    The returned frames are PLANS over the caller's stored state — write
-    or localCheckpoint them before feeding the next batch (a real
-    pipeline persists its state anyway; chaining raw plans across batches
-    nests the join tree and stalls the driver in Catalyst's sizeInBytes
-    stats — the spanning_forest docstring has the autopsy).
+    The returned frames are PLANS over the caller's stored state — WRITE
+    them (parquet / the versioned store) before feeding the next batch (a
+    real pipeline persists its state anyway). localCheckpoint is NOT a
+    substitute here: it truncates lineage but carries the origin plan's
+    sizeInBytes into the leaf, so in-memory chaining still doubles the
+    stats bit-length per batch until planning stalls — the
+    spanning_forest docstring has the autopsy.
 
     Phases (ordering load-bearing, as in apply_components_delta):
 
@@ -520,13 +527,18 @@ def apply_components_delta_forest(
         untouched = comps.join(
             F.broadcast(del_comps), F.col(comp_col) == F.col("__dc"), "left_anti"
         )
-        l1 = untouched.select(node_col, comp_col).unionByName(recomputed)
+        # checkpointed: phase 2 references l1 several times and the stats
+        # estimator multiplies sizeInBytes across every DUPLICATED subtree
+        # reference — left raw, the composed plan's BigInt stats spun the
+        # driver at 100% for minutes (the spanning_forest autopsy); blocks
+        # are labeling-sized and reclaimed by GC with the result
+        l1 = untouched.select(node_col, comp_col).unionByName(recomputed).localCheckpoint()
         # forest edges inside a touched component are replaced wholesale
         # (members bounds the semi probe; both endpoints share a component
         # by the forest invariant, so probing endpoint `a` suffices)
         f1 = forest.join(
             members.select(F.col(node_col).alias(a)), a, "left_anti"
-        ).unionByName(rebuilt_forest)
+        ).unionByName(rebuilt_forest).localCheckpoint()
     else:
         l1 = comps.select(node_col, comp_col)
         f1 = forest.select(a, b)
@@ -544,7 +556,9 @@ def apply_components_delta_forest(
     new_nodes = ins_nodes.join(comps.select(node_col), node_col, "left_anti").select(
         node_col, F.col(node_col).alias(comp_col)
     )
-    l1p = l1.unionByName(new_nodes)
+    # l1p is the fan-out hub of phase 2 (lab feeds e1, lpairs, rep — and
+    # the remap reads it again): checkpoint once, stats stay leaf-sized
+    l1p = l1.unionByName(new_nodes).localCheckpoint()
     lab = l1p.select(F.col(node_col).alias("__n"), F.col(comp_col).alias("__l"))
     e1 = (
         F.broadcast(ins)
@@ -572,12 +586,12 @@ def apply_components_delta_forest(
             "__pl", "__ph",
             F.col("__m").getField(a).alias(a), F.col("__m").getField(b).alias(b),
         )
+        # checkpointed: three consumers (the fold's CC, the label-graph
+        # spanning forest, the lift-back join) would otherwise each carry
+        # a full copy of the broadcast-fold subtree into their plans —
+        # batch-sized blocks, reclaimed by GC with the result
+        .localCheckpoint()
     )
-    # rep is NOT checkpointed: its three consumers (the fold's CC, the
-    # label-graph spanning forest, the lift-back join) each stage their
-    # own copy internally (connected_components/bfs_distances checkpoint
-    # their edge lists), and the plan is batch-sized broadcast joins — a
-    # pin here would outlive the call (the resident-driver leak class)
     touched_labels = (
         rep.select(F.col("__pl").alias(node_col))
         .unionByName(rep.select(F.col("__ph").alias(node_col)))

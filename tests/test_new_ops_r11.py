@@ -467,9 +467,16 @@ def test_forest_delta_rebridge_and_new_nodes(spark):
     _forest_invariants(spark, all_nodes, edges_new, f2)
 
 
-def test_forest_delta_randomized_parity(spark):
+def test_forest_delta_randomized_parity(spark, tmp_path):
     """Seeded random graphs and changelogs: labels ≡ from-scratch CC and
-    forest invariants hold after every batch."""
+    forest invariants hold after every batch. State is stored through
+    PARQUET between batches — the production shape, and load-bearing for
+    the test too: localCheckpoint carries the ORIGIN plan's size stats
+    into its leaf (verified: ckpt sizeInBytes == plan sizeInBytes, and it
+    DOUBLES per self-referencing generation from the Long.MaxValue leaf
+    default), so chaining raw/checkpointed state across batches grows
+    million-bit sizeInBytes values that spin Catalyst's stats products at
+    100% driver CPU. Parquet resets stats to actual file sizes."""
     import random
 
     from kf_task_fhir_etl_spark.operators import dedup, graph_delta
@@ -497,11 +504,13 @@ def test_forest_delta_randomized_parity(spark):
         comps, forest = graph_delta.apply_components_delta_forest(
             comps, forest, edges_new, delta
         )
-        # store the state between batches (the operator contract): raw
-        # plan chaining stalls the driver in Catalyst stats — see the
-        # spanning_forest docstring
-        comps = comps.localCheckpoint()
-        forest = forest.localCheckpoint()
+        # store the state between batches (the operator contract; see
+        # docstring — parquet, not localCheckpoint, resets the stats)
+        cdir, fdir = str(tmp_path / f"c{batch}"), str(tmp_path / f"f{batch}")
+        comps.write.parquet(cdir)
+        forest.write.parquet(fdir)
+        comps = spark.read.parquet(cdir)
+        forest = spark.read.parquet(fdir)
         all_nodes_df = spark.createDataFrame(sorted((i,) for i in node_set), "node bigint")
         want = dedup.connected_components(all_nodes_df, edges_new, node_col="node")
         assert sorted(map(tuple, comps.collect())) == sorted(map(tuple, want.collect())), batch
