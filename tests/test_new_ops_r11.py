@@ -638,3 +638,40 @@ def test_late_change_older_than_watermark_dropped_at_sink(spark, tmp_path):
         q.stop()
     got = sorted(tuple(r) for r in cdc.read_table(spark, store).collect())
     assert got == [(2, "b2")]  # zombie dropped, key 1 stays deleted
+
+
+# ---------------------------------------------------------------------------
+# the localCheckpoint origin-stats carry (the r11 autopsy, pinned as a
+# measurement so a Spark behavior change surfaces here first)
+# ---------------------------------------------------------------------------
+
+
+def test_local_checkpoint_carries_origin_stats(spark):
+    """localCheckpoint truncates lineage but the LogicalRDD leaf CARRIES
+    the origin plan's sizeInBytes — and the estimate DOUBLES per
+    self-join generation from the Long.MaxValue leaf default. This is why
+    graph state chained in memory across batches eventually spins the
+    driver in BigInteger stats products, and why the maintenance
+    operators' contract says store state through parquet (which resets
+    stats to actual file sizes). If this assertion ever FAILS, Spark
+    started resetting stats at the checkpoint and the parquet contract
+    can be relaxed."""
+    def bits(df):
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()).bit_length()
+
+    a = spark.createDataFrame([(1, 2)], "x bigint, y bigint")
+    assert bits(a) <= 64  # unknown-size leaf default
+    cur = a
+    growth = []
+    for gen in range(3):
+        nxt = cur.join(cur.withColumnRenamed("y", f"y{gen}"), "x")
+        ck = nxt.localCheckpoint()
+        assert bits(ck) == bits(nxt)  # stats carried through the leaf
+        growth.append(bits(ck))
+        cur = ck.select("x", "y")
+    assert growth[1] > 1.5 * growth[0] and growth[2] > 1.5 * growth[1]
+    # and the storage boundary RESETS: parquet stats are actual file sizes
+    import tempfile, os, uuid
+    path = os.path.join(tempfile.gettempdir(), f"stats_reset_{uuid.uuid4().hex[:8]}")
+    cur.write.parquet(path)
+    assert bits(spark.read.parquet(path)) < 40  # a few KB of real files
