@@ -31,8 +31,12 @@ compacted once lateness is bounded. ``compact_tombstones`` drops
 tombstones older than a caller-chosen order watermark from the
 partitioned store in a marker-committed maintenance pass AND records the
 watermark in the manifest; from then on the SINK drops any arriving
-change older than the watermark (upsert or delete) — by design, exactly
-the rows whose LWW outcome could have depended on a compacted tombstone.
+change older than the watermark (upsert or delete) — a SUPERSET of the
+rows whose LWW outcome could have depended on a compacted tombstone: a
+sub-watermark upsert for a key that never had a tombstone is dropped
+too (the sink cannot know, post-compaction, which keys had one). Size
+the watermark strictly below the source's real lateness bound and the
+superset is empty in practice.
 Every change at or newer than the watermark still resolves as if no
 compaction ever happened: it either beats the compacted tombstone's order
 anyway, or is itself a delete/upsert that needs no witness. Maintenance
@@ -126,9 +130,23 @@ def cdc_stream(
     merges and rewrites ONLY the buckets its winners hash into; every
     other bucket's files carry forward by manifest reference, byte-
     identical, so per-batch write amplification is O(touched buckets)
-    instead of O(|store|). Keep the count stable for a store's lifetime
-    (old buckets are carried forward verbatim). None keeps the flat
-    whole-store layout."""
+    instead of O(|store|). The count is RECORDED in the manifest at
+    every commit and the recorded value wins on resume (r12): after a
+    ``versioned_store.rebucket_store`` migration the resumed stream
+    picks up the new layout from the manifest even if the caller still
+    passes the creation-time count. None keeps the flat whole-store
+    layout — note that retention (``compact_tombstones``) and
+    re-bucketing are modeled for the bucketed layout only, so prefer
+    ``buckets=`` for any store that will live long enough to need
+    maintenance.
+
+    Upgrade note (r11→): the replay guard rides the manifest's
+    ``replay_token``. On a pre-r11 bucketed store (v1 manifests, no
+    token) the first replayed microbatch after upgrade re-applies once
+    (``prev_token`` is None) — benign here because the LWW merge is
+    idempotent for identical replayed winners, but a future sink reusing
+    this pattern with a NON-idempotent merge must not inherit that
+    silently."""
     # blanket '__'-prefix rejection (the topk_stream/join_agg_view_stream
     # rule, adopted here r11 ADVICE): the old enumerated set omitted
     # '__part' — a change stream carrying it passed the guard, then
@@ -213,9 +231,12 @@ def compact_tombstones(spark: SparkSession, store_path: str, min_retained_order)
     LWW correctness: for any change with order ≥ the watermark the
     compacted tombstones are irrelevant — an upsert newer than a tombstone
     wins with or without it; a delete needs no witness. Changes OLDER than
-    the watermark are dropped at the sink by design (their outcome could
-    have depended on a compacted tombstone) — choose the watermark at or
-    below the source's lateness bound. Single-writer contract: run while
+    the watermark are dropped at the sink by design — ALL of them,
+    store-wide, a superset of the rows whose outcome could have depended
+    on a compacted tombstone (a sub-watermark upsert for a never-deleted
+    key is dropped too, diverging from full-history LWW for that key) —
+    so choose the watermark STRICTLY below the source's real lateness
+    bound and no legitimate change ever lands under it. Single-writer contract: run while
     the stream is quiesced; the stream resumes safely afterwards because
     its replay guard rides the manifest's replay_token, not the commit
     sequence."""

@@ -462,7 +462,17 @@ def apply_batch_partitioned(
     manifest: a batch at or below the highest applied token is skipped,
     and tokenless maintenance commits carry the token forward untouched.
     ``retention``: the CDC tombstone-compaction watermark, carried forward
-    as the max ever committed (see ``streaming/cdc.py``)."""
+    as the max ever committed (see ``streaming/cdc.py``).
+
+    Maintenance writers and the race probes (r11 ADVICE): maintenance
+    commits (compaction, re-bucketing, schema evolution) are a SECOND
+    writer class on stores whose commit ids auto-increment, and the
+    split-brain probes here are non-atomic check-then-act on the local
+    FS/S3A — two concurrent writers can both read the same ``last``,
+    pick ``last + 1``, and race past the marker-exists check. The probes
+    are ADVISORY under such races; the "quiesce the stream before
+    maintenance" convention (single-writer contract) is the actual
+    guarantee, exactly as for ``apply_batch``."""
     committed = committed_ids(spark, store_path)  # ONE listing per batch
     last = committed[-1] if committed else -1
     if batch_id is not None and batch_id <= last:
