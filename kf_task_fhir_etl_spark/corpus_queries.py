@@ -4697,3 +4697,120 @@ def q161_store_asof_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i in (0, 1)
     ]
     return snaps[0].unionByName(snaps[1]).orderBy("snap", "order_key")
+
+
+# ---------------------------------------------------------------------------
+# q162 — bucket-count migration on the partitioned CDC store
+# (streaming/versioned_store.py::rebucket_store; VERDICT r11 Missing #2 /
+# Next #3 — the first maintenance operator a growing store actually needs)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q162_cdc_bucket_migration",
+    oracle="""
+    SELECT o_orderkey AS order_key,
+           CASE WHEN o_orderkey % 10 = 1 THEN 'RB' ELSE o_orderstatus END AS status,
+           ROUND(o_totalprice, 2)
+             + CASE WHEN o_orderkey % 10 = 1 THEN 500.0 ELSE 0.0 END AS price
+    FROM orders
+    WHERE o_orderkey % 9 <> 0 OR o_orderkey % 10 = 1
+    ORDER BY order_key
+    """,
+)
+def q162_cdc_bucket_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-count migration mid-stream, end to end: (A) a CDC store is
+    built at 4 buckets — upsert every key at seq 1, DELETE keys %9==0 at
+    seq 2 — then the stream quiesces; (B) ``rebucket_store(4→8)`` rewrites
+    every live partition under the 8-bucket hash in ONE marker-committed,
+    TOKENLESS maintenance pass and records the new count in the manifest;
+    (C) a late epoch arrives (seq-3 upsert of keys %10==1 → status 'RB',
+    +500 — including %9-deleted keys, a genuine LWW resurrection ACROSS
+    the migration) and the stream RESUMES FROM ITS OWN CHECKPOINT with
+    the ORIGINAL ``buckets=4`` argument: the sink adopts the recorded
+    count from the manifest (new writes land in 8-domain buckets — a
+    mismatched argument can never split the key space across bucketings)
+    and its replay guard rides the manifest's replay_token, so the
+    interleaved maintenance commit cannot desynchronize it. The oracle is
+    the closed-form LWW over the three epochs — the migration must be
+    invisible in values. Post-migration commits rewrite only touched NEW
+    buckets (pytest pins the carried-forward file listing)."""
+    import os as _os
+
+    from kf_task_fhir_etl_spark.catalog import staged_base
+    from kf_task_fhir_etl_spark.streaming import cdc
+    from kf_task_fhir_etl_spark.streaming import versioned_store as vstore
+
+    orders = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    price = F.round(F.col("o_totalprice"), 2)
+
+    def change(df, status_col, price_col, seq, op):
+        return df.select(
+            k.alias("order_key"),
+            status_col.alias("status"),
+            price_col.alias("price"),
+            F.lit(seq).cast("long").alias("seq"),
+            F.lit(op).alias("op"),
+        )
+
+    epochs_a = {
+        "e1": change(orders, F.col("o_orderstatus"), price, 1, cdc.OP_UPSERT),
+        "e2": change(
+            orders.filter(k % 9 == 0), F.lit(None).cast("string"),
+            F.lit(None).cast("double"), 2, cdc.OP_DELETE,
+        ),
+    }
+    epochs_c = {
+        "e3": change(
+            orders.filter(k % 10 == 1), F.lit("RB"), price + 500.0, 3, cdc.OP_UPSERT
+        ),
+    }
+    base = staged_base("cdcrebkt", sf_dir, ["orders"])
+    _os.makedirs(base, exist_ok=True)
+    watched = _os.path.join(base, "changes")
+    store = _os.path.join(base, "store")
+    ckpt = _os.path.join(base, "ckpt")
+
+    def write_epochs(epochs: dict) -> None:
+        for name, df in epochs.items():
+            path = _os.path.join(watched, name)
+            if not _os.path.isdir(path):
+                df.coalesce(1).write.parquet(path)
+
+    def run_stream() -> None:
+        stream = (
+            spark.readStream.schema(
+                "order_key bigint, status string, price double, seq long, op string"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(_os.path.join(watched, "e*"))
+        )
+        q = cdc.cdc_stream(
+            stream, store, key_cols=["order_key"], order_col="seq", op_col="op",
+            checkpoint=ckpt, buckets=4,  # creation-time count, on purpose
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    write_epochs(epochs_a)
+    run_stream()
+    vstore.rebucket_store(spark, store, ["order_key"], 8)  # idempotent re-run
+    write_epochs(epochs_c)
+    run_stream()  # SAME checkpoint, ORIGINAL buckets=4 argument
+    last = vstore.last_committed_batch(spark, store)
+    recorded = vstore.read_manifest_meta(spark, store, last).get("buckets")
+    if recorded != 8:
+        raise RuntimeError(
+            f"q162: manifest records buckets={recorded!r} after migration "
+            "(want 8) — the maintenance commit or the sink's adoption broke"
+        )
+    live = cdc.read_table(spark, store)
+    if live is None:
+        raise RuntimeError(
+            f"q162: CDC store at {store} has no committed version; "
+            "remove the stream checkpoint to replay the changes"
+        )
+    return live.select("order_key", "status", "price").orderBy("order_key")

