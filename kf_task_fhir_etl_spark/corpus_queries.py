@@ -4814,3 +4814,110 @@ def q162_cdc_bucket_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "remove the stream checkpoint to replay the changes"
         )
     return live.select("order_key", "status", "price").orderBy("order_key")
+
+
+# ---------------------------------------------------------------------------
+# q163 — add-column schema evolution on the versioned store
+# (streaming/versioned_store.py::add_columns; VERDICT r11 Missing #3 /
+# Next #4 — real pipelines evolve)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q163_cdc_schema_evolution",
+    oracle="""
+    SELECT o_orderkey AS order_key,
+           CASE WHEN o_orderkey % 5 = 0 THEN 'P5' ELSE o_orderstatus END AS status,
+           ROUND(o_totalprice, 2)
+             + CASE WHEN o_orderkey % 3 = 0 THEN 250.0 ELSE 0.0 END AS price,
+           CASE WHEN o_orderkey % 3 = 0 THEN 'N3' END AS note
+    FROM orders
+    ORDER BY order_key
+    """,
+)
+def q163_cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution mid-stream, end to end: (A) a CDC store is built
+    under schema (order_key, status, price) — upsert every key at seq 1,
+    re-status keys %5==0 at seq 2 — then the stream quiesces;
+    (B) ``add_columns(note string)`` DECLARES the new column in one
+    marker-committed, tokenless, ZERO-data-I/O maintenance commit (lazy
+    evolution: carried-forward files stay byte-identical — pytest pins
+    it); (C) the stream RESUMES FROM ITS OWN CHECKPOINT with the WIDENED
+    source schema and a seq-3 epoch carrying ``note='N3'`` for keys
+    %3==0. The sink's LWW merge spans the vintages: the store slice reads
+    through the manifest's declared evolution (mergeSchema + null
+    backfill), so pre-evolution winners surface ``note = NULL`` and
+    post-evolution winners carry real values. The oracle is the
+    closed-form LWW with the evolved column — the declaration must be
+    invisible in every pre-evolution value."""
+    import os as _os
+
+    from kf_task_fhir_etl_spark.catalog import staged_base
+    from kf_task_fhir_etl_spark.streaming import cdc
+    from kf_task_fhir_etl_spark.streaming import versioned_store as vstore
+
+    orders = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    price = F.round(F.col("o_totalprice"), 2)
+    status2 = F.when(k % 5 == 0, F.lit("P5")).otherwise(F.col("o_orderstatus"))
+    epochs_a = {
+        "e1": orders.select(
+            k.alias("order_key"), F.col("o_orderstatus").alias("status"),
+            price.alias("price"), F.lit(1).cast("long").alias("seq"),
+            F.lit(cdc.OP_UPSERT).alias("op"),
+        ),
+        "e2": orders.filter(k % 5 == 0).select(
+            k.alias("order_key"), F.lit("P5").alias("status"),
+            price.alias("price"), F.lit(2).cast("long").alias("seq"),
+            F.lit(cdc.OP_UPSERT).alias("op"),
+        ),
+    }
+    epochs_c = {
+        "e3": orders.filter(k % 3 == 0).select(
+            k.alias("order_key"), status2.alias("status"),
+            (price + 250.0).alias("price"), F.lit("N3").alias("note"),
+            F.lit(3).cast("long").alias("seq"), F.lit(cdc.OP_UPSERT).alias("op"),
+        ),
+    }
+    base = staged_base("cdcevol", sf_dir, ["orders"])
+    _os.makedirs(base, exist_ok=True)
+    watched = _os.path.join(base, "changes")
+    store = _os.path.join(base, "store")
+    ckpt = _os.path.join(base, "ckpt")
+
+    def write_epochs(epochs: dict) -> None:
+        for name, df in epochs.items():
+            path = _os.path.join(watched, name)
+            if not _os.path.isdir(path):
+                df.coalesce(1).write.parquet(path)
+
+    def run_stream(schema: str) -> None:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(_os.path.join(watched, "e*"))
+        )
+        q = cdc.cdc_stream(
+            stream, store, key_cols=["order_key"], order_col="seq", op_col="op",
+            checkpoint=ckpt, buckets=8,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    write_epochs(epochs_a)
+    run_stream("order_key bigint, status string, price double, seq long, op string")
+    vstore.add_columns(spark, store, {"note": "string"})  # idempotent re-run
+    write_epochs(epochs_c)
+    # SAME checkpoint, WIDENED source schema
+    run_stream(
+        "order_key bigint, status string, price double, note string, seq long, op string"
+    )
+    live = cdc.read_table(spark, store)
+    if live is None:
+        raise RuntimeError(
+            f"q163: CDC store at {store} has no committed version; "
+            "remove the stream checkpoint to replay the changes"
+        )
+    return live.select("order_key", "status", "price", "note").orderBy("order_key")

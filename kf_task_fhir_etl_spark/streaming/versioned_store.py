@@ -371,6 +371,26 @@ def _read_manifest_raw(spark: SparkSession, store_path: str, batch_id: int) -> d
         ) from exc
 
 
+def _read_data_paths(spark: SparkSession, paths: list[str], meta: dict) -> DataFrame:
+    """One parquet read over partition data dirs, WITH the manifest's
+    declared schema evolution applied (r12): when the meta carries
+    ``added_cols`` the read merges footers across vintages
+    (``mergeSchema`` — files written after an ``add_columns`` commit have
+    the column, carried-forward files don't) and any declared column
+    still missing from the merged schema is null-backfilled. Rows from
+    pre-evolution files read the column as NULL either way — the LAZY
+    evolution contract (see ``add_columns``)."""
+    added = meta.get("added_cols") or {}
+    reader = spark.read
+    if added:
+        reader = reader.option("mergeSchema", "true")
+    df = reader.parquet(*paths)
+    for name, dtype in added.items():
+        if name not in df.columns:
+            df = df.withColumn(name, F.lit(None).cast(dtype))
+    return df
+
+
 def read_partitions(
     spark: SparkSession,
     store_path: str,
@@ -403,7 +423,8 @@ def read_partitions(
         last = last_committed_batch(spark, store_path)
     if last < 0:
         return None
-    manifest = read_manifest(spark, store_path, last)
+    meta = read_manifest_meta(spark, store_path, last)
+    manifest = meta["parts"]
     if values is None:
         paths = [manifest[v] for v in sorted(manifest)]
     else:
@@ -411,7 +432,10 @@ def read_partitions(
     if not paths:
         return None
     try:
-        return spark.read.parquet(*paths)
+        # schema evolution is resolved from THIS manifest's meta, so an
+        # as-of read earlier than an add_columns commit sees the old
+        # schema — time travel respects schema history
+        return _read_data_paths(spark, paths, meta)
     except AnalysisException as exc:
         raise RuntimeError(
             f"partitioned store {store_path!r}: manifest {last} references "
@@ -450,6 +474,7 @@ def apply_batch_partitioned(
     replay_token: int | None = None,
     retention: int | None = None,
     buckets: int | None = None,
+    add_cols: dict[str, str] | None = None,
 ) -> bool:
     """Replay-guarded PARTITION-SCOPED read-merge-write commit.
 
@@ -494,6 +519,11 @@ def apply_batch_partitioned(
     what lets ``rebucket_store`` migrate a live store. Unlike token and
     retention it is NOT monotone: the latest explicit value wins; commits
     that omit it carry the previous value forward.
+    ``add_cols`` (r12): {name: spark dtype} of columns DECLARED onto the
+    store schema from this commit on (see ``add_columns``); carried
+    forward as the union of all declarations. ``read_parts`` and
+    ``read_partitions`` apply the declared evolution, so merge functions
+    see a uniform widened schema regardless of file vintage.
 
     Maintenance writers and the race probes (r11 ADVICE): maintenance
     commits (compaction, re-bucketing, schema evolution) are a SECOND
@@ -522,6 +552,11 @@ def apply_batch_partitioned(
             f"docstring)"
         )
     prev_manifest = prev_meta["parts"]
+    # declared schema evolution, effective immediately for this commit's
+    # own reads (union of every declaration, this one included)
+    eff_added = dict(prev_meta.get("added_cols") or {})
+    if add_cols:
+        eff_added.update(add_cols)
 
     def read_parts(values: list[str] | None = None) -> DataFrame | None:
         if last < 0:
@@ -532,7 +567,7 @@ def apply_batch_partitioned(
             paths = [prev_manifest[v] for v in values if v in prev_manifest]
         if not paths:
             return None
-        return spark.read.parquet(*paths)
+        return _read_data_paths(spark, paths, {"added_cols": eff_added})
 
     result = merge_fn(read_parts)
     data_dir = partitioned_version_path(store_path, commit_id)
@@ -589,6 +624,7 @@ def apply_batch_partitioned(
             "replay_token": max(tokens) if tokens else None,
             "retention": max(retains) if retains else None,
             "buckets": buckets if buckets is not None else prev_meta.get("buckets"),
+            "added_cols": eff_added or None,
         },
     )
     # COMMIT POINT — identical discipline to apply_batch
@@ -746,3 +782,59 @@ def rebucket_store(
 
     apply_batch_partitioned(spark, store_path, merge, buckets=new_buckets)
     return len(read_manifest(spark, store_path, last_committed_batch(spark, store_path)))
+
+
+def add_columns(spark: SparkSession, store_path: str, cols: dict[str, str]) -> None:
+    """Add-column schema evolution on the partitioned store (r12 —
+    VERDICT r11 Missing #3 / Next #4): ONE marker-committed, TOKENLESS
+    maintenance commit DECLARING new columns ``{name: spark dtype}`` onto
+    the store schema. The evolution is LAZY by design — the commit
+    touches ZERO partition data (carried-forward files stay
+    byte-identical; pytest pins it): readers and merge functions resolve
+    the widened schema from the manifest (``mergeSchema`` across file
+    vintages + null backfill for files predating the declaration), so a
+    pre-evolution row reads the new column as NULL. The trade vs an eager
+    rewrite: evolution is O(1) I/O instead of O(|store|), at the price of
+    footer-merging reads on evolved stores and the backfill projection —
+    the Delta/Iceberg choice, re-expressed on the manifest. As-of reads
+    earlier than the declaration see the OLD schema (the meta rides each
+    manifest). Declarations are store-wide: on a heterogeneous store
+    (matview R/S/view partitions) the column appears on every partition's
+    reads. Idempotent: re-declaring a column with the SAME dtype is a
+    no-op (no commit); a DIFFERENT dtype raises — changing a column's
+    type is not schema evolution, it is a rewrite. Single-writer
+    contract: quiesce the stream first, like every maintenance pass."""
+    if not cols:
+        raise ValueError("add_columns: empty column map")
+    for name, dtype in cols.items():
+        if name.startswith("__"):
+            raise ValueError(
+                f"add_columns: column name {name!r} is reserved ('__'-prefixed "
+                "names are store-internal markers)"
+            )
+        # validate the dtype eagerly — a typo must fail HERE, not in some
+        # later batch's read plan
+        try:
+            F.lit(None).cast(dtype)
+        except Exception as exc:
+            raise ValueError(f"add_columns: invalid spark dtype {dtype!r} for {name!r}") from exc
+    if not store_is_partitioned(spark, store_path):
+        raise RuntimeError(
+            f"add_columns: store {store_path!r} is not a partitioned store — "
+            "flat stores rewrite whole per commit and can widen their schema "
+            "in any ordinary merge"
+        )
+    last = last_committed_batch(spark, store_path)
+    prev = (
+        read_manifest_meta(spark, store_path, last).get("added_cols") or {}
+        if last >= 0
+        else {}
+    )
+    conflicts = {n: (prev[n], d) for n, d in cols.items() if n in prev and prev[n] != d}
+    if conflicts:
+        raise ValueError(
+            f"add_columns: dtype conflicts with earlier declarations: {conflicts}"
+        )
+    if all(prev.get(n) == d for n, d in cols.items()):
+        return  # already declared (idempotent re-run, no commit)
+    apply_batch_partitioned(spark, store_path, lambda rp: {}, add_cols=cols)

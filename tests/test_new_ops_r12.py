@@ -343,3 +343,79 @@ def test_cdc_stream_adopts_recorded_bucket_count_after_migration(spark, tmp_path
     live = cdc.read_table(spark, store)
     want = {(i, "rewritten" if i == 3 else f"v{i}") for i in range(20)}
     assert {(r["k"], r["val"]) for r in live.collect()} == want
+
+
+# ---------------------------------------------------------------------------
+# add-column schema evolution (VERDICT r11 Missing #3 / Next #4):
+# versioned_store.add_columns — lazy, zero-data-I/O declaration
+# ---------------------------------------------------------------------------
+
+
+def test_add_columns_lazy_backfill_leaves_files_untouched(spark, tmp_path):
+    store = str(tmp_path / "store")
+    rows = spark.createDataFrame(
+        [(i, f"v{i}", "upsert", 1) for i in range(10)],
+        "k bigint, val string, __op string, __order long",
+    )
+    _cdc_commit(spark, store, rows, ["k"], buckets=3, token=0)
+    last0 = vs.last_committed_batch(spark, store)
+    parts_before = vs.read_manifest(spark, store, last0)
+    vs.add_columns(spark, store, {"score": "double"})
+    last1 = vs.last_committed_batch(spark, store)
+    assert last1 > last0
+    meta = vs.read_manifest_meta(spark, store, last1)
+    assert meta["added_cols"] == {"score": "double"}
+    assert meta["replay_token"] == 0  # tokenless commit carried it
+    # LAZY: the evolution commit touched zero partition data — every
+    # manifest entry still points at the pre-evolution directories
+    assert vs.read_manifest(spark, store, last1) == parts_before
+    got = vs.read_partitions(spark, store)
+    assert "score" in got.columns
+    assert got.filter(F.col("score").isNotNull()).count() == 0
+    # as-of the pre-evolution commit reads the OLD schema
+    old = vs.read_partitions(spark, store, as_of=last0)
+    assert "score" not in old.columns
+
+
+def test_add_columns_guards_and_idempotence(spark, tmp_path):
+    store = str(tmp_path / "store")
+    rows = spark.createDataFrame([(1, "upsert", 1)], "k bigint, __op string, __order long")
+    _cdc_commit(spark, store, rows, ["k"], buckets=2, token=0)
+    with pytest.raises(ValueError, match="reserved"):
+        vs.add_columns(spark, store, {"__oops": "string"})
+    with pytest.raises(ValueError, match="invalid spark dtype"):
+        vs.add_columns(spark, store, {"c": "no_such_type"})
+    with pytest.raises(ValueError, match="empty column map"):
+        vs.add_columns(spark, store, {})
+    with pytest.raises(RuntimeError, match="not a partitioned store"):
+        vs.add_columns(spark, str(tmp_path / "flat"), {"c": "string"})
+    vs.add_columns(spark, store, {"c": "string"})
+    ids = vs.committed_ids(spark, store)
+    vs.add_columns(spark, store, {"c": "string"})  # idempotent: no commit
+    assert vs.committed_ids(spark, store) == ids
+    with pytest.raises(ValueError, match="dtype conflicts"):
+        vs.add_columns(spark, store, {"c": "bigint"})
+
+
+def test_cdc_merge_spans_schema_evolution(spark, tmp_path):
+    """Pre-evolution rows read NULL for the new column; a post-evolution
+    LWW merge carries real values; untouched buckets keep their
+    pre-evolution files and still read through the widened schema."""
+    store = str(tmp_path / "store")
+    old = spark.createDataFrame(
+        [(i, f"v{i}", "upsert", 1) for i in range(10)],
+        "k bigint, val string, __op string, __order long",
+    )
+    _cdc_commit(spark, store, old, ["k"], buckets=3, token=0)
+    vs.add_columns(spark, store, {"note": "string"})
+    new = spark.createDataFrame(
+        [(3, "v3b", "N3", "upsert", 2)],
+        "k bigint, val string, note string, __op string, __order long",
+    )
+    _cdc_commit(spark, store, new, ["k"], buckets=3, token=1)
+    got = {
+        (r["k"], r["val"], r["note"])
+        for r in vs.read_partitions(spark, store).collect()
+    }
+    want = {(i, f"v{i}", None) for i in range(10) if i != 3} | {(3, "v3b", "N3")}
+    assert got == want
