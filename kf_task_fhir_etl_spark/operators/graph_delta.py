@@ -59,6 +59,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from kf_task_fhir_etl_spark.operators.dedup import connected_components
+from kf_task_fhir_etl_spark.operators.lifecycle import assert_bounded_stats
 
 
 def apply_components_delta(
@@ -85,6 +86,11 @@ def apply_components_delta(
         missing = [c for c in need if c not in df.columns]
         if missing:
             raise ValueError(f"apply_components_delta: {side} lacks {missing}")
+    # storage-boundary guardrail (r12 — see lifecycle.assert_bounded_stats):
+    # asserted on the STATE INPUT, where generation-chained in-memory state
+    # appears; a single apply's own output legitimately compounds stats
+    # internally, so the input is the discriminating surface
+    assert_bounded_stats(comps, context="apply_components_delta comps input")
     clean = delta.filter(F.col(a).isNotNull() & F.col(b).isNotNull() & (F.col(a) != F.col(b)))
     ins = clean.filter(F.col(sign_col) > 0).select(a, b)
     dels = clean.filter(F.col(sign_col) < 0).select(a, b)
@@ -247,6 +253,9 @@ def apply_sssp_inserts(
     the negative-cycle exit for negative delta weights). Integer weights
     stay exact (bigint); see the sssp_distances float caveat otherwise."""
     from kf_task_fhir_etl_spark.etl import release_checkpoints
+
+    # storage-boundary guardrail on the state INPUT (r12 — see lifecycle)
+    assert_bounded_stats(dist, context="apply_sssp_inserts dist input")
 
     def _sym(frame: DataFrame) -> DataFrame:
         fwd = frame.select(
@@ -486,6 +495,9 @@ def apply_components_delta_forest(
         missing = [c for c in need if c not in df.columns]
         if missing:
             raise ValueError(f"apply_components_delta_forest: {side} lacks {missing}")
+    # storage-boundary guardrail on BOTH state inputs (r12 — see lifecycle)
+    assert_bounded_stats(comps, context="apply_components_delta_forest comps input")
+    assert_bounded_stats(forest, context="apply_components_delta_forest forest input")
     clean = delta.filter(F.col(a).isNotNull() & F.col(b).isNotNull() & (F.col(a) != F.col(b)))
     ins = clean.filter(F.col(sign_col) > 0).select(a, b)
     dels = (

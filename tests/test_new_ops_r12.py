@@ -419,3 +419,68 @@ def test_cdc_merge_spans_schema_evolution(spark, tmp_path):
     }
     want = {(i, f"v{i}", None) for i in range(10) if i != 3} | {(3, "v3b", "N3")}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# bounded-stats guardrail (VERDICT r11 Next #5): the localCheckpoint
+# origin-stats autopsy turned into an immediate, named error
+# ---------------------------------------------------------------------------
+
+
+def test_bounded_stats_probe_chain_trips_and_store_resets(spark, tmp_path):
+    """The r11 measurement chain drives the helper: self-join generations
+    through localCheckpoint compound the estimate until the bound trips;
+    a parquet round-trip resets the stats and the same bound passes."""
+    from kf_task_fhir_etl_spark.operators.lifecycle import (
+        assert_bounded_stats,
+        planned_stats_bits,
+    )
+
+    a = spark.createDataFrame([(1, 2)], "x bigint, y bigint")
+    cur, tripped = a, False
+    try:
+        for gen in range(10):
+            nxt = cur.join(cur.withColumnRenamed("y", f"y{gen}"), "x").localCheckpoint()
+            assert_bounded_stats(nxt, max_bits=512)
+            cur = nxt.select("x", "y")
+    except RuntimeError as exc:
+        tripped = True
+        assert "sizeInBytes" in str(exc) and "parquet" in str(exc)
+    assert tripped, "chained checkpoints never exceeded the bound"
+    path = str(tmp_path / "reset")
+    cur.write.parquet(path)
+    back = spark.read.parquet(path)
+    assert planned_stats_bits(back) < 64  # real file sizes
+    assert assert_bounded_stats(back, max_bits=512) is back
+
+
+def test_graph_delta_trips_on_chained_inmemory_state(spark, tmp_path):
+    """The wired operators assert their state INPUTS: a single apply from
+    in-memory inputs passes (the input labeling is tiny even though the
+    apply's own output compounds internally), but chaining the output
+    back in WITHOUT a store round-trip trips the named error within two
+    generations — while a parquet round-trip resets the chain forever."""
+    from kf_task_fhir_etl_spark.operators import graph_delta
+
+    comps = spark.createDataFrame([(1, 1), (2, 1), (3, 3)], "node bigint, component bigint")
+    delta = spark.createDataFrame([(2, 3, 1)], "id_a bigint, id_b bigint, op int")
+    edges_new = spark.createDataFrame([(1, 2), (2, 3)], "id_a bigint, id_b bigint")
+    cur, tripped_at = comps, None
+    try:
+        for gen in range(4):
+            cur = graph_delta.apply_components_delta(
+                cur, edges_new, delta
+            ).localCheckpoint()
+    except RuntimeError as exc:
+        tripped_at = gen
+        assert "apply_components_delta comps input" in str(exc)
+    assert tripped_at is not None and tripped_at <= 2, (
+        f"chained in-memory state never tripped the input guard (got to gen {gen})"
+    )
+    # the fix the error names: a store round-trip resets the chain
+    path = str(tmp_path / "state")
+    comps.write.parquet(path)
+    out = graph_delta.apply_components_delta(
+        spark.read.parquet(path), edges_new, delta
+    )
+    assert sorted(map(tuple, out.collect())) == [(1, 1), (2, 1), (3, 1)]
