@@ -61,9 +61,11 @@ one-sided batch costs nothing on the other side's storage. For deltas too
 large to broadcast set ``broadcast_deltas=False`` (shuffle joins, never a
 base×base join). The bucket count is recorded in the manifest and the
 recorded value wins on resume (r12 — same contract as cdc_stream/
-topk_stream); migrating a matview store to a new count needs a side-aware
-wrapper over ``versioned_store.rebucket_store`` (the R.*/S.* prefixes are
-separate hash domains) and is not modeled yet.
+topk_stream); migrate a live store with
+``versioned_store.rebucket_store(spark, store, on, M, exclude=("view",))``
+— the R.*/S.* prefixes ride each row's own bucket value, so one pass
+migrates both sides and the resumed stream adopts the new count from the
+manifest.
 
 Reference anchor: the reference pipeline recomputes everything per run
 (``etl/ingest.py`` full-table loads, no materialized views, no streaming

@@ -709,20 +709,23 @@ def _cleanup_partitioned(
         pass
 
 
+_BUCKET_VALUE_RE = re.compile(r"^(.*\.)?b\d+$")
+
+
 def rebucket_store(
     spark: SparkSession,
     store_path: str,
     key_cols: list[str],
     new_buckets: int,
     bucket_col: str = "__b",
+    exclude: tuple[str, ...] = (),
 ) -> int:
     """Bucket-count migration (r12 — VERDICT r11 Missing #2 / Next #3):
     ONE marker-committed, TOKENLESS maintenance pass rewriting a
-    HOMOGENEOUS bucketed store (every partition a key-hash bucket of one
-    relation — the CDC layout) from its current count to ``new_buckets``
-    under the same store path. Reads every live partition, re-derives
+    bucketed store from its current count to ``new_buckets`` under the
+    same store path. Reads every live bucket partition, re-derives
     ``bucket_col`` with the new bucket expression, writes one distributed
-    ``partitionBy`` commit whose touched set is (all old partition values
+    ``partitionBy`` commit whose touched set is (all old bucket values
     ∪ all new bucket values) — so every old-domain partition either
     rewrites under its new-domain name or drops from the manifest, and
     nothing stale is carried forward. The new count is recorded in the
@@ -730,6 +733,19 @@ def rebucket_store(
     ``buckets`` from ``stream_sink_meta``) pick up the new layout without
     an argument change; the replay token carries forward untouched, so
     the stream's guard never desyncs (the manifest-v2 design point).
+
+    PREFIXED layouts migrate in the same pass: a partition named
+    ``R.b3`` keeps its ``R.`` prefix and re-hashes its ``b*`` suffix (the
+    prefix rides each row's own ``bucket_col`` value, so one distributed
+    write covers every side at once) — which handles the matview store's
+    ``R.*``/``S.*`` sides directly, since BOTH sides bucket by the same
+    join-key expression. Partitions named in ``exclude`` (the
+    aggregate-sized ``view`` partitions) carry forward by reference,
+    byte-identical; any other partition whose name is not
+    ``(prefix.)?b<digits>`` is rejected loudly rather than silently
+    mixed across hash domains. Callers: CDC ``(key_cols,)``; leaderboard
+    ``(group keys, exclude=('view',))``; matview ``(on,
+    exclude=('view',))``.
 
     Idempotent: a store already recorded at ``new_buckets`` is a no-op
     (returns 0 with no commit) — safe to re-run after a crash or in a
@@ -741,9 +757,7 @@ def rebucket_store(
     operator — a full read + full rewrite, the same cost as the initial
     load, paid once per migration (grow 8→64 when a store has outgrown
     its layout). Per-batch amplification before and after stays
-    O(touched buckets). Heterogeneous stores (the matview R.*/S.*/view
-    layout) need a side-aware wrapper that migrates each prefix
-    separately — rejected here rather than silently mixing domains."""
+    O(touched buckets)."""
     if new_buckets < 1:
         raise ValueError(f"rebucket_store: new_buckets must be >= 1, got {new_buckets}")
     if not store_is_partitioned(spark, store_path):
@@ -757,18 +771,20 @@ def rebucket_store(
     meta = read_manifest_meta(spark, store_path, last)
     if meta.get("buckets") == new_buckets:
         return 0  # already migrated (idempotent re-run)
-    old_values = sorted(meta["parts"])
-    non_bucket = [v for v in old_values if not re.fullmatch(r"b\d+", v)]
+    old_values = sorted(v for v in meta["parts"] if v not in exclude)
+    non_bucket = [v for v in old_values if not _BUCKET_VALUE_RE.fullmatch(v)]
     if non_bucket:
         raise RuntimeError(
             f"rebucket_store: store {store_path!r} holds non-bucket "
-            f"partitions {non_bucket} — this helper migrates homogeneous "
-            "key-hash-bucketed stores only (see docstring)"
+            f"partitions {non_bucket} — name them in `exclude` to carry "
+            "them forward untouched, or migrate them separately (see "
+            "docstring)"
         )
+    prefixes = sorted({_BUCKET_VALUE_RE.fullmatch(v).group(1) or "" for v in old_values})
     bucket = bucket_value_expr(key_cols, new_buckets)
 
     def merge(read_parts):
-        cur = read_parts()
+        cur = read_parts(old_values)
         if cur is None:
             return {}
         if bucket_col not in cur.columns:
@@ -776,8 +792,15 @@ def rebucket_store(
                 f"rebucket_store: store rows lack the bucket column "
                 f"{bucket_col!r} — is this a bucketed sink's store?"
             )
-        out = cur.drop(bucket_col).withColumn(bucket_col, bucket)
-        touched = sorted(set(old_values) | {f"b{i}" for i in range(new_buckets)})
+        # each row keeps its own side prefix (its bucket_col value equals
+        # its partition name by the tuple-form write construction) and
+        # re-hashes the b* suffix under the new count
+        prefix = F.regexp_extract(F.col(bucket_col), r"^(.*\.)?b[0-9]+$", 1)
+        out = cur.withColumn(bucket_col, F.concat(prefix, bucket))
+        touched = sorted(
+            set(old_values)
+            | {f"{p}b{i}" for p in prefixes for i in range(new_buckets)}
+        )
         return out, bucket_col, touched
 
     apply_batch_partitioned(spark, store_path, merge, buckets=new_buckets)

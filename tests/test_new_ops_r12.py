@@ -307,6 +307,93 @@ def test_rebucket_store_idempotent_and_layout_guards(spark, tmp_path):
         vs.rebucket_store(spark, het, ["x"], 8)
 
 
+def test_rebucket_leaderboard_store_mid_stream(spark, tmp_path):
+    """Prefix-less base buckets + an excluded view partition: migrate a
+    live leaderboard store 3→6 while quiesced, resume the SAME checkpoint
+    — the sink adopts the recorded count, the view partition carries
+    forward through the migration commit untouched, and post-migration
+    maintenance keeps base and view converged."""
+    from kf_task_fhir_etl_spark.streaming import leaderboard
+
+    schema = "g string, id bigint, s double, seq long, op string"
+    src, ckpt, store = (str(tmp_path / n) for n in ("src", "ckpt", "store"))
+
+    def attach(stream, c):
+        return leaderboard.topk_stream(
+            stream, store, keys=["g"], id_col="id", score_col="s", k=1,
+            order_col="seq", op_col="op", checkpoint=c, buckets=3,
+        )
+
+    spark.createDataFrame(
+        [("a", 1, 5.0, 1, "upsert"), ("b", 7, 2.0, 1, "upsert")], schema
+    ).coalesce(1).write.parquet(os.path.join(src, "e1"))
+    _run_file_stream(spark, src, ckpt, schema, attach)
+    last0 = vs.last_committed_batch(spark, store)
+    view_path_before = vs.read_manifest(spark, store, last0)["view"]
+    vs.rebucket_store(spark, store, ["g"], 6, exclude=("view",))
+    last1 = vs.last_committed_batch(spark, store)
+    m = vs.read_manifest(spark, store, last1)
+    assert m["view"] == view_path_before  # excluded: carried by reference
+    assert vs.read_manifest_meta(spark, store, last1)["buckets"] == 6
+    base_vals = sorted(v for v in m if v != "view")
+    want_vals = sorted(
+        r["b"]
+        for r in spark.createDataFrame([("a",), ("b",)], "g string")
+        .select(vs.bucket_value_expr(["g"], 6).alias("b")).distinct().collect()
+    )
+    assert base_vals == want_vals
+    spark.createDataFrame(
+        [("a", 2, 9.0, 2, "upsert")], schema
+    ).coalesce(1).write.parquet(os.path.join(src, "e2"))
+    _run_file_stream(spark, src, ckpt, schema, attach)  # buckets=3 arg, 6 recorded
+    view = leaderboard.read_leaderboard(spark, store, ["g", "id", "s"])
+    assert sorted(tuple(r) for r in view.collect()) == [("a", 2, 9.0), ("b", 7, 2.0)]
+
+
+def test_rebucket_matview_store_migrates_both_sides_in_one_pass(spark, tmp_path):
+    """The prefixed layout: R.* and S.* re-hash under the new count in ONE
+    commit (each row keeps its own side prefix), the view is excluded,
+    and the resumed stream's delta joins still find their base slices —
+    the maintained view stays identical to the recompute."""
+    from kf_task_fhir_etl_spark.streaming import matview
+
+    schema = "side string, k bigint, pri string, qty double, op int"
+    src, ckpt, store = (str(tmp_path / n) for n in ("src", "ckpt", "store"))
+
+    def attach(stream, c):
+        return matview.join_agg_view_stream(
+            stream, store, side_col="side", r_cols=["k", "pri"],
+            s_cols=["k", "qty"], on=["k"], keys=["pri"],
+            sum_cols={"sq": "qty"}, count_col="n", op_col="op",
+            checkpoint=c, buckets=2,
+        )
+
+    spark.createDataFrame(
+        [("R", 1, "HI", None, 1), ("R", 2, "LO", None, 1),
+         ("S", 1, None, 4.0, 1), ("S", 2, None, 6.0, 1)], schema
+    ).coalesce(1).write.parquet(os.path.join(src, "e1"))
+    _run_file_stream(spark, src, ckpt, schema, attach)
+    vs.rebucket_store(spark, store, ["k"], 5, exclude=("view",))
+    last = vs.last_committed_batch(spark, store)
+    m = vs.read_manifest(spark, store, last)
+    assert vs.read_manifest_meta(spark, store, last)["buckets"] == 5
+    sides = {v.split(".")[0] for v in m if v != "view"}
+    assert sides == {"R", "S"}  # both sides present, prefixes preserved
+    # every base partition name sits in the 5-domain
+    for v in m:
+        if v != "view":
+            assert int(v.split(".b")[1]) < 5
+    # resumed stream: ΔS join must find R's rows in the NEW buckets
+    spark.createDataFrame(
+        [("S", 2, None, 1.0, 1)], schema
+    ).coalesce(1).write.parquet(os.path.join(src, "e2"))
+    _run_file_stream(spark, src, ckpt, schema, attach)
+    view = matview.read_view(spark, store, ["pri", "n", "sq"])
+    assert sorted(tuple(r) for r in view.collect()) == [
+        ("HI", 1, 4.0), ("LO", 2, 7.0)
+    ]
+
+
 def test_cdc_stream_adopts_recorded_bucket_count_after_migration(spark, tmp_path):
     """The resumed-stream shape: a store built at 4 buckets, migrated to
     8 while quiesced, resumed with the ORIGINAL buckets=4 argument — the
