@@ -797,6 +797,13 @@ def rebucket_store(
         # re-hashes the b* suffix under the new count
         prefix = F.regexp_extract(F.col(bucket_col), r"^(.*\.)?b[0-9]+$", 1)
         out = cur.withColumn(bucket_col, F.concat(prefix, bucket))
+        # co-locate each target bucket before the partitionBy write: the
+        # un-shuffled form writes (merge tasks × buckets) files — at a
+        # 100 TB store that is task-count × bucket-count small files per
+        # migration. The whole-store rewrite already pays a full pass, so
+        # one shuffle on the bucket value is the right trade for a clean
+        # one-fileset-per-bucket layout.
+        out = out.repartition(len(prefixes) * new_buckets, F.col(bucket_col))
         touched = sorted(
             set(old_values)
             | {f"{p}b{i}" for p in prefixes for i in range(new_buckets)}
