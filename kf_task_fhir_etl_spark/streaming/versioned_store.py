@@ -268,11 +268,13 @@ def _write_manifest(
 ) -> None:
     """Manifest v2 (r11): ``{"v": 2, "parts": {value: path}, …meta}``.
     ``meta`` carries store-level bookkeeping that must commit atomically
-    with the partition map — today ``replay_token`` (the highest STREAM
-    batch id applied, decoupled from the commit sequence so maintenance
-    commits can interleave with a streaming writer) and ``retention`` (the
-    CDC tombstone-compaction watermark). v1 manifests were the bare parts
-    map; readers accept both."""
+    with the partition map — ``replay_token`` (the highest STREAM batch
+    id applied, decoupled from the commit sequence so maintenance commits
+    can interleave with a streaming writer), ``retention`` (the CDC
+    tombstone-compaction watermark), and since r12 ``buckets`` (the
+    recorded bucket count sinks resolve their layout from) plus
+    ``added_cols``/``dropped_cols`` (the declared schema evolution). v1
+    manifests were the bare parts map; readers accept both."""
     record: dict = {"v": 2, "parts": mapping}
     for k, v in (meta or {}).items():
         if v is not None:
@@ -377,17 +379,23 @@ def _read_data_paths(spark: SparkSession, paths: list[str], meta: dict) -> DataF
     ``added_cols`` the read merges footers across vintages
     (``mergeSchema`` — files written after an ``add_columns`` commit have
     the column, carried-forward files don't) and any declared column
-    still missing from the merged schema is null-backfilled. Rows from
-    pre-evolution files read the column as NULL either way — the LAZY
-    evolution contract (see ``add_columns``)."""
+    still missing from the merged schema is null-backfilled; columns in
+    ``dropped_cols`` are projected out (pre-drop files still carry their
+    values on disk, invisible to readers). Rows from pre-evolution files
+    read an added column as NULL either way — the LAZY evolution
+    contract (see ``add_columns`` / ``drop_columns``)."""
     added = meta.get("added_cols") or {}
+    dropped = meta.get("dropped_cols") or []
     reader = spark.read
-    if added:
+    if added or dropped:
         reader = reader.option("mergeSchema", "true")
     df = reader.parquet(*paths)
     for name, dtype in added.items():
         if name not in df.columns:
             df = df.withColumn(name, F.lit(None).cast(dtype))
+    present_drops = [c for c in dropped if c in df.columns]
+    if present_drops:
+        df = df.drop(*present_drops)
     return df
 
 
@@ -475,6 +483,7 @@ def apply_batch_partitioned(
     retention: int | None = None,
     buckets: int | None = None,
     add_cols: dict[str, str] | None = None,
+    drop_cols: list[str] | None = None,
 ) -> bool:
     """Replay-guarded PARTITION-SCOPED read-merge-write commit.
 
@@ -521,9 +530,11 @@ def apply_batch_partitioned(
     that omit it carry the previous value forward.
     ``add_cols`` (r12): {name: spark dtype} of columns DECLARED onto the
     store schema from this commit on (see ``add_columns``); carried
-    forward as the union of all declarations. ``read_parts`` and
-    ``read_partitions`` apply the declared evolution, so merge functions
-    see a uniform widened schema regardless of file vintage.
+    forward as the union of all declarations. ``drop_cols`` (r12): names
+    DECLARED off the schema (see ``drop_columns``); also union-carried;
+    a name dropped after being added leaves ``added_cols``. ``read_parts``
+    and ``read_partitions`` apply the declared evolution, so merge
+    functions see a uniform evolved schema regardless of file vintage.
 
     Maintenance writers and the race probes (r11 ADVICE): maintenance
     commits (compaction, re-bucketing, schema evolution) are a SECOND
@@ -553,10 +564,14 @@ def apply_batch_partitioned(
         )
     prev_manifest = prev_meta["parts"]
     # declared schema evolution, effective immediately for this commit's
-    # own reads (union of every declaration, this one included)
+    # own reads (union of every declaration, this one included); a name
+    # dropped after being added leaves added_cols so it is not re-backfilled
     eff_added = dict(prev_meta.get("added_cols") or {})
     if add_cols:
         eff_added.update(add_cols)
+    eff_dropped = sorted(set(prev_meta.get("dropped_cols") or []) | set(drop_cols or []))
+    eff_added = {n: d for n, d in eff_added.items() if n not in eff_dropped}
+    eff_evo = {"added_cols": eff_added, "dropped_cols": eff_dropped}
 
     def read_parts(values: list[str] | None = None) -> DataFrame | None:
         if last < 0:
@@ -567,7 +582,7 @@ def apply_batch_partitioned(
             paths = [prev_manifest[v] for v in values if v in prev_manifest]
         if not paths:
             return None
-        return _read_data_paths(spark, paths, {"added_cols": eff_added})
+        return _read_data_paths(spark, paths, eff_evo)
 
     result = merge_fn(read_parts)
     data_dir = partitioned_version_path(store_path, commit_id)
@@ -625,6 +640,7 @@ def apply_batch_partitioned(
             "retention": max(retains) if retains else None,
             "buckets": buckets if buckets is not None else prev_meta.get("buckets"),
             "added_cols": eff_added or None,
+            "dropped_cols": eff_dropped or None,
         },
     )
     # COMMIT POINT — identical discipline to apply_batch
@@ -855,11 +871,15 @@ def add_columns(spark: SparkSession, store_path: str, cols: dict[str, str]) -> N
             "in any ordinary merge"
         )
     last = last_committed_batch(spark, store_path)
-    prev = (
-        read_manifest_meta(spark, store_path, last).get("added_cols") or {}
-        if last >= 0
-        else {}
-    )
+    meta = read_manifest_meta(spark, store_path, last) if last >= 0 else {}
+    prev = meta.get("added_cols") or {}
+    resurfacing = sorted(set(cols) & set(meta.get("dropped_cols") or []))
+    if resurfacing:
+        raise ValueError(
+            f"add_columns: {resurfacing} were previously DROPPED — re-adding "
+            "would ambiguously resurface pre-drop file values; pick a new "
+            "name, or rewrite the store if resurrection is intended"
+        )
     conflicts = {n: (prev[n], d) for n, d in cols.items() if n in prev and prev[n] != d}
     if conflicts:
         raise ValueError(
@@ -868,3 +888,44 @@ def add_columns(spark: SparkSession, store_path: str, cols: dict[str, str]) -> N
     if all(prev.get(n) == d for n, d in cols.items()):
         return  # already declared (idempotent re-run, no commit)
     apply_batch_partitioned(spark, store_path, lambda rp: {}, add_cols=cols)
+
+
+def drop_columns(spark: SparkSession, store_path: str, cols: list[str]) -> None:
+    """Drop-column schema evolution (r12 — the ``add_columns``
+    counterpart): ONE marker-committed, TOKENLESS maintenance commit
+    DECLARING columns off the store schema. Lazy like the add side — the
+    commit touches ZERO partition data; readers and merge functions
+    project the dropped names out, so pre-drop file values stay on disk
+    but invisible (a later full-rewrite pass — ``rebucket_store`` —
+    materializes the narrowed schema as a side effect). As-of reads
+    earlier than the declaration still see the column. A dropped name
+    CANNOT be re-added (``add_columns`` raises — pre-drop file values
+    would ambiguously resurface); dropping a name declared by
+    ``add_columns`` simply retires the declaration. Dropping a sink's
+    key/order/data columns is a caller error that fails loudly in the
+    next batch's merge, exactly like dropping a column a query needs.
+    Idempotent: re-dropping is a no-op (no commit). Single-writer
+    contract: quiesce the stream first, like every maintenance pass."""
+    if not cols:
+        raise ValueError("drop_columns: empty column list")
+    for name in cols:
+        if name.startswith("__"):
+            raise ValueError(
+                f"drop_columns: column name {name!r} is reserved ('__'-prefixed "
+                "names are store-internal markers and cannot be dropped)"
+            )
+    if not store_is_partitioned(spark, store_path):
+        raise RuntimeError(
+            f"drop_columns: store {store_path!r} is not a partitioned store — "
+            "flat stores rewrite whole per commit and can narrow their schema "
+            "in any ordinary merge"
+        )
+    last = last_committed_batch(spark, store_path)
+    prev = (
+        set(read_manifest_meta(spark, store_path, last).get("dropped_cols") or [])
+        if last >= 0
+        else set()
+    )
+    if set(cols) <= prev:
+        return  # already declared (idempotent re-run, no commit)
+    apply_batch_partitioned(spark, store_path, lambda rp: {}, drop_cols=list(cols))

@@ -508,6 +508,95 @@ def test_cdc_merge_spans_schema_evolution(spark, tmp_path):
     assert got == want
 
 
+def test_drop_columns_lazy_projection_and_guards(spark, tmp_path):
+    """Dropping is a zero-data-I/O declaration: manifest paths unchanged,
+    readers project the name out, as-of pre-drop still sees it, re-drop
+    is a no-op, re-ADD of a dropped name raises, and a rebucket pass
+    materializes the narrowed schema."""
+    store = str(tmp_path / "store")
+    rows = spark.createDataFrame(
+        [(i, f"v{i}", float(i), "upsert", 1) for i in range(8)],
+        "k bigint, val string, extra double, __op string, __order long",
+    )
+    _cdc_commit(spark, store, rows, ["k"], buckets=3, token=0)
+    last0 = vs.last_committed_batch(spark, store)
+    parts_before = vs.read_manifest(spark, store, last0)
+    vs.drop_columns(spark, store, ["extra"])
+    last1 = vs.last_committed_batch(spark, store)
+    assert vs.read_manifest(spark, store, last1) == parts_before  # lazy
+    assert vs.read_manifest_meta(spark, store, last1)["dropped_cols"] == ["extra"]
+    assert "extra" not in vs.read_partitions(spark, store).columns
+    assert "extra" in vs.read_partitions(spark, store, as_of=last0).columns
+    ids = vs.committed_ids(spark, store)
+    vs.drop_columns(spark, store, ["extra"])  # idempotent: no commit
+    assert vs.committed_ids(spark, store) == ids
+    with pytest.raises(ValueError, match="previously DROPPED"):
+        vs.add_columns(spark, store, {"extra": "double"})
+    with pytest.raises(ValueError, match="reserved"):
+        vs.drop_columns(spark, store, ["__op"])
+    with pytest.raises(ValueError, match="empty column list"):
+        vs.drop_columns(spark, store, [])
+    # a full-rewrite pass materializes the narrowed schema on disk
+    vs.rebucket_store(spark, store, ["k"], 5)
+    last2 = vs.last_committed_batch(spark, store)
+    any_part = next(iter(vs.read_manifest(spark, store, last2).values()))
+    assert "extra" not in spark.read.parquet(any_part).columns
+    got = {(r["k"], r["val"]) for r in vs.read_partitions(spark, store).collect()}
+    assert got == {(i, f"v{i}") for i in range(8)}
+
+
+def test_add_then_drop_retires_the_declaration(spark, tmp_path):
+    """Dropping a column that only ever existed as an add_columns
+    declaration retires it: reads stop backfilling, added_cols no longer
+    carries it, and the files were never touched by either commit."""
+    store = str(tmp_path / "store")
+    rows = spark.createDataFrame(
+        [(1, "upsert", 1)], "k bigint, __op string, __order long"
+    )
+    _cdc_commit(spark, store, rows, ["k"], buckets=2, token=0)
+    vs.add_columns(spark, store, {"c": "string"})
+    assert "c" in vs.read_partitions(spark, store).columns
+    vs.drop_columns(spark, store, ["c"])
+    last = vs.last_committed_batch(spark, store)
+    meta = vs.read_manifest_meta(spark, store, last)
+    assert meta.get("added_cols") is None and meta["dropped_cols"] == ["c"]
+    assert "c" not in vs.read_partitions(spark, store).columns
+
+
+def test_cdc_stream_continues_after_column_drop(spark, tmp_path):
+    """The resumed-stream shape for drops: quiesce, drop a data column,
+    resume with the NARROWED source schema — the LWW merge spans the
+    vintages (store slice reads without the column) and the live table
+    reflects post-drop rows."""
+    from kf_task_fhir_etl_spark.streaming import cdc
+
+    schema_wide = "k bigint, val string, extra double, seq long, op string"
+    schema_narrow = "k bigint, val string, seq long, op string"
+    src, ckpt, store = (str(tmp_path / n) for n in ("src", "ckpt", "store"))
+
+    def attach(schema):
+        def inner(stream, c):
+            return cdc.cdc_stream(
+                stream, store, key_cols=["k"], order_col="seq", op_col="op",
+                checkpoint=c, buckets=3,
+            )
+        return inner
+
+    spark.createDataFrame(
+        [(i, f"v{i}", float(i), 1, "upsert") for i in range(6)], schema_wide
+    ).coalesce(1).write.parquet(os.path.join(src, "e1"))
+    _run_file_stream(spark, src, ckpt, schema_wide, attach(schema_wide))
+    vs.drop_columns(spark, store, ["extra"])
+    spark.createDataFrame(
+        [(2, "v2b", 2, "upsert")], schema_narrow
+    ).coalesce(1).write.parquet(os.path.join(src, "e2"))
+    _run_file_stream(spark, src, ckpt, schema_narrow, attach(schema_narrow))
+    live = cdc.read_table(spark, store)
+    assert "extra" not in live.columns
+    want = {(i, "v2b" if i == 2 else f"v{i}") for i in range(6)}
+    assert {(r["k"], r["val"]) for r in live.collect()} == want
+
+
 def test_maintenance_matrix_evolution_migration_retention_compose(spark, tmp_path):
     """One store through the FULL maintenance lifecycle: stream →
     add_columns → compact_tombstones → rebucket_store → resume. Each
