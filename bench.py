@@ -45,6 +45,13 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     registry = q.queries()
+    # Opt-in subset filter for optimization-loop measurement (the driver
+    # never sets this — default behavior is identical): comma-separated
+    # name substrings, e.g. SPARK_GRAFT_BENCH_ONLY=q159,q153.
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:
+        subs = [s for s in only.split(",") if s]
+        registry = {n: f for n, f in registry.items() if any(s in n for s in subs)}
     # Warm the JVM/session on the smallest SF so q1 doesn't absorb startup
     # cost. Three representative queries cover the three execution regimes
     # whose first run pays one-time setup that is NOT per-query cost:
@@ -128,7 +135,8 @@ def main() -> None:
 
     spark.stop()
     here = os.path.dirname(os.path.abspath(__file__))
-    full_path = os.path.join(here, "BENCH_FULL.json")
+    # a filtered run must never clobber the committed full artifact
+    full_path = os.path.join(here, "BENCH_SUBSET.json" if only else "BENCH_FULL.json")
     with open(full_path, "w") as f:
         json.dump(
             {
