@@ -88,13 +88,15 @@ def pagerank(
     # materialize the edge list ONCE — nodes/degrees/the joined edge table
     # all derive from it, and without this the upstream edge construction
     # (often a join+distinct over the fact tables) re-runs for every
-    # derivation (measured 3× on the buyer-supplier graph)
-    edges = edges.localCheckpoint()
+    # derivation (measured 3× on the buyer-supplier graph). LAZY (r12):
+    # the node count below materializes both frames in one job instead of
+    # two standalone materialization jobs + a count.
+    edges = edges.localCheckpoint(eager=False)
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint()  # before count(): one evaluation feeds both
+        .localCheckpoint(eager=False)  # before count(): one evaluation feeds both
     )
     n = nodes.count()
     deg = edges.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
@@ -103,14 +105,22 @@ def pagerank(
         edges.join(deg, edges["src"] == deg["node"])
         .select("src", "dst", "deg")
         .repartition("src")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)  # r12: round 1's checkpoint job materializes it
     )
     # the dangling node SET is round-invariant (only its mass changes) —
     # materialize it once so no round re-runs the edge-sized degree
     # aggregation
     dangling_nodes = (
-        nodes.join(deg.select("node"), "node", "left_anti").localCheckpoint()
+        nodes.join(deg.select("node"), "node", "left_anti").localCheckpoint(eager=False)
     )
+    # The dangling SET is round-invariant (only its mass changes), so its
+    # EMPTINESS is too: probe it once (one take(1) on a materialized
+    # |V|-bounded checkpoint) and, when empty — every symmetrized graph —
+    # skip the per-round semi-join + one-row aggregate + broadcast entirely
+    # (r12, guide §2.4: two jobs per round removed; the term contributes an
+    # exact +0.0 and the per-round rounding of the remaining expression is
+    # unchanged, so ranks are bit-identical either way).
+    has_dangling = bool(dangling_nodes.take(1))
     ranks = nodes.select("node", (F.lit(1.0) / F.lit(float(n))).alias("pr"))
     base = (1.0 - damping) / n
     prev_ck: DataFrame | None = None
@@ -119,31 +129,38 @@ def pagerank(
             F.col("dst").alias("node"), (F.col("pr") / F.col("deg")).alias("w")
         )
         sums = contribs.groupBy("node").agg(F.sum("w").alias("w_sum"))
-        # dangling mass: rank held by nodes with NO out-links this round,
-        # spread uniformly (one-row aggregate, broadcast cross join;
-        # |V|-sized semi-join against the pre-materialized dangling set)
-        dangling = ranks.join(dangling_nodes, "node", "leftsemi").agg(
-            F.round(F.coalesce(F.sum("pr"), F.lit(0.0)) / F.lit(float(n)), round_digits).alias(
-                "d_share"
-            )
-        )
-        # left-join back onto the FULL node set: a zero-in-degree node keeps
-        # rank (1−d)/N + d·D/N instead of silently dropping out of the
-        # vector and losing its outgoing contributions in later rounds
-        ranks = (
-            nodes.join(sums, "node", "left")
-            .crossJoin(F.broadcast(dangling))
-            .select(
-                "node",
+        if has_dangling:
+            # dangling mass: rank held by nodes with NO out-links this
+            # round, spread uniformly (one-row aggregate, broadcast cross
+            # join; |V|-sized semi-join against the pre-materialized
+            # dangling set)
+            dangling = ranks.join(dangling_nodes, "node", "leftsemi").agg(
                 F.round(
-                    F.lit(base)
-                    + F.lit(damping)
-                    * (F.coalesce(F.col("w_sum"), F.lit(0.0)) + F.col("d_share")),
-                    round_digits,
-                ).alias("pr"),
+                    F.coalesce(F.sum("pr"), F.lit(0.0)) / F.lit(float(n)), round_digits
+                ).alias("d_share")
             )
-            .localCheckpoint()
-        )
+            new_pr = F.round(
+                F.lit(base)
+                + F.lit(damping)
+                * (F.coalesce(F.col("w_sum"), F.lit(0.0)) + F.col("d_share")),
+                round_digits,
+            ).alias("pr")
+            # left-join back onto the FULL node set: a zero-in-degree node
+            # keeps rank (1−d)/N + d·D/N instead of silently dropping out of
+            # the vector and losing its outgoing contributions in later
+            # rounds
+            ranks = (
+                nodes.join(sums, "node", "left")
+                .crossJoin(F.broadcast(dangling))
+                .select("node", new_pr)
+                .localCheckpoint()
+            )
+        else:
+            new_pr = F.round(
+                F.lit(base) + F.lit(damping) * F.coalesce(F.col("w_sum"), F.lit(0.0)),
+                round_digits,
+            ).alias("pr")
+            ranks = nodes.join(sums, "node", "left").select("node", new_pr).localCheckpoint()
         # the new round is eagerly materialized — the previous round's
         # blocks are dead; the initial (non-checkpointed) vector is skipped
         if prev_ck is not None:
@@ -198,22 +215,19 @@ def label_propagation(
     vector. Per-round ``localCheckpoint`` keeps the plan flat (the shared
     iteration discipline of pagerank/connected_components). State is two
     |V|-row vectors; the edge list never materializes on the driver."""
-    from pyspark.sql import Window
-
     w_col = F.col(weight).cast("double") if weight else F.lit(1.0).cast("double")
     edges = (
         edges.select(F.col("src"), F.col("dst"), w_col.alias("w"))
         .repartition("src")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)  # r12: round 1's checkpoint materializes both
     )
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     labels = nodes.select("node", F.col("node").alias("label"))
-    pick = Window.partitionBy("node").orderBy(F.desc("w_sum"), F.asc("label"))
     prev_ck: DataFrame | None = None
     for _ in range(iters):
         scores = (
@@ -221,10 +235,21 @@ def label_propagation(
             .groupBy(F.col("dst").alias("node"), "label")
             .agg(F.round(F.sum("w"), round_digits).alias("w_sum"))
         )
+        # argmax by (w_sum DESC, label ASC) as a STRUCT-MIN aggregate
+        # (r12, guide §2.4): min(struct(−w_sum, label)) picks the same row
+        # the old row_number window did — (−w_sum) ascending ≡ w_sum
+        # descending, label ascending breaks ties — but as a hash
+        # aggregate with map-side partial combine instead of a
+        # sort-within-partitions window pass, removing the per-round sort
+        # (finite weight sums; double negation is exact).
         best = (
-            scores.withColumn("__rn", F.row_number().over(pick))
-            .filter(F.col("__rn") == 1)
-            .select("node", F.col("label").alias("new_label"))
+            scores.groupBy("node")
+            .agg(
+                F.min(
+                    F.struct((-F.col("w_sum")).alias("nw"), F.col("label").alias("l"))
+                ).alias("__b")
+            )
+            .select("node", F.col("__b.l").alias("new_label"))
         )
         labels = (
             labels.join(best, "node", "left")
@@ -400,7 +425,7 @@ def k_core(
             .agg(F.count(F.lit(1)).alias(out_col))
         )
 
-    cur = _normalize_undirected(edges, src, dst).localCheckpoint()
+    cur = _normalize_undirected(edges, src, dst).localCheckpoint(eager=False)
     n_cur = cur.count()
     peels = 0
     while n_cur > 0:
@@ -408,13 +433,16 @@ def k_core(
         # keep feeds TWO semi-joins — without the per-round checkpoint
         # Catalyst re-derives the |E|-sized degree aggregate once per
         # consumer (r08 review, fifteenth pass; the triangle_count deg
-        # lesson). |V|-sized, eager, released right after the count.
-        keep = deg.filter(F.col("d") >= k).select("node").localCheckpoint()
+        # lesson). |V|-sized; LAZY (r12) like nxt below: the count is the
+        # round's ONE job — it computes keep + nxt, persists both, and
+        # counts in a single pass (previously three jobs per round);
+        # released right after that count has materialized it.
+        keep = deg.filter(F.col("d") >= k).select("node").localCheckpoint(eager=False)
         nxt = (
             cur.join(keep.withColumnRenamed("node", "u"), "u", "leftsemi")
             .join(keep.withColumnRenamed("node", "v"), "v", "leftsemi")
             .select("u", "v")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         n_nxt = nxt.count()
         _release_checkpoint(keep)
@@ -496,8 +524,19 @@ def bfs_distances(
             F.col("src").alias("s"), F.col("dst").alias("t")
         )
     )
-    e = e.repartition("s").localCheckpoint()
-    visited = (
+    # LAZY staging + merged-state rounds (r12, guide §1.2 "fewer passes"):
+    # the old formulation paid THREE jobs per round (eager new_frontier
+    # checkpoint, frontier count, eager new_visited checkpoint). One
+    # full-outer merge of (neighbors @ depth) against the visited set is
+    # the round's ONLY checkpoint — the sssp_distances merge formulation —
+    # and the frontier count materializes it lazily, so a round is ONE job
+    # that computes the step, persists the blocks, and counts the new
+    # frontier in a single pass. The next visited set and the next
+    # frontier are both projections of the merged state. Release ordering
+    # is audited: the previous generation is freed only AFTER the count
+    # has materialized the new one.
+    e = e.repartition("s").localCheckpoint(eager=False)
+    state = (
         # NULL sources dropped like NULL edge endpoints (r08 review,
         # third pass): an outer-join-derived source list would otherwise
         # emit a phantom (NULL, 0) row no SQL oracle produces
@@ -505,9 +544,10 @@ def bfs_distances(
         .select(F.col(source_col).alias("node"))
         .distinct()
         .select("node", F.lit(0).alias("dist"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
-    frontier = visited
+    visited = state
+    frontier = state
     frontier_n = frontier.count()
     depth = 0
     while frontier_n > 0:
@@ -517,19 +557,19 @@ def bfs_distances(
             .select(F.col("t").alias("node"))
             .distinct()
         )
-        new_frontier = (
-            neighbors.join(visited.select("node"), "node", "left_anti")
-            .select("node", F.lit(depth).alias("dist"))
-            .localCheckpoint()
+        merged = (
+            neighbors.select("node", F.lit(depth).alias("__nd"))
+            .join(visited.withColumnRenamed("dist", "__cur"), "node", "full")
+            .localCheckpoint(eager=False)
+        )
+        new_frontier = merged.filter(F.col("__cur").isNull()).select(
+            "node", F.col("__nd").alias("dist")
         )
         frontier_n = new_frontier.count()
         if frontier_n == 0:
-            # terminating round: the frontier is empty, so new_visited
-            # would be a byte-identical |reachable|-row COPY of visited —
-            # skip building it entirely (r08 review, twelfth pass: the
-            # old order wrote and then released one full visited pass
-            # per call for nothing)
-            _release_checkpoint(new_frontier)
+            # terminating round: the frontier is empty, so the merge added
+            # nothing — `visited` (over the PREVIOUS state) is the answer
+            _release_checkpoint(merged)
             break
         if depth > max_depth:
             # the guard trips only when a node would be ASSIGNED a
@@ -538,34 +578,20 @@ def bfs_distances(
             # round instead of a spurious raise, the k_core off-by-one
             # fix applied here too (r08 review, fourth pass).
             # release-before-raise (the q129 discipline): nothing was
-            # served, so every pinned round goes, deduped by id (round 1
-            # holds the SAME object as frontier and visited)
-            for stale_df in {
-                id(d): d for d in (e, frontier, visited, new_frontier)
-            }.values():
+            # served, so every pinned generation goes, deduped by id
+            for stale_df in {id(d): d for d in (e, state, merged)}.values():
                 _release_checkpoint(stale_df)
             raise RuntimeError(
                 f"bfs_distances: a node at distance {depth} > max_depth="
                 f"{max_depth} exists — raise the guard for deep graphs"
             )
-        new_visited = visited.unionByName(new_frontier).localCheckpoint()
-        # the previous round is superseded IMMEDIATELY: the checkpoint
-        # above is eager, so new_visited's blocks exist before this line
-        # and nothing reads the old generation again (r08 review, sixth
-        # pass — the one-round deferral kept an extra ~|reachable|-row
-        # generation pinned and needed three bookkeeping special cases).
-        # Round 1 holds the same object as frontier AND visited.
-        _release_checkpoint(frontier)
-        if visited is not frontier:
-            _release_checkpoint(visited)
-        frontier, visited = new_frontier, new_visited
+        # the count above materialized the merged state — the previous
+        # generation is superseded and safe to free
+        _release_checkpoint(state)
+        state = merged
+        visited = merged.select("node", F.coalesce("__cur", "__nd").alias("dist"))
+        frontier = new_frontier
     _release_checkpoint(e)
-    if frontier is not visited:
-        # ≥1 productive round ran: the last non-empty frontier is a
-        # separate frame already subsumed by visited — releasable. With
-        # ZERO productive rounds `frontier` IS the returned visited
-        # frame; releasing it would hand the caller a dead checkpoint.
-        _release_checkpoint(frontier)
     return visited
 
 
@@ -657,7 +683,7 @@ def sssp_distances(
         .groupBy("s", "t")
         .agg(F.min("w").alias("w"))
         .repartition("s")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     state = (
         # the round-0 "merged state": sources at distance 0 — dist and
@@ -666,7 +692,7 @@ def sssp_distances(
         .select(F.col(source_col).alias("node"))
         .distinct()
         .select("node", F.lit(0).cast(dist_t).alias("dist"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     dist = state
     frontier = state
@@ -680,8 +706,13 @@ def sssp_distances(
             .agg(F.min("cand").alias("cand"))
         )
         # the round's ONE checkpoint: full-outer candidates-vs-current —
-        # at least one side is non-NULL per row by construction
-        merged = cand.join(dist.withColumnRenamed("dist", "__cur"), "node", "full").localCheckpoint()
+        # at least one side is non-NULL per row by construction. LAZY
+        # (r12): the frontier count below is the round's ONE job — it
+        # computes the merge, persists the blocks, and counts in a single
+        # pass (previously a materialization job AND a count job).
+        merged = cand.join(dist.withColumnRenamed("dist", "__cur"), "node", "full").localCheckpoint(
+            eager=False
+        )
         new_frontier = merged.filter(
             F.col("cand").isNotNull()
             & (F.col("__cur").isNull() | (F.col("cand") < F.col("__cur")))
@@ -703,8 +734,9 @@ def sssp_distances(
                 "or check the graph for a negative-weight cycle (distances "
                 "have no fixpoint there)"
             )
-        # superseded generation goes IMMEDIATELY (the bfs ordering): the
-        # checkpoint above is eager and dist/frontier now re-derive from it
+        # superseded generation goes AFTER the count above materialized the
+        # lazy merge (the audited release ordering); dist/frontier now
+        # re-derive from the new state
         _release_checkpoint(state)
         state = merged
         # least() skips NULLs (never both NULL under a full outer join)
@@ -751,12 +783,12 @@ def personalized_pagerank(
     edge table carries; one-row dangling aggregate broadcast). The
     restart vector is a staged |V|-row frame reused every round. Raises
     on an empty effective restart set (release-before-raise)."""
-    edges = edges.localCheckpoint()
+    edges = edges.localCheckpoint(eager=False)
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)  # r12: the restart-vector count materializes these
     )
     seeds = nodes.join(
         sources.select(F.col(source_col).alias("node")).distinct(), "node", "left_semi"
@@ -769,7 +801,7 @@ def personalized_pagerank(
     restart_ck = (
         nodes.join(seeds.select("node", F.lit(True).alias("__s")), "node", "left")
         .select("node", F.col("__s").isNotNull().alias("__s"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)  # r12: the seed count below materializes it
     )
     s = restart_ck.filter(F.col("__s")).count()
     if s == 0:
@@ -787,9 +819,15 @@ def personalized_pagerank(
         edges.join(deg, edges["src"] == deg["node"])
         .select("src", "dst", "deg")
         .repartition("src")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)  # r12: round 1's checkpoint job materializes it
     )
-    dangling_nodes = nodes.join(deg.select("node"), "node", "left_anti").localCheckpoint()
+    dangling_nodes = nodes.join(deg.select("node"), "node", "left_anti").localCheckpoint(
+        eager=False
+    )
+    # round-invariant emptiness probe — the pagerank() rationale (r12):
+    # when no node lacks out-links, the per-round semi-join + one-row
+    # aggregate + broadcast contribute an exact +0.0·r — skip both jobs
+    has_dangling = bool(dangling_nodes.take(1))
     ranks = restart.select("node", F.col("r").alias("pr"))
     prev_ck: DataFrame | None = None
     for _ in range(iters):
@@ -797,26 +835,34 @@ def personalized_pagerank(
             F.col("dst").alias("node"), (F.col("pr") / F.col("deg")).alias("w")
         )
         sums = contribs.groupBy("node").agg(F.sum("w").alias("w_sum"))
-        dangling = ranks.join(dangling_nodes, "node", "leftsemi").agg(
-            F.round(F.coalesce(F.sum("pr"), F.lit(0.0)), round_digits).alias("d_mass")
-        )
-        ranks = (
-            restart.join(sums, "node", "left")
-            .crossJoin(F.broadcast(dangling))
-            .select(
-                "node",
-                F.round(
-                    F.lit(1.0 - damping) * F.col("r")
-                    + F.lit(damping)
-                    * (
-                        F.coalesce(F.col("w_sum"), F.lit(0.0))
-                        + F.col("d_mass") * F.col("r")
-                    ),
-                    round_digits,
-                ).alias("pr"),
+        if has_dangling:
+            dangling = ranks.join(dangling_nodes, "node", "leftsemi").agg(
+                F.round(F.coalesce(F.sum("pr"), F.lit(0.0)), round_digits).alias("d_mass")
             )
-            .localCheckpoint()
-        )
+            new_pr = F.round(
+                F.lit(1.0 - damping) * F.col("r")
+                + F.lit(damping)
+                * (
+                    F.coalesce(F.col("w_sum"), F.lit(0.0))
+                    + F.col("d_mass") * F.col("r")
+                ),
+                round_digits,
+            ).alias("pr")
+            ranks = (
+                restart.join(sums, "node", "left")
+                .crossJoin(F.broadcast(dangling))
+                .select("node", new_pr)
+                .localCheckpoint()
+            )
+        else:
+            new_pr = F.round(
+                F.lit(1.0 - damping) * F.col("r")
+                + F.lit(damping) * F.coalesce(F.col("w_sum"), F.lit(0.0)),
+                round_digits,
+            ).alias("pr")
+            ranks = (
+                restart.join(sums, "node", "left").select("node", new_pr).localCheckpoint()
+            )
         if prev_ck is not None:
             _release_checkpoint(prev_ck)
         prev_ck = ranks

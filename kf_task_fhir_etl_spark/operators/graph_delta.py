@@ -201,7 +201,9 @@ def stage_sssp_edges(
         .groupBy("s", "t")
         .agg(F.min("w").alias("w"))
         .repartition("s")
-        .localCheckpoint()
+        # LAZY (r12): materialized by the first relaxation round's count;
+        # callers release it only after their terminal action either way
+        .localCheckpoint(eager=False)
     )
 
 
@@ -292,7 +294,10 @@ def apply_sssp_inserts(
                     | (F.col("__cand").isNotNull() & (F.col("__cand") < F.col(dist_col)))
                 ).alias("__improved"),
             )
-            .localCheckpoint()
+            # LAZY (r12): the caller's frontier count materializes the
+            # merge in the same job (one pass per round, not two); the
+            # superseded state is released only after that count
+            .localCheckpoint(eager=False)
         )
 
     # seed: relax ONLY the inserted edges against the current distances
@@ -330,10 +335,12 @@ def apply_sssp_inserts(
             .agg(F.min("__cand").alias("__cand"))
         )
         merged = _merge(state.select(node_col, dist_col), cand)
+        frontier = merged.filter(F.col("__improved")).select(node_col, dist_col)
+        improved_n = frontier.count()
+        # the count materialized the lazy merge — NOW the superseded
+        # generation is safe to free (r12 release-ordering audit)
         release_checkpoints([state], blocking=False)
         state = merged
-        frontier = state.filter(F.col("__improved")).select(node_col, dist_col)
-        improved_n = frontier.count()
     if owns_e:
         release_checkpoints([e], blocking=False)
     if handles_out is not None:
@@ -429,7 +436,10 @@ def spanning_forest(
         .groupBy("__child")
         .agg(F.min(F.struct(F.col(a), F.col(b))).alias("__m"))
         .select(F.col("__m").getField(a).alias(a), F.col("__m").getField(b).alias(b))
-        .localCheckpoint()
+        # LAZY (r12): plan truncation (the docstring's purpose) happens at
+        # construction either way; the first consumer's action materializes
+        # the blocks inside its own job instead of a standalone one
+        .localCheckpoint(eager=False)
     )
 
 
@@ -544,13 +554,15 @@ def apply_components_delta_forest(
         # reference — left raw, the composed plan's BigInt stats spun the
         # driver at 100% for minutes (the spanning_forest autopsy); blocks
         # are labeling-sized and reclaimed by GC with the result
-        l1 = untouched.select(node_col, comp_col).unionByName(recomputed).localCheckpoint()
+        l1 = untouched.select(node_col, comp_col).unionByName(recomputed).localCheckpoint(
+            eager=False  # r12: materialized by phase 2 / the caller's action
+        )
         # forest edges inside a touched component are replaced wholesale
         # (members bounds the semi probe; both endpoints share a component
         # by the forest invariant, so probing endpoint `a` suffices)
         f1 = forest.join(
             members.select(F.col(node_col).alias(a)), a, "left_anti"
-        ).unionByName(rebuilt_forest).localCheckpoint()
+        ).unionByName(rebuilt_forest).localCheckpoint(eager=False)
     else:
         l1 = comps.select(node_col, comp_col)
         f1 = forest.select(a, b)
@@ -570,7 +582,7 @@ def apply_components_delta_forest(
     )
     # l1p is the fan-out hub of phase 2 (lab feeds e1, lpairs, rep — and
     # the remap reads it again): checkpoint once, stats stay leaf-sized
-    l1p = l1.unionByName(new_nodes).localCheckpoint()
+    l1p = l1.unionByName(new_nodes).localCheckpoint(eager=False)
     lab = l1p.select(F.col(node_col).alias("__n"), F.col(comp_col).alias("__l"))
     e1 = (
         F.broadcast(ins)
@@ -601,8 +613,9 @@ def apply_components_delta_forest(
         # checkpointed: three consumers (the fold's CC, the label-graph
         # spanning forest, the lift-back join) would otherwise each carry
         # a full copy of the broadcast-fold subtree into their plans —
-        # batch-sized blocks, reclaimed by GC with the result
-        .localCheckpoint()
+        # batch-sized blocks, reclaimed by GC with the result (LAZY r12:
+        # the label-graph CC's first action materializes them)
+        .localCheckpoint(eager=False)
     )
     touched_labels = (
         rep.select(F.col("__pl").alias(node_col))

@@ -325,27 +325,45 @@ def read_events_stream_late_shifted(
 
     if n_splits < 2:
         raise ValueError(f"read_events_stream_late_shifted: n_splits must be >= 2, got {n_splits}")
-    ev = load_table(spark, sf_dir, "events")
-    us = F.unix_micros(F.col("ts"))
-    bounds = ev.agg(
-        F.min(us).alias("lo"), F.max(us).alias("hi"), F.max("ts").alias("hi_ts")
-    ).collect()[0]
-    lo, hi, hi_ts = bounds["lo"], bounds["hi"], bounds["hi_ts"]
-    if lo is None:
-        raise ValueError("read_events_stream_late_shifted: events table has no timestamps")
-    cuts = sorted(
-        set(
-            ev.select(us.cast("double").alias("u")).approxQuantile(
-                "u", [i / n_splits for i in range(1, n_splits)], 0.001
+
+    # The derived watermark delay is a pure function of the events table
+    # (bounds + quantile cuts), so it is persisted INTO the staged layout as
+    # a `_watermark` meta file (underscore prefix: FileStreamSource and the
+    # staging fingerprint both skip it) — without this every call re-ran the
+    # bounds aggregate + approxQuantile over the full events table even when
+    # the staging already existed (~2 driver jobs per call; the bench pays
+    # the source 3× per gate per run — guide §1/§2: don't recompute what a
+    # fingerprint-keyed artifact already holds). Regenerated test data gets
+    # a new fingerprint → a fresh staging → a fresh meta file.
+    def _derive_cuts_and_delay():
+        ev = load_table(spark, sf_dir, "events")
+        us = F.unix_micros(F.col("ts"))
+        bounds = ev.agg(
+            F.min(us).alias("lo"), F.max(us).alias("hi"), F.max("ts").alias("hi_ts")
+        ).collect()[0]
+        lo, hi, hi_ts = bounds["lo"], bounds["hi"], bounds["hi_ts"]
+        if lo is None:
+            raise ValueError("read_events_stream_late_shifted: events table has no timestamps")
+        cuts = sorted(
+            set(
+                ev.select(us.cast("double").alias("u")).approxQuantile(
+                    "u", [i / n_splits for i in range(1, n_splits)], 0.001
+                )
             )
         )
-    )
-    edges = [lo] + [int(c) for c in cuts] + [hi]
-    width = max(b - a for a, b in zip(edges, edges[1:])) if len(edges) > 1 else hi - lo
-    delay_us = int(width) + 3_600_000_000
-    watermark = f"{delay_us // 1_000_000} seconds"
+        edges = [lo] + [int(c) for c in cuts] + [hi]
+        width = max(b - a for a, b in zip(edges, edges[1:])) if len(edges) > 1 else hi - lo
+        delay_us = int(width) + 3_600_000_000
+        return ev, cuts, hi_ts, delay_us
+
+    # resolved lazily: populated by build() on a cache miss, read back from
+    # the meta file on a hit (the staged bytes already encode everything else)
+    derived: dict[str, object] = {}
 
     def build(tmp: str) -> None:
+        ev, cuts, hi_ts, delay_us = _derive_cuts_and_delay()
+        derived["delay_us"] = delay_us
+        us = F.unix_micros(F.col("ts"))
         # slice index by quantile cut, then shift latecomers one batch out
         idx = F.lit(0)
         for c in cuts:
@@ -386,6 +404,8 @@ def read_events_stream_late_shifted(
             for f in new:
                 os.utime(os.path.join(tmp, f), (now - 1000 + i * 100,) * 2)
             seen |= new
+        with open(os.path.join(tmp, "_watermark"), "w") as fh:
+            fh.write(str(delay_us))
 
     # the tag carries EVERY layout-shaping parameter: two consumers with
     # different sentinel types (q153's deny-typed, q158's step-typed) must
@@ -395,9 +415,17 @@ def read_events_stream_late_shifted(
     # v2: the NULL-ts late-route fix (r10 review) changes the staged BYTES
     # for the same input data, so the tag carries a layout version — a
     # cached v1 staging must not satisfy v2 code
+    # v3 (r12): the staging gained the `_watermark` meta file — a cached
+    # v2 staging without it must not satisfy v3 code
     stage = staged_layout(
-        f"lateshift{n_splits}m{late_mod}{flush_type}v2_stream", sf_dir, ["events"], build
+        f"lateshift{n_splits}m{late_mod}{flush_type}v3_stream", sf_dir, ["events"], build
     )
+    if "delay_us" in derived:
+        delay_us = int(derived["delay_us"])  # build ran this call
+    else:
+        with open(os.path.join(stage, "_watermark")) as fh:
+            delay_us = int(fh.read().strip())
+    watermark = f"{delay_us // 1_000_000} seconds"
     schema = spark.read.parquet(stage).schema
     stream = (
         spark.readStream.schema(schema)
