@@ -106,9 +106,13 @@ def apply_components_delta(
         .select(F.col(comp_col).alias("__dc"))
         .distinct()
     )
+    # staged ONCE (lazy, r12): members feeds the endpoint maps, the
+    # recompute's node set, and the untouched anti-join — each consumer
+    # otherwise re-executes the labeling scan + broadcast semi per
+    # appearance (the triangle_count re-derivation lesson)
     members = comps.join(
         F.broadcast(del_comps), F.col(comp_col) == F.col("__dc"), "left_semi"
-    )
+    ).localCheckpoint(eager=False)
     # post-changelog edges INTERNAL to a touched component under the OLD
     # labeling (both endpoints in the same touched component — inserted
     # intra edges included, so a delete compensated by an insert inside
@@ -116,9 +120,13 @@ def apply_components_delta(
     # hint: `members` is component-sized, not delta-sized
     ma = members.select(F.col(node_col).alias(a), F.col(comp_col).alias("__ca"))
     mb = members.select(F.col(node_col).alias(b), F.col(comp_col).alias("__cb"))
+    # staged ONCE (lazy, r12): the slice join cascade otherwise executes
+    # once inside the recompute CC's edge staging AND once per further
+    # consumer — the dominant repeated pass of the whole apply (measured:
+    # the phase-1 recompute is ~2/3 of q159's wall clock)
     sub_edges = (
         edges_new.join(ma, a).join(mb, b).filter(F.col("__ca") == F.col("__cb")).select(a, b)
-    )
+    ).localCheckpoint(eager=False)
     recomputed = connected_components(
         members.select(node_col), sub_edges, node_col=node_col, edge_cols=(a, b),
         max_iter=max_iter,
@@ -416,10 +424,14 @@ def spanning_forest(
             nodes, edges, node_col=node_col, edge_cols=(a, b), max_iter=max_iter
         ).select(node_col, F.col("component").alias(comp_col))
     roots = comps.filter(F.col(node_col) == F.col(comp_col)).select(node_col)
+    # staged ONCE (lazy, r12): canon feeds the BFS edge staging AND the
+    # incident-edge join below — without the checkpoint the caller's edge
+    # plan (e.g. the delta-apply's slice join cascade) executes twice
     canon = (
         edges.filter(F.col(a).isNotNull() & F.col(b).isNotNull() & (F.col(a) != F.col(b)))
         .select(F.least(a, b).alias(a), F.greatest(a, b).alias(b))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     dist = bfs_distances(canon, roots, src=a, dst=b, source_col=node_col, max_depth=max_depth)
     da = dist.select(F.col("node").alias(a), F.col("dist").alias("__da"))
@@ -530,14 +542,18 @@ def apply_components_delta_forest(
             .select(F.col(comp_col).alias("__dc"))
             .distinct()
         )
+        # members + sub_edges staged ONCE (lazy, r12) — the
+        # apply_components_delta phase-1 rationale: the slice cascade
+        # otherwise re-executes inside the recompute CC's staging, the
+        # forest rebuild's BFS staging, and its incident-edge join
         members = comps.join(
             F.broadcast(del_comps), F.col(comp_col) == F.col("__dc"), "left_semi"
-        )
+        ).localCheckpoint(eager=False)
         ma = members.select(F.col(node_col).alias(a), F.col(comp_col).alias("__ca"))
         mb = members.select(F.col(node_col).alias(b), F.col(comp_col).alias("__cb"))
         sub_edges = (
             edges_new.join(ma, a).join(mb, b).filter(F.col("__ca") == F.col("__cb")).select(a, b)
-        )
+        ).localCheckpoint(eager=False)
         recomputed = connected_components(
             members.select(node_col), sub_edges, node_col=node_col, edge_cols=(a, b),
             max_iter=max_iter,
