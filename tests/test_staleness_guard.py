@@ -45,30 +45,12 @@ EXTRA_SCOPE = ["__spark_entry__.py"]
 # empty), and test_waivers_reference_real_out_of_window_entries FAILS on the
 # leftover dict until it is re-justified or cleared — a stale waiver can
 # neither mask a later change to the waived entry nor linger silently.
-WAIVER_ROUND = "round 11:"
-WAIVERS: dict[str, str] = {
-    # r12 is the OPTIMIZATION round: these entries' operators changed in
-    # performance-only ways (eager→lazy per-round checkpoints with audited
-    # release ordering, empty-dangling-set fast path, window→struct-min
-    # argmax, staged-watermark meta) with ZERO change to what any query
-    # computes — and the optimization driver re-runs EVERY declared query
-    # against its DuckDB oracle after this round, so no entry rides an
-    # unproven change regardless of window position. All 163 were
-    # additionally re-verified via scripts/driver_sim.py at sf0.01 in this
-    # session after each change batch (see OPTIMIZATION_r12.md measurement
-    # log). The r12 window keeps the rotation the r11 brief disclosed.
-    "q102_pagerank": "graph.pagerank lazy staging + empty-dangling fast path; full-surface oracle re-run this round",
-    "q11_minhash_lsh_candidates": "dedup sig checkpoint lazy; full-surface oracle re-run this round",
-    "q125_label_propagation": "label_propagation struct-min argmax + lazy staging; full-surface oracle re-run this round",
-    "q12_minhash_verified_pairs": "dedup sig/toks checkpoints lazy; full-surface oracle re-run this round",
-    "q139_kcore_peeling": "k_core lazy per-round checkpoints; full-surface oracle re-run this round",
-    "q143_weighted_sssp": "sssp_distances lazy merge checkpoint; full-surface oracle re-run this round",
-    "q150_personalized_pagerank": "PPR lazy staging + empty-dangling fast path; full-surface oracle re-run this round",
-    "q153_streaming_pattern_spans_ooo": "late-shifted staging persists its derived watermark; full-surface oracle re-run this round",
-    "q158_streaming_funnel_ooo": "late-shifted staging persists its derived watermark; full-surface oracle re-run this round",
-    "q63_dup_clusters": "connected_components lazy per-round checkpoints; full-surface oracle re-run this round",
-    "q72_canonical_docs": "connected_components lazy per-round checkpoints; full-surface oracle re-run this round",
-}
+WAIVER_ROUND = "round 12:"
+# r13: EMPTY (VERDICT r12 What's-wrong #1 / Next #1) — every r12 waiver is
+# retired through the window instead: the twelve waived entries lead the
+# r13 _CHECK_FIRST, and every entry this round's optimization touches is
+# rotated into the window rather than waived.
+WAIVERS: dict[str, str] = {}
 
 # Names resolved dynamically at runtime that static analysis cannot follow:
 # referencing the name makes the symbol depend on EVERY symbol in the mapped
