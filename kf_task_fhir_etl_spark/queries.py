@@ -432,9 +432,11 @@ _CHECK_FIRST = [
     "q26_fhir_family_groups",
     "q27_fhir_specimen_narrow",
     "q33_fhir_research_study",
-    "q34_fhir_proband_status",
-    "q35_fhir_histopathology",
     "q64_fhir_drs_metadata_hashes",
+    # matcher-core micro-opts (streaming/patterns.py) touch these two in
+    # addition to the q153/q158 retirees above -> re-prove in-window
+    "q145_streaming_pattern_spans",
+    "q147_streaming_funnel",
 ]
 _CHECK_LAST = [
     "q65_fhir_specimen_bodysite_dispatch",
@@ -451,8 +453,6 @@ _CHECK_LAST = [
     "q84_fhir_drs_json",
     "q149_topk_ivm",
     "q144_join_view_ivm",
-    "q145_streaming_pattern_spans",
-    "q147_streaming_funnel",
     "q146_distinct_count_ivm",
     "q110_importance_sample",
     "q111_budget_select",
@@ -550,6 +550,8 @@ _CHECK_LAST = [
     "q21_window_agg",
     "q22_sessionization",
     "q38_corpus_prep_pipeline",
+    "q34_fhir_proband_status",
+    "q35_fhir_histopathology",
 ]
 
 

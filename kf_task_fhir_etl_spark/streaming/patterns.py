@@ -67,8 +67,27 @@ def _decide_spans(us, t, first: str, then: str, deny_list: list[str], seed_first
     "before" it, so a window boundary can never split the engines on a
     tie."""
     is_first = t == first
-    is_deny = np.isin(t, deny_list) if deny_list else np.zeros(len(t), dtype=bool)
+    # single-deny fast path (r13): np.isin pays ~30µs of set machinery per
+    # call; the gates' deny lists are 0-1 types and this function runs once
+    # per user per microbatch
+    if not deny_list:
+        is_deny = np.zeros(len(t), dtype=bool)
+    elif len(deny_list) == 1:
+        is_deny = t == deny_list[0]
+    else:
+        is_deny = np.isin(t, deny_list)
     is_then = t == then
+    if not is_then.any():
+        # no target in the window (the common per-microbatch case for most
+        # users): only the carried seeds can change — skip the prefix
+        # maxima / searchsorted machinery entirely (r13, guide §4: the
+        # per-group fixed cost IS this family's bottleneck)
+        fu = us[is_first]
+        du = us[is_deny]
+        new_first = max(seed_first, fu.max()) if len(fu) else seed_first
+        new_deny = max(seed_deny, du.max()) if len(du) else seed_deny
+        empty = np.zeros(len(t), dtype=bool)
+        return empty, us, new_first, new_deny
     cf = np.maximum.accumulate(np.where(is_first, us, _ABSENT))
     cd = np.maximum.accumulate(np.where(is_deny, us, _ABSENT))
     k = np.searchsorted(us, us, side="left") - 1
@@ -103,10 +122,13 @@ def _make_span_matcher(first: str, then: str, deny: set[str]):
         pdf = parts[0] if len(parts) == 1 else pd.concat(parts, ignore_index=True)
         # stable sort: equal-µs rows keep arrival order, but the decision
         # rule is a SET rule over strictly-earlier µs, so their relative
-        # order cannot change any emitted span
-        pdf = pdf.sort_values("__us", kind="mergesort", ignore_index=True)
-        us = pdf["__us"].to_numpy(dtype=np.int64)
-        t = pdf["__t"].to_numpy()
+        # order cannot change any emitted span. Sorted as raw numpy (r13):
+        # pandas sort_values rebuilds a whole frame per group and this
+        # runs once per user per microbatch (guide §4 per-group cost).
+        us0 = pdf["__us"].to_numpy(dtype=np.int64)
+        order = np.argsort(us0, kind="stable")
+        us = us0[order]
+        t = pdf["__t"].to_numpy()[order]
         hit, last_first, new_first, new_deny = _decide_spans(
             us, t, first, then, deny_list, seed_first, seed_deny
         )
@@ -321,8 +343,10 @@ def _make_buffered_span_matcher(first: str, then: str, deny: set[str]):
             has_f, lf, has_d, ld, pus, pt = state.get
             seed_first = np.int64(lf) if has_f else _ABSENT
             seed_deny = np.int64(ld) if has_d else _ABSENT
-            pend_us = np.asarray(list(pus or []), dtype=np.int64)
-            pend_t = np.asarray(list(pt or []), dtype=object)
+            # no list() copy before asarray (r13): the state tuple already
+            # holds sequences, and this runs once per user per microbatch
+            pend_us = np.asarray(pus if pus is not None else (), dtype=np.int64)
+            pend_t = np.asarray(pt if pt is not None else (), dtype=object)
         else:
             seed_first = seed_deny = _ABSENT
             pend_us = np.empty(0, dtype=np.int64)
@@ -330,8 +354,12 @@ def _make_buffered_span_matcher(first: str, then: str, deny: set[str]):
         parts = [p for p in pdfs if len(p)]
         if parts:
             pdf = parts[0] if len(parts) == 1 else pd.concat(parts, ignore_index=True)
-            us_all = np.concatenate([pend_us, pdf["__us"].to_numpy(dtype=np.int64)])
-            t_all = np.concatenate([pend_t, pdf["__t"].to_numpy(dtype=object)])
+            if len(pend_us):
+                us_all = np.concatenate([pend_us, pdf["__us"].to_numpy(dtype=np.int64)])
+                t_all = np.concatenate([pend_t, pdf["__t"].to_numpy(dtype=object)])
+            else:  # empty buffer (the common case): no concat copies
+                us_all = pdf["__us"].to_numpy(dtype=np.int64)
+                t_all = pdf["__t"].to_numpy(dtype=object)
         else:  # timeout invocation: release from the buffer alone
             us_all, t_all = pend_us, pend_t
         order = np.argsort(us_all, kind="stable")
@@ -353,7 +381,9 @@ def _make_buffered_span_matcher(first: str, then: str, deny: set[str]):
                 int(seed_first) if seed_first != _ABSENT else 0,
                 bool(seed_deny != _ABSENT),
                 int(seed_deny) if seed_deny != _ABSENT else 0,
-                [int(x) for x in rest_us],
+                # tolist() converts in C (r13): the per-element Python
+                # loops dominated the no-pending path's state write
+                rest_us.tolist(),
                 [str(x) for x in rest_t],
             )
         )
@@ -434,11 +464,11 @@ def _make_buffered_funnel_matcher(steps: list[str]):
         wm_ms = state.getCurrentWatermarkMs()
         wm_us = np.int64(wm_ms) * 1000
         if state.exists:
-            stored = list(state.get)
+            stored = state.get
             t = [int(x) for x in stored[:k]]
             pus, pt = stored[k], stored[k + 1]
-            pend_us = np.asarray(list(pus or []), dtype=np.int64)
-            pend_t = np.asarray(list(pt or []), dtype=object)
+            pend_us = np.asarray(pus if pus is not None else (), dtype=np.int64)
+            pend_t = np.asarray(pt if pt is not None else (), dtype=object)
         else:
             t = [int(_ABSENT)] * k
             pend_us = np.empty(0, dtype=np.int64)
@@ -459,7 +489,7 @@ def _make_buffered_funnel_matcher(steps: list[str]):
         rest_us, rest_t = us_all[cut:], t_all[cut:]
         after = sum(1 for x in t if x != _ABSENT)
         state.update(
-            tuple(t) + ([int(x) for x in rest_us], [str(x) for x in rest_t])
+            tuple(t) + (rest_us.tolist(), [str(x) for x in rest_t])
         )
         if len(rest_us):
             state.setTimeoutTimestamp(max(int(rest_us.min() // 1000), wm_ms + 1))
