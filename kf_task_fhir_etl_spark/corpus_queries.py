@@ -435,7 +435,11 @@ def q98_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     single mis-kept or mis-ordered span fails. Plan: map-side span
     explode, one first-occurrence window on the span key, one reassembly
     groupBy — two shuffles total."""
-    docs = load_table(spark, sf_dir, "documents")
+    from kf_task_fhir_etl_spark.operators.parallelism import widen_for_cpu
+
+    # widened (r13, guide §2.5): the span explode + md5 is CPU-dense over a
+    # one-file scan; a no-op at scale, 32-way locally
+    docs = widen_for_cpu(load_table(spark, sf_dir, "documents"))
     dd = corpus.span_dedup(docs, "doc_id", "text", span_words=10)
     return dd.select(
         "doc_id", "n_spans", "n_kept", F.md5(F.col("kept_text")).alias("kept_md5")
@@ -552,8 +556,11 @@ def q100_corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle replays the full chain in SQL, so a drifted threshold, a
     mis-kept span, or one doc landing in the wrong shard all fail."""
     from kf_task_fhir_etl_spark.operators import filters
+    from kf_task_fhir_etl_spark.operators.parallelism import widen_for_cpu
 
-    docs = load_table(spark, sf_dir, "documents")
+    # widened (r13, guide §2.5): quality metrics + span md5s are CPU-dense
+    # over a one-file scan; a no-op at scale, 32-way locally
+    docs = widen_for_cpu(load_table(spark, sf_dir, "documents"))
     kept = (
         filters.apply_quality_filters(docs)
         .filter(F.col("keep"))

@@ -43,6 +43,10 @@ def widen_for_cpu(df: DataFrame) -> DataFrame:
     when the input is already core-wide — the 100 TB path. Project down to
     the needed columns BEFORE widening so the added local shuffle moves only
     the bytes the CPU-dense consumer reads (guide §2.3)."""
+    if df.isStreaming:
+        # a stream has no planned partition count to probe; its stateful
+        # consumers set parallelism through the shuffle-partition conf
+        return df
     target = cpu_partitions(df)
     if df.rdd.getNumPartitions() >= target:
         return df

@@ -1741,8 +1741,11 @@ def q89_quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounding), so keep decisions are hash-checked at the boundary values
     too."""
     from kf_task_fhir_etl_spark.operators import filters
+    from kf_task_fhir_etl_spark.operators.parallelism import widen_for_cpu
 
-    docs = load_table(spark, sf_dir, "documents")
+    # widened (r13, guide §2.5): the per-doc quality metrics are CPU-dense
+    # over a one-file scan; a no-op at scale, 32-way locally
+    docs = widen_for_cpu(load_table(spark, sf_dir, "documents"))
     ann = filters.apply_quality_filters(docs)
     return (
         ann.groupBy("source")
