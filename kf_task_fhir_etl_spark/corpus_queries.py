@@ -4313,7 +4313,7 @@ def q153_streaming_pattern_spans_ooo(spark: SparkSession, sf_dir: str) -> DataFr
     spans = streaming_pattern_spans_ooo(
         stream, "view", "purchase", ["error"], watermark=wm
     )
-    run_stream_to_memory(spans, "q153_spans_mem", output_mode="append", state_partitions=None)
+    run_stream_to_memory(spans, "q153_spans_mem", output_mode="append")
     return (
         spark.table("q153_spans_mem")
         .filter(F.col("user_id") != -1)
@@ -4492,7 +4492,7 @@ def q158_streaming_funnel_ooo(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, n_splits=3, late_mod=5, flush_type="view"
     )
     traj = streaming_funnel_trajectories_ooo(stream, steps, watermark=wm)
-    run_stream_to_memory(traj, "q158_funnel_mem", output_mode="update", state_partitions=None)
+    run_stream_to_memory(traj, "q158_funnel_mem", output_mode="update")
     t = spark.table("q158_funnel_mem").filter(F.col("user_id") != -1)
     w = Window.partitionBy("user_id").orderBy(F.desc("reached"))
     final = t.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1)
